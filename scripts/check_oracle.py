@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 gate: for each SparkEntry query,
+compare the Verify.scala parquet dump against the DuckDB oracle SQL.
+Columns sorted by name, rows sorted, values normalized. Dev tool only —
+the engine itself never depends on this."""
+import json, sys, glob, os
+import duckdb
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if hasattr(v, "timestamp"):  # datetime
+        return v.timestamp()
+    if hasattr(v, "as_py"):
+        return norm(v.as_py())
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except Exception:
+        pass
+    return v
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return [cols[i] for i in order], out
+
+fails = 0
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no parquet written")
+        fails += 1
+        continue
+    sd = con.execute(f"SELECT * FROM '{d}/*.parquet'")
+    s_cols = [c[0] for c in sd.description]
+    s_rows = sd.fetchall()
+    if name not in oracle:
+        print(f"  ok  {name}: rows-only ({len(s_rows)} rows, no oracle)")
+        continue
+    try:
+        od = con.execute(oracle[name])
+        o_cols = [c[0] for c in od.description]
+        o_rows = od.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}")
+        fails += 1
+        continue
+    sc, sr = canon(s_cols, s_rows)
+    oc, orr = canon(o_cols, o_rows)
+    if sc != oc:
+        print(f"FAIL {name}: schema {sc} != {oc}")
+        fails += 1
+    elif len(sr) != len(orr):
+        print(f"FAIL {name}: rowcount {len(sr)} != {len(orr)}")
+        fails += 1
+    elif sr != orr:
+        diff = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+        print(f"FAIL {name}: values differ, e.g. {diff}")
+        fails += 1
+    else:
+        print(f"  ok  {name}: {len(sr)} rows match")
+print(f"{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,92 @@
+package graft.kmeans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** The decomposed k-means operators, each a pure DataFrame→DataFrame
+  * transform built from Spark built-ins (no UDFs, no RDDs).
+  *
+  * Reference semantics reproduced exactly
+  * (citations into /root/reference/kmeans/src/main/java/it/unipi/hadoop/):
+  *  - nearest centroid = linear argmin with STRICT `<` comparison, so ties
+  *    go to the lowest index (Point.java:57-71, the `<` at Point.java:65);
+  *  - per-cluster partial aggregate = (vector sum, count)
+  *    ("ClusteringFeature", ClusteringFeature.java:7-9) — in Spark this is
+  *    the automatic partial/final split of HashAggregateExec, which is the
+  *    same map-side-combine the reference hand-rolls in its in-mapper
+  *    combiner (KMeans.java:36-67);
+  *  - new centroid = sum / count (ClusteringFeature.java:60-70);
+  *  - convergence error = Σᵢ ‖cᵢ_new − cᵢ_old‖₂ (KMeans.java:206-213).
+  *
+  * The centroid set (k·d doubles) is tiny and travels as *literals* baked
+  * into the plan — the Spark analogue of the reference shipping centroids
+  * through the Hadoop `Configuration` (KMeans.java:152-157). Catalyst
+  * constant-folds them into straight-line codegen arithmetic; at 1000
+  * executors this broadcasts with the task binary, costing nothing.
+  */
+object KMeansOps {
+
+  /** Distances from `vec` to each centroid, as one array column.
+    * Unrolled per-centroid literal math — no array-of-struct shuffle of
+    * the centroid table, no join. */
+  def distances(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => sqDistToLiteral(vec, c)): _*)
+
+  /** Index (0-based) of the nearest centroid; ties → lowest index.
+    * `array_position` returns the FIRST occurrence (1-based) of the min,
+    * which is exactly the reference's strict-`<` scan (Point.java:65). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val ds = distances(vec, centroids)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
+  /** points + `cluster` column. vecCol must be array<double>. */
+  def assign(points: DataFrame, vecCol: String,
+             centroids: Array[Array[Double]]): DataFrame =
+    points.withColumn("cluster", nearestCentroid(col(vecCol), centroids))
+
+  /** Per-cluster (vector sum, count) — the ClusteringFeature aggregate.
+    * Expressed as d per-dimension `sum`s so the whole thing is one
+    * codegen'd HashAggregate (partial → shuffle-by-cluster → final):
+    * shuffle traffic is k·d doubles per partition, independent of n,
+    * identical in shape to the reference's in-mapper combiner
+    * (KMeans.java:64-67) but without its always-emit-k-empty-CFs quirk —
+    * absent clusters simply produce no row and are handled by
+    * [[KMeansRunner]]'s empty-cluster policy. */
+  def summarize(assigned: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col(vecCol), i + 1)).as(s"s$i"))
+    assigned
+      .groupBy(col("cluster"))
+      .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+      .select(col("cluster"),
+        array((0 until dim).map(i => col(s"s$i")): _*).as("vec_sum"),
+        col("n"))
+  }
+
+  /** One full Lloyd round as a DataFrame: assign + summarize + mean.
+    * Output: (cluster, centroid: array<double>, n). Absent (empty)
+    * clusters yield no row — no Double.MAX_VALUE sentinel
+    * (ClusteringFeature.java:64-67); see KMeansRunner for the policy. */
+  def lloydRound(points: DataFrame, vecCol: String,
+                 centroids: Array[Array[Double]]): DataFrame = {
+    val dim = centroids.head.length
+    summarize(assign(points, vecCol, centroids), vecCol, dim)
+      .select(col("cluster"),
+        vecScale(col("vec_sum"), col("n")).as("centroid"),
+        col("n"))
+  }
+
+  /** Σᵢ ‖cᵢ_new − cᵢ_old‖₂ over index-paired centroids — the reference's
+    * `checkTermination` (KMeans.java:206-213). Driver-side: k·d values. */
+  def shift(oldC: Array[Array[Double]], newC: Array[Array[Double]]): Double = {
+    require(oldC.length == newC.length)
+    oldC.iterator.zip(newC.iterator).map { case (a, b) =>
+      math.sqrt(a.iterator.zip(b.iterator).map { case (x, y) =>
+        (x - y) * (x - y)
+      }.sum)
+    }.sum
+  }
+}

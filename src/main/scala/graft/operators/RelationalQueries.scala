@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Relational operator coverage over the TPC-H-ish star schema: scan with
+  * pushdown, hash aggregation, broadcast + shuffle joins, semi-join,
+  * window functions, sort/top-k. The reference has none of these
+  * (SURVEY.md §2.1 — its only pipeline is the k-means round), but the
+  * engine-extension surface and any real user of the engine needs them;
+  * they also pin down the oracle methodology for every later operator.
+  *
+  * Float-determinism: money columns are summed as DECIMAL(18,2) — exact
+  * in both Spark and DuckDB regardless of row order — and only converted
+  * to DOUBLE at the end (SURVEY.md §7.4).
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-shaped aggregation: full lineitem scan, 2-key hash agg.
+    * At scale: partial agg runs map-side (HashAggregateExec partial),
+    * only |groups| rows shuffle. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** 3-way join: customer ⋈ orders ⋈ lineitem, revenue top-10.
+    * customer is small → broadcast; orders⋈lineitem shuffles on
+    * l_orderkey. Revenue in DECIMAL for exactness. */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("rev"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Window function: top-3 orders per customer by total price.
+    * Deterministic tie-break on o_orderkey. */
+  def qWindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+  }
+
+  /** Global sort + limit (top-k): TakeOrderedAndProject in the physical
+    * plan — no full sort materialization at scale. */
+  def qTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(20)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"))
+
+  /** Left-semi join (EXISTS): customers having at least one
+    * high-value order, joined to nation/region dims (broadcast). */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(spark, dir, "orders")
+      .where(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    t(spark, dir, "customer")
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Anti-join (NOT EXISTS): parts never ordered. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .join(t(spark, dir, "lineitem").select(col("l_partkey")),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_join" -> q3Join,
+    "q_window_top_orders" -> qWindowTopOrders,
+    "q_topk" -> qTopK,
+    "q_semi_join" -> qSemiJoin,
+    "q_anti_join" -> qAntiJoin)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_window_top_orders" ->
+      """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+    "q_semi_join" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY n_name""".stripMargin,
+    "q_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin)
+}
