@@ -19,7 +19,12 @@ object SparkEntry {
   private def modules = Seq[(Map[String, (SparkSession, String) => DataFrame],
                              Map[String, String])](
     (KMeansQueries.queries, KMeansQueries.oracles),
-    (RelationalQueries.queries, RelationalQueries.oracles))
+    (RelationalQueries.queries, RelationalQueries.oracles),
+    (Dedup.queries, Dedup.oracles),
+    (Similarity.queries, Similarity.oracles),
+    (TextAnalysis.queries, TextAnalysis.oracles),
+    (Multimodal.queries, Multimodal.oracles),
+    (Events.queries, Events.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

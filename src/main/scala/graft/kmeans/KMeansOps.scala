@@ -47,6 +47,22 @@ object KMeansOps {
              centroids: Array[Array[Double]]): DataFrame =
     points.withColumn("cluster", nearestCentroid(col(vecCol), centroids))
 
+  /** Codegen-cache-stable variant for the ITERATIVE path: the centroid
+    * set enters the plan as one `typedLit` array-of-arrays, which codegen
+    * attaches as a reference object instead of splicing k·d literals into
+    * the generated source. The generated code is therefore byte-identical
+    * across iterations and Spark's codegen cache hits — the unrolled
+    * [[nearestCentroid]] recompiles ~1 s of Janino per iteration because
+    * every new centroid value yields new source. One-shot queries keep
+    * the unrolled form (straight-line math, no array allocation). */
+  def assignDyn(points: DataFrame, vecCol: String,
+                centroids: Array[Array[Double]]): DataFrame = {
+    val cents = typedLit(centroids.map(_.toSeq).toSeq)
+    val ds = transform(cents, c => sqDist(col(vecCol), c))
+    points.withColumn("cluster",
+      (array_position(ds, array_min(ds)) - 1).cast("int"))
+  }
+
   /** Per-cluster (vector sum, count) — the ClusteringFeature aggregate.
     * Expressed as d per-dimension `sum`s so the whole thing is one
     * codegen'd HashAggregate (partial → shuffle-by-cluster → final):
@@ -71,9 +87,12 @@ object KMeansOps {
     * clusters yield no row — no Double.MAX_VALUE sentinel
     * (ClusteringFeature.java:64-67); see KMeansRunner for the policy. */
   def lloydRound(points: DataFrame, vecCol: String,
-                 centroids: Array[Array[Double]]): DataFrame = {
+                 centroids: Array[Array[Double]], dyn: Boolean = false): DataFrame = {
     val dim = centroids.head.length
-    summarize(assign(points, vecCol, centroids), vecCol, dim)
+    val assigned =
+      if (dyn) assignDyn(points, vecCol, centroids)
+      else assign(points, vecCol, centroids)
+    summarize(assigned, vecCol, dim)
       .select(col("cluster"),
         vecScale(col("vec_sum"), col("n")).as("centroid"),
         col("n"))

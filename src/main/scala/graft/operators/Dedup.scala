@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.VectorFunctions._
+import graft.kmeans.KMeansOps
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` (text) and `embeddings` (vector) tables.
+  *
+  * All hashing is md5-based so the DuckDB oracle can reproduce results
+  * bit-for-bit (Spark's native `hash`/`xxhash64` have no DuckDB
+  * equivalent). At 100 TB the md5 cost is per-token/shingle CPU inside
+  * whole-stage codegen — no extra shuffles vs the native-hash version;
+  * swap `md5` for `xxhash64` in production if oracle parity is not
+  * needed.
+  *
+  * Scale posture: every operator is blocked (hash-group, LSH band, or
+  * k-means cell) so the candidate set stays near-linear — never an
+  * unblocked O(n²) cross join (SURVEY.md §7.4).
+  */
+object Dedup {
+
+  /** n-token shingles of a token array (1-based element_at, matching
+    * DuckDB's 1-based list indexing). Caller must guarantee
+    * size(tokens) >= n. */
+  def shingleCol(tokens: Column, n: Int): Column =
+    transform(sequence(lit(1), size(tokens) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*))
+
+  /** Min-hash of a shingle set under hash function `idx` (md5 salted by
+    * the function index; lexicographic min over hex digests). */
+  private def minHash(shingles: Column, idx: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(s"$idx:"), s))))
+
+  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingleCol(col("toks"), 3).as("shingles"))
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id.
+    * One hash-partitioned aggregation — the pattern that replaces a
+    * global sort-based dedup at scale. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val MinhashBands = 4
+  val RowsPerBand = 2
+
+  /** (doc_id, band, sig) LSH band signatures: bands of `RowsPerBand`
+    * min-hashes, md5-combined. Docs sharing any band signature become
+    * candidate near-duplicates. */
+  def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docsWithShingles(spark, dir)
+    val bandStructs = (0 until MinhashBands).map { b =>
+      val rows = (0 until RowsPerBand)
+        .map(r => minHash(col("shingles"), b * RowsPerBand + r))
+      struct(lit(b).as("band"), md5(concat(rows: _*)).as("sig"))
+    }
+    sh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
+    * bucket self-join. The join key (band, sig) hash-partitions both
+    * sides; candidate count stays near-linear in n for honest LSH
+    * parameters. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = bandSignatures(spark, dir)
+    val a = sig.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = sig.select(col("band").as("band_b"), col("sig").as("sig_b"),
+      col("doc_id").as("doc_b"))
+    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity, evaluated only on the LSH
+    * candidate pairs (verify stage of the classic two-phase near-dup
+    * pipeline). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docsWithShingles(spark, dir)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    val pairs = dedupMinhash(spark, dir)
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("ni")), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash document signature: per-token md5-derived hash,
+    * per-bit ±1 vote, sign → bit. One explode + one hash aggregation;
+    * the 32 per-bit sums ride in a single agg buffer row per doc. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
+        .as(s"b$i"))
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup, IVF-blocked: vectors are assigned to
+    * k-means cells (reusing the clustering kernel as the coarse
+    * quantizer) and only within-cell pairs are scored — the scale path
+    * that replaces an O(n²) cross join. Threshold 0.4 is calibrated to
+    * this synthetic data (max within-cell cosine ≈ 0.53; real near-dup
+    * corpora would use ≥0.95). */
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = KMeansOps.assign(
+      t(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("v")),
+      "v", KMeansQueries.fixedCentroids(spark, dir))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("v").as("v_a"))
+    val b = assigned.select(col("cluster").as("cluster_b"),
+      col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embed_cosine" -> dedupEmbedCosine)
+
+  /** Shared oracle CTEs: shingles and LSH band signatures. */
+  private val shCte =
+    """WITH sh AS (
+      |  SELECT doc_id, list_transform(generate_series(1, len(t)-2),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3
+      |), sig AS (
+      |  SELECT doc_id, band,
+      |         md5(concat(
+      |           list_min(list_transform(shingles,
+      |             s -> md5(concat(CAST(2*band   AS VARCHAR), ':', s)))),
+      |           list_min(list_transform(shingles,
+      |             s -> md5(concat(CAST(2*band+1 AS VARCHAR), ':', s)))))) AS sig
+      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_minhash" ->
+      s"""$shCte
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$shCte
+         |SELECT p.doc_a, p.doc_b,
+         |  round(CAST(len(list_intersect(list_distinct(a.shingles),
+         |                                list_distinct(b.shingles))) AS DOUBLE)
+         |        / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+         |           - len(list_intersect(list_distinct(a.shingles),
+         |                                list_distinct(b.shingles)))), 6) AS jaccard
+         |FROM pairs p
+         |JOIN sh a ON a.doc_id = p.doc_a
+         |JOIN sh b ON b.doc_id = p.doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |), bits AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |              THEN CAST(1 AS BIGINT) << i ELSE 0 END AS bitval
+        |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) g
+        |  GROUP BY doc_id, i
+        |)
+        |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_embed_cosine" ->
+      s"""WITH cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |         CAST(embedding AS DOUBLE[]) AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT ${KMeansQueries.K})
+         |), assigned AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         |         (SELECT c.cid FROM cents c
+         |          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid
+         |          LIMIT 1) AS cluster
+         |  FROM embeddings e
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |FROM assigned a JOIN assigned b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin)
+}

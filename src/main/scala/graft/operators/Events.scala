@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Event-stream operators in their BATCH form (the oracle-checkable
+  * side): tumbling-window aggregation, gap-based sessionization, JSON
+  * property extraction, filtered top-k. The same transforms run as
+  * Structured Streaming in [[graft.streaming.StreamingOps]] with
+  * watermarks; ScalaTest asserts streaming==batch equivalence.
+  *
+  * Time travels as epoch MICROSECONDS (unix_micros / epoch_us) so the
+  * parquet ns-precision column compares exactly between Spark and
+  * DuckDB.
+  */
+object Events {
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read it with the
+    * documented escape hatch `spark.sql.legacy.parquet.nanosAsLong` —
+    * `ts` arrives as a nano-epoch long and is immediately narrowed to
+    * microseconds, matching DuckDB's `epoch_us(ts)` exactly (both floor
+    * toward zero; all data is post-1970). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+  }
+
+  private val HourUs = 3600L * 1000 * 1000
+
+  /** Tumbling 1-hour window counts + value sums per event type. */
+  def evHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy((expr(s"ts_us DIV $HourUs") * HourUs).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  /** Gap-based sessionization: per-user sessions split on >30 min
+    * silence. One shuffle on user_id; two window passes (lag → running
+    * session counter) — the batch mirror of
+    * `flatMapGroupsWithState` sessionization. */
+  def evSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+
+  }
+
+  /** JSON property extraction + aggregation: props is a JSON string
+    * column; pull `$.k`, aggregate per event type. */
+  def evJson(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        round(avg(col("k")), 6).as("avg_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Filtered top-k: top 10 users by total purchase value. The
+    * event_type filter pushes into the parquet scan. */
+  def evTopUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 4).as("total_value"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_hourly" -> evHourly,
+    "ev_sessionize" -> evSessionize,
+    "ev_json" -> evJson,
+    "ev_top_users" -> evTopUsers)
+
+  val oracles: Map[String, String] = Map(
+    "ev_hourly" ->
+      """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+        |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL
+         |           OR ts_us - lag(ts_us) OVER w > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |), sess AS (
+         |  SELECT user_id, ts_us,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |       count(*) AS n_events,
+         |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+         |       max(ts_us) - min(ts_us) AS duration_us
+         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "ev_json" ->
+      """SELECT event_type, count(k) AS n_with_k, round(avg(k), 6) AS avg_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "ev_top_users" ->
+      """SELECT user_id, round(sum(value), 4) AS total_value,
+        |       count(*) AS n_purchases
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id
+        |ORDER BY total_value DESC, user_id
+        |LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, per SURVEY.md §2.2. The container has no image/audio
+  * codecs, so the decode step is a clearly-marked deterministic STUB
+  * ([[FakeDecoder]]); everything Spark-side — schema, binary column
+  * handling, partition-wise batch processing, typed output — is real.
+  *
+  * The testdata has no true media column, so `documents.text` is cast to
+  * binary to stand in for an image payload; at 100 TB the same plan
+  * applies to real bytes (parquet binary columns scan + prune exactly
+  * the same way).
+  */
+object Multimodal {
+
+  /** Byte-level metadata extraction over a binary column, all built-ins:
+    * size, content digest, header bytes, and a stride-100 "frame sample"
+    * (the moral equivalent of sampling video frames). Byte access goes
+    * through the hex string so the DuckDB oracle can reproduce it. */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("n_bytes", octet_length(col("blob")))
+      .withColumn("hexstr", hex(col("blob")))
+      .select(col("doc_id"), col("n_bytes"),
+        md5(col("blob")).as("content_md5"),
+        substring(col("hexstr"), 1, 16).as("header_hex"),
+        transform(
+          sequence(lit(1), expr("(n_bytes + 99) DIV 100")),
+          i => substr(col("hexstr"), (i - 1) * 200 + 1, lit(2)))
+          .as("frame_sample"))
+
+  // ---------------------------------------------------------------------
+  // Stubbed decode pipeline (typed, partition-wise)
+  // ---------------------------------------------------------------------
+
+  final case class MediaRow(doc_id: Long, blob: Array[Byte])
+  final case class DecodedMedia(doc_id: Long, width: Int, height: Int,
+                                n_frames: Int, mean_luma: Double)
+
+  /** STUB decoder: the real implementation would call an image/audio
+    * codec (not present in this container). This deterministic fake
+    * derives "decoded" properties from the raw bytes so the pipeline
+    * shape — per-partition batching, typed Encoders, closure-free
+    * columns downstream — is fully exercised and testable. */
+  object FakeDecoder {
+    def decode(m: MediaRow): DecodedMedia = {
+      val b = m.blob
+      def u(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
+      val sampled = b.indices.by(100).map(i => b(i) & 0xff)
+      DecodedMedia(
+        doc_id = m.doc_id,
+        width = 16 + u(0) % 64,
+        height = 16 + u(1) % 64,
+        n_frames = (b.length + 99) / 100,
+        mean_luma = if (sampled.isEmpty) 0.0
+                    else sampled.sum.toDouble / (255.0 * sampled.size))
+    }
+  }
+
+  /** Decode via mapPartitions: one decoder instance per partition (the
+    * shape a JNI/codec handle needs — init once per task, stream the
+    * batch through it). Driver check is rows-only (stub output has no
+    * SQL equivalent by design). */
+  def mmDecode(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val media: Dataset[MediaRow] = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (codec handle, model…)
+      rows.map(FakeDecoder.decode)
+    }.toDF()
+      .withColumn("mean_luma", round(col("mean_luma"), 6))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> mmMeta,
+    "mm_decode" -> mmDecode)
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id, n_bytes,
+        |  md5(text) AS content_md5,
+        |  substr(hexstr, 1, 16) AS header_hex,
+        |  list_transform(generate_series(1, (n_bytes + 99) // 100),
+        |    i -> substr(hexstr, (i - 1) * 200 + 1, 2)) AS frame_sample
+        |FROM (SELECT doc_id, text, octet_length(encode(text))
+        |        AS n_bytes, hex(encode(text)) AS hexstr
+        |      FROM documents)""".stripMargin)
+}

@@ -90,10 +90,14 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_customers"))
   }
 
-  /** Anti-join (NOT EXISTS): parts never ordered. */
+  /** Anti-join (NOT EXISTS): parts with no shipment before the cutoff.
+    * The shipdate filter is pushed below the anti-join into the parquet
+    * scan (PushedFilters), shrinking the build side. */
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "part")
-      .join(t(spark, dir, "lineitem").select(col("l_partkey")),
+      .join(t(spark, dir, "lineitem")
+          .where(col("l_shipdate") < to_timestamp(lit("1995-07-01 00:00:00")))
+          .select(col("l_partkey")),
         col("p_partkey") === col("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_name"))
 
@@ -146,5 +150,7 @@ object RelationalQueries {
         |GROUP BY n_name""".stripMargin,
     "q_anti_join" ->
       """SELECT p_partkey, p_name FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey
+        |                    AND l_shipdate < TIMESTAMP '1995-07-01')""".stripMargin)
 }

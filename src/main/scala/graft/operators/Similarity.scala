@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.VectorFunctions._
+import graft.kmeans.KMeansOps
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths per the training-pipeline mandate:
+  *  - `ann_topk_cosine`: brute-force cosine top-k — the correctness
+  *    baseline. The (small) query set is broadcast; the scan side
+  *    streams once; per-query top-k via window rank. At scale this is
+  *    one pass over the data per query batch, no shuffle of the corpus.
+  *  - `ann_ivf`: IVF-style pruned search — the k-means centroids (the
+  *    engine's own clustering kernel) act as the coarse quantizer; each
+  *    query probes only its `NProbe` nearest cells, cutting the scanned
+  *    fraction to ~NProbe/k while returning near-identical neighbors.
+  *
+  * Ranking ties are broken on (rounded score desc, vec_id) so Spark and
+  * the DuckDB oracle rank identically despite float-summation order.
+  */
+object Similarity {
+
+  val NQueries = 10
+  val TopK = 10
+  val NProbe = 2
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+  private def rankTopK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** Brute-force cosine top-k: exact baseline. */
+  def annTopKCosine(spark: SparkSession, dir: String): DataFrame = {
+    val scored = emb(spark, dir)
+      .join(broadcast(queriesDf(spark, dir)),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("score"))
+    rankTopK(scored)
+  }
+
+  /** IVF-pruned cosine top-k: probe the NProbe nearest k-means cells. */
+  def annIvfCosine(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val assigned = KMeansOps.assign(emb(spark, dir), "v", cents)
+    val cellDists = KMeansOps.distances(col("qv"), cents)
+    val cellStructs = array(cents.indices.map(i =>
+      struct(element_at(cellDists, i + 1).as("d"), lit(i).as("cid"))): _*)
+    val probed = queriesDf(spark, dir)
+      .withColumn("probe",
+        transform(slice(array_sort(cellStructs), 1, NProbe), s => s("cid")))
+    val scored = assigned
+      .join(broadcast(probed),
+        array_contains(col("probe"), col("cluster")) &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("score"))
+    rankTopK(scored)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_cosine" -> annTopKCosine,
+    "ann_ivf" -> annIvfCosine)
+
+  private def centsCte =
+    s"""cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |         CAST(embedding AS DOUBLE[]) AS c
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT ${KMeansQueries.K})
+       |), q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $NQueries
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk_cosine" ->
+      s"""SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6)
+         |      AS score,
+         |    row_number() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY round(list_cosine_similarity(q.qv,
+         |                CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank
+         |  FROM embeddings e CROSS JOIN
+         |    (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |     FROM embeddings WHERE vec_id < $NQueries) q
+         |  WHERE e.vec_id <> q.query_id)
+         |WHERE rank <= $TopK""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH $centsCte, assigned AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         |         (SELECT c.cid FROM cents c
+         |          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid
+         |          LIMIT 1) AS cluster
+         |  FROM embeddings e
+         |), probed AS (
+         |  SELECT query_id, qv,
+         |         (SELECT list(cid) FROM (
+         |            SELECT cid FROM cents c
+         |            ORDER BY list_distance(q.qv, c.c), c.cid
+         |            LIMIT $NProbe)) AS probe
+         |  FROM q
+         |)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(p.qv, a.v), 6) AS score,
+         |    row_number() OVER (
+         |      PARTITION BY p.query_id
+         |      ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+         |               a.vec_id) AS rank
+         |  FROM assigned a JOIN probed p
+         |    ON list_contains(p.probe, a.cluster) AND a.vec_id <> p.query_id)
+         |WHERE rank <= $TopK""".stripMargin)
+}

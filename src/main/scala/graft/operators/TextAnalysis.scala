@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Text-analysis operators over the `documents` table: quality scoring,
+  * language identification, token counting, document fingerprinting,
+  * tf-idf. All per-document work is narrow (no shuffle) except where an
+  * aggregation is inherent (df counts for tf-idf, which shuffles once on
+  * the token key); everything stays in whole-stage codegen via built-in
+  * string/array/higher-order functions.
+  */
+object TextAnalysis {
+
+  /** Stopword list, fixed from the corpus vocabulary. */
+  val Stopwords: Seq[String] = Seq("a", "the", "value", "key", "row")
+
+  /** Per-language marker tokens for the n-gram-style language-ID vote.
+    * The synthetic corpus shares one vocabulary across langs, so these
+    * are calibration markers rather than real function words; the
+    * operator mechanics (weighted marker vote, argmax with deterministic
+    * tie-break) are what a real lang-ID table would plug into. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "de" -> "group", "de" -> "hash", "de" -> "window", "de" -> "stream",
+    "en" -> "the", "en" -> "a", "en" -> "data", "en" -> "fast",
+    "es" -> "table", "es" -> "column", "es" -> "row", "es" -> "sort",
+    "fr" -> "merge", "fr" -> "join", "fr" -> "query", "fr" -> "scan",
+    "zh" -> "big", "zh" -> "small", "zh" -> "batch", "zh" -> "vector")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Quality scoring: token counts, lexical diversity, stopword ratio,
+    * mean token length, and a composite score — the length/punct/
+    * stopword-ratio family of pipeline quality filters. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .withColumn("n_stop",
+        size(filter(col("toks"), x => x.isInCollection(Stopwords))))
+      // single-space-joined text ⇒ Σ token length = length − (n−1)
+      .withColumn("mean_tok_len",
+        round((length(col("text")) - col("n_tokens") + 1)
+          .cast("double") / col("n_tokens"), 6))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("uniq_ratio",
+        round(col("n_uniq").cast("double") / col("n_tokens"), 6))
+      .withColumn("quality",
+        round(col("n_uniq").cast("double") / col("n_tokens") * 0.5
+          + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3
+          + least(col("n_tokens"), lit(100)).cast("double") / 100 * 0.2, 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_stop"),
+        col("mean_tok_len"), col("stop_ratio"), col("uniq_ratio"),
+        col("quality"))
+
+  /** Language ID: explode tokens, broadcast-join the marker table,
+    * majority vote with (count desc, lang asc) tie-break, 'und' when no
+    * marker hits. */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val markers = LangMarkers.toDF("cand_lang", "marker")
+    val votes = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .join(broadcast(markers), col("tok") === col("marker"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("cand_lang"))
+    val best = votes.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"),
+        col("hits"))
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex count
+    * (alnum runs — the subword-precursor segmentation). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).as("re_tokens"),
+        length(col("text")).as("n_chars_m"))
+
+  /** Document fingerprinting:
+    *  - `fp_poly`: rolling polynomial hash over the token stream
+    *    (acc·31 + md5₃₂(token) mod 1e9+7) — order-sensitive;
+    *  - `fp_min`: winnowing-style min md5 over 4-token shingles —
+    *    robust to local edits. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    val tokHash = (c: Column) =>
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    t(spark, dir, "documents")
+      .withColumn("toks", toks)
+      .where(size(col("toks")) >= 4)
+      .select(col("doc_id"),
+        aggregate(col("toks"), lit(0L),
+          (acc, tk) => pmod(acc * 31 + tokHash(tk), lit(M))).as("fp_poly"),
+        array_min(transform(Dedup.shingleCol(col("toks"), 4), s => md5(s)))
+          .as("fp_min"))
+  }
+
+  /** tf-idf: top-3 terms per document. One shuffle on the token key for
+    * document frequencies (broadcast back), one per-doc window. */
+  def textTfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val nDocs = docs.count() // scalar, analogous to COUNT(*) subquery
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(df_), "tok")
+      .withColumn("score",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangId,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "text_tfidf" -> textTfIdf)
+
+  private val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+  private val markerValues = LangMarkers
+    .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      s"""SELECT doc_id, len(t) AS n_tokens,
+         |  len(list_distinct(t)) AS n_uniq,
+         |  len(list_filter(t, x -> list_contains($stopList, x))) AS n_stop,
+         |  round(CAST(length(text) - len(t) + 1 AS DOUBLE) / len(t), 6)
+         |    AS mean_tok_len,
+         |  round(CAST(len(list_filter(t, x -> list_contains($stopList, x)))
+         |             AS DOUBLE) / len(t), 6) AS stop_ratio,
+         |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS uniq_ratio,
+         |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.5
+         |    + (1.0 - CAST(len(list_filter(t, x -> list_contains($stopList, x)))
+         |                  AS DOUBLE) / len(t)) * 0.3
+         |    + CAST(least(len(t), 100) AS DOUBLE) / 100 * 0.2, 6) AS quality
+         |FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+         |      FROM documents)""".stripMargin,
+    "text_langid" ->
+      s"""WITH markers(cand_lang, marker) AS (VALUES $markerValues),
+         |votes AS (
+         |  SELECT doc_id, cand_lang, count(*) AS hits
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) tk
+         |  JOIN markers ON tk.tok = markers.marker
+         |  GROUP BY doc_id, cand_lang
+         |), best AS (
+         |  SELECT doc_id, cand_lang, hits,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY hits DESC, cand_lang) AS rn
+         |  FROM votes
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(b.cand_lang, 'und') AS pred_lang,
+         |       coalesce(b.hits, 0) AS hits
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+        |  length(text) AS n_chars_m
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(t,
+        |        tk -> CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT))),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp_poly,
+        |  list_min(list_transform(
+        |    list_transform(generate_series(1, len(t) - 3),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])),
+        |    s -> md5(s))) AS fp_min
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |WHERE len(t) >= 4""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT doc_id, rank, tok, score FROM (
+        |  SELECT tf.doc_id, tf.tok,
+        |         round(tf.tf * ln(n.n_docs / df.df), 6) AS score,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY round(tf.tf * ln(n.n_docs / df.df), 6) DESC, tf.tok)
+        |           AS rank
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        |WHERE rank <= 3""".stripMargin)
+}
