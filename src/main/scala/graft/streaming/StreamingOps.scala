@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mirrors of the batch event operators
+  * (graft.operators.Events): the same logical transforms expressed over
+  * an unbounded source with watermarks and state. The reference engine
+  * has no streaming at all (SURVEY.md §2.1) — this is part of the
+  * mandated extension surface. ScalaTest drives these with MemoryStream
+  * and asserts equality with the batch results.
+  *
+  * Scale posture: every operator keys its state by a high-cardinality
+  * column (event_type windows, event_id dedup, user_id sessions), so
+  * state partitions across executors; watermarks bound state size.
+  */
+object StreamingOps {
+
+  /** `ts` (ms precision) drives watermarks; `ts_us` carries the exact
+    * microsecond epoch used for session math, matching the batch side. */
+  final case class SEvent(event_id: Long, ts: java.sql.Timestamp,
+                          ts_us: Long, user_id: Long, event_type: String,
+                          value: Double)
+
+  final case class SessionOut(user_id: Long, session_id: Long,
+                              n_events: Long, start_us: Long, end_us: Long,
+                              duration_us: Long)
+
+  final case class SessState(sessionId: Long, nEvents: Long,
+                                     startUs: Long, endUs: Long)
+
+  /** Tumbling 1-hour windowed aggregation with a 1-hour watermark —
+    * the streaming form of Events.evHourly. Append mode: windows emit
+    * once the watermark passes their end. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Exactly-once-style dedup by event_id within the watermark horizon —
+    * the streaming form of exact dedup (state = ids seen, bounded by
+    * the watermark). */
+  def dedupById(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Gap-based sessionization via flatMapGroupsWithState with event-time
+    * timeout — the streaming form of Events.evSessionize. A session
+    * closes (and emits) when a newer event for the same user arrives
+    * past the gap, or when the watermark passes last_event + gap. */
+  def sessionize(events: Dataset[SEvent]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SEvent], state: GroupState[SessState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed end + gap: close the open session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.sessionId, s.nEvents,
+              s.startUs, s.endUs, s.endUs - s.startUs))
+          } else {
+            val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+            var st = state.getOption.getOrElse(SessState(0L, 0L, 0L, 0L))
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val tUs = e.ts_us
+              if (st.nEvents == 0L) {
+                st = SessState(st.sessionId + 1, 1L, tUs, tUs)
+              } else if (tUs - st.endUs > SessionGapUs) {
+                out += SessionOut(userId, st.sessionId, st.nEvents,
+                  st.startUs, st.endUs, st.endUs - st.startUs)
+                st = SessState(st.sessionId + 1, 1L, tUs, tUs)
+              } else {
+                st = st.copy(nEvents = st.nEvents + 1, endUs = tUs)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp((st.endUs + SessionGapUs) / 1000 + 1)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Running per-user event counts via mapGroupsWithState (update-mode
+    * stateful aggregation with unbounded-by-design keyed state). */
+  def runningUserCounts(events: Dataset[SEvent]): Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Long, (Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SEvent], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (userId, n)
+      }
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.kmeans.{KMeansOps, KMeansRunner, PointsIO}
+
+/** Reference-semantics unit tests for the k-means kernel (SURVEY.md §5):
+  * strict-< argmin tie-break, mean finalization, empty-cluster re-init,
+  * convergence metric, iteration bound off-by-one. */
+class KMeansSpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  private def df(pts: Seq[Seq[Double]]) = pts.toDF("v")
+
+  test("argmin ties go to the lowest centroid index (Point.java:65 strict <)") {
+    // point equidistant from both centroids
+    val cents = Array(Array(0.0, 0.0), Array(2.0, 0.0))
+    val out = KMeansOps.assign(df(Seq(Seq(1.0, 0.0))), "v", cents)
+      .select("cluster").as[Int].collect()
+    assert(out.toSeq == Seq(0))
+  }
+
+  test("assign picks the true nearest centroid") {
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val out = KMeansOps.assign(
+      df(Seq(Seq(1.0, 1.0), Seq(9.0, 9.0), Seq(4.9, 4.9), Seq(5.1, 5.1))),
+      "v", cents).select("cluster").as[Int].collect().toSeq
+    assert(out == Seq(0, 1, 0, 1))
+  }
+
+  test("assignDyn agrees with unrolled assign on real data") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = graft.operators.KMeansQueries.fixedCentroids(spark, sf0001)
+    val a = KMeansOps.assign(emb, "v", cents)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val b = KMeansOps.assignDyn(emb, "v", cents)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(a == b)
+  }
+
+  test("lloydRound computes per-cluster means and counts") {
+    val cents = Array(Array(0.0), Array(10.0))
+    val rows = KMeansOps.lloydRound(
+      df(Seq(Seq(1.0), Seq(3.0), Seq(9.0), Seq(11.0), Seq(13.0))), "v", cents)
+      .orderBy("cluster")
+      .select("cluster", "centroid", "n")
+      .as[(Int, Seq[Double], Long)].collect().toSeq
+    assert(rows == Seq((0, Seq(2.0), 2L), (1, Seq(11.0), 3L)))
+  }
+
+  test("empty cluster yields no row (no MAX_VALUE sentinel)") {
+    val cents = Array(Array(0.0), Array(1000.0))
+    val rows = KMeansOps.lloydRound(df(Seq(Seq(1.0), Seq(2.0))), "v", cents)
+      .select("cluster").as[Int].collect().toSeq
+    assert(rows == Seq(0))
+  }
+
+  test("shift is the sum of index-paired L2 distances (KMeans.java:206-213)") {
+    val s = KMeansOps.shift(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(3.0, 4.0), Array(1.0, 1.0)))
+    assert(math.abs(s - 5.0) < 1e-12)
+  }
+
+  test("runner converges on well-separated blobs to blob centers") {
+    val rnd = new scala.util.Random(7)
+    val blobs = Seq(Array(0.0, 0.0), Array(50.0, 0.0), Array(0.0, 50.0))
+    val pts = (0 until 300).map { i =>
+      val c = blobs(i % 3)
+      Seq(c(0) + rnd.nextGaussian(), c(1) + rnd.nextGaussian())
+    }
+    val res = KMeansRunner.run(pts.toDF("v"), "v", k = 3, maxIter = 20,
+      eps = 1e-3, seed = 42L)
+    assert(res.finalError < 1e-3, s"did not converge: ${res.errorLog}")
+    // every blob center matched by some centroid within ~3σ/√n
+    blobs.foreach { b =>
+      val best = res.centroids.map(c =>
+        math.hypot(c(0) - b(0), c(1) - b(1))).min
+      assert(best < 0.5, s"blob ${b.toSeq} unmatched: " +
+        res.centroids.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("empty-cluster policy: full re-init, run still terminates") {
+    // k=3 over only 2 distinct points forces an empty cluster every
+    // round (KMeans.java:167-171 path) until maxIter bound hits.
+    val res = KMeansRunner.run(
+      Seq.fill(20)(Seq(1.0, 1.0)).++(Seq.fill(20)(Seq(5.0, 5.0))).toDF("v"),
+      "v", k = 3, maxIter = 5, eps = 1e-6, seed = 1L)
+    assert(res.reinitCount > 0)
+    assert(res.iterations <= 5)
+  }
+
+  test("iteration bound is maxIter-1 rounds (KMeans.java:113,130 off-by-one)") {
+    // eps=0 never satisfied (error stays > 0 on noisy data) ⇒ the loop
+    // must stop after exactly maxIter-1 rounds.
+    val rnd = new scala.util.Random(3)
+    val pts = (0 until 100).map(_ => Seq(rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+    val res = KMeansRunner.run(pts.toDF("v"), "v", k = 4, maxIter = 4,
+      eps = 0.0, seed = 9L)
+    assert(res.iterations == 4) // iter ran 1,2,3 → 3 rounds, ends at 4
+    assert(res.errorLog.size + res.reinitCount == 3)
+  }
+
+  test("reference text format round-trips through PointsIO") {
+    val tmp = java.nio.file.Files.createTempDirectory("pio").toString
+    val data = Seq((0, Seq(0.41410840, 1.48714702)),
+      (1, Seq(4.0019444906464745, 4.546128116278345)))
+    PointsIO.writeCentroids(data.toDF("cluster", "centroid"),
+      "cluster", "centroid", s"$tmp/cents")
+    val back = PointsIO.readCentroids(spark, s"$tmp/cents")
+      .orderBy("cluster").as[(Int, Seq[Double])].collect().toSeq
+    assert(back == data)
+    // and the bare points format parses the documented example
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/pts.txt"),
+      "<0.41410840, 1.48714702>\n<4.0019444906464745, 4.546128116278345>\n")
+    val pts = PointsIO.readPoints(spark, s"$tmp/pts.txt")
+      .as[Seq[Double]].collect().toSeq.sortBy(_.head)
+    assert(pts == data.map(_._2))
+  }
+}

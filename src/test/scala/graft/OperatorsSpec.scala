@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Semantics tests for the extension operators on crafted inputs (the
+  * testdata-facing behavior is covered by the DuckDB oracle gate). */
+class OperatorsSpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  test("shingleCol produces overlapping n-grams in order") {
+    val out = Seq(Seq("a", "b", "c", "d")).toDF("toks")
+      .select(Dedup.shingleCol(col("toks"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d"))
+  }
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .select("keep_id", "n").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("identical docs always share all LSH band signatures") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val sigs = Seq((1L, text), (2L, text))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), Dedup.shingleCol(col("toks"), 3).as("shingles"))
+    // both docs: same shingles ⇒ same minhashes ⇒ candidate pair
+    val a = sigs.where(col("doc_id") === 1).select("shingles").as[Seq[String]].head()
+    val b = sigs.where(col("doc_id") === 2).select("shingles").as[Seq[String]].head()
+    assert(a == b)
+  }
+
+  test("jaccard of identical shingle sets is 1, disjoint is 0") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a", "b"), Seq("c", "d"))).toDF("x", "y")
+      .withColumn("ni", size(array_intersect(col("x"), col("y"))))
+      .select((col("ni").cast("double") /
+        (size(col("x")) + size(col("y")) - col("ni"))).as("j"))
+      .as[Double].collect().toSeq
+    assert(df == Seq(1.0, 0.0))
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    import graft.functions.VectorFunctions.cosine
+    val out = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))).toDF("a", "b")
+      .select(round(cosine(col("a"), col("b")), 9).as("c"))
+      .as[Double].collect().toSeq
+    assert(out == Seq(1.0, 0.0))
+  }
+
+  test("brute-force ANN: nearest neighbor of a query is its duplicate") {
+    // embed a duplicate of vec_id 0 and check it ranks first
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val dup = emb.where(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("v"))
+    val scored = emb.unionByName(dup).crossJoin(broadcast(q))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("qv"), col("v")).as("s"))
+      .orderBy(col("s").desc).limit(1)
+      .as[(Long, Double)].head()
+    assert(scored._1 == 100000L && scored._2 > 0.999999)
+  }
+
+  test("FakeDecoder is deterministic and shape-correct") {
+    val m = Multimodal.MediaRow(7L, "hello world, this is a fake image payload".getBytes)
+    val d1 = Multimodal.FakeDecoder.decode(m)
+    val d2 = Multimodal.FakeDecoder.decode(m)
+    assert(d1 == d2)
+    assert(d1.width >= 16 && d1.width < 80)
+    assert(d1.n_frames == 1)
+    assert(d1.mean_luma > 0 && d1.mean_luma <= 1.0)
+  }
+
+  test("mm_decode emits one decoded row per document") {
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(Multimodal.mmDecode(spark, sf0001).count() == n)
+  }
+
+  test("sessionize (batch) splits on >30min gaps") {
+    // craft: user 1 has two sessions (gap 31min), user 2 one session
+    val us = 60L * 1000 * 1000
+    val rows = Seq(
+      (1L, 10L, 0L * us), (1L, 11L, 5L * us), (1L, 12L, 36L * us),
+      (2L, 20L, 0L * us), (2L, 21L, 29L * us))
+    val df = rows.toDF("user_id", "event_id", "ts_us")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val out = df
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > Events.SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id").count()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L)))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.SEvent
+
+/** Streaming==batch equivalence: the Structured Streaming operators must
+  * produce exactly the batch results on the same (replayed) input. */
+class StreamingSpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  private lazy val batchEvents: Seq[SEvent] =
+    Events.events(spark, sf0001)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .collect()
+      .map { case (id, tsUs, uid, et, v) =>
+        SEvent(id, new Timestamp(tsUs / 1000), tsUs, uid, et, v)
+      }.toSeq
+
+  private def maxUs = batchEvents.map(_.ts_us).max
+
+  private def sentinel(offsetUs: Long) =
+    SEvent(-1L, new Timestamp((maxUs + offsetUs) / 1000), maxUs + offsetUs,
+      -1L, "sentinel", 0.0)
+
+  test("streaming hourlyAgg equals batch evHourly once windows close") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      mem.addData(batchEvents)
+      q.processAllAvailable()
+      mem.addData(sentinel(3L * 3600 * 1000 * 1000)) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hourly")
+      .where(col("event_type") =!= "sentinel")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = Events.evHourly(spark, sf0001)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionize equals batch evSessionize after timeout flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(batchEvents)
+      q.processAllAvailable()
+      // two extra batches: watermark advances after the batch that read
+      // the sentinel, timeouts fire in the one after
+      mem.addData(sentinel(24L * 3600 * 1000 * 1000))
+      q.processAllAvailable()
+      mem.addData(sentinel(25L * 3600 * 1000 * 1000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sessions")
+      .where(col("user_id") >= 0)
+      .select("user_id", "session_id", "n_events", "start_us", "end_us",
+        "duration_us")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = Events.evSessionize(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming dedupById drops in-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.dedupById(mem.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      val dupes = batchEvents.take(50)
+      mem.addData(batchEvents ++ dupes)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("deduped").count() == batchEvents.size)
+  }
+
+  test("runningUserCounts final state equals batch per-user counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.runningUserCounts(mem.toDS())
+      .toDF("user_id", "n")
+      .writeStream.format("memory").queryName("usercounts")
+      .outputMode("update").start()
+    try {
+      mem.addData(batchEvents)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("usercounts")
+      .groupBy("user_id").agg(max("n").as("n"))
+      .as[(Long, Long)].collect().toSet
+    val batch = Events.events(spark, sf0001)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+}
