@@ -1,24 +1,83 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kmeans.{KMeansOps, KMeansRunner}
+
+/** Benchmark main. Emits ONE JSON line:
+  *   {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}
+  *
+  * The headline metric is k-means seconds/iteration at the reference's
+  * own evaluation workload (BASELINE.md: make_blobs n=100k/400k, d=30,
+  * k=4 — Hadoop baseline ~23 s and ~26 s per iteration). The blob data
+  * is regenerated deterministically in-Spark (seeded randn), cached
+  * once, and iterated with the codegen-cache-stable assignment path —
+  * the same steady-state loop KMeansRunner uses.
+  *
+  * The "queries" map also times every SparkEntry query end-to-end
+  * (planning + execution + count) at SPARK_GRAFT_SF_DIR.
+  */
 object Bench {
+
+  /** Deterministic make_blobs-style dataset: k well-separated Gaussian
+    * blobs in d dims (seeded; no driver-side data generation). */
+  def blobs(spark: SparkSession, n: Long, d: Int, k: Int, seed: Long): DataFrame =
+    spark.range(n).select(
+      array((0 until d).map(i =>
+        randn(seed + i) + (col("id") % k).cast("double") * 10.0): _*).as("v"))
+
+  /** Average seconds/iteration of the Lloyd loop over `iters` rounds on
+    * a cached dataset (first round excluded — it pays codegen+cache
+    * population, which is a one-off at any scale). */
+  def kmeansSecPerIter(spark: SparkSession, n: Long, d: Int, k: Int,
+                       iters: Int): Double = {
+    val pts = blobs(spark, n, d, k, seed = 7L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = KMeansRunner.sampleCentroids(pts, "v", k, seed = 7L)
+      val times = (0 until iters).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = KMeansOps.lloydRound(pts, "v", centroids, dyn = true).collect()
+        val byId = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        if (byId.size == k) centroids = Array.tabulate(k)(byId(_))
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.tail.sum / (iters - 1)
+    } finally { pts.unpersist(); () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: session, parquet footers, codegen paths
+    SparkEntry.queries.get("km_sizes").foreach(q => q(spark, sfDir).count())
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // headline: the reference's own evaluation grid points (BASELINE.md)
+    val iter100k = kmeansSecPerIter(spark, 100000L, 30, 4, iters = 6)
+    val iter400k = kmeansSecPerIter(spark, 400000L, 30, 4, iters = 6)
+    results("kmeans_iter_100k_d30_k4") = iter100k
+    results("kmeans_iter_400k_d30_k4") = iter400k
+
+    val qs = results.map { case (key, v) => "\"" + key + f"""":$v%.6f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

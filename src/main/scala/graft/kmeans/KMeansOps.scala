@@ -47,6 +47,16 @@ object KMeansOps {
              centroids: Array[Array[Double]]): DataFrame =
     points.withColumn("cluster", nearestCentroid(col(vecCol), centroids))
 
+  /** Distances to each centroid with the centroid set as a single
+    * `typedLit` reference object — small generated code regardless of
+    * k·d (the unrolled [[distances]] splices k·d literals into the
+    * source, which Janino compiles slowly and which defeats the codegen
+    * cache across centroid updates). Bitwise-identical results: the
+    * fold order of [[graft.functions.VectorFunctions.sqDist]] equals the
+    * unrolled left-associated sum. */
+  def distancesDyn(vec: Column, centroids: Array[Array[Double]]): Column =
+    transform(typedLit(centroids.map(_.toSeq).toSeq), c => sqDist(vec, c))
+
   /** Codegen-cache-stable variant for the ITERATIVE path: the centroid
     * set enters the plan as one `typedLit` array-of-arrays, which codegen
     * attaches as a reference object instead of splicing k·d literals into
@@ -57,8 +67,7 @@ object KMeansOps {
     * the unrolled form (straight-line math, no array allocation). */
   def assignDyn(points: DataFrame, vecCol: String,
                 centroids: Array[Array[Double]]): DataFrame = {
-    val cents = typedLit(centroids.map(_.toSeq).toSeq)
-    val ds = transform(cents, c => sqDist(col(vecCol), c))
+    val ds = distancesDyn(col(vecCol), centroids)
     points.withColumn("cluster",
       (array_position(ds, array_min(ds)) - 1).cast("int"))
   }

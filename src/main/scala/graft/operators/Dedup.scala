@@ -122,16 +122,19 @@ object Dedup {
     * this synthetic data (max within-cell cosine ≈ 0.53; real near-dup
     * corpora would use ≥0.95). */
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = KMeansOps.assign(
+    val assigned = KMeansOps.assignDyn(
       t(spark, dir, "embeddings")
         .select(col("vec_id"), toDoubleVec(col("embedding")).as("v")),
       "v", KMeansQueries.fixedCentroids(spark, dir))
+      // norm materialized BEFORE the self-join: computed n times, not n²
+      .withColumn("nrm", l2Norm(col("v")))
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
-      col("v").as("v_a"))
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cluster").as("cluster_b"),
-      col("vec_id").as("id_b"), col("v").as("v_b"))
+      col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cos",
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .where(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

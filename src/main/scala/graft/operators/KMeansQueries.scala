@@ -38,21 +38,24 @@ object KMeansQueries {
     Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
 
-  /** O3+O4+O5: per-point nearest-centroid assignment. */
+  /** O3+O4+O5: per-point nearest-centroid assignment. Uses the
+    * typedLit centroid path — compact generated code at any k·d
+    * (see KMeansOps.distancesDyn). */
   def kmAssign(spark: SparkSession, dir: String): DataFrame =
-    KMeansOps.assign(points(spark, dir), "v", fixedCentroids(spark, dir))
+    KMeansOps.assignDyn(points(spark, dir), "v", fixedCentroids(spark, dir))
       .select(col("vec_id"), col("cluster"))
 
   /** O6+O7+O8: cluster sizes (count side of the ClusteringFeature). */
   def kmSizes(spark: SparkSession, dir: String): DataFrame =
-    KMeansOps.assign(points(spark, dir), "v", fixedCentroids(spark, dir))
+    KMeansOps.assignDyn(points(spark, dir), "v", fixedCentroids(spark, dir))
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
 
   /** One full Lloyd round (assign → sum/count → mean): the flagship.
     * Output rounded so Spark's and DuckDB's float-summation orders
     * agree (SURVEY.md §7.4). */
   def kmUpdate(spark: SparkSession, dir: String): DataFrame =
-    KMeansOps.lloydRound(points(spark, dir), "v", fixedCentroids(spark, dir))
+    KMeansOps.lloydRound(points(spark, dir), "v", fixedCentroids(spark, dir),
+      dyn = true)
       .select(col("cluster"),
         vecRound(col("centroid"), 6).as("centroid"),
         col("n"))
@@ -67,7 +70,7 @@ object KMeansQueries {
     val oldDf = cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "old_centroid")
-    val updated = KMeansOps.lloydRound(points(spark, dir), "v", cents)
+    val updated = KMeansOps.lloydRound(points(spark, dir), "v", cents, dyn = true)
     updated.join(broadcast(oldDf), "cluster")
       .agg(round(sum(l2Dist(col("centroid"), col("old_centroid"))), 6)
         .as("total_shift"))
@@ -78,7 +81,7 @@ object KMeansQueries {
   def kmCost(spark: SparkSession, dir: String): DataFrame = {
     val cents = fixedCentroids(spark, dir)
     points(spark, dir)
-      .select(array_min(KMeansOps.distances(col("v"), cents)).as("d2"))
+      .select(array_min(KMeansOps.distancesDyn(col("v"), cents)).as("d2"))
       .agg(round(sum(col("d2")), 4).as("inertia"))
   }
 

@@ -32,10 +32,16 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      // norm computed once per corpus vector, before any join fan-out
+      .withColumn("nrm", l2Norm(col("v")))
 
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir).where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+
+  private def cosineScore: Column =
+    round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
 
   private def rankTopK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -51,26 +57,42 @@ object Similarity {
       .join(broadcast(queriesDf(spark, dir)),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qv"), col("v")), 6).as("score"))
+        cosineScore.as("score"))
     rankTopK(scored)
   }
 
-  /** IVF-pruned cosine top-k: probe the NProbe nearest k-means cells. */
+  /** Nearest `n` cell ids for one vector — driver-side: the query set is
+    * tiny, so cell routing is plain Scala (same argmin + lowest-index
+    * tie-break as the distributed path). */
+  def probeCells(cents: Array[Array[Double]], v: Array[Double],
+                 n: Int): Seq[Int] =
+    cents.iterator.zipWithIndex.map { case (c, i) =>
+      val d = c.iterator.zip(v.iterator)
+        .map { case (x, y) => (x - y) * (x - y) }.sum
+      (d, i)
+    }.toSeq.sortBy(identity).take(n).map(_._2)
+
+  /** IVF-pruned cosine top-k: probe the NProbe nearest k-means cells.
+    * Cell routing happens on the driver (k·|queries| distances); the
+    * corpus side only ever computes scores inside probed cells. */
   def annIvfCosine(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
     val cents = KMeansQueries.fixedCentroids(spark, dir)
-    val assigned = KMeansOps.assign(emb(spark, dir), "v", cents)
-    val cellDists = KMeansOps.distances(col("qv"), cents)
-    val cellStructs = array(cents.indices.map(i =>
-      struct(element_at(cellDists, i + 1).as("d"), lit(i).as("cid"))): _*)
+    val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
     val probed = queriesDf(spark, dir)
-      .withColumn("probe",
-        transform(slice(array_sort(cellStructs), 1, NProbe), s => s("cid")))
+      .as[(Long, Seq[Double], Double)]
+      .collect()
+      .map { case (qid, qv, qnrm) =>
+        (qid, qv, qnrm, probeCells(cents, qv.toArray, NProbe))
+      }.toSeq
+      .toDF("query_id", "qv", "qnrm", "probe")
     val scored = assigned
       .join(broadcast(probed),
         array_contains(col("probe"), col("cluster")) &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qv"), col("v")), 6).as("score"))
+        cosineScore.as("score"))
     rankTopK(scored)
   }
 
