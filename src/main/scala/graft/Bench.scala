@@ -38,7 +38,7 @@ object Bench {
       var centroids = KMeansRunner.sampleCentroids(pts, "v", k, seed = 7L)
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
-        val rows = KMeansOps.lloydRound(pts, "v", centroids, dyn = true).collect()
+        val rows = KMeansOps.lloydRound(pts, "v", centroids).collect()
         val byId = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
         if (byId.size == k) centroids = Array.tabulate(k)(byId(_))
         (System.nanoTime() - t0) / 1e9

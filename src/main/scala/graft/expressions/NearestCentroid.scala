@@ -1,0 +1,89 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Native Catalyst expression for the k-means assignment hot loop:
+  * argmin over k centroids of the squared Euclidean distance, ties to
+  * the lowest index (the reference's strict-< scan, Point.java:57-71).
+  *
+  * Semantically identical to the built-in composition in
+  * [[graft.kmeans.KMeansOps.assignDyn]] (same left-to-right accumulation
+  * order, same tie-break — asserted by KMeansSpec), but the generated
+  * code is two primitive loops over the row's ArrayData and a
+  * `double[][]` reference object: no per-row array allocation, no
+  * per-element lambda dispatch. At 100 TB the assignment is O(n·k·d)
+  * flops on every row of the corpus — this is the one expression worth
+  * hand-lowering (SURVEY.md §7.3 preference order (b)).
+  *
+  * The centroid matrix rides as a codegen reference object, so the
+  * generated source is byte-identical across Lloyd iterations and the
+  * codegen cache hits (same property as the typedLit path).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+  extends UnaryExpression {
+
+  // input contract: child is array<double> (enforced by the call sites,
+  // which cast the vector column; ExpectsInputTypes is private[sql])
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var best = -1
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var d = 0.0
+      var j = 0
+      while (j < c.length) {
+        val diff = arr.getDouble(j) - c(j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = i } // strict <: first index wins
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $best = -1;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $i = 0; $i < $cents.length; $i++) {
+         |  double[] c = $cents[$i];
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < c.length; $j++) {
+         |    double $diff = $arr.getDouble($j) - c[$j];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $i; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** Column-API entry point. */
+  def apply(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(
+      new NearestCentroid(GraftSqlBridge.expression(vec), centroids))
+}

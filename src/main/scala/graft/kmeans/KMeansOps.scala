@@ -26,6 +26,22 @@ import graft.functions.VectorFunctions._
   * constant-folds them into straight-line codegen arithmetic; at 1000
   * executors this broadcasts with the task binary, costing nothing.
   */
+/** Which lowering the assignment step uses; all three are semantically
+  * identical (same accumulation order, same strict-< tie-break).
+  *  - Unrolled: k·d literals spliced into codegen — fastest steady
+  *    state for tiny k·d, but recompiles on every centroid change.
+  *  - Dyn: centroids as one typedLit reference — cache-stable,
+  *    higher-order-function loop.
+  *  - Native: custom Catalyst expression (graft.expressions.
+  *    NearestCentroid) — cache-stable AND allocation-free; default.
+  */
+sealed trait AssignMode
+object AssignMode {
+  case object Unrolled extends AssignMode
+  case object Dyn extends AssignMode
+  case object Native extends AssignMode
+}
+
 object KMeansOps {
 
   /** Distances from `vec` to each centroid, as one array column.
@@ -91,16 +107,28 @@ object KMeansOps {
         col("n"))
   }
 
+  /** Fastest assignment path: the native codegen expression
+    * [[graft.expressions.NearestCentroid]] — primitive loops, zero
+    * per-row allocation, codegen-cache-stable. Identical semantics to
+    * [[assign]]/[[assignDyn]] (asserted in KMeansSpec). */
+  def assignNative(points: DataFrame, vecCol: String,
+                   centroids: Array[Array[Double]]): DataFrame =
+    points.withColumn("cluster",
+      graft.expressions.NearestCentroid(col(vecCol), centroids))
+
   /** One full Lloyd round as a DataFrame: assign + summarize + mean.
     * Output: (cluster, centroid: array<double>, n). Absent (empty)
     * clusters yield no row — no Double.MAX_VALUE sentinel
     * (ClusteringFeature.java:64-67); see KMeansRunner for the policy. */
   def lloydRound(points: DataFrame, vecCol: String,
-                 centroids: Array[Array[Double]], dyn: Boolean = false): DataFrame = {
+                 centroids: Array[Array[Double]],
+                 mode: AssignMode = AssignMode.Native): DataFrame = {
     val dim = centroids.head.length
-    val assigned =
-      if (dyn) assignDyn(points, vecCol, centroids)
-      else assign(points, vecCol, centroids)
+    val assigned = mode match {
+      case AssignMode.Unrolled => assign(points, vecCol, centroids)
+      case AssignMode.Dyn      => assignDyn(points, vecCol, centroids)
+      case AssignMode.Native   => assignNative(points, vecCol, centroids)
+    }
     summarize(assigned, vecCol, dim)
       .select(col("cluster"),
         vecScale(col("vec_sum"), col("n")).as("centroid"),

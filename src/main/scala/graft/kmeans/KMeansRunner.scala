@@ -71,7 +71,7 @@ object KMeansRunner {
     val log = Seq.newBuilder[Double]
     var converged = false
     while (iter < maxIter && !converged) {
-      val rows = KMeansOps.lloydRound(pts, vecCol, centroids, dyn = true).collect()
+      val rows = KMeansOps.lloydRound(pts, vecCol, centroids).collect()
       // Spark's groupBy emits no row for an unseen key, unlike the
       // reference's always-k emission (KMeans.java:64-67): left-fill.
       val byId = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap

@@ -54,8 +54,7 @@ object KMeansQueries {
     * Output rounded so Spark's and DuckDB's float-summation orders
     * agree (SURVEY.md §7.4). */
   def kmUpdate(spark: SparkSession, dir: String): DataFrame =
-    KMeansOps.lloydRound(points(spark, dir), "v", fixedCentroids(spark, dir),
-      dyn = true)
+    KMeansOps.lloydRound(points(spark, dir), "v", fixedCentroids(spark, dir))
       .select(col("cluster"),
         vecRound(col("centroid"), 6).as("centroid"),
         col("n"))
@@ -70,7 +69,7 @@ object KMeansQueries {
     val oldDf = cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "old_centroid")
-    val updated = KMeansOps.lloydRound(points(spark, dir), "v", cents, dyn = true)
+    val updated = KMeansOps.lloydRound(points(spark, dir), "v", cents)
     updated.join(broadcast(oldDf), "cluster")
       .agg(round(sum(l2Dist(col("centroid"), col("old_centroid"))), 6)
         .as("total_shift"))

@@ -28,7 +28,7 @@ class KMeansSpec extends SparkSessionSpec {
     assert(out == Seq(0, 1, 0, 1))
   }
 
-  test("assignDyn agrees with unrolled assign on real data") {
+  test("all three assignment lowerings agree on real data") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = graft.operators.KMeansQueries.fixedCentroids(spark, sf0001)
@@ -36,7 +36,23 @@ class KMeansSpec extends SparkSessionSpec {
       .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
     val b = KMeansOps.assignDyn(emb, "v", cents)
       .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val c = KMeansOps.assignNative(emb, "v", cents)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
     assert(a == b)
+    assert(a == c)
+  }
+
+  test("NearestCentroid native expression keeps the strict-< tie-break") {
+    val cents = Array(Array(0.0, 0.0), Array(2.0, 0.0))
+    val out = KMeansOps.assignNative(df(Seq(Seq(1.0, 0.0))), "v", cents)
+      .select("cluster").as[Int].collect()
+    assert(out.toSeq == Seq(0))
+    // and interpreted (non-codegen) eval agrees
+    val e = graft.expressions.NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 0.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)), cents)
+    assert(e.eval(null) == 0)
   }
 
   test("lloydRound computes per-cluster means and counts") {
