@@ -101,13 +101,51 @@ object RelationalQueries {
         col("p_partkey") === col("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_name"))
 
+  /** ROLLUP over (returnflag, linestatus): hierarchical grouping sets in
+    * one pass (Expand + single shuffle in the physical plan). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+
+  /** Set operation: EXCEPT (distinct) — building-segment customers who
+    * never placed a >300k order. */
+  def qSetOp(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .except(t(spark, dir, "orders")
+        .where(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")))
+
+  /** Exact distinct counting (shuffle-dedup aggregate). */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))
+
+  /** Calendar bucketing on a (ms-precision) timestamp column: monthly
+    * order volume. Months as epoch-µs of month start for oracle parity. */
+  def qMonthly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(unix_micros(date_trunc("month", col("o_orderdate"))).as("month_us"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q_window_top_orders" -> qWindowTopOrders,
     "q_topk" -> qTopK,
     "q_semi_join" -> qSemiJoin,
-    "q_anti_join" -> qAntiJoin)
+    "q_anti_join" -> qAntiJoin,
+    "q_rollup" -> qRollup,
+    "q_setop" -> qSetOp,
+    "q_distinct" -> qDistinct,
+    "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -152,5 +190,25 @@ object RelationalQueries {
       """SELECT p_partkey, p_name FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_partkey = p_partkey
-        |                    AND l_shipdate < TIMESTAMP '1995-07-01')""".stripMargin)
+        |                    AND l_shipdate < TIMESTAMP '1995-07-01')""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_setop" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT (l_partkey, l_suppkey)) AS n_pairs
+        |FROM lineitem""".stripMargin,
+    "q_monthly" ->
+      """SELECT CAST(epoch_us(date_trunc('month', o_orderdate)) AS BIGINT)
+        |         AS month_us,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin)
 }
