@@ -135,7 +135,19 @@ object RelationalQueries {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
           .as("total"))
 
+  /** Exact percentiles (median / p90) per group — single-pass sort-based
+    * percentile aggregate; linear interpolation matches DuckDB's
+    * quantile_cont. */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantiles" -> qQuantiles,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q_window_top_orders" -> qWindowTopOrders,
@@ -148,6 +160,12 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

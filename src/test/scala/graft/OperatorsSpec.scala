@@ -90,6 +90,20 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(Multimodal.mmDecode(spark, sf0001).count() == n)
   }
 
+  test("saltedJoin is row-equivalent to the plain join under skew") {
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "payload") // key 1 is hot (i=1 plus every 10th: 501 rows)
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = big.join(small, "k")
+      .select("k", "payload", "name").as[(Long, Int, String)].collect().sorted.toSeq
+    val salted = operators.SkewUtils.saltedJoin(big, small, "k", salt = 8)
+      .select("k", "payload", "name").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    val prof = operators.SkewUtils.keySkewProfile(big, col("k"), 1)
+      .as[(Long, Long)].head()
+    assert(prof == ((1L, 501L)))
+  }
+
   test("sessionize (batch) splits on >30min gaps") {
     // craft: user 1 has two sessions (gap 31min), user 2 one session
     val us = 60L * 1000 * 1000
