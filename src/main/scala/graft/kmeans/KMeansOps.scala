@@ -107,6 +107,20 @@ object KMeansOps {
         col("n"))
   }
 
+  /** Dimension above which [[lloydRound]] switches from the d-expression
+    * [[summarize]] to the single-buffer [[summarizeTyped]]. */
+  val MaxUnrolledDim = 128
+
+  /** Large-d variant of [[summarize]]: one typed Aggregator buffer
+    * ([[VectorSumAgg]]) instead of d per-dimension sum expressions —
+    * plan size O(1) in d, same partial/final split. */
+  def summarizeTyped(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
+      .groupBy(col("cluster"))
+      .agg(VectorSumAgg.vecSum(col(vecCol)).as("sc"))
+      .select(col("cluster"), col("sc.sum").as("vec_sum"),
+        col("sc.n").as("n"))
+
   /** Fastest assignment path: the native codegen expression
     * [[graft.expressions.NearestCentroid]] — primitive loops, zero
     * per-row allocation, codegen-cache-stable. Identical semantics to
@@ -129,7 +143,10 @@ object KMeansOps {
       case AssignMode.Dyn      => assignDyn(points, vecCol, centroids)
       case AssignMode.Native   => assignNative(points, vecCol, centroids)
     }
-    summarize(assigned, vecCol, dim)
+    val summarized =
+      if (dim > MaxUnrolledDim) summarizeTyped(assigned, vecCol)
+      else summarize(assigned, vecCol, dim)
+    summarized
       .select(col("cluster"),
         vecScale(col("vec_sum"), col("n")).as("centroid"),
         col("n"))

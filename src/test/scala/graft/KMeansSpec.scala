@@ -119,6 +119,31 @@ class KMeansSpec extends SparkSessionSpec {
     assert(res.errorLog.size + res.reinitCount == 3)
   }
 
+  test("summarizeTyped agrees with per-dimension summarize") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 200).map(_ => Seq.fill(5)(rnd.nextDouble() * 10))
+    val cents = Array(Array.fill(5)(2.0), Array.fill(5)(8.0))
+    val assigned = KMeansOps.assignNative(pts.toDF("v"), "v", cents)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("cluster", "vec_sum", "n")
+        .as[(Int, Seq[Double], Long)].collect()
+        .map { case (c, s, n) => (c, s.map(x => math.rint(x * 1e9) / 1e9), n) }
+        .sortBy(_._1).toSeq
+    assert(norm(KMeansOps.summarizeTyped(assigned, "v")) ==
+      norm(KMeansOps.summarize(assigned, "v", 5)))
+  }
+
+  test("lloydRound works above MaxUnrolledDim (typed aggregation path)") {
+    val d = KMeansOps.MaxUnrolledDim + 16
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 100).map(i =>
+      Seq.tabulate(d)(_ => rnd.nextGaussian() + (i % 2) * 20.0))
+    val cents = Array(Array.fill(d)(0.0), Array.fill(d)(20.0))
+    val rows = KMeansOps.lloydRound(pts.toDF("v"), "v", cents)
+      .select("cluster", "n").as[(Int, Long)].collect().toMap
+    assert(rows == Map(0 -> 50L, 1 -> 50L))
+  }
+
   test("reference text format round-trips through PointsIO") {
     val tmp = java.nio.file.Files.createTempDirectory("pio").toString
     val data = Seq((0, Seq(0.41410840, 1.48714702)),
