@@ -43,7 +43,10 @@ object Bench {
         if (byId.size == k) centroids = Array.tabulate(k)(byId(_))
         (System.nanoTime() - t0) / 1e9
       }
-      times.tail.sum / (iters - 1)
+      // median of the warm iterations: robust to GC/compaction outliers
+      // on a shared box (the first iteration pays cache materialization)
+      val warm = times.tail.sorted
+      warm(warm.length / 2)
     } finally { pts.unpersist(); () }
   }
 
@@ -70,11 +73,14 @@ object Bench {
       results(name) = (System.nanoTime() - t0) / 1e9
     }
 
-    // headline: the reference's own evaluation grid points (BASELINE.md)
+    // headline: the reference's own evaluation grid points (BASELINE.md),
+    // plus a 5× extrapolation point showing the scaling trend
     val iter100k = kmeansSecPerIter(spark, 100000L, 30, 4, iters = 6)
     val iter400k = kmeansSecPerIter(spark, 400000L, 30, 4, iters = 6)
+    val iter2m = kmeansSecPerIter(spark, 2000000L, 30, 4, iters = 4)
     results("kmeans_iter_100k_d30_k4") = iter100k
     results("kmeans_iter_400k_d30_k4") = iter400k
+    results("kmeans_iter_2m_d30_k4") = iter2m
 
     val qs = results.map { case (key, v) => "\"" + key + f"""":$v%.6f""" }
       .mkString("{", ",", "}")

@@ -130,7 +130,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("tok"), col("score"))
   }
 
+  /** Character-bigram profile per language: the statistical signature a
+    * real language-ID model trains on. Explode bigrams → count per
+    * (lang, bigram) → top-5 per lang. One shuffle on (lang, bigram);
+    * partial aggregation compresses the explode map-side. */
+  def textCharNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = t(spark, dir, "documents")
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), length(col("text")) - 1),
+          i => substr(col("text"), i, lit(2)))).as("bg"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bg"))
+    bigrams.groupBy(col("lang"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("bg"), col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_char_ngrams" -> textCharNgrams,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
     "text_tokens" -> textTokens,
@@ -142,6 +161,19 @@ object TextAnalysis {
     .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_char_ngrams" ->
+      """WITH bg AS (
+        |  SELECT lang,
+        |         unnest(list_transform(generate_series(1, length(text) - 1),
+        |                i -> substr(text, CAST(i AS INT), 2))) AS bg
+        |  FROM documents
+        |), counted AS (
+        |  SELECT lang, bg, count(*) AS n,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY count(*) DESC, bg) AS rank
+        |  FROM bg GROUP BY lang, bg
+        |)
+        |SELECT lang, rank, bg, n FROM counted WHERE rank <= 5""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, len(t) AS n_tokens,
          |  len(list_distinct(t)) AS n_uniq,

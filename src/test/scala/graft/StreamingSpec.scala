@@ -90,6 +90,36 @@ class StreamingSpec extends SparkSessionSpec {
     assert(spark.table("deduped").count() == batchEvents.size)
   }
 
+  test("StreamingKMeans converges to blob centers over micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(21)
+    val blobs = Seq(Array(0.0, 0.0), Array(40.0, 0.0), Array(0.0, 40.0))
+    def batch(n: Int): Seq[Seq[Double]] = (0 until n).map { i =>
+      val c = blobs(i % 3)
+      Seq(c(0) + rnd.nextGaussian(), c(1) + rnd.nextGaussian())
+    }
+    // init near (but not at) the blob centers: streaming k-means refines
+    val init = Array(Array(3.0, 3.0), Array(35.0, 5.0), Array(5.0, 35.0))
+    val skm = new graft.streaming.StreamingKMeans(3, decay = 0.9, init)
+    val mem = MemoryStream[Seq[Double]]
+    val q = skm.fit(mem.toDF().withColumnRenamed("value", "v"), "v")
+    try {
+      (0 until 5).foreach { _ =>
+        mem.addData(batch(300))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val st = skm.current
+    assert(st.batches == 5L)
+    blobs.foreach { b =>
+      val best = st.centroids.map(c =>
+        math.hypot(c(0) - b(0), c(1) - b(1))).min
+      assert(best < 0.5,
+        s"blob ${b.toSeq} unmatched: ${st.centroids.map(_.toSeq).toSeq}")
+    }
+    assert(st.weights.forall(_ > 0))
+  }
+
   test("runningUserCounts final state equals batch per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
