@@ -50,11 +50,17 @@ object KMeansRunner {
     finally if (cache) { pts.unpersist(); () }
   }
 
-  /** Seeded k-sample without replacement, O(k) driver memory. */
+  /** Seeded k-sample without replacement, O(k) driver memory.
+    * Ordered by a seeded content hash rather than `rand(seed)`: rand is
+    * seeded PER PARTITION, so its sample changes with the partition
+    * layout — a content hash gives the same k vectors on any cluster
+    * size / split plan, which the oracle-reproducibility story
+    * (SURVEY.md §7.4) requires. TakeOrderedAndProject keeps it one pass,
+    * no full sort. */
   def sampleCentroids(points: DataFrame, vecCol: String, k: Int,
                       seed: Long): Array[Array[Double]] =
     points.select(col(vecCol))
-      .orderBy(rand(seed))
+      .orderBy(xxhash64(col(vecCol), lit(seed)), col(vecCol))
       .limit(k)
       .collect()
       .map(rowVec)
