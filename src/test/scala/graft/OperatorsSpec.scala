@@ -75,6 +75,19 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(scored._1 == 100000L && scored._2 > 0.999999)
   }
 
+  test("IVF search keeps high recall against the brute-force baseline") {
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    val exact = results(Similarity.annTopKCosine(spark, sf0001))
+    val ivf = results(Similarity.annIvfCosine(spark, sf0001))
+    val recalls = exact.map { case (q, ns) =>
+      ivf.getOrElse(q, Set.empty).intersect(ns).size.toDouble / ns.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.6, s"IVF mean recall@10 too low: $mean")
+  }
+
   test("FakeDecoder is deterministic and shape-correct") {
     val m = Multimodal.MediaRow(7L, "hello world, this is a fake image payload".getBytes)
     val d1 = Multimodal.FakeDecoder.decode(m)
