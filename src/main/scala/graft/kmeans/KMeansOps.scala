@@ -48,7 +48,7 @@ object KMeansOps {
     * Unrolled per-centroid literal math — no array-of-struct shuffle of
     * the centroid table, no join. */
   def distances(vec: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.map(c => sqDistToLiteral(vec, c)): _*)
+    array(centroids.toIndexedSeq.map(c => sqDistToLiteral(vec, c)): _*)
 
   /** Index (0-based) of the nearest centroid; ties → lowest index.
     * `array_position` returns the FIRST occurrence (1-based) of the min,
@@ -79,8 +79,7 @@ object KMeansOps {
     * the generated source. The generated code is therefore byte-identical
     * across iterations and Spark's codegen cache hits — the unrolled
     * [[nearestCentroid]] recompiles ~1 s of Janino per iteration because
-    * every new centroid value yields new source. One-shot queries keep
-    * the unrolled form (straight-line math, no array allocation). */
+    * every new centroid value yields new source. */
   def assignDyn(points: DataFrame, vecCol: String,
                 centroids: Array[Array[Double]]): DataFrame = {
     val ds = distancesDyn(col(vecCol), centroids)

@@ -24,12 +24,15 @@ import graft.kmeans.KMeansOps
   * distributed plan, so the operator scales exactly like one batch
   * Lloyd round per trigger.
   */
-final class StreamingKMeans(k: Int, decay: Double,
-                            init: Array[Array[Double]]) {
-  require(init.length == k && decay > 0 && decay <= 1.0)
-
+object StreamingKMeans {
   final case class State(centroids: Array[Array[Double]],
                          weights: Array[Double], batches: Long)
+}
+
+final class StreamingKMeans(k: Int, decay: Double,
+                            init: Array[Array[Double]]) {
+  import StreamingKMeans.State
+  require(init.length == k && decay > 0 && decay <= 1.0)
 
   private val state = new AtomicReference(
     State(init.map(_.clone()), Array.fill(k)(0.0), 0L))
