@@ -24,6 +24,7 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Multimodal.queries, Multimodal.oracles),
+    (Pipeline.queries, Pipeline.oracles),
     (Events.queries, Events.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

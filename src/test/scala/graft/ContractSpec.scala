@@ -20,6 +20,7 @@ class ContractSpec extends SparkSessionSpec {
       operators.Similarity.queries.size,
       operators.TextAnalysis.queries.size,
       operators.Multimodal.queries.size,
+      operators.Pipeline.queries.size,
       operators.Events.queries.size)
     assert(SparkEntry.queries.size == sizes.sum,
       "duplicate query name collapsed during module union")
