@@ -144,6 +144,31 @@ class KMeansSpec extends SparkSessionSpec {
     assert(rows == Map(0 -> 50L, 1 -> 50L))
   }
 
+  test("d=1 and k=1 degenerate shapes work (FIXTURES.md A.3 edges)") {
+    // single dimension
+    val r1 = KMeansOps.lloydRound(df(Seq(Seq(1.0), Seq(3.0))), "v",
+      Array(Array(0.0)))
+      .select("centroid").as[Seq[Double]].head()
+    assert(r1 == Seq(2.0))
+    // single cluster over 2-d points
+    val res = KMeansRunner.run(
+      (1 to 50).map(i => Seq(i.toDouble, 2.0 * i)).toDF("v"), "v",
+      k = 1, maxIter = 5, eps = 1e-9, seed = 4L)
+    assert(res.centroids.length == 1)
+    assert(math.abs(res.centroids(0)(0) - 25.5) < 1e-9)
+  }
+
+  test("malformed input line is fatal, like the reference parser") {
+    // KMeans.java:269 throws NumberFormatException; our ANSI cast fails
+    val tmp = java.nio.file.Files.createTempDirectory("bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/bad.txt"), "<1.0, oops>\n")
+    val thrown = intercept[Exception] {
+      PointsIO.readPoints(spark, s"$tmp/bad.txt").collect()
+    }
+    assert(thrown.getMessage != null)
+  }
+
   test("reference text format round-trips through PointsIO") {
     val tmp = java.nio.file.Files.createTempDirectory("pio").toString
     val data = Seq((0, Seq(0.41410840, 1.48714702)),
