@@ -85,13 +85,45 @@ object Events {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(10)
 
+  private val DayUs = 86400L * 1000 * 1000
+
+  /** Weekly cohort retention: users grouped by first-seen week; for each
+    * (cohort, weeks-since) the count of distinct users active. The
+    * first-seen table is a per-user aggregate joined back — the standard
+    * two-shuffle cohort shape (groupBy user, then groupBy cohort). */
+  def evRetention(spark: SparkSession, dir: String): DataFrame = {
+    // integer week index (floor division — DuckDB's CAST(double) rounds,
+    // so never divide-then-cast cross-engine)
+    val ev = events(spark, dir)
+      .select(col("user_id"), expr(s"ts_us DIV ${7 * DayUs}").as("week"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    ev.join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_retention" -> evRetention,
     "ev_hourly" -> evHourly,
     "ev_sessionize" -> evSessionize,
     "ev_json" -> evJson,
     "ev_top_users" -> evTopUsers)
 
   val oracles: Map[String, String] = Map(
+    "ev_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS week
+        |  FROM events
+        |), fs AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+        |)
+        |SELECT fs.cohort_week, ev.week - fs.cohort_week AS weeks_since,
+        |       count(DISTINCT ev.user_id) AS active_users
+        |FROM ev JOIN fs ON ev.user_id = fs.user_id
+        |GROUP BY fs.cohort_week, ev.week - fs.cohort_week""".stripMargin,
     "ev_hourly" ->
       """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
         |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value

@@ -146,7 +146,21 @@ object RelationalQueries {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"))
 
+  /** Statistical aggregates: sample stddev and Pearson correlation.
+    * Both engines use the numerically-stable one-pass formulations;
+    * rounded to absorb last-ulp accumulation-order differences. */
+  def qStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("corr_price_qty"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 8)
+          .as("cov_disc_tax"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats" -> qStats,
     "q_quantiles" -> qQuantiles,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
@@ -160,6 +174,12 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+        |  round(covar_samp(l_discount, l_tax), 8) AS cov_disc_tax
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
