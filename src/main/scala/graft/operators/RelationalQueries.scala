@@ -159,7 +159,19 @@ object RelationalQueries {
         round(covar_samp(col("l_discount"), col("l_tax")), 8)
           .as("cov_disc_tax"))
 
+  /** HLL++ sketch distinct counts — the 100 TB replacement for exact
+    * countDistinct (no dedup shuffle; sketches merge associatively, so
+    * partial aggregation stays map-side). No DuckDB oracle: sketch
+    * estimates are engine-specific (driver records a rows-only check);
+    * OperatorsSpec bounds the error against the exact counts. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> qApproxDistinct,
     "q_stats" -> qStats,
     "q_quantiles" -> qQuantiles,
     "q1_agg" -> q1Agg,

@@ -103,6 +103,21 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(Multimodal.mmDecode(spark, sf0001).count() == n)
   }
 
+  test("approx distinct counts stay within the configured HLL error") {
+    val approx = RelationalQueries.qApproxDistinct(spark, sf0001)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_orderkey")).as("o"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    exact.foreach { case (k, (p, o)) =>
+      val (ap, ao) = approx(k)
+      assert(math.abs(ap - p).toDouble / p < 0.1, s"$k parts: $ap vs $p")
+      assert(math.abs(ao - o).toDouble / o < 0.1, s"$k orders: $ao vs $o")
+    }
+  }
+
   test("saltedJoin is row-equivalent to the plain join under skew") {
     val big = (1 to 5000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "payload") // key 1 is hot (i=1 plus every 10th: 501 rows)
