@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σᵢ aᵢ·bᵢ — dot product of two equal-length array<double> columns. */
+  /** Σᵢ aᵢ·bᵢ — dot product of two equal-length array<double> columns.
+    * Lowered to the native fused loop (graft.expressions.DotProduct);
+    * [[dotBuiltin]] keeps the pure-built-in form, bitwise-equivalent. */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.DotProduct(a, b)
+
+  /** Built-in composition of [[dot]] (same accumulation order). */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Σᵢ (aᵢ−bᵢ)² — squared Euclidean distance (monotone in distance, so

@@ -48,6 +48,18 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(df == Seq(1.0, 0.0))
   }
 
+  test("native DotProduct is bitwise-equal to the built-in composition") {
+    import graft.functions.VectorFunctions.{dot, dotBuiltin}
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 200).map(_ =>
+      (Seq.fill(64)(rnd.nextGaussian()), Seq.fill(64)(rnd.nextGaussian())))
+    val both = vecs.toDF("a", "b")
+      .select(dot(col("a"), col("b")).as("n"),
+        dotBuiltin(col("a"), col("b")).as("c"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, c) => assert(n == c) } // exact, not approx
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import graft.functions.VectorFunctions.cosine
     val out = Seq(
