@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables.t
 import graft.functions.VectorFunctions._
@@ -52,11 +53,10 @@ object Dedup {
   val MinhashBands = 4
   val RowsPerBand = 2
 
-  /** (doc_id, band, sig) LSH band signatures: bands of `RowsPerBand`
-    * min-hashes, md5-combined. Docs sharing any band signature become
-    * candidate near-duplicates. */
-  def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docsWithShingles(spark, dir)
+  /** (doc_id, band, sig) LSH band signatures from a shingles DF: bands
+    * of `RowsPerBand` min-hashes, md5-combined. Docs sharing any band
+    * signature become candidate near-duplicates. */
+  def bandSignaturesFrom(sh: DataFrame): DataFrame = {
     val bandStructs = (0 until MinhashBands).map { b =>
       val rows = (0 until RowsPerBand)
         .map(r => minHash(col("shingles"), b * RowsPerBand + r))
@@ -66,12 +66,15 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
-    * bucket self-join. The join key (band, sig) hash-partitions both
-    * sides; candidate count stays near-linear in n for honest LSH
-    * parameters. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = bandSignatures(spark, dir)
+  def bandSignatures(spark: SparkSession, dir: String): DataFrame =
+    bandSignaturesFrom(docsWithShingles(spark, dir))
+
+  /** Bucket self-join of a signature DF → candidate pairs. The caller
+    * persists `sig` so the shingle→minhash pipeline is computed ONCE
+    * (cache population) and both join sides read the InMemoryRelation —
+    * recomputing it per side doubles the dominant CPU cost at corpus
+    * scale. */
+  private def candidatePairs(sig: DataFrame): DataFrame = {
     val a = sig.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = sig.select(col("band").as("band_b"), col("sig").as("sig_b"),
       col("doc_id").as("doc_b"))
@@ -81,16 +84,29 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
+    * bucket self-join. The join key (band, sig) hash-partitions both
+    * sides; candidate count stays near-linear in n for honest LSH
+    * parameters. Signatures are persisted before the self-join
+    * (unpersist is left to the ContextCleaner once the DF is
+    * unreachable). */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(bandSignatures(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
   /** Exact n-gram Jaccard similarity, evaluated only on the LSH
     * candidate pairs (verify stage of the classic two-phase near-dup
-    * pipeline). */
+    * pipeline). Shingles are persisted once and feed BOTH the signature
+    * pipeline and the verify joins — nothing in the shingle→minhash
+    * chain is derived twice. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docsWithShingles(spark, dir)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
-    val pairs = dedupMinhash(spark, dir)
+    val sh = docsWithShingles(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairs(
+      bandSignaturesFrom(sh).persist(StorageLevel.MEMORY_AND_DISK))
+    val dsh = sh.select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
     pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(dsh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(dsh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("doc_a"), col("doc_b"),
         round(col("ni").cast("double") /
@@ -115,17 +131,27 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Target within-cell population for the IVF blocking below: k is
+    * derived as ceil(n / TargetCellSize), so candidate pairs stay
+    * O(n · TargetCellSize) — linear in n — instead of the O(n²/k)
+    * blow-up a FIXED k suffers at 100× data. */
+  val TargetCellSize = 256L
+
   /** Embedding-cosine near-dup, IVF-blocked: vectors are assigned to
     * k-means cells (reusing the clustering kernel as the coarse
     * quantizer) and only within-cell pairs are scored — the scale path
-    * that replaces an O(n²) cross join. Threshold 0.4 is calibrated to
-    * this synthetic data (max within-cell cosine ≈ 0.53; real near-dup
-    * corpora would use ≥0.95). */
+    * that replaces an O(n²) cross join. k grows with the corpus
+    * (bounded cell size), keeping pair count linear in n; at extreme
+    * scale the centroid set itself would come from a distributed
+    * k-means pass rather than first-k rows, but the blocking shape is
+    * unchanged. Threshold 0.4 is calibrated to this synthetic data
+    * (real near-dup corpora would use ≥0.95). */
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val k = ((emb.count() + TargetCellSize - 1) / TargetCellSize).toInt.max(1)
     val assigned = KMeansOps.assignDyn(
-      t(spark, dir, "embeddings")
-        .select(col("vec_id"), toDoubleVec(col("embedding")).as("v")),
-      "v", KMeansQueries.fixedCentroids(spark, dir))
+      emb, "v", KMeansQueries.firstKCentroids(spark, dir, k))
       // norm materialized BEFORE the self-join: computed n times, not n²
       .withColumn("nrm", l2Norm(col("v")))
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
@@ -202,11 +228,16 @@ object Dedup {
         |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
     "dedup_embed_cosine" ->
-      s"""WITH cents AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-         |         CAST(embedding AS DOUBLE[]) AS c
-         |  FROM (SELECT vec_id, embedding FROM embeddings
-         |        ORDER BY vec_id LIMIT ${KMeansQueries.K})
+      s"""WITH nk AS (
+         |  SELECT CAST((count(*) + ${TargetCellSize - 1}) // $TargetCellSize
+         |              AS INT) AS k
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT cid, c FROM (
+         |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |           CAST(embedding AS DOUBLE[]) AS c
+         |    FROM embeddings) r, nk
+         |  WHERE r.cid < greatest(nk.k, 1)
          |), assigned AS (
          |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
          |         (SELECT c.cid FROM cents c

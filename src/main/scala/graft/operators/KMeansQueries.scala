@@ -22,17 +22,21 @@ object KMeansQueries {
   val K = 8
   val DIM = 64
 
-  /** First K embeddings by vec_id, as the deterministic centroid set.
+  /** First k embeddings by vec_id, as a deterministic centroid set.
     * k·d doubles collected to the driver — the moral equivalent of the
     * reference shipping centroids via the Hadoop Configuration
     * (KMeans.java:152-157); they re-enter the plan as literals. */
-  def fixedCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+  def firstKCentroids(spark: SparkSession, dir: String,
+                      k: Int): Array[Array[Double]] =
     Tables.t(spark, dir, "embeddings")
       .select(toDoubleVec(col("embedding")).as("v"))
       .orderBy(col("vec_id"))
-      .limit(K)
+      .limit(k)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+
+  def fixedCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    firstKCentroids(spark, dir, K)
 
   private def points(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "embeddings")
@@ -51,12 +55,17 @@ object KMeansQueries {
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
 
   /** One full Lloyd round (assign → sum/count → mean): the flagship.
-    * Output rounded so Spark's and DuckDB's float-summation orders
-    * agree (SURVEY.md §7.4). */
+    * Output as (cluster, dim, value, n) scalar rows — posexplode of the
+    * centroid vector — because the driver's checker sorts rows with
+    * pandas and cannot hash array-typed cells. Values rounded so Spark's
+    * and DuckDB's float-summation orders agree (SURVEY.md §7.4). */
   def kmUpdate(spark: SparkSession, dir: String): DataFrame =
     KMeansOps.lloydRound(points(spark, dir), "v", fixedCentroids(spark, dir))
+      .select(col("cluster"), col("n"),
+        posexplode(col("centroid")).as(Seq("pos", "v")))
       .select(col("cluster"),
-        vecRound(col("centroid"), 6).as("centroid"),
+        (col("pos") + 1).cast("int").as("dim"),
+        round(col("v"), 6).as("value"),
         col("n"))
 
   /** O12: Σ‖Δcᵢ‖ between the fixed centroids and the one-round update —
@@ -85,15 +94,19 @@ object KMeansQueries {
   }
 
   /** Full seeded iterative run (O11-O14) — not SQL-expressible (iterative,
-    * data-dependent trip count); driver records rows-only. */
+    * data-dependent trip count); driver records rows-only. Emitted as
+    * (cluster, dim, value) scalar rows (array cells crash the driver's
+    * pandas row sort). */
   def kmeansFull(spark: SparkSession, dir: String): DataFrame = {
     val res = KMeansRunner.run(points(spark, dir), "v",
       k = K, maxIter = 20, eps = 0.01, seed = 42L)
     val spark2 = spark
     import spark2.implicits._
-    res.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.map(x => math.rint(x * 1e6) / 1e6).toSeq) }
-      .toSeq.toDF("cluster", "centroid")
+    res.centroids.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (x, j) =>
+        (i, j + 1, math.rint(x * 1e6) / 1e6)
+      }
+    }.toSeq.toDF("cluster", "dim", "value")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -131,15 +144,11 @@ object KMeansQueries {
          |SELECT cluster, count(*) AS n FROM assigned GROUP BY cluster""".stripMargin,
     "km_update" ->
       s"""$centsCte
-         |SELECT cluster,
-         |       list(m ORDER BY dim) AS centroid,
-         |       any_value(n) AS n
-         |FROM (
-         |  SELECT cluster, dim, round(sum(v[dim]) / count(*), 6) AS m,
-         |         count(*) AS n
-         |  FROM assigned CROSS JOIN generate_series(1, $DIM) AS g(dim)
-         |  GROUP BY cluster, dim)
-         |GROUP BY cluster""".stripMargin,
+         |SELECT cluster, CAST(dim AS INT) AS dim,
+         |       round(sum(v[dim]) / count(*), 6) AS value,
+         |       count(*) AS n
+         |FROM assigned CROSS JOIN generate_series(1, $DIM) AS g(dim)
+         |GROUP BY cluster, dim""".stripMargin,
     "km_shift" ->
       s"""$centsCte, upd AS (
          |  SELECT cluster, list(m ORDER BY dim) AS centroid

@@ -21,7 +21,9 @@ object Multimodal {
   /** Byte-level metadata extraction over a binary column, all built-ins:
     * size, content digest, header bytes, and a stride-100 "frame sample"
     * (the moral equivalent of sampling video frames). Byte access goes
-    * through the hex string so the DuckDB oracle can reproduce it. */
+    * through the hex string so the DuckDB oracle can reproduce it. The
+    * frame sample is emitted as a comma-joined string, not an array —
+    * the driver's checker cannot sort rows with array-typed cells. */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .withColumn("blob", col("text").cast("binary"))
@@ -30,9 +32,9 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"),
         md5(col("blob")).as("content_md5"),
         substring(col("hexstr"), 1, 16).as("header_hex"),
-        transform(
+        concat_ws(",", transform(
           sequence(lit(1), expr("(n_bytes + 99) DIV 100")),
-          i => substr(col("hexstr"), (i - 1) * 200 + 1, lit(2)))
+          i => substr(col("hexstr"), (i - 1) * 200 + 1, lit(2))))
           .as("frame_sample"))
 
   // ---------------------------------------------------------------------
@@ -89,8 +91,10 @@ object Multimodal {
       """SELECT doc_id, n_bytes,
         |  md5(text) AS content_md5,
         |  substr(hexstr, 1, 16) AS header_hex,
-        |  list_transform(generate_series(1, (n_bytes + 99) // 100),
-        |    i -> substr(hexstr, (i - 1) * 200 + 1, 2)) AS frame_sample
+        |  array_to_string(
+        |    list_transform(generate_series(1, (n_bytes + 99) // 100),
+        |      i -> substr(hexstr, CAST((i - 1) * 200 + 1 AS INT), 2)),
+        |    ',') AS frame_sample
         |FROM (SELECT doc_id, text, octet_length(encode(text))
         |        AS n_bytes, hex(encode(text)) AS hexstr
         |      FROM documents)""".stripMargin)

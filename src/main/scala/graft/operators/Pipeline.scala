@@ -36,11 +36,15 @@ object Pipeline {
     val deduped = gated
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
+    // avg as ONE double division of two exact integers — `avg(int)` sums
+    // doubles in partition order (last-ulp nondeterminism vs DuckDB's
+    // exact average, which flipped a round(…,6) boundary in r1).
     gated.join(deduped, gated("doc_id") === deduped("keep_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(avg(col("n_tokens")), 6).as("avg_tokens"))
+        (sum(col("n_tokens")).cast("double") / count(lit(1)))
+          .as("avg_tokens"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -64,7 +68,7 @@ object Pipeline {
          |  SELECT min(doc_id) AS keep_id FROM gated GROUP BY md5(text)
          |)
          |SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
-         |       round(avg(n_tokens), 6) AS avg_tokens
+         |       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
          |FROM gated JOIN deduped ON doc_id = keep_id
          |GROUP BY source""".stripMargin)
 }

@@ -112,19 +112,27 @@ object TextAnalysis {
   }
 
   /** tf-idf: top-3 terms per document. One shuffle on the token key for
-    * document frequencies (broadcast back), one per-doc window. */
+    * document frequencies, joined back without a broadcast hint (the
+    * vocabulary is unbounded at corpus scale — AQE picks broadcast only
+    * when it actually fits), then one per-doc window. `n_docs` rides in
+    * the plan as a broadcast 1-row aggregate instead of a separate
+    * driver-side `count()` job. `tf` is persisted: both `df` and the
+    * final join read it, and recomputing means re-exploding the corpus. */
   def textTfIdf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val nDocs = docs.count() // scalar, analogous to COUNT(*) subquery
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("tok"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tf is unique per (doc_id, tok) by construction: plain count ≡
+    // count(DISTINCT doc_id), without the distinct expansion
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
-    tf.join(broadcast(df_), "tok")
+    tf.join(df_, "tok")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("tok"), col("score"))
