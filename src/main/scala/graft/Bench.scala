@@ -59,6 +59,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -66,11 +67,21 @@ object Bench {
     // warmup: session, parquet footers, codegen paths
     SparkEntry.queries.get("km_sizes").foreach(q => q(spark, sfDir).count())
 
+    // per-query steady state: 1 cold run (plan + codegen + first-touch
+    // IO), then 3 more runs whose MEDIAN is the headline number —
+    // regressions can't hide behind one-off warmup noise. Cold numbers
+    // are reported separately.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val coldRuns = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      coldRuns(name) = once()
+      val runs = Seq.fill(3)(once()).sorted
+      results(name) = runs(runs.length / 2)
     }
 
     // headline: the reference's own evaluation grid points (BASELINE.md),
@@ -84,7 +95,9 @@ object Bench {
 
     val qs = results.map { case (key, v) => "\"" + key + f"""":$v%.6f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}""")
+    val qsCold = coldRuns.map { case (key, v) => "\"" + key + f"""":$v%.6f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","queries":$qs%s,"queries_cold":$qsCold%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

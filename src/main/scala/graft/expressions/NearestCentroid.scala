@@ -27,21 +27,33 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   extends UnaryExpression {
 
   // input contract: child is array<double> (enforced by the call sites,
-  // which cast the vector column; ExpectsInputTypes is private[sql])
+  // which cast the vector column; ExpectsInputTypes is private[sql]).
+  // Contract vs the declarative form (KMeansOps.assignDyn): identical on
+  // non-empty centroid sets and NaN-free inputs. Divergences, by
+  // contract: empty centroids ⇒ -1 here vs NULL declaratively (the
+  // optimizer rewrite refuses empty literals, so it never changes a
+  // result); NaN coordinates ⇒ -1 here (NaN distances never win the
+  // strict-< scan) vs 0 declaratively (array_min/array_position use
+  // NaN-normalizing equality). K-means inputs are NaN-free by contract.
   override def dataType: DataType = IntegerType
 
   override def prettyName: String = "nearest_centroid"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val nElems = arr.numElements()
     var best = -1
     var bestD = Double.MaxValue
     var i = 0
     while (i < centroids.length) {
       val c = centroids(i)
+      // bound by BOTH lengths: a shorter input vector must not read
+      // past the ArrayData buffer (UnsafeArrayData does no bounds
+      // checks with assertions off)
+      val m = math.min(nElems, c.length)
       var d = 0.0
       var j = 0
-      while (j < c.length) {
+      while (j < m) {
         val diff = arr.getDouble(j) - c(j)
         d += diff * diff
         j += 1
@@ -57,6 +69,9 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val m = ctx.freshName("m")
+      val nElems = ctx.freshName("nElems")
       val d = ctx.freshName("d")
       val diff = ctx.freshName("diff")
       val best = ctx.freshName("best")
@@ -64,11 +79,13 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       s"""
          |int $best = -1;
          |double $bestD = Double.MAX_VALUE;
+         |int $nElems = $arr.numElements();
          |for (int $i = 0; $i < $cents.length; $i++) {
-         |  double[] c = $cents[$i];
+         |  double[] $c = $cents[$i];
+         |  int $m = java.lang.Math.min($nElems, $c.length);
          |  double $d = 0.0;
-         |  for (int $j = 0; $j < c.length; $j++) {
-         |    double $diff = $arr.getDouble($j) - c[$j];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    double $diff = $arr.getDouble($j) - $c[$j];
          |    $d += $diff * $diff;
          |  }
          |  if ($d < $bestD) { $bestD = $d; $best = $i; }

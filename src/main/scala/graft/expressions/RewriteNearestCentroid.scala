@@ -81,7 +81,12 @@ object RewriteNearestCentroid extends Rule[LogicalPlan] {
     t match {
       case ArrayTransform(
             Literal(data: ArrayData, ArrayType(ArrayType(DoubleType, _), _)),
-            LambdaFunction(body, Seq(cVar: NamedLambdaVariable), _)) =>
+            LambdaFunction(body, Seq(cVar: NamedLambdaVariable), _))
+          // empty or null-bearing centroid literals yield NULL/absent
+          // results declaratively; the native kernel returns -1 — refuse
+          // the rewrite rather than change an edge-case answer
+          if data.numElements() > 0 &&
+            (0 until data.numElements()).forall(!data.isNullAt(_)) =>
         sqDistBody(body, cVar).map { vec =>
           val cents = (0 until data.numElements())
             .map(i => data.getArray(i).toDoubleArray()).toArray

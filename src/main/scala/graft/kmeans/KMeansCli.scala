@@ -53,15 +53,20 @@ object KMeansCli {
     val res = KMeansRunner.run(points, "point", k, maxIter, eps, seed)
 
     // per-iteration output dirs like the reference would have written;
-    // we emit the final one (the reference's last job output) plus a
-    // run log on stdout.
+    // we emit the final one — output + lastRound, the suffix of the
+    // reference's LAST job (it breaks before iter++ on convergence, so
+    // a run converging at round N ends at output+N; a bounded run at
+    // output+(maxIter-1)) — plus a run log on stdout. maxIter=1 runs
+    // zero jobs and, like the reference, writes no output dir.
     val spark2 = spark
     import spark2.implicits._
-    val outDf = res.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster", "centroid")
-    PointsIO.writeCentroids(outDf, "cluster", "centroid",
-      output + res.iterations)
+    if (res.lastRound >= 1) {
+      val outDf = res.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster", "centroid")
+      PointsIO.writeCentroids(outDf, "cluster", "centroid",
+        output + res.lastRound)
+    }
 
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"iterations=${res.iterations} finalError=${res.finalError}%.6f " +

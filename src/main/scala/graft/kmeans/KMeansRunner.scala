@@ -4,13 +4,24 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Result of a full k-means run. */
+/** Result of a full k-means run. `iterations` is the reference driver's
+  * final `iter` value: on convergence the reference breaks BEFORE the
+  * increment (KMeans.java:176-183), so a run converging on round N
+  * reports N; a run hitting the bound reports maxIter (having run
+  * maxIter−1 rounds). `iterations` is also the index of the last
+  * per-round output directory the reference would have written when
+  * converged; `lastRound` gives that index in every case. */
 final case class KMeansResult(
     centroids: Array[Array[Double]],
     iterations: Int,
     finalError: Double,
     errorLog: Seq[Double],
-    reinitCount: Int)
+    reinitCount: Int,
+    converged: Boolean) {
+  /** Index of the last executed round (= the reference's last job output
+    * dir suffix); 0 when no round ran (maxIter = 1). */
+  def lastRound: Int = if (converged) iterations else iterations - 1
+}
 
 /** The iterative driver loop — Spark re-expression of the reference's
   * `KMeans.main` (/root/reference/kmeans/.../KMeans.java:95-194).
@@ -42,7 +53,9 @@ object KMeansRunner {
   def run(points: DataFrame, vecCol: String, k: Int, maxIter: Int,
           eps: Double, seed: Long,
           cache: Boolean = true): KMeansResult = {
-    require(k > 0 && maxIter > 1)
+    // maxIter = 1 is legal and runs ZERO rounds, like the reference's
+    // `while (1 < 1)` (KMeans.java:130): result = the seeded sample.
+    require(k > 0 && maxIter >= 1)
     val pts =
       if (cache) points.persist(StorageLevel.MEMORY_AND_DISK)
       else points
@@ -93,8 +106,10 @@ object KMeansRunner {
         centroids = newCentroids
         if (error < eps) converged = true
       }
-      iter += 1
+      // the reference breaks BEFORE iter++ on convergence
+      // (KMeans.java:176-183): the converged round keeps its own index
+      if (!converged) iter += 1
     }
-    KMeansResult(centroids, iter, error, log.result(), reinits)
+    KMeansResult(centroids, iter, error, log.result(), reinits, converged)
   }
 }

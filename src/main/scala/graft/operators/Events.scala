@@ -19,15 +19,15 @@ import graft.Tables.t
 object Events {
 
   /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read it with the
-    * documented escape hatch `spark.sql.legacy.parquet.nanosAsLong` —
-    * `ts` arrives as a nano-epoch long and is immediately narrowed to
-    * microseconds, matching DuckDB's `epoch_us(ts)` exactly (both floor
-    * toward zero; all data is post-1970). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * vectorized reader rejects (PARQUET_TYPE_ILLEGAL). The session must
+    * set the documented escape hatch
+    * `spark.sql.legacy.parquet.nanosAsLong=true` AT BUILD TIME (done in
+    * Verify/Bench/the test harness — a query function must not mutate
+    * session conf as a side effect); `ts` then arrives as a nano-epoch
+    * long and is immediately narrowed to microseconds, matching DuckDB's
+    * `epoch_us(ts)` exactly (both floor toward zero; data is post-1970). */
+  def events(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
-  }
 
   private val HourUs = 3600L * 1000 * 1000
 

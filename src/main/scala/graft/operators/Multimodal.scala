@@ -82,11 +82,29 @@ object Multimodal {
       .withColumn("mean_luma", round(col("mean_luma"), 6))
   }
 
+  /** The SQL-expressible slice of the decode contract, split out of the
+    * stub so the hard gate witnesses it: frame count is defined as
+    * ceil(n_bytes / 100) — [[FakeDecoder.decode]] must agree
+    * (OperatorsSpec asserts decode.n_frames == this), and the DuckDB
+    * oracle checks the arithmetic. The stub now covers only what is
+    * genuinely uncheckable without a codec (width/height/luma). */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("n_bytes", octet_length(col("text").cast("binary")))
+      .select(col("doc_id"), col("n_bytes"),
+        expr("(n_bytes + 99) DIV 100").cast("long").as("n_frames"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mmMeta,
+    "mm_frames" -> mmFrames,
     "mm_decode" -> mmDecode)
 
   val oracles: Map[String, String] = Map(
+    "mm_frames" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  CAST((octet_length(encode(text)) + 99) // 100 AS BIGINT)
+        |    AS n_frames
+        |FROM documents""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, n_bytes,
         |  md5(text) AS content_md5,

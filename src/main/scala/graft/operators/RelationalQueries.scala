@@ -170,8 +170,28 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  /** Oracle-checkable witness for the sketch above: emits the EXACT
+    * distinct counts plus booleans asserting the HLL++ estimate lands
+    * within ±5% of them. The DuckDB oracle computes the same exact
+    * counts and claims `true` — so the driver's hash compare fails iff
+    * the sketch ever leaves its accuracy envelope (the bound
+    * OperatorsSpec checks, now witnessed by the hard gate too). */
+  def qApproxDistinctBound(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("parts_within_5pct"),
+        (abs(col("ao") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.05).as("orders_within_5pct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_distinct_bound" -> qApproxDistinctBound,
     "q_stats" -> qStats,
     "q_quantiles" -> qQuantiles,
     "q1_agg" -> q1Agg,
@@ -186,6 +206,13 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_approx_distinct_bound" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS parts_within_5pct,
+        |  true AS orders_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_stats" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 6) AS sd_qty,

@@ -117,6 +117,29 @@ class KMeansSpec extends SparkSessionSpec {
       eps = 0.0, seed = 9L)
     assert(res.iterations == 4) // iter ran 1,2,3 → 3 rounds, ends at 4
     assert(res.errorLog.size + res.reinitCount == 3)
+    assert(!res.converged && res.lastRound == 3)
+  }
+
+  test("converged run reports the converging round's own index (ref breaks before iter++)") {
+    // eps huge ⇒ converges on the very first error check: the reference
+    // breaks BEFORE iter++ (KMeans.java:176-183), so iterations == 1 and
+    // the last job output dir suffix is 1.
+    val pts = (1 to 60).map(i => Seq(i.toDouble, 2.0 * i))
+    val res = KMeansRunner.run(pts.toDF("v"), "v", k = 3, maxIter = 20,
+      eps = 1e9, seed = 5L)
+    assert(res.converged)
+    assert(res.iterations == 1)
+    assert(res.lastRound == 1)
+    assert(res.errorLog.size == 1)
+  }
+
+  test("maxIter = 1 is legal and runs zero rounds (ref `while (1 < 1)` parity)") {
+    val pts = (1 to 30).map(i => Seq(i.toDouble))
+    val res = KMeansRunner.run(pts.toDF("v"), "v", k = 2, maxIter = 1,
+      eps = 1e-9, seed = 6L)
+    assert(res.iterations == 1 && !res.converged && res.lastRound == 0)
+    assert(res.errorLog.isEmpty && res.finalError.isNaN)
+    assert(res.centroids.length == 2) // the seeded sample, untouched
   }
 
   test("summarizeTyped agrees with per-dimension summarize") {

@@ -60,6 +60,24 @@ class OperatorsSpec extends SparkSessionSpec {
     both.foreach { case (n, c) => assert(n == c) } // exact, not approx
   }
 
+  test("DotProduct on length-mismatched arrays is NULL, matching the built-in") {
+    import graft.functions.VectorFunctions.{dot, dotBuiltin}
+    val r = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(dot(col("a"), col("b")).as("n"),
+        dotBuiltin(col("a"), col("b")).as("c"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1)) // no silent truncation
+  }
+
+  test("mm_frames (oracle-checked) agrees with the stub decoder's n_frames") {
+    val frames = operators.Multimodal.mmFrames(spark, sf0001)
+      .select(col("doc_id"), col("n_frames"))
+    val dec = operators.Multimodal.mmDecode(spark, sf0001)
+      .select(col("doc_id"), col("n_frames").cast("long").as("nf_stub"))
+    assert(frames.join(dec, "doc_id")
+      .where(col("n_frames") =!= col("nf_stub")).count() == 0)
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import graft.functions.VectorFunctions.cosine
     val out = Seq(

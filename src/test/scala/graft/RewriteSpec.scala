@@ -64,6 +64,25 @@ class RewriteSpec extends SparkSessionSpec {
     }
   }
 
+  test("rewrite refuses an EMPTY centroid literal (declarative NULL ≠ native -1)") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteNearestCentroid
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("embedding").cast("array<double>").as("v"))
+      val df = KMeansOps.assignDyn(emb, "v", Array.empty[Array[Double]])
+      val fired = df.queryExecution.optimizedPlan.expressions.exists(_.exists {
+        case _: NearestCentroid => true
+        case _ => false
+      })
+      assert(!fired, "rewrite fired on an empty centroid literal")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == RewriteNearestCentroid)
+    }
+  }
+
   test("GraftExtensions registers without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
