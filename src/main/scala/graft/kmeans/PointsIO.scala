@@ -18,10 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object PointsIO {
 
-  /** Read a reference-format points file → DataFrame[point: array<double>].
-    * Malformed lines are fatal (ANSI cast), matching the reference's
+  /** Read a reference-format points file → DataFrame[point: array<double>]
+    * through the first-class DSv2 source (graft.sources.PointsDataSource):
+    * line-aligned byte-range splits, pruning-aware reader. Malformed
+    * lines are fatal (parseDouble), matching the reference's
     * NumberFormatException behavior (KMeans.java:269). */
   def readPoints(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("points").load(path)
+
+  /** The pre-DSv2 built-in-expression parse of the same format (kept:
+    * it is the pattern for ad-hoc text formats without a connector). */
+  def readPointsText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
       .where(length(trim(col("value"))) > 0)
       .select(

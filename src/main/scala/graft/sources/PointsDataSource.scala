@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.io.Text
+import org.apache.hadoop.util.LineReader
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 table for the reference's point text format — one
+  * `<x1, x2, …, xd>` vector per line (parser contract of
+  * `KMeans.parsePoint`, /root/reference/kmeans/.../KMeans.java:261-274:
+  * strip angle brackets, split on comma+whitespace, parse double;
+  * malformed numbers are fatal).
+  *
+  * `spark.read.format("points").load(path)` yields
+  * `DataFrame[point: array<double>]` as a FIRST-CLASS source: the scan
+  * plans one `InputPartition` per byte range (line-aligned, Hadoop
+  * text-split contract), so a big file parallelizes across executors
+  * exactly like the built-in text source, and column pruning reaches
+  * the reader — a `count(*)` never parses a double
+  * (SupportsPushDownRequiredColumns). Options:
+  * `splitSizeBytes` (default 128 MiB) controls range size.
+  */
+class PointsDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "points"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PointsTable.Schema
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "points source requires a single `path` (spark.read.format(\"points\").load(path))"))
+    val splitSize = Option(properties.get("splitSizeBytes"))
+      .map(_.toLong).getOrElse(PointsTable.DefaultSplitSize)
+    new PointsTable(path, splitSize)
+  }
+}
+
+object PointsTable {
+  val Schema: StructType =
+    StructType(Seq(StructField("point", ArrayType(DoubleType, false), false)))
+  val DefaultSplitSize: Long = 128L * 1024 * 1024
+}
+
+class PointsTable(path: String, splitSize: Long)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"points(`$path`)"
+  override def schema(): StructType = PointsTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PointsScanBuilder(path, splitSize)
+}
+
+class PointsScanBuilder(path: String, splitSize: Long)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = PointsTable.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new PointsScan(path, splitSize, required)
+}
+
+class PointsScan(path: String, splitSize: Long, required: StructType)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PointsScan path=$path splitSize=$splitSize cols=${required.fieldNames.mkString(",")}"
+
+  /** Driver-side listing: glob/dir expansion, then byte-range splits.
+    * Line alignment is resolved at READ time by the Hadoop text-split
+    * contract (see [[PointsPartitionReader]]), so planning never opens
+    * file contents — O(#files) driver work, like the built-in sources. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val matched: Array[FileStatus] =
+      Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.filter { st =>
+      val n = st.getPath.getName
+      st.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+    }
+    files.flatMap { st =>
+      val len = st.getLen
+      val uri = st.getPath.toUri.toString
+      (0L until len by splitSize).map { start =>
+        PointsInputPartition(uri, start, math.min(splitSize, len - start))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PointsReaderFactory(parsePoint = required.fieldNames.contains("point"))
+}
+
+final case class PointsInputPartition(path: String, start: Long, length: Long)
+  extends InputPartition
+
+final case class PointsReaderFactory(parsePoint: Boolean)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PointsPartitionReader(
+      partition.asInstanceOf[PointsInputPartition], parsePoint)
+}
+
+/** Range reader with the Hadoop text-split ownership contract: a split
+  * [start, end) owns every line that STARTS in it. For start > 0 the
+  * reader seeks to start−1 and discards one line (the line crossing —
+  * or ending exactly at — the boundary, owned by the previous split,
+  * which reads past its own end to finish it); it then emits lines
+  * while their start offset is < end. */
+class PointsPartitionReader(split: PointsInputPartition, parsePoint: Boolean)
+  extends PartitionReader[InternalRow] {
+
+  private val end = split.start + split.length
+  private val text = new Text()
+  private var row: InternalRow = _
+
+  private val stream = {
+    val p = new Path(split.path)
+    p.getFileSystem(new Configuration()).open(p)
+  }
+  private var pos: Long = split.start
+  // ONE LineReader for skip + reads: it buffers ahead, so a second
+  // reader over the same stream would lose buffered bytes. Byte
+  // positions are tracked via readLine's consumed-byte return, never
+  // stream.getPos (which reflects the buffer, not the lines consumed).
+  private val lines: LineReader = {
+    if (split.start > 0) stream.seek(split.start - 1)
+    val r = new LineReader(stream)
+    if (split.start > 0) pos = split.start - 1 + r.readLine(text)
+    r
+  }
+
+  override def next(): Boolean = {
+    if (pos >= end) return false
+    val consumed = lines.readLine(text)
+    if (consumed == 0) return false
+    pos += consumed
+    val s = text.toString.trim
+    if (s.isEmpty) return next() // blank lines: skipped, like readPoints
+    row = if (parsePoint) {
+      val body = s.replaceAll("[<>]", "")
+      val vals = body.split(",\\s*").map(java.lang.Double.parseDouble)
+      new GenericInternalRow(Array[Any](new GenericArrayData(vals)))
+    } else new GenericInternalRow(0) // count(*): no parse
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = stream.close()
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.kmeans.PointsIO
+
+/** The DSv2 points source must agree byte-for-byte with the built-in
+  * expression parse of the reference format, across any byte-range
+  * split plan (line alignment), and prune parsing on count(*). */
+class SourcesSpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  private def writeTemp(lines: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("points_src").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "pts.txt")
+    val w = new java.io.PrintWriter(f)
+    lines.foreach(w.println)
+    w.close()
+    f.getAbsolutePath
+  }
+
+  private val rnd = new scala.util.Random(21)
+  private val pts = (0 until 500).map(_ =>
+    Seq.fill(5)(math.rint(rnd.nextDouble() * 1e6) / 1e3))
+  private val lines = pts.map(p => "<" + p.mkString(", ") + ">")
+  // blank lines interleaved: both parsers must skip them
+  private lazy val path = writeTemp(
+    lines.take(250) ++ Seq("", "   ") ++ lines.drop(250))
+
+  private def sortedVecs(df: org.apache.spark.sql.DataFrame): Seq[List[Double]] =
+    df.as[Seq[Double]].collect().map(_.toList).sortBy(_.toString()).toSeq
+
+  test("DSv2 source == expression parse on the same file") {
+    val viaSource = sortedVecs(spark.read.format("points").load(path))
+    val viaExpr = sortedVecs(PointsIO.readPointsText(spark, path))
+    assert(viaSource.size == 500)
+    assert(viaSource == viaExpr)
+  }
+
+  test("line-aligned byte-range splits: tiny splitSize, same multiset, >1 partition") {
+    val df = spark.read.format("points")
+      .option("splitSizeBytes", "64").load(path)
+    assert(df.rdd.getNumPartitions > 1, "expected multiple range splits")
+    assert(sortedVecs(df) == sortedVecs(PointsIO.readPointsText(spark, path)))
+  }
+
+  test("count(*) prunes the parse and still counts every line") {
+    assert(spark.read.format("points").load(path).count() == 500)
+    assert(spark.read.format("points").option("splitSizeBytes", "64")
+      .load(path).count() == 500)
+  }
+
+  test("plan shows the custom batch scan") {
+    val plan = spark.read.format("points").load(path)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BatchScan"), plan)
+  }
+
+  test("readPoints (CLI input path) routes through the DSv2 source") {
+    val df = PointsIO.readPoints(spark, path)
+    assert(df.schema.fieldNames.toSeq == Seq("point"))
+    assert(df.count() == 500)
+  }
+}
