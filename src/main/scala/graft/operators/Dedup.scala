@@ -165,12 +165,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  // -------------------------------------------------------------------
+  // Sign-bit LSH embedding dedup (the candidate-generation alternative
+  // to cell blocking: no centroids, no count() pre-pass, fully
+  // data-independent — the hyperplanes are compile-time constants)
+  // -------------------------------------------------------------------
+
+  val LshBands = 2
+  val LshBitsPerBand = 4
+  val LshDim = 64
+
+  /** Seeded random hyperplanes, shared VERBATIM with the oracle SQL
+    * (the literals are interpolated into both plans, so sign decisions
+    * agree bit-for-bit). */
+  lazy val lshPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(1234567L)
+    Array.fill(LshBands * LshBitsPerBand)(Array.fill(LshDim)(rnd.nextGaussian()))
+  }
+
+  /** Embedding near-dup via banded sign-bit LSH: each vector gets
+    * `LshBands` bucket ids (4 sign bits each — the OR-of-ANDs recall
+    * structure of [[dedupMinhash]]'s banding), candidates share any
+    * band bucket, cosine is verified exactly on candidates only. Unlike
+    * the cell-blocked [[dedupEmbedCosine]] this needs NO corpus
+    * statistics at plan time (no count, no centroid sample): the
+    * hyperplanes are constants, the signature pass is narrow, and the
+    * only shuffles are the (band, bucket) self-join and the verify
+    * joins — all equi-keyed. Expected bucket population is n/2^bits per
+    * band, so candidate pairs stay near-linear for honest bit counts
+    * (bits ∝ log n at extreme scale). */
+  def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until LshBands).map { band =>
+      val bucket = (0 until LshBitsPerBand).map { r =>
+        val plane = lshPlanes(band * LshBitsPerBand + r)
+        when(dot(col("v"), typedLit(plane.toSeq)) > 0, lit(1L << r))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(band).as("band"), bucket.as("bucket"))
+    }
+    val sig = emb.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val a = sig.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+    val b = sig.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
+      col("vec_id").as("id_b"))
+    val pairs = a.join(b,
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos",
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .where(col("cos") >= 0.2)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embed_cosine" -> dedupEmbedCosine)
+    "dedup_embed_cosine" -> dedupEmbedCosine,
+    "dedup_embed_lsh" -> dedupEmbedLsh)
 
   /** Shared oracle CTEs: shingles and LSH band signatures. */
   private val shCte =
@@ -193,7 +257,36 @@ object Dedup {
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
       |)""".stripMargin
 
+  private def planeSql(p: Array[Double]): String =
+    p.mkString("[", ", ", "]")
+
+  private def bucketSql(band: Int): String =
+    (0 until LshBitsPerBand).map { r =>
+      s"(CASE WHEN list_inner_product(v, ${planeSql(lshPlanes(band * LshBitsPerBand + r))}) > 0 THEN ${1L << r} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val lshSigCte: String =
+    (0 until LshBands).map { band =>
+      s"SELECT vec_id, $band AS band, ${bucketSql(band)} AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+
   val oracles: Map[String, String] = Map(
+    "dedup_embed_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), sig AS (
+         |$lshSigCte
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT p.id_a, p.id_b,
+         |       round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+         |FROM pairs p
+         |JOIN e ea ON ea.vec_id = p.id_a
+         |JOIN e eb ON eb.vec_id = p.id_b
+         |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_copies

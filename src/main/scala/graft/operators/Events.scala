@@ -104,12 +104,69 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** AS-OF join — an operator Spark has no native form of: each
+    * purchase matched to the user's most recent click at-or-before it.
+    * Lowered the scale-safe way: tag both streams, union, ONE window
+    * pass carrying the last click timestamp forward (ignoreNulls last),
+    * filter back to purchases. One shuffle on user_id, no range
+    * self-join, no per-row subquery — the same shape at 100 TB, and the
+    * batch mirror of a flatMapGroupsWithState join. Clicks tie-sorted
+    * before purchases at equal ts (at-or-before semantics). */
+  def evAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(null).cast("long").as("event_id"),
+        lit(0).as("tag"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), lit(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_us",
+        last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("last_click_us"))
+  }
+
+  /** Range join, bin-blocked: for each purchase, how many clicks the
+    * same user made in the preceding hour. Instead of an unbounded
+    * inequality self-join (O(n·m) within each user), purchases explode
+    * to their 2 candidate hour-bins and join clicks on
+    * (user_id, hour_bin) — an EQUI key that hash-partitions — with the
+    * exact range check as a post-join filter. Candidate pairs are
+    * bounded by events-per-user-per-2-hours, independent of history
+    * length. Left join + click-count so zero-click purchases keep a row. */
+  def evRecentClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        expr(s"ts_us DIV $HourUs").as("c_bin"), col("ts_us").as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      // (ts−H) DIV H = ts DIV H − 1 exactly, so the 2 candidate bins
+      // are always distinct — no dedup needed, the explode is exact
+      .withColumn("bin",
+        explode(array(expr(s"(ts_us - $HourUs) DIV $HourUs"),
+          expr(s"ts_us DIV $HourUs"))))
+    purchases
+      .join(clicks,
+        col("user_id") === col("c_user") && col("bin") === col("c_bin") &&
+          col("c_ts") >= col("ts_us") - HourUs && col("c_ts") < col("ts_us"),
+        "left")
+      .groupBy(col("user_id"), col("event_id"), col("ts_us"))
+      .agg(count(col("c_ts")).as("n_recent_clicks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_retention" -> evRetention,
     "ev_hourly" -> evHourly,
     "ev_sessionize" -> evSessionize,
     "ev_json" -> evJson,
-    "ev_top_users" -> evTopUsers)
+    "ev_top_users" -> evTopUsers,
+    "ev_asof" -> evAsof,
+    "ev_recent_clicks" -> evRecentClicks)
 
   val oracles: Map[String, String] = Map(
     "ev_retention" ->
@@ -162,5 +219,35 @@ object Events {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id
         |ORDER BY total_value DESC, user_id
-        |LIMIT 10""".stripMargin)
+        |LIMIT 10""".stripMargin,
+    "ev_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events
+        |), clicks AS (
+        |  SELECT user_id, ts_us FROM e WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'
+        |)
+        |SELECT p.user_id, p.event_id, p.ts_us,
+        |  (SELECT max(c.ts_us) FROM clicks c
+        |   WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us) AS last_click_us
+        |FROM p""".stripMargin,
+    "ev_recent_clicks" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+         |  FROM events
+         |), clicks AS (
+         |  SELECT user_id, ts_us FROM e WHERE event_type = 'click'
+         |), p AS (
+         |  SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'
+         |)
+         |SELECT p.user_id, p.event_id, p.ts_us,
+         |  (SELECT count(*) FROM clicks c
+         |   WHERE c.user_id = p.user_id
+         |     AND c.ts_us >= p.ts_us - $HourUs
+         |     AND c.ts_us < p.ts_us) AS n_recent_clicks
+         |FROM p""".stripMargin)
 }

@@ -170,6 +170,51 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  /** PIVOT: order volume per priority, statuses as columns. The pivot
+    * values are DECLARED (not discovered), so this stays ONE pass — a
+    * values-less pivot costs an extra distinct-collect job, which at
+    * 100 TB is a full scan wasted. Empty cells coalesced to 0 on both
+    * engines (Spark pivot yields null, DuckDB FILTER'd sum yields null). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .select(col("o_orderpriority"),
+        coalesce(col("F").cast("double"), lit(0.0)).as("total_f"),
+        coalesce(col("O").cast("double"), lit(0.0)).as("total_o"),
+        coalesce(col("P").cast("double"), lit(0.0)).as("total_p"))
+
+  /** CUBE over (status, priority): all 4 grouping sets in one pass —
+    * Expand (4× row multiplier map-side) + a single shuffle, not 4
+    * separate scans. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+
+  /** Deterministic stratified Bernoulli sample: keep-decision from an
+    * md5 of the row key mapped to [0,1), compared against a per-stratum
+    * rate — reproducible on ANY cluster layout (no rand()), no shuffle
+    * for the sampling itself (narrow filter), and the same predicate is
+    * expressible in the oracle. Emits per-stratum survivor stats. */
+  def qSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat_ws(":",
+      col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val rate = when(col("l_returnflag") === "A", 0.1)
+      .when(col("l_returnflag") === "N", 0.2)
+      .otherwise(0.5)
+    t(spark, dir, "lineitem")
+      .where(u < rate)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+  }
+
   /** Oracle-checkable witness for the sketch above: emits the EXACT
     * distinct counts plus booleans asserting the HLL++ estimate lands
     * within ±5% of them. The DuckDB oracle computes the same exact
@@ -192,6 +237,9 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> qApproxDistinct,
     "q_approx_distinct_bound" -> qApproxDistinctBound,
+    "q_pivot" -> qPivot,
+    "q_cube" -> qCube,
+    "q_sample" -> qSample,
     "q_stats" -> qStats,
     "q_quantiles" -> qQuantiles,
     "q1_agg" -> q1Agg,
@@ -206,6 +254,33 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0.0) AS total_f,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 0.0) AS total_o,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 0.0) AS total_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_sample" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(CAST(concat('0x', substr(md5(concat(
+        |      CAST(l_orderkey AS VARCHAR), ':',
+        |      CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u,
+        |    CASE WHEN l_returnflag = 'A' THEN 0.1
+        |         WHEN l_returnflag = 'N' THEN 0.2
+        |         ELSE 0.5 END AS rate
+        |  FROM lineitem)
+        |WHERE u < rate GROUP BY l_returnflag""".stripMargin,
     "q_approx_distinct_bound" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

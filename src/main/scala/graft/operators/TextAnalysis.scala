@@ -156,7 +156,23 @@ object TextAnalysis {
       .select(col("lang"), col("rank"), col("bg"), col("n"))
   }
 
+  /** Normalization + scrubbing — the first narrow pass of every
+    * training-data pipeline: lowercase, strip non-alphanumerics,
+    * collapse whitespace; mask long digit runs (the PII-scrub shape —
+    * a real pipeline would add phone/email/ID patterns to the same
+    * regexp_replace chain). All per-row regex work inside codegen, no
+    * shuffle, and the scan reads only (doc_id, text). */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" "))).as("norm_text"),
+        regexp_replace(col("text"), lit("[0-9]{3,}"), lit("<NUM>"))
+          .as("scrubbed"),
+        regexp_count(col("text"), lit("[0-9]{3,}")).as("n_num_runs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> textNormalize,
     "text_char_ngrams" -> textCharNgrams,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
@@ -169,6 +185,13 @@ object TextAnalysis {
     .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |  regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g') AS scrubbed,
+        |  len(regexp_extract_all(text, '[0-9]{3,}')) AS n_num_runs
+        |FROM documents""".stripMargin,
     "text_char_ngrams" ->
       """WITH bg AS (
         |  SELECT lang,

@@ -93,6 +93,33 @@ object StreamingOps {
       }
   }
 
+  val HourUs: Long = 3600L * 1000 * 1000
+
+  /** Stream-stream interval join — the streaming form of the banded
+    * range join (Events.evRecentClicks' candidate stage): each purchase
+    * paired with the same user's clicks in the preceding hour. The
+    * COARSE time-interval condition on the watermarked ms-precision
+    * timestamps is what lets Spark expire join state (each side holds
+    * ≤ watermark + interval of history); the EXACT window is then
+    * enforced on the microsecond epoch columns, so results match the
+    * batch operator bit-for-bit despite the ms watermark granularity. */
+  def recentClickPairs(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("ts_us").as("c_ts_us"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("ts_us"))
+      .withWatermark("ts", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR 1 SECOND") &&
+        col("c_ts") <= col("ts") &&
+        col("c_ts_us") >= col("ts_us") - HourUs &&
+        col("c_ts_us") < col("ts_us"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("c_ts_us"))
+  }
+
   /** Running per-user event counts via mapGroupsWithState (update-mode
     * stateful aggregation with unbounded-by-design keyed state). */
   def runningUserCounts(events: Dataset[SEvent]): Dataset[(Long, Long)] = {

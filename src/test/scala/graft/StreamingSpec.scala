@@ -90,6 +90,29 @@ class StreamingSpec extends SparkSessionSpec {
     assert(spark.table("deduped").count() == batchEvents.size)
   }
 
+  test("stream-stream interval join equals the batch range-join pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.recentClickPairs(mem.toDF())
+      .writeStream.format("memory").queryName("clickpairs")
+      .outputMode("append").start()
+    try {
+      mem.addData(batchEvents)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("clickpairs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val h = StreamingOps.HourUs
+    val clicks = batchEvents.filter(_.event_type == "click")
+    val expected = (for {
+      p <- batchEvents.filter(_.event_type == "purchase")
+      c <- clicks
+      if c.user_id == p.user_id &&
+        c.ts_us >= p.ts_us - h && c.ts_us < p.ts_us
+    } yield (p.user_id, p.event_id, p.ts_us, c.ts_us)).toSet
+    assert(expected.nonEmpty && streamed == expected)
+  }
+
   test("StreamingKMeans converges to blob centers over micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(21)
