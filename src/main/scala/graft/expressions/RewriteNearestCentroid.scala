@@ -96,8 +96,36 @@ object RewriteNearestCentroid extends Rule[LogicalPlan] {
     }
 }
 
-/** `spark.sql.extensions` entry point registering the rewrite. */
+/** `spark.sql.extensions` entry point: registers the optimizer rewrite
+  * AND the native expressions as SQL functions, so `spark.sql` users
+  * can write `graft_dot(a, b)` and
+  * `nearest_centroid(v, array(array(…), …))` directly. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteNearestCentroid)
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(a, b) expects 2 arguments")
+        new DotProduct(args(0), args(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "nearest_centroid(v, centroids) expects 2 arguments")
+        val centsExpr = args(1)
+        require(centsExpr.foldable && centsExpr.dataType.isInstanceOf[ArrayType],
+          "nearest_centroid: centroids must be a literal array<array<double>>")
+        val data = centsExpr.eval().asInstanceOf[ArrayData]
+        val cents = (0 until data.numElements())
+          .map(i => data.getArray(i).toDoubleArray()).toArray
+        new NearestCentroid(args(0), cents)
+      }))
+  }
 }
