@@ -61,9 +61,9 @@ object Similarity {
     rankTopK(scored)
   }
 
-  /** Nearest `n` cell ids for one vector — driver-side: the query set is
-    * tiny, so cell routing is plain Scala (same argmin + lowest-index
-    * tie-break as the distributed path). */
+  /** Nearest `n` cell ids for one vector — driver-side reference
+    * implementation (same argmin + lowest-index tie-break as the
+    * distributed path; OperatorsSpec asserts agreement). */
   def probeCells(cents: Array[Array[Double]], v: Array[Double],
                  n: Int): Seq[Int] =
     cents.iterator.zipWithIndex.map { case (c, i) =>
@@ -72,24 +72,38 @@ object Similarity {
       (d, i)
     }.toSeq.sortBy(identity).take(n).map(_._2)
 
+  /** The `n` nearest cell ids as a COLUMN: per-cell squared distances
+    * zip with their indices, struct-sort (distance asc, cid asc — the
+    * strict-< tie-break), slice n. Runs inside codegen on the query
+    * rows, so routing scales with the query batch distributively — no
+    * driver collect. */
+  def probeCellsCol(vec: Column, cents: Array[Array[Double]],
+                    n: Int): Column = {
+    val ds = KMeansOps.distancesDyn(vec, cents)
+    transform(
+      slice(array_sort(zip_with(ds,
+        sequence(lit(0), lit(cents.length - 1)),
+        (d, i) => struct(d.as("d"), i.as("cid")))), 1, n),
+      s => s.getField("cid"))
+  }
+
   /** IVF-pruned cosine top-k: probe the NProbe nearest k-means cells.
-    * Cell routing happens on the driver (k·|queries| distances); the
-    * corpus side only ever computes scores inside probed cells. */
+    * Routing is in-plan ([[probeCellsCol]] on the query DF) and the
+    * probe list EXPLODES to (query, cell) rows joined on
+    * `cell = cluster` — an equi key, so the corpus side hash-joins (or
+    * broadcasts, as here, while the query batch is small) instead of
+    * evaluating an array_contains nested-loop predicate per
+    * (corpus × query) pair. Probed cells are distinct per query ⇒ no
+    * duplicate scoring. */
   def annIvfCosine(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
     val cents = KMeansQueries.fixedCentroids(spark, dir)
     val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
     val probed = queriesDf(spark, dir)
-      .as[(Long, Seq[Double], Double)]
-      .collect()
-      .map { case (qid, qv, qnrm) =>
-        (qid, qv, qnrm, probeCells(cents, qv.toArray, NProbe))
-      }.toSeq
-      .toDF("query_id", "qv", "qnrm", "probe")
+      .withColumn("probe_cell",
+        explode(probeCellsCol(col("qv"), cents, NProbe)))
     val scored = assigned
       .join(broadcast(probed),
-        array_contains(col("probe"), col("cluster")) &&
+        col("probe_cell") === col("cluster") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineScore.as("score"))

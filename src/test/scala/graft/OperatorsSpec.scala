@@ -88,6 +88,19 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out == Seq(1.0, 0.0))
   }
 
+  test("in-plan IVF probe routing equals the driver-side reference") {
+    val cents = operators.KMeansQueries.fixedCentroids(spark, sf0001)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val viaCol = emb.select(col("vec_id"),
+      operators.Similarity.probeCellsCol(col("v"), cents, 3).as("probe"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val viaDriver = emb.as[(Long, Seq[Double])].collect().map { case (id, v) =>
+      id -> operators.Similarity.probeCells(cents, v.toArray, 3)
+    }.toMap
+    assert(viaCol == viaDriver)
+  }
+
   test("brute-force ANN: nearest neighbor of a query is its duplicate") {
     // embed a duplicate of vec_id 0 and check it ranks first
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
