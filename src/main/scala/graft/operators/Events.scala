@@ -159,7 +159,41 @@ object Events {
       .agg(count(col("c_ts")).as("n_recent_clicks"))
   }
 
+  /** Ordered funnel (view → click → purchase): per user, how many
+    * purchases complete the chain — a prior click that itself had a
+    * prior view, all at-or-before in event time. Lowered as CASCADED
+    * as-of passes over ONE (user_id, ts, stage) sort: the first window
+    * carries the last view timestamp forward, the second carries the
+    * last view-qualified click; purchases then just read a flag. No
+    * stage-to-stage self-joins — at 100 TB this is one shuffle + one
+    * sort per user partition, independent of funnel depth beyond the
+    * window-expression count. Stage rank breaks event-time ties so
+    * same-timestamp chains resolve in funnel order. */
+  def evFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).as("stage"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("stage"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev
+      .withColumn("last_view_us",
+        last(when(col("stage") === 0, col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .withColumn("last_qclick_us",
+        last(when(col("stage") === 1 && col("last_view_us").isNotNull,
+          col("ts_us")), ignoreNulls = true).over(w))
+      .where(col("stage") === 2)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(when(col("last_qclick_us").isNotNull, 1)).as("n_converted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
     "ev_hourly" -> evHourly,
     "ev_sessionize" -> evSessionize,
@@ -169,6 +203,28 @@ object Events {
     "ev_recent_clicks" -> evRecentClicks)
 
   val oracles: Map[String, String] = Map(
+    "ev_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events
+        |), v AS (
+        |  SELECT user_id, ts_us FROM e WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id, ts_us FROM e WHERE event_type = 'click'
+        |), qc AS (
+        |  SELECT c.user_id, c.ts_us FROM c
+        |  WHERE EXISTS (SELECT 1 FROM v
+        |                WHERE v.user_id = c.user_id AND v.ts_us <= c.ts_us)
+        |), p AS (
+        |  SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'
+        |)
+        |SELECT p.user_id, count(*) AS n_purchases,
+        |  count(CASE WHEN EXISTS (
+        |    SELECT 1 FROM qc
+        |    WHERE qc.user_id = p.user_id AND qc.ts_us <= p.ts_us)
+        |    THEN 1 END) AS n_converted
+        |FROM p GROUP BY p.user_id""".stripMargin,
     "ev_retention" ->
       """WITH ev AS (
         |  SELECT user_id,
