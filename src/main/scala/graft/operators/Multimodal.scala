@@ -65,6 +65,65 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Real decoder for a codec-free format: canonical PCM WAV
+  // ---------------------------------------------------------------------
+
+  final case class WavInfo(doc_id: Long, sample_rate: Int, n_channels: Int,
+                           bits_per_sample: Int, n_samples: Long,
+                           duration_ms: Double, mean_abs: Double)
+
+  /** REAL (non-stub) decoder for canonical 44-byte-header PCM16 WAV —
+    * pure byte arithmetic, no codec library, so it runs in this
+    * container for real: RIFF/fmt/data header fields + a full pass over
+    * the PCM frames for mean |amplitude|. [[FakeDecoder]] remains only
+    * for formats that genuinely need a codec (JPEG/H.264/…).
+    * Returns None for anything that is not a canonical PCM16 WAV. */
+  object WavDecoder {
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    def decode(docId: Long, b: Array[Byte]): Option[WavInfo] = {
+      if (b.length < 44) return None
+      val riff = new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE" &&
+        new String(b, 12, 4, "US-ASCII") == "fmt " &&
+        new String(b, 36, 4, "US-ASCII") == "data"
+      if (!riff) return None
+      val audioFormat = u16(b, 20)
+      val nCh = u16(b, 22)
+      val rate = u32(b, 24).toInt
+      val bps = u16(b, 34)
+      if (audioFormat != 1 || bps != 16 || nCh < 1) return None
+      val dataLen = math.min(u32(b, 40), (b.length - 44).toLong)
+      val nFrames = dataLen / (2L * nCh)
+      var sumAbs = 0.0
+      var i = 0L
+      while (i < nFrames * nCh) {
+        val off = 44 + (i * 2).toInt
+        val s = (u16(b, off) << 16) >> 16 // sign-extend little-endian i16
+        sumAbs += math.abs(s)
+        i += 1
+      }
+      val n = nFrames * nCh
+      Some(WavInfo(docId, rate, nCh, bps, nFrames,
+        nFrames * 1000.0 / rate,
+        if (n == 0) 0.0 else sumAbs / (n * 32768.0)))
+    }
+  }
+
+  /** Decode a WAV binary column per-partition — the same
+    * one-decoder-per-task shape as [[mmDecode]], but with the REAL
+    * parser; non-WAV blobs are dropped (None). */
+  def decodeWav(media: Dataset[MediaRow]): Dataset[WavInfo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(m => WavDecoder.decode(m.doc_id, m.blob)))
+  }
+
   /** Decode via mapPartitions: one decoder instance per partition (the
     * shape a JNI/codec handle needs — init once per task, stream the
     * batch through it). Driver check is rows-only (stub output has no

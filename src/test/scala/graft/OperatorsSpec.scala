@@ -78,6 +78,35 @@ class OperatorsSpec extends SparkSessionSpec {
       .where(col("n_frames") =!= col("nf_stub")).count() == 0)
   }
 
+  test("WavDecoder parses real PCM16 WAV bytes end-to-end through mapPartitions") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wavBytes(rate: Int, nCh: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(nCh.toShort)
+      bb.putInt(rate); bb.putInt(rate * nCh * 2)
+      bb.putShort((nCh * 2).toShort); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // 400 stereo frames at 8 kHz, constant |amplitude| 16384 → 50 ms, 0.5
+    val good = wavBytes(8000, 2, Array.fill(800)(16384.toShort))
+    val media = Seq(
+      operators.Multimodal.MediaRow(1L, good),
+      operators.Multimodal.MediaRow(2L, "not a wav at all".getBytes)).toDS()
+    val out = operators.Multimodal.decodeWav(media).collect()
+    assert(out.length == 1) // non-WAV dropped
+    val w = out.head
+    assert(w.doc_id == 1L && w.sample_rate == 8000 && w.n_channels == 2)
+    assert(w.bits_per_sample == 16 && w.n_samples == 400)
+    assert(w.duration_ms == 50.0)
+    assert(math.abs(w.mean_abs - 0.5) < 1e-9)
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import graft.functions.VectorFunctions.cosine
     val out = Seq(

@@ -60,4 +60,23 @@ class SourcesSpec extends SparkSessionSpec {
     assert(df.schema.fieldNames.toSeq == Seq("point"))
     assert(df.count() == 500)
   }
+
+  test("ParquetSink.writePartitioned enables partition pruning on read") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files
+      .createTempDirectory("part_sink").toFile.getAbsolutePath + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.sources.ParquetSink.writePartitioned(
+      docs, out, partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+    val filtered = spark.read.parquet(out).where(col("lang") === "en")
+    // the lang = en predicate must prune DIRECTORIES, not filter rows:
+    // it appears in PartitionFilters, and no post-scan Filter remains
+    val scan = filtered.queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[[^\\]]*lang#\\d+ = en".r
+      .findFirstIn(scan).isDefined, scan)
+    val expected = docs.where(col("lang") === "en").count()
+    assert(filtered.count() == expected && expected > 0)
+    // round-trip: partitioned layout loses no rows
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
 }
