@@ -165,6 +165,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Near-dup CLUSTERS from the pair list: connected components over
+    * the MinHash candidate graph, labeled by the component's minimum
+    * doc_id (the canonical survivor a dedup pipeline keeps). Iterative
+    * min-label propagation — each round is two equi-joins keyed on doc
+    * id, labels cached between rounds, terminating when no label
+    * drops; rounds needed = component diameter, and near-dup components
+    * are small by construction (LSH buckets), so this converges in a
+    * handful of rounds at any corpus size. The same driver-loop shape
+    * as KMeansRunner: per-round work is fully distributed, the driver
+    * sees only the changed-count. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.select(col("doc").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("doc"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
+        .where(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc"), col("label").as("component"))
+  }
+
   // -------------------------------------------------------------------
   // Sign-bit LSH embedding dedup (the candidate-generation alternative
   // to cell blocking: no centroids, no count() pre-pass, fully
@@ -234,7 +276,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed_cosine" -> dedupEmbedCosine,
-    "dedup_embed_lsh" -> dedupEmbedLsh)
+    "dedup_embed_lsh" -> dedupEmbedLsh,
+    "dedup_components" -> dedupComponents)
 
   /** Shared oracle CTEs: shingles and LSH band signatures. */
   private val shCte =
@@ -294,6 +337,18 @@ object Dedup {
     "dedup_minhash" ->
       s"""$shCte
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    "dedup_components" ->
+      s"""${shCte.replace("WITH sh AS", "WITH RECURSIVE sh AS")}, edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc, least(src, min(dst)) AS component
+         |FROM reach GROUP BY src""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$shCte
          |SELECT p.doc_a, p.doc_b,
