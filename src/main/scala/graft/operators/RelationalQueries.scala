@@ -215,6 +215,24 @@ object RelationalQueries {
           .as("sum_qty"))
   }
 
+  /** Hard gate for the skew-salting utility: revenue per supplier
+    * nation computed THROUGH [[SkewUtils.saltedJoin]] (8-way salt on
+    * the lineitem side, supplier replicated). The salt is invisible to
+    * the aggregate — counts and exact DECIMAL sums are partition-order
+    * independent — so the plain-join DuckDB oracle must match
+    * bit-for-bit, proving the salted lowering row-equivalent. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    val supp = t(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    SkewUtils.saltedJoin(li, supp, "l_suppkey", salt = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("price")).cast("double").as("total_price"))
+  }
+
   /** Oracle-checkable witness for the sketch above: emits the EXACT
     * distinct counts plus booleans asserting the HLL++ estimate lands
     * within ±5% of them. The DuckDB oracle computes the same exact
@@ -240,6 +258,7 @@ object RelationalQueries {
     "q_pivot" -> qPivot,
     "q_cube" -> qCube,
     "q_sample" -> qSample,
+    "q_skew_join" -> qSkewJoin,
     "q_stats" -> qStats,
     "q_quantiles" -> qQuantiles,
     "q1_agg" -> q1Agg,
@@ -254,6 +273,12 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_skew_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))

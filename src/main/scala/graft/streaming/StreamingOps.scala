@@ -95,6 +95,42 @@ object StreamingOps {
 
   val HourUs: Long = 3600L * 1000 * 1000
 
+  final case class AsofOut(user_id: Long, event_id: Long, ts_us: Long,
+                           last_click_us: Option[Long])
+
+  /** Streaming as-of join — the streaming form of Events.evAsof: each
+    * purchase emitted with the user's most recent click at-or-before
+    * it. State per user is ONE timestamp (the latest click seen), so
+    * state size is O(users) regardless of history — the same
+    * carry-forward the batch window pass does, kept incrementally.
+    * Rows are processed in (ts, click-before-purchase) order within
+    * each micro-batch; correctness across batches holds for in-order
+    * arrival (out-of-order clicks older than an already-emitted
+    * purchase cannot retroactively change it — the inherent streaming
+    * as-of caveat, bounded by the source's disorder). */
+  def asofClicks(events: Dataset[SEvent]): Dataset[AsofOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SEvent], state: GroupState[Long]) =>
+          // clicks sort before purchases at equal ts: at-or-before
+          val sorted = rows.toArray.sortBy(e =>
+            (e.ts_us, if (e.event_type == "click") 0 else 1, e.event_id))
+          var lastClick = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { e =>
+            if (e.event_type == "click") lastClick = Some(e.ts_us)
+            else out += AsofOut(userId, e.event_id, e.ts_us, lastClick)
+          }
+          lastClick.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join — the streaming form of the banded
     * range join (Events.evRecentClicks' candidate stage): each purchase
     * paired with the same user's clicks in the preceding hour. The

@@ -90,6 +90,27 @@ class StreamingSpec extends SparkSessionSpec {
     assert(spark.table("deduped").count() == batchEvents.size)
   }
 
+  test("streaming as-of join equals batch evAsof") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.asofClicks(mem.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    try {
+      // two in-order batches: state must carry clicks across batches
+      val (b1, b2) = batchEvents.sortBy(e => (e.ts_us, e.event_id))
+        .splitAt(batchEvents.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("asof")
+      .select("user_id", "event_id", "ts_us", "last_click_us")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val batch = Events.evAsof(spark, sf0001)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("stream-stream interval join equals the batch range-join pairs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
