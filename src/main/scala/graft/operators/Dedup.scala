@@ -175,32 +175,60 @@ object Dedup {
     * handful of rounds at any corpus size. The same driver-loop shape
     * as KMeansRunner: per-round work is fully distributed, the driver
     * sees only the changed-count. */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhash(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    components(dedupMinhash(spark, dir).persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Connected components over an undirected pair list (doc_a, doc_b):
+    * per round, (1) take the min label over direct neighbors, then
+    * (2) POINTER-JUMP — adopt the label of one's current label — which
+    * doubles the effective propagation distance each round, so a chain
+    * of diameter D converges in O(log D) rounds instead of D (a
+    * duplicate chain hundreds long would otherwise dominate the
+    * runtime, or worse, silently hit a round cap). MaxRounds = 64 is a
+    * safety bound ≥ log2 of any realizable diameter; hitting it is an
+    * error, never a silent truncation. */
+  val MaxComponentRounds = 64
+
+  def components(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint per round: the pointer-jump self-join embeds
+    // the previous round's plan TWICE, so without lineage truncation the
+    // logical plan doubles every round (2^rounds nodes — OOM in plan
+    // handling long before data is a problem). At cluster scale a
+    // reliable-storage checkpoint would be used; the truncation point is
+    // the same.
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0) {
+      if (rounds >= MaxComponentRounds)
+        throw new IllegalStateException(
+          s"components did not converge in $MaxComponentRounds rounds")
       val neighborMin = edges
         .join(labels.select(col("doc").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("doc"))
         .agg(min(col("nl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc"), "left")
+      val stepped = labels.join(neighborMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jump: labels are themselves doc ids in the graph, so
+      // label ← label(label) halves the remaining distance to the root
+      val next = stepped.alias("a")
+        .join(stepped.select(col("doc").as("ldoc"), col("label").as("ll")),
+          col("a.label") === col("ldoc"), "left")
+        .select(col("a.doc").as("doc"),
+          least(col("a.label"), coalesce(col("ll"), col("a.label")))
+            .as("label"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
         .where(col("label") < col("old")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
     }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, rand}
 
 /** Partition-layout-aware parquet sink — the write side of the 100 TB
   * posture. Hive-style `partitionBy` directories turn equality filters
@@ -19,13 +19,25 @@ import org.apache.spark.sql.functions.col
   */
 object ParquetSink {
 
+  /** `filesPerDir > 1` salts the routing for HOT partition values: with
+    * plain `repartition(partitionCols)` every row of a dominant value
+    * (one language owning half a 100 TB corpus) lands on ONE task —
+    * the write-side skew bomb. The salt fans each partition dir over
+    * `filesPerDir` tasks/files while keeping the dir count exact. */
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String],
-                       sortCols: Seq[String] = Nil): Unit =
-    df.repartition(partitionCols.map(col): _*)
+                       sortCols: Seq[String] = Nil,
+                       filesPerDir: Int = 1): Unit = {
+    require(filesPerDir >= 1)
+    val routed =
+      if (filesPerDir == 1) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(
+        partitionCols.map(col) :+ (rand(7L) * filesPerDir).cast("int"): _*)
+    routed
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
+  }
 }

@@ -117,6 +117,20 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out == Seq(1.0, 0.0))
   }
 
+  test("components converges fast on a long chain (pointer jumping)") {
+    // a 101-node chain (diameter 100) plus a separate triangle: plain
+    // neighbor propagation needs ~100 rounds; pointer jumping must
+    // finish in O(log D) — well inside MaxComponentRounds
+    val chain = (0L until 100L).map(i => (i, i + 1))
+    val tri = Seq((1000L, 1001L), (1001L, 1002L), (1000L, 1002L))
+    val pairs = (chain ++ tri).toDF("doc_a", "doc_b")
+    val comp = operators.Dedup.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 100L).forall(comp(_) == 0L))
+    assert(Seq(1000L, 1001L, 1002L).forall(comp(_) == 1000L))
+    assert(comp.size == 104)
+  }
+
   test("in-plan IVF probe routing equals the driver-side reference") {
     val cents = operators.KMeansQueries.fixedCentroids(spark, sf0001)
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")

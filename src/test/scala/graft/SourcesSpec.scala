@@ -78,5 +78,19 @@ class SourcesSpec extends SparkSessionSpec {
     assert(filtered.count() == expected && expected > 0)
     // round-trip: partitioned layout loses no rows
     assert(spark.read.parquet(out).count() == docs.count())
+    // salted routing for hot partition values: same data, >1 file/dir.
+    // AQE would coalesce this toy-sized shuffle to one partition and
+    // hide the fan-out (at real scale partitions stay byte-sized);
+    // disable coalescing to observe the routing.
+    val out2 = out + "_salted"
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesceKey, "false")
+    try {
+      graft.sources.ParquetSink.writePartitioned(
+        docs, out2, partitionCols = Seq("lang"), filesPerDir = 3)
+    } finally spark.conf.set(coalesceKey, "true")
+    assert(spark.read.parquet(out2).count() == docs.count())
+    val enDir = new java.io.File(out2, "lang=en")
+    assert(enDir.listFiles().count(_.getName.endsWith(".parquet")) > 1)
   }
 }
