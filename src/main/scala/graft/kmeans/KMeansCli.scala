@@ -35,6 +35,10 @@ object KMeansCli {
       (kS.toInt, maxIterS.toInt, dimS.toInt, epsS.toDouble, nRedS.toInt)
     val seed = sys.env.getOrElse("GRAFT_SEED", "42").toLong
 
+    // only stop the session if this main created it (embedded callers —
+    // tests, notebooks — keep theirs)
+    val ownsSession = SparkSession.getActiveSession.isEmpty &&
+      SparkSession.getDefaultSession.isEmpty
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-kmeans")
@@ -74,6 +78,6 @@ object KMeansCli {
     res.errorLog.zipWithIndex.foreach { case (e, i) =>
       println(f"iter=${i + 1} error=$e%.6f")
     }
-    spark.stop()
+    if (ownsSession) spark.stop()
   }
 }
