@@ -119,6 +119,23 @@ object RelationalQueries {
         .where(col("o_totalprice") > 300000)
         .select(col("o_custkey").as("c_custkey")))
 
+  /** The remaining set operations (q_setop covers EXCEPT): INTERSECT,
+    * UNION (distinct) and UNION ALL cardinalities of the same two
+    * customer sets, as one row. Each set op is its own
+    * aggregate/dedup lowering; the three 1-row aggregates cross-join. */
+  def qSetOps2(spark: SparkSession, dir: String): DataFrame = {
+    def a = t(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    def b = t(spark, dir, "orders")
+      .where(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey"))
+    a.intersect(b).agg(count(lit(1)).as("n_intersect"))
+      .crossJoin(a.union(b).distinct()
+        .agg(count(lit(1)).as("n_union")))
+      .crossJoin(a.unionAll(b).agg(count(lit(1)).as("n_union_all")))
+  }
+
   /** Exact distinct counting (shuffle-dedup aggregate). */
   def qDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -259,6 +276,7 @@ object RelationalQueries {
     "q_cube" -> qCube,
     "q_sample" -> qSample,
     "q_skew_join" -> qSkewJoin,
+    "q_setop2" -> qSetOps2,
     "q_stats" -> qStats,
     "q_quantiles" -> qQuantiles,
     "q1_agg" -> q1Agg,
@@ -273,6 +291,18 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_setop2" ->
+      """WITH a AS (SELECT c_custkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT o_custkey AS c_custkey FROM orders
+        |           WHERE o_totalprice > 300000)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+        |    AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+        |    AS n_union,
+        |  (SELECT count(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+        |    AS n_union_all""".stripMargin,
     "q_skew_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

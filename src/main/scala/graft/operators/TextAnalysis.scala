@@ -171,7 +171,27 @@ object TextAnalysis {
           .as("scrubbed"),
         regexp_count(col("text"), lit("[0-9]{3,}")).as("n_num_runs"))
 
+  /** Map-typed column surface: per-doc token-frequency MAP built with
+    * map_from_arrays, probed with element_at(map, key). The map stays
+    * INTERNAL to the plan (map cells in query output would break the
+    * row-sorting checker, like arrays); the emitted values are scalar
+    * lookups, which the oracle reproduces with plain list filters. */
+  def textTokenMap(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", toks)
+      .withColumn("uniq", array_distinct(col("toks")))
+      .withColumn("freq", map_from_arrays(col("uniq"),
+        transform(col("uniq"),
+          u => size(filter(col("toks"), x => x === u)))))
+      .select(col("doc_id"),
+        coalesce(element_at(col("freq"), lit("the")), lit(0))
+          .as("n_the"),
+        coalesce(element_at(col("freq"), lit("data")), lit(0))
+          .as("n_data"),
+        size(col("freq")).as("n_distinct_toks"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_map" -> textTokenMap,
     "text_normalize" -> textNormalize,
     "text_char_ngrams" -> textCharNgrams,
     "text_quality" -> textQuality,
@@ -185,6 +205,12 @@ object TextAnalysis {
     .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_token_map" ->
+      """SELECT doc_id,
+        |  len(list_filter(t, x -> x = 'the')) AS n_the,
+        |  len(list_filter(t, x -> x = 'data')) AS n_data,
+        |  len(list_distinct(t)) AS n_distinct_toks
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),
