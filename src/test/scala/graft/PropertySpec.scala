@@ -55,6 +55,34 @@ class PropertySpec extends SparkSessionSpec {
     }
   }
 
+  test("components equals a driver-side union-find on random graphs") {
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 30)
+      m <- Gen.chooseNum(1, 40)
+      es <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0L, n.toLong - 1), Gen.chooseNum(0L, n.toLong - 1)))
+    } yield es.filter(e => e._1 != e._2)
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { edges =>
+      val got = operators.Dedup.components(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference: sequential union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val roots = nodes.groupBy(find).map { case (_, ns) => ns.min -> ns }
+      val expected = roots.flatMap { case (minId, ns) =>
+        ns.map(_ -> minId) }.toMap
+      assert(got == expected, s"mismatch on edges $edges")
+    }
+  }
+
   test("vecScale(vecScale(v, n), 1/n) is identity (Point.scale inverse)") {
     val cases = samples(Gen.zip(pointGen, Gen.chooseNum(1, 1000)), 20)
     cases.foreach { case (p, n) =>
