@@ -162,18 +162,23 @@ class PointsPartitionReader(split: PointsInputPartition, parsePoint: Boolean)
   }
 
   override def next(): Boolean = {
-    if (pos >= end) return false
-    val consumed = lines.readLine(text)
-    if (consumed == 0) return false
-    pos += consumed
-    val s = text.toString.trim
-    if (s.isEmpty) return next() // blank lines: skipped, like readPoints
-    row = if (parsePoint) {
-      val body = s.replaceAll("[<>]", "")
-      val vals = body.split(",\\s*").map(java.lang.Double.parseDouble)
-      new GenericInternalRow(Array[Any](new GenericArrayData(vals)))
-    } else new GenericInternalRow(0) // count(*): no parse
-    true
+    // loop (not recurse) over blank lines: a pathological all-blank
+    // range must not grow the stack
+    while (pos < end) {
+      val consumed = lines.readLine(text)
+      if (consumed == 0) return false
+      pos += consumed
+      val s = text.toString.trim
+      if (s.nonEmpty) {
+        row = if (parsePoint) {
+          val body = s.replaceAll("[<>]", "")
+          val vals = body.split(",\\s*").map(java.lang.Double.parseDouble)
+          new GenericInternalRow(Array[Any](new GenericArrayData(vals)))
+        } else new GenericInternalRow(0) // count(*): no parse
+        return true
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = row
