@@ -38,6 +38,21 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** SLIDING 1-hour windows on a 30-minute slide (evHourly covers
+    * tumbling): Spark's native `window()` generator assigns each event
+    * to its size/slide = 2 overlapping windows — the same 2-candidate
+    * explode the banded range join does by hand, here done by the
+    * TimeWindow expression inside codegen. Output keyed by window
+    * start in epoch-µs for oracle parity. */
+  def evHourlySliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("tsm"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
   val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
 
   /** Gap-based sessionization: per-user sessions split on >30 min
@@ -196,6 +211,7 @@ object Events {
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
     "ev_hourly" -> evHourly,
+    "ev_hourly_sliding" -> evHourlySliding,
     "ev_sessionize" -> evSessionize,
     "ev_json" -> evJson,
     "ev_top_users" -> evTopUsers,
@@ -241,6 +257,20 @@ object Events {
       """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
         |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_hourly_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value, CAST(epoch_us(ts) AS BIGINT) AS t
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, value,
+        |         (t // 1800000000) * 1800000000 - off AS win_start_us, t
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1800000000]) AS off) o
+        |)
+        |SELECT win_start_us, event_type, count(*) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM w
+        |WHERE t >= win_start_us AND t < win_start_us + 3600000000
+        |GROUP BY win_start_us, event_type""".stripMargin,
     "ev_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id,
