@@ -141,12 +141,17 @@ object TextAnalysis {
   /** Character-bigram profile per language: the statistical signature a
     * real language-ID model trains on. Explode bigrams → count per
     * (lang, bigram) → top-5 per lang. One shuffle on (lang, bigram);
-    * partial aggregation compresses the explode map-side. */
+    * partial aggregation compresses the explode map-side. The text is
+    * split to a char ARRAY once and bigrams are built with O(1)
+    * element_at — `substr(text, i, 2)` per position re-seeks the
+    * UTF8String from the start, O(len²) per document. */
   def textCharNgrams(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = t(spark, dir, "documents")
+      .withColumn("chars", split(col("text"), ""))
       .select(col("lang"),
-        explode(transform(sequence(lit(1), length(col("text")) - 1),
-          i => substr(col("text"), i, lit(2)))).as("bg"))
+        explode(transform(sequence(lit(1), size(col("chars")) - 1),
+          i => concat(element_at(col("chars"), i),
+            element_at(col("chars"), i + 1)))).as("bg"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n").desc, col("bg"))
     bigrams.groupBy(col("lang"), col("bg"))
