@@ -61,6 +61,24 @@ class SourcesSpec extends SparkSessionSpec {
     assert(df.count() == 500)
   }
 
+  test("ORC / JSON / CSV round-trip the documents table losslessly") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("fmt_rt").toFile
+    def rt(fmt: String): Long = {
+      val p = new java.io.File(base, fmt).getAbsolutePath
+      docs.write.format(fmt).mode("overwrite")
+        .option("header", "true").save(p)
+      val back = spark.read.format(fmt)
+        .option("header", "true").schema(docs.schema).load(p)
+      // exact content equality both directions (anti-join both ways)
+      val diff = back.exceptAll(docs).count() + docs.exceptAll(back).count()
+      assert(diff == 0, s"$fmt round-trip lost/changed rows")
+      back.count()
+    }
+    Seq("orc", "json", "csv").foreach(f => assert(rt(f) == docs.count()))
+  }
+
   test("ParquetSink.writePartitioned enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files
