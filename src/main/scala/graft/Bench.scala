@@ -85,10 +85,12 @@ object Bench {
     }
 
     // headline: the reference's own evaluation grid points (BASELINE.md),
-    // plus a 5× extrapolation point showing the scaling trend
-    val iter100k = kmeansSecPerIter(spark, 100000L, 30, 4, iters = 6)
-    val iter400k = kmeansSecPerIter(spark, 400000L, 30, 4, iters = 6)
-    val iter2m = kmeansSecPerIter(spark, 2000000L, 30, 4, iters = 4)
+    // plus a 5× extrapolation point showing the scaling trend. 12 warm
+    // iterations per point: the median is stable run-to-run (6 left a
+    // ±50% spread between bench invocations on a shared box)
+    val iter100k = kmeansSecPerIter(spark, 100000L, 30, 4, iters = 12)
+    val iter400k = kmeansSecPerIter(spark, 400000L, 30, 4, iters = 12)
+    val iter2m = kmeansSecPerIter(spark, 2000000L, 30, 4, iters = 6)
     results("kmeans_iter_100k_d30_k4") = iter100k
     results("kmeans_iter_400k_d30_k4") = iter400k
     results("kmeans_iter_2m_d30_k4") = iter2m
