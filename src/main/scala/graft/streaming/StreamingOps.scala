@@ -156,6 +156,45 @@ object StreamingOps {
       .select(col("user_id"), col("event_id"), col("ts_us"), col("c_ts_us"))
   }
 
+  final case class FunnelState(lastViewUs: Long, lastQClickUs: Long)
+  final case class FunnelOut(user_id: Long, event_id: Long, ts_us: Long,
+                             converted: Boolean)
+
+  /** Streaming ordered funnel (view → click → purchase) — the streaming
+    * form of Events.evFunnel: per-user state is exactly TWO timestamps
+    * (last view, last view-qualified click), the same carry-forward the
+    * batch window pass computes, so state is O(users) however long the
+    * history. Emits one row per purchase with its conversion flag.
+    * In-order caveat as [[asofClicks]]. */
+  def funnel(events: Dataset[SEvent]): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageOf = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .filter(e => stageOf.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toArray
+            .sortBy(e => (e.ts_us, stageOf(e.event_type), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+          val out = Seq.newBuilder[FunnelOut]
+          sorted.foreach { e =>
+            e.event_type match {
+              case "view" => st = st.copy(lastViewUs = e.ts_us)
+              case "click" =>
+                if (st.lastViewUs >= 0) st = st.copy(lastQClickUs = e.ts_us)
+              case _ =>
+                out += FunnelOut(userId, e.event_id, e.ts_us,
+                  st.lastQClickUs >= 0)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Running per-user event counts via mapGroupsWithState (update-mode
     * stateful aggregation with unbounded-by-design keyed state). */
   def runningUserCounts(events: Dataset[SEvent]): Dataset[(Long, Long)] = {

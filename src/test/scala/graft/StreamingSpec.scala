@@ -134,6 +134,28 @@ class StreamingSpec extends SparkSessionSpec {
     assert(expected.nonEmpty && streamed == expected)
   }
 
+  test("streaming funnel conversion counts equal batch evFunnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.funnel(mem.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = batchEvents.sortBy(e => (e.ts_us, e.event_id))
+        .splitAt(batchEvents.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("funnel")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count(when(col("converted"), 1)).as("n_converted"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Events.evFunnel(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("StreamingKMeans converges to blob centers over micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(21)
