@@ -79,6 +79,24 @@ object Events {
 
   }
 
+  /** Sessionization through Spark's NATIVE session_window operator
+    * (MergingSessions physical aggregation) — cross-checking the
+    * hand-rolled lag/sum lowering in [[evSessionize]]. Boundary
+    * semantics differ at exactly-gap spacing: session_window merges
+    * while next.ts < prev.ts + gap (strict), i.e. a gap of EXACTLY
+    * 30 min starts a new session, where evSessionize's `diff > gap`
+    * split keeps it — the oracle mirrors the native `>=` split.
+    * Output keyed by (user_id, start_us); no ordinal session id. */
+  def evSessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"),
+        session_window(col("tsm"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("end_us"), (col("end_us") - col("start_us")).as("duration_us"))
+
   /** JSON property extraction + aggregation: props is a JSON string
     * column; pull `$.k`, aggregate per event type. */
   def evJson(spark: SparkSession, dir: String): DataFrame =
@@ -213,6 +231,7 @@ object Events {
     "ev_hourly" -> evHourly,
     "ev_hourly_sliding" -> evHourlySliding,
     "ev_sessionize" -> evSessionize,
+    "ev_sessionize_native" -> evSessionizeNative,
     "ev_json" -> evJson,
     "ev_top_users" -> evTopUsers,
     "ev_asof" -> evAsof,
@@ -290,6 +309,27 @@ object Events {
          |)
          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
          |       count(*) AS n_events,
+         |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+         |       max(ts_us) - min(ts_us) AS duration_us
+         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "ev_sessionize_native" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL
+         |           OR ts_us - lag(ts_us) OVER w >= $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |), sess AS (
+         |  SELECT user_id, ts_us,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, count(*) AS n_events,
          |       min(ts_us) AS start_us, max(ts_us) AS end_us,
          |       max(ts_us) - min(ts_us) AS duration_us
          |FROM sess GROUP BY user_id, session_id""".stripMargin,
