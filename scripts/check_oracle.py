@@ -65,6 +65,23 @@ for name in sorted(os.listdir(out_dir)):
         print(f"FAIL {name}: oracle SQL error: {e}")
         fails += 1
         continue
+    # The driver's bridge goes through pandas, where DuckDB HUGEINT
+    # (e.g. bare sum(int)) lands as float64 and hashes as "42.0" vs the
+    # Spark parquet's int64 "42". Python's 42 == 42.0 hides that here,
+    # so compare dtype *kinds* through the same pandas path the driver
+    # uses and fail on int-vs-float drift.
+    s_df = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
+    o_df = con.execute(oracle[name]).df()
+    kind = lambda df, c: ("num-int" if df[c].dtype.kind in "iu" else
+                          "num-float" if df[c].dtype.kind == "f" else "other")
+    drift = [c for c in s_df.columns if c in o_df.columns
+             and kind(s_df, c) != kind(o_df, c)
+             and "num" in kind(s_df, c) and "num" in kind(o_df, c)]
+    if drift:
+        print(f"FAIL {name}: int/float dtype drift on {drift} "
+              f"(driver's pandas hash would differ — cast the oracle)")
+        fails += 1
+        continue
     sc, sr = canon(s_cols, s_rows)
     oc, orr = canon(o_cols, o_rows)
     if sc != oc:

@@ -84,13 +84,25 @@ object Bench {
       results(name) = runs(runs.length / 2)
     }
 
+    // The query gauntlet above leaves session debris (cached plans, a
+    // ContextCleaner backlog of ~224 executions' broadcasts/accumulators)
+    // whose ASYNC cleanup steals cycles from the headline grid — profiled
+    // in round 3: post-gauntlet 2M iterations are 0.20 s steady-state
+    // with occasional 0.7–2 s outliers, and the r2 "regression" was an
+    // unlucky median over only 5 warm samples of that noise. Drain the
+    // debris once, then give every grid point the full 12 iterations so
+    // the median is robust to residual outliers.
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(500)
+
     // headline: the reference's own evaluation grid points (BASELINE.md),
     // plus a 5× extrapolation point showing the scaling trend. 12 warm
     // iterations per point: the median is stable run-to-run (6 left a
     // ±50% spread between bench invocations on a shared box)
     val iter100k = kmeansSecPerIter(spark, 100000L, 30, 4, iters = 12)
     val iter400k = kmeansSecPerIter(spark, 400000L, 30, 4, iters = 12)
-    val iter2m = kmeansSecPerIter(spark, 2000000L, 30, 4, iters = 6)
+    val iter2m = kmeansSecPerIter(spark, 2000000L, 30, 4, iters = 12)
     results("kmeans_iter_100k_d30_k4") = iter100k
     results("kmeans_iter_400k_d30_k4") = iter400k
     results("kmeans_iter_2m_d30_k4") = iter2m

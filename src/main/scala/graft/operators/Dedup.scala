@@ -6,7 +6,6 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.Tables.t
 import graft.functions.VectorFunctions._
-import graft.kmeans.KMeansOps
 
 /** Deduplication operators for a training-data pipeline, over the
   * `documents` (text) and `embeddings` (vector) tables.
@@ -31,10 +30,30 @@ object Dedup {
     transform(sequence(lit(1), size(tokens) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*))
 
-  /** Min-hash of a shingle set under hash function `idx` (md5 salted by
-    * the function index; lexicographic min over hex digests). */
-  private def minHash(shingles: Column, idx: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(s"$idx:"), s))))
+  /** One 28-bit base hash per shingle (first 7 md5 hex chars). The
+    * minhash family is Broder-style: a SINGLE md5 per shingle plus an
+    * affine permutation (aᵢ·h + bᵢ) mod p per hash function — 8× less
+    * md5 CPU than salting md5 per function, which dominated the cold
+    * path of every minhash-derived query (the md5 count is
+    * n_docs × shingles × functions at corpus scale). All values stay
+    * below 2^59 (a < 2^31, h < 2^28), so the arithmetic is exact and
+    * overflow-free in BOTH engines (DuckDB BIGINT errors on overflow —
+    * this bound is what makes the oracle mirror safe). */
+  val HashP = 2147483647L // 2^31 - 1, prime
+  lazy val hashCoeffs: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(987654321L)
+    Array.fill(MinhashBands * RowsPerBand)(
+      (1L + rnd.nextInt(2147483646).toLong, rnd.nextInt(2147483647).toLong))
+  }
+
+  private def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** Min-hash over precomputed base-hash values under function `idx`. */
+  private def minHash(hv: Column, idx: Int): Column = {
+    val (a, b) = hashCoeffs(idx)
+    array_min(transform(hv, h => (lit(a) * h + lit(b)) % lit(HashP)))
+  }
 
   private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -57,12 +76,18 @@ object Dedup {
     * of `RowsPerBand` min-hashes, md5-combined. Docs sharing any band
     * signature become candidate near-duplicates. */
   def bandSignaturesFrom(sh: DataFrame): DataFrame = {
+    // base hashes materialized as their own column: every per-function
+    // transform below references `hv`, and codegen subexpression
+    // elimination keeps the md5 pass at once per shingle even after
+    // projection collapse
+    val withH = sh.withColumn("hv",
+      transform(col("shingles"), s => baseHash(s)))
     val bandStructs = (0 until MinhashBands).map { b =>
       val rows = (0 until RowsPerBand)
-        .map(r => minHash(col("shingles"), b * RowsPerBand + r))
-      struct(lit(b).as("band"), md5(concat(rows: _*)).as("sig"))
+        .map(r => minHash(col("hv"), b * RowsPerBand + r).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(":", rows: _*)).as("sig"))
     }
-    sh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    withH.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
@@ -74,14 +99,17 @@ object Dedup {
     * (cache population) and both join sides read the InMemoryRelation —
     * recomputing it per side doubles the dominant CPU cost at corpus
     * scale. */
-  private def candidatePairs(sig: DataFrame): DataFrame = {
+  private def candidatePairs(sig: DataFrame, dedup: Boolean = true): DataFrame = {
     val a = sig.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = sig.select(col("band").as("band_b"), col("sig").as("sig_b"),
       col("doc_id").as("doc_b"))
-    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
-        col("doc_a") < col("doc_b"))
+    val joined = a.join(b,
+        col("band") === col("band_b") && col("sig") === col("sig_b") &&
+          col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    // callers whose downstream already dedupes (components' edge union →
+    // groupBy) skip the distinct — one less Exchange in the plan
+    if (dedup) joined.distinct() else joined
   }
 
   /** MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
@@ -137,21 +165,60 @@ object Dedup {
     * blow-up a FIXED k suffers at 100× data. */
   val TargetCellSize = 256L
 
-  /** Embedding-cosine near-dup, IVF-blocked: vectors are assigned to
-    * k-means cells (reusing the clustering kernel as the coarse
-    * quantizer) and only within-cell pairs are scored — the scale path
-    * that replaces an O(n²) cross join. k grows with the corpus
-    * (bounded cell size), keeping pair count linear in n; at extreme
-    * scale the centroid set itself would come from a distributed
-    * k-means pass rather than first-k rows, but the blocking shape is
-    * unchanged. Threshold 0.4 is calibrated to this synthetic data
-    * (real near-dup corpora would use ≥0.95). */
+  /** Embedding-cosine near-dup, IVF-blocked with a TWO-LEVEL quantizer:
+    * ⌈√k⌉ coarse cells route each vector to its coarse region, and the
+    * fine argmin runs only over that region's fine centroids — so
+    * assignment costs O(n·√k·d) distance evaluations instead of the
+    * single-level O(n·k·d) (= O(n²d/256) once k grows with n), and
+    * only within-fine-cell pairs are scored, keeping candidate pairs
+    * O(n·TargetCellSize). Everything is ONE plan: k and the coarse
+    * stride derive from the corpus count via a broadcast 1-row cross
+    * join (no driver count() pre-pass), centroids travel as DataFrames
+    * (broadcast O(√k·d) for coarse, shuffle-joined on coarse id for
+    * fine) — never an O(n)-sized plan literal. Both routing argmins
+    * collapse map-side (partial min over a lexicographic
+    * (distance, id) struct, ties → lowest id); the fine-assignment
+    * join is equi-keyed on coarse id, so a skewed region is AQE's
+    * skew-join case, not a cross join. Remaining scale caveat (same as
+    * r2, documented): fine centroids are the first k rows by vec_id —
+    * a real corpus would seed them from a distributed k-means/sample
+    * pass; the blocking shape is unchanged. Threshold 0.4 is
+    * calibrated to this synthetic data (real near-dup corpora would
+    * use ≥0.95). */
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    val k = ((emb.count() + TargetCellSize - 1) / TargetCellSize).toInt.max(1)
-    val assigned = KMeansOps.assignDyn(
-      emb, "v", KMeansQueries.firstKCentroids(spark, dir, k))
+    val params = emb.agg(count(lit(1)).as("n"))
+      .select(greatest(ceil(col("n") / lit(TargetCellSize.toDouble)), lit(1L))
+        .cast("int").as("k"))
+      .select(col("k"), ceil(sqrt(col("k"))).cast("int").as("stride"))
+    // centroid origin: first k rows by vec_id (the k-row window output
+    // is tiny; its input pass is the documented seeding caveat above)
+    val fine = emb.crossJoin(broadcast(params))
+      .withColumn("fid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .where(col("fid") < col("k"))
+      .select(col("fid"), col("v").as("c"), col("stride"))
+    val coarse = fine.where(col("fid") % col("stride") === 0)
+      .select(col("fid").as("coid"), col("c").as("cc"))
+    def routeToCoarse(df: DataFrame, id: Column, vec: Column): DataFrame =
+      df.crossJoin(broadcast(coarse))
+        .select(id.as("rid"), vec.as("rv"),
+          struct(sqDist(vec, col("cc")).as("d"), col("coid")).as("dc"))
+        .groupBy(col("rid"))
+        .agg(min(col("dc")).as("m"), first(col("rv")).as("rv"))
+        .select(col("rid"), col("rv"), col("m.coid").as("coid"))
+    val fr = routeToCoarse(fine, col("fid"), col("c"))
+      .select(col("coid"), col("rid").as("fid"), col("rv").as("c"))
+    val pc = routeToCoarse(emb, col("vec_id"), col("v"))
+      .select(col("rid").as("vec_id"), col("rv").as("v"), col("coid"))
+    val assigned = pc.join(fr, "coid")
+      .select(col("vec_id"), col("v"),
+        struct(sqDist(col("v"), col("c")).as("d"), col("fid")).as("df"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("df")).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("m.fid").as("cluster"))
       // norm materialized BEFORE the self-join: computed n times, not n²
       .withColumn("nrm", l2Norm(col("v")))
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
@@ -176,7 +243,9 @@ object Dedup {
     * as KMeansRunner: per-round work is fully distributed, the driver
     * sees only the changed-count. */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
-    components(dedupMinhash(spark, dir).persist(StorageLevel.MEMORY_AND_DISK))
+    components(candidatePairs(
+      bandSignatures(spark, dir).persist(StorageLevel.MEMORY_AND_DISK),
+      dedup = false).persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Connected components over an undirected pair list (doc_a, doc_b):
     * per round, (1) take the min label over direct neighbors, then
@@ -201,8 +270,13 @@ object Dedup {
     // handling long before data is a problem). At cluster scale a
     // reliable-storage checkpoint would be used; the truncation point is
     // the same.
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc"))
+    // round-0 seed: label = min(self, direct neighbors) — the first
+    // neighbor-min round folded into the same shuffle that would have
+    // built the identity labels, saving one full round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("doc"),
+        least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
@@ -214,8 +288,10 @@ object Dedup {
         .join(labels.select(col("doc").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("doc"))
         .agg(min(col("nl")).as("nmin"))
+      // `old` rides along into the checkpoint so the convergence check
+      // below is a scan of the materialized round, not an extra join
       val stepped = labels.join(neighborMin, Seq("doc"), "left")
-        .select(col("doc"),
+        .select(col("doc"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
       // pointer jump: labels are themselves doc ids in the graph, so
@@ -223,15 +299,15 @@ object Dedup {
       val next = stepped.alias("a")
         .join(stepped.select(col("doc").as("ldoc"), col("label").as("ll")),
           col("a.label") === col("ldoc"), "left")
-        .select(col("a.doc").as("doc"),
+        .select(col("a.doc").as("doc"), col("a.old").as("old"),
           least(col("a.label"), coalesce(col("ll"), col("a.label")))
             .as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
-        .where(col("label") < col("old")).count()
-      labels = next
+      changed = next.where(col("label") < col("old")).count()
+      labels = next.select(col("doc"), col("label"))
       rounds += 1
     }
+    System.err.println(s"[graft] components converged in $rounds rounds")
     labels.select(col("doc"), col("label").as("component"))
   }
 
@@ -307,21 +383,36 @@ object Dedup {
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_components" -> dedupComponents)
 
-  /** Shared oracle CTEs: shingles and LSH band signatures. */
-  private val shCte =
-    """WITH sh AS (
+  /** Shared oracle CTEs: shingles and LSH band signatures — mirrors the
+    * Broder-style family above verbatim (same base hash, same affine
+    * coefficients interpolated as literals, same overflow-safe bound). */
+  private lazy val bandsValues: String =
+    (0 until MinhashBands).map { b =>
+      val (a0, b0) = hashCoeffs(b * RowsPerBand)
+      val (a1, b1) = hashCoeffs(b * RowsPerBand + 1)
+      s"($b, $a0, $b0, $a1, $b1)"
+    }.mkString(", ")
+
+  private lazy val shCte =
+    s"""WITH sh AS (
       |  SELECT doc_id, list_transform(generate_series(1, len(t)-2),
       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 3
+      |), hs AS (
+      |  SELECT doc_id, list_transform(shingles,
+      |           s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS hv
+      |  FROM sh
+      |), bands(band, a0, b0, a1, b1) AS (
+      |  VALUES $bandsValues
       |), sig AS (
       |  SELECT doc_id, band,
       |         md5(concat(
-      |           list_min(list_transform(shingles,
-      |             s -> md5(concat(CAST(2*band   AS VARCHAR), ':', s)))),
-      |           list_min(list_transform(shingles,
-      |             s -> md5(concat(CAST(2*band+1 AS VARCHAR), ':', s)))))) AS sig
-      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+      |           CAST(list_min(list_transform(hv,
+      |             h -> (a0 * h + b0) % $HashP)) AS VARCHAR), ':',
+      |           CAST(list_min(list_transform(hv,
+      |             h -> (a1 * h + b1) % $HashP)) AS VARCHAR))) AS sig
+      |  FROM hs CROSS JOIN bands
       |), pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sig a JOIN sig b
@@ -404,22 +495,37 @@ object Dedup {
         |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
     "dedup_embed_cosine" ->
-      s"""WITH nk AS (
-         |  SELECT CAST((count(*) + ${TargetCellSize - 1}) // $TargetCellSize
-         |              AS INT) AS k
-         |  FROM embeddings
-         |), cents AS (
-         |  SELECT cid, c FROM (
-         |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-         |           CAST(embedding AS DOUBLE[]) AS c
-         |    FROM embeddings) r, nk
-         |  WHERE r.cid < greatest(nk.k, 1)
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), params AS (
+         |  SELECT k, CAST(ceil(sqrt(k)) AS INT) AS stride FROM (
+         |    SELECT CAST(greatest(ceil(count(*) / ${TargetCellSize}.0), 1)
+         |                AS INT) AS k
+         |    FROM embeddings)
+         |), fine AS (
+         |  SELECT fid, v AS c FROM (
+         |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS fid,
+         |           v
+         |    FROM e) r, params
+         |  WHERE r.fid < params.k
+         |), coarse AS (
+         |  SELECT fid AS coid, c AS cc FROM fine, params
+         |  WHERE fid % params.stride = 0
+         |), fr AS (
+         |  SELECT f.fid, f.c,
+         |         (SELECT coid FROM coarse
+         |          ORDER BY list_distance(f.c, cc), coid LIMIT 1) AS coid
+         |  FROM fine f
+         |), pc AS (
+         |  SELECT e.vec_id, e.v,
+         |         (SELECT coid FROM coarse
+         |          ORDER BY list_distance(e.v, cc), coid LIMIT 1) AS coid
+         |  FROM e
          |), assigned AS (
-         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-         |         (SELECT c.cid FROM cents c
-         |          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid
-         |          LIMIT 1) AS cluster
-         |  FROM embeddings e
+         |  SELECT pc.vec_id, pc.v,
+         |         (SELECT fr.fid FROM fr WHERE fr.coid = pc.coid
+         |          ORDER BY list_distance(pc.v, fr.c), fr.fid LIMIT 1) AS cluster
+         |  FROM pc
          |)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       round(list_cosine_similarity(a.v, b.v), 6) AS cos

@@ -153,12 +153,70 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"),
         expr("(n_bytes + 99) DIV 100").cast("long").as("n_frames"))
 
+  /** Little-endian hex encodings of 16/32-bit values, for composing
+    * binary formats out of codegen string ops (unhex at the end turns
+    * the hex stream into the binary column). */
+  private def le16(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lpad(hex(v.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(v, 8).bitwiseAND(lit(255))), 2, "0"))
+  private def le32(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(le16(v.bitwiseAND(lit(65535))), le16(shiftright(v, 16)))
+
+  /** Driver-checked exercise of the REAL [[WavDecoder]]: canonical
+    * 44-byte-header PCM16 WAV blobs are synthesized IN-PLAN (per-row
+    * header fields derived from doc_id / n_chars, PCM payload from a
+    * deterministic integer stream, all little-endian hex → unhex), then
+    * parsed back by [[decodeWav]]. The DuckDB oracle computes the same
+    * header fields by plain arithmetic — so a bug in either the
+    * encoding or the parsing shows up as a value mismatch, the same
+    * witness structure as [[mmFrames]]. mean_abs (the full-payload PCM
+    * pass) stays spec-gated: it has no closed-form SQL mirror. */
+  /** The in-plan WAV synthesis feeding [[mmWav]], exposed so the spec
+    * can cross-check the hex-composed blobs (ALL fields, including the
+    * spec-gated mean_abs) against a JVM ByteBuffer reference encoder. */
+  def wavMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val rate = (lit(8000) + (col("doc_id") % 4).cast("int") * 4000).cast("int")
+    val nCh = (lit(1) + (col("doc_id") % 2).cast("int")).cast("int")
+    val nFrames = ((col("n_chars") % 50).cast("int") + 1).cast("int")
+    val dataLen = nFrames * nCh * 2
+    val nSamp = nFrames * nCh
+    val pcmHex = concat_ws("", transform(sequence(lit(1), nSamp),
+      i => le16(((col("doc_id") * 31 + i * 7) % 65536).cast("int"))))
+    val hexAll = concat(
+      lit("52494646"), le32(lit(36) + dataLen),          // "RIFF", chunk size
+      lit("57415645"), lit("666D7420"), le32(lit(16)),   // "WAVE", "fmt ", 16
+      le16(lit(1)), le16(nCh), le32(rate),               // PCM, channels, rate
+      le32(rate * nCh * 2), le16(nCh * 2), le16(lit(16)),// byte rate, align, bps
+      lit("64617461"), le32(dataLen), pcmHex)            // "data", len, payload
+    t(spark, dir, "documents")
+      .select(col("doc_id"), unhex(hexAll).as("blob"))
+      .as[MediaRow]
+  }
+
+  def mmWav(spark: SparkSession, dir: String): DataFrame =
+    decodeWav(wavMedia(spark, dir)).toDF()
+      .select(col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("n_samples"),
+        round(col("duration_ms"), 6).as("duration_ms"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mmMeta,
     "mm_frames" -> mmFrames,
+    "mm_wav" -> mmWav,
     "mm_decode" -> mmDecode)
 
   val oracles: Map[String, String] = Map(
+    "mm_wav" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+        |  CAST(n_chars % 50 + 1 AS BIGINT) AS n_samples,
+        |  round((n_chars % 50 + 1) * 1000.0 / (8000 + (doc_id % 4) * 4000), 6)
+        |    AS duration_ms
+        |FROM documents""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  CAST((octet_length(encode(text)) + 99) // 100 AS BIGINT)

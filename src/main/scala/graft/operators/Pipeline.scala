@@ -67,7 +67,10 @@ object Pipeline {
          |), deduped AS (
          |  SELECT min(doc_id) AS keep_id FROM gated GROUP BY md5(text)
          |)
-         |SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         |-- sum(int) must be cast: DuckDB returns HUGEINT, which the
+         |-- driver's pandas bridge renders as float64 ("42.0" vs "42").
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
          |FROM gated JOIN deduped ON doc_id = keep_id
          |GROUP BY source""".stripMargin)

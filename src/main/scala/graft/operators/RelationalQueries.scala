@@ -269,7 +269,45 @@ object RelationalQueries {
         (abs(col("ao") - col("exact_orders")).cast("double") /
           col("exact_orders") <= 0.05).as("orders_within_5pct"))
 
+  /** LEFT OUTER join with the null-extension VISIBLE in the output:
+    * every customer appears, those with no qualifying order carry
+    * n_big_orders = 0 and total_big = NULL (sum over the null-extended
+    * side). Join key is the shuffle key; the pre-join filter on the
+    * orders side runs at the scan (pushed), shrinking the probe input
+    * before any data moves. */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select(col("c_custkey"))
+    val big = t(spark, dir, "orders")
+      .where(col("o_totalprice") > 400000)
+      .select(col("o_custkey"), col("o_totalprice"))
+    cust.join(big, cust("c_custkey") === big("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("n_big_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_big"))
+  }
+
+  /** FULL OUTER join where BOTH sides can miss: custkeys holding a
+    * >400k order vs custkeys in the BUILDING segment. Rows null-extend
+    * left (building customer, no big order) and right (big-order
+    * customer outside the segment); the output key coalesces the two
+    * join columns, the standard full-outer idiom. */
+  def qOuterJoinFull(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "orders")
+      .where(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"))
+    val bld = t(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+    big.join(bld, big("o_custkey") === bld("c_custkey"), "full_outer")
+      .select(coalesce(big("o_custkey"), bld("c_custkey")).as("custkey"),
+        col("n_big"), col("acctbal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outer_join" -> qOuterJoin,
+    "q_outer_join_full" -> qOuterJoinFull,
     "q_approx_distinct" -> qApproxDistinct,
     "q_approx_distinct_bound" -> qApproxDistinctBound,
     "q_pivot" -> qPivot,
@@ -291,6 +329,23 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_custkey) AS n_big_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_big
+        |FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_totalprice > 400000
+        |GROUP BY c_custkey""".stripMargin,
+    "q_outer_join_full" ->
+      """WITH big AS (
+        |  SELECT o_custkey, count(*) AS n_big FROM orders
+        |  WHERE o_totalprice > 400000 GROUP BY o_custkey
+        |), bld AS (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |)
+        |SELECT coalesce(o_custkey, c_custkey) AS custkey, n_big, acctbal
+        |FROM big FULL JOIN bld ON o_custkey = c_custkey""".stripMargin,
     "q_setop2" ->
       """WITH a AS (SELECT c_custkey FROM customer
         |           WHERE c_mktsegment = 'BUILDING'),

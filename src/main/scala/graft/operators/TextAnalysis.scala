@@ -184,10 +184,22 @@ object TextAnalysis {
   def textTokenMap(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .withColumn("toks", toks)
-      .withColumn("uniq", array_distinct(col("toks")))
-      .withColumn("freq", map_from_arrays(col("uniq"),
-        transform(col("uniq"),
-          u => size(filter(col("toks"), x => x === u)))))
+      // Sorted-runs construction: sort once, find run boundaries, and
+      // diff adjacent boundary indices for the counts — O(n log n) per
+      // doc vs the naive transform(uniq, u -> count-scan) which is
+      // O(tokens × uniq) and hostile on real 10k-token documents.
+      .withColumn("st", array_sort(col("toks")))
+      .withColumn("n_all", size(col("st")))
+      .withColumn("bounds", filter(sequence(lit(1), greatest(col("n_all"), lit(1))),
+        i => i === 1 || element_at(col("st"), i) =!= element_at(col("st"), i - 1)))
+      .withColumn("freq", when(col("n_all") === 0,
+          map_from_arrays(array().cast("array<string>"), array().cast("array<int>")))
+        .otherwise(map_from_arrays(
+          transform(col("bounds"), i => element_at(col("st"), i)),
+          zip_with(col("bounds"),
+            concat(slice(col("bounds"), lit(2), size(col("bounds"))),
+              array(col("n_all") + 1)),
+            (a, b) => b - a))))
       .select(col("doc_id"),
         coalesce(element_at(col("freq"), lit("the")), lit(0))
           .as("n_the"),

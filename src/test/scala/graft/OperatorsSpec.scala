@@ -107,6 +107,53 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(math.abs(w.mean_abs - 0.5) < 1e-9)
   }
 
+  test("mmWav's in-plan WAV synthesis is byte-identical to a JVM reference encoder") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // independent reference encoding of the same per-row scheme
+    def refWav(docId: Long, nChars: Long): Array[Byte] = {
+      val rate = 8000 + (docId % 4).toInt * 4000
+      val nCh = 1 + (docId % 2).toInt
+      val nFrames = (nChars % 50).toInt + 1
+      val nSamp = nFrames * nCh
+      val dataLen = nSamp * 2
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(nCh.toShort)
+      bb.putInt(rate); bb.putInt(rate * nCh * 2)
+      bb.putShort((nCh * 2).toShort); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      (1 to nSamp).foreach(i => bb.putShort(((docId * 31 + i * 7) % 65536).toShort))
+      bb.array()
+    }
+    val meta = Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .collect().sortBy(_._1).take(8).toMap
+    val blobs = operators.Multimodal.wavMedia(spark, sf0001)
+      .collect().filter(m => meta.contains(m.doc_id))
+    assert(blobs.length == meta.size)
+    blobs.foreach { m =>
+      assert(java.util.Arrays.equals(m.blob, refWav(m.doc_id, meta(m.doc_id))),
+        s"blob mismatch for doc ${m.doc_id}")
+    }
+    // and the decoded mean_abs (the field the oracle cannot mirror)
+    // agrees with a direct computation from the sample stream
+    val decoded = operators.Multimodal
+      .decodeWav(operators.Multimodal.wavMedia(spark, sf0001))
+      .collect().filter(w => meta.contains(w.doc_id))
+    decoded.foreach { w =>
+      val docId = w.doc_id
+      val nCh = 1 + (docId % 2).toInt
+      val nSamp = ((meta(docId) % 50).toInt + 1) * nCh
+      val exp = (1 to nSamp).map { i =>
+        math.abs(((docId * 31 + i * 7) % 65536).toShort.toInt)
+      }.sum.toDouble / (nSamp * 32768.0)
+      assert(math.abs(w.mean_abs - exp) < 1e-12,
+        s"mean_abs mismatch for doc $docId: ${w.mean_abs} vs $exp")
+    }
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import graft.functions.VectorFunctions.cosine
     val out = Seq(

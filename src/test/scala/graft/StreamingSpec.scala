@@ -156,6 +156,100 @@ class StreamingSpec extends SparkSessionSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  // ---- late-data semantics: watermark behavior asserted by OBSERVATION
+  // (an event older than the advanced watermark must be dropped, not
+  // merged), not just by construction ----
+
+  private val lateT0 = 1600000000L * 1000000L // epoch µs
+  private def lateEv(id: Long, us: Long, uid: Long = 1L,
+                     et: String = "click") =
+    SEvent(id, new Timestamp(us / 1000), us, uid, et, 1.0)
+  private val HourUs = 3600L * 1000000L
+
+  test("hourlyAgg drops an event older than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("late_hourly")
+      .outputMode("append").start()
+    try {
+      mem.addData(lateEv(1, lateT0))
+      q.processAllAvailable()
+      mem.addData(lateEv(2, lateT0 + 5 * HourUs)) // watermark → t0+4h
+      q.processAllAvailable()
+      // t0's window has closed and emitted; this event lands inside it
+      // but BELOW the watermark — it must be discarded entirely
+      mem.addData(lateEv(3, lateT0 + 1000))
+      q.processAllAvailable()
+      mem.addData(lateEv(4, lateT0 + 7 * HourUs)) // flush anything pending
+      q.processAllAvailable()
+    } finally q.stop()
+    val t0Hour = lateT0 - lateT0 % HourUs
+    val rows = spark.table("late_hourly")
+      .where(col("hour_us") === t0Hour)
+      .as[(Long, String, Long, Double)].collect()
+    assert(rows.length == 1, s"expected one closed window row, got ${rows.toSeq}")
+    assert(rows.head._3 == 1L, s"late event was merged: ${rows.head}")
+  }
+
+  test("dedupById drops late arrivals (dup and new) below the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.dedupById(mem.toDF())
+      .writeStream.format("memory").queryName("late_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(lateEv(1, lateT0))
+      q.processAllAvailable()
+      mem.addData(lateEv(2, lateT0 + 5 * HourUs)) // watermark → t0+4h
+      q.processAllAvailable()
+      // both below the watermark now: a replay of id 1 (its dedup state
+      // may already be expired) and a NEVER-seen id 3 — both must be
+      // dropped, not emitted
+      mem.addData(lateEv(1, lateT0), lateEv(3, lateT0 + 2000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("late_dedup")
+      .select("event_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"late rows leaked: $ids")
+  }
+
+  test("sessionize emits by TIMEOUT and a late event cannot reopen it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("late_sess")
+      .outputMode("append").start()
+    val u = 42L
+    def userRows() = spark.table("late_sess")
+      .where(col("user_id") === u)
+      .select("n_events", "start_us", "end_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    try {
+      mem.addData(lateEv(1, lateT0, u), lateEv(2, lateT0 + 10 * 60 * 1000000L, u))
+      q.processAllAvailable()
+      assert(userRows().isEmpty, "session emitted before timeout")
+      // another user's events advance the watermark past end + gap; the
+      // user-42 session must flush purely by event-time TIMEOUT
+      mem.addData(lateEv(3, lateT0 + 5 * HourUs, 7L))
+      q.processAllAvailable()
+      mem.addData(lateEv(4, lateT0 + 6 * HourUs, 7L))
+      q.processAllAvailable()
+      assert(userRows() == Seq((2L, lateT0, lateT0 + 10 * 60 * 1000000L)),
+        s"timeout emission wrong: ${userRows()}")
+      // a late user-42 event inside the closed session (below watermark)
+      // must be dropped — no reopened or duplicate session
+      mem.addData(lateEv(5, lateT0 + 20 * 60 * 1000000L, u))
+      q.processAllAvailable()
+      mem.addData(lateEv(6, lateT0 + 8 * HourUs, 7L))
+      q.processAllAvailable()
+      mem.addData(lateEv(7, lateT0 + 9 * HourUs, 7L))
+      q.processAllAvailable()
+      assert(userRows() == Seq((2L, lateT0, lateT0 + 10 * 60 * 1000000L)),
+        s"late event reopened the session: ${userRows()}")
+    } finally q.stop()
+  }
+
   test("StreamingKMeans converges to blob centers over micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(21)
