@@ -195,11 +195,14 @@ object Dedup {
       .select(col("k"), ceil(sqrt(col("k"))).cast("int").as("stride"))
     // centroid origin: first k rows by vec_id (the k-row window output
     // is tiny; its input pass is the documented seeding caveat above)
+    // persisted: k rows, feeds coarse + fine routing + the assignment
+    // join — derived once, read from cache everywhere else
     val fine = emb.crossJoin(broadcast(params))
       .withColumn("fid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
       .where(col("fid") < col("k"))
       .select(col("fid"), col("v").as("c"), col("stride"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val coarse = fine.where(col("fid") % col("stride") === 0)
       .select(col("fid").as("coid"), col("c").as("cc"))
     def routeToCoarse(df: DataFrame, id: Column, vec: Column): DataFrame =
@@ -221,6 +224,9 @@ object Dedup {
       .select(col("vec_id"), col("v"), col("m.fid").as("cluster"))
       // norm materialized BEFORE the self-join: computed n times, not n²
       .withColumn("nrm", l2Norm(col("v")))
+      // persisted: the scoring self-join reads BOTH sides from this
+      // cache — without it the whole two-level assignment runs twice
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cluster").as("cluster_b"),

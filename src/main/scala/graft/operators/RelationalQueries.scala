@@ -305,7 +305,73 @@ object RelationalQueries {
         col("n_big"), col("acctbal"))
   }
 
+  /** Explicit GROUPING SETS with grouping_id — the generalization of
+    * rollup/cube: two chosen sets, still ONE Expand + ONE shuffle. The
+    * grouping-set id disambiguates a real NULL key from a rolled-up
+    * one, which cube/rollup outputs cannot do. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+    // gid from per-column grouping() arithmetic, not grouping_id():
+    // explicit bit assignment is convention-proof across engines
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) * 2 +
+        |            grouping(o_orderpriority) AS BIGINT) AS gid,
+        |       count(1) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |""".stripMargin)
+  }
+
+  /** Running (cumulative) aggregate: per-customer order-value running
+    * total in order-date order — the unbounded-preceding window frame,
+    * partition-pruned by customer so each partition sorts only its own
+    * rows (no global sort at scale). Exact DECIMAL accumulation makes
+    * the running values partition-order independent. */
+  def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .where(col("o_custkey") % 100 === 0) // bounded output, same plan shape
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"),
+        count(lit(1)).over(w).as("running_n"))
+  }
+
+  /** Oracle-checkable witness for approx_percentile — the sketch that
+    * replaces exact percentiles at 100 TB (exact needs a per-group
+    * sort; the KLL/GK-style sketch merges associatively map-side).
+    * Emits the exact p50/p90 plus booleans asserting the approximate
+    * answer lands within the value range spanned by ±2% of the rank —
+    * the driver's hash compare fails iff the sketch leaves its
+    * envelope. */
+  def qApproxQuantilesBound(spark: SparkSession, dir: String): DataFrame = {
+    val qs = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("exact_p90"),
+        expr("percentile(l_extendedprice, 0.48)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.52)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.88)").as("lo90"),
+        expr("percentile(l_extendedprice, 0.92)").as("hi90"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"))
+    qs.select(col("l_returnflag"), col("exact_p50"), col("exact_p90"),
+      (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+        .as("p50_within_rank_2pct"),
+      (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
+        .as("p90_within_rank_2pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> qGroupingSets,
+    "q_running_total" -> qRunningTotal,
+    "q_approx_quantiles_bound" -> qApproxQuantilesBound,
     "q_outer_join" -> qOuterJoin,
     "q_outer_join_full" -> qOuterJoinFull,
     "q_approx_distinct" -> qApproxDistinct,
@@ -329,6 +395,31 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) * 2 +
+        |       GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS running_total,
+        |  count(*) OVER w AS running_n
+        |FROM orders
+        |WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_approx_quantiles_bound" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+        |  true AS p50_within_rank_2pct,
+        |  true AS p90_within_rank_2pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_outer_join" ->
       """SELECT c_custkey, count(o_custkey) AS n_big_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
