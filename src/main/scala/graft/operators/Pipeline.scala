@@ -47,8 +47,62 @@ object Pipeline {
           .as("avg_tokens"))
   }
 
+  /** Benchmark decontamination — the overlap check every training
+    * pipeline runs before export: corpus documents sharing any 3-gram
+    * shingle with the "evaluation set" (deterministically designated
+    * here as doc_id % 97 == 0; a real run joins against the benchmark's
+    * published n-gram index). The eval side is tiny by nature, so it
+    * BROADCASTS and the corpus never shuffles — one explode + one
+    * broadcast equi-join on the shingle + one aggregation, at any
+    * corpus size. Emits, per contaminated doc, how many eval docs it
+    * hits and on how many distinct shingles. */
+  def pipelineDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingleCol(col("toks"), 3))).as("s"))
+    val ev = sh.where(col("doc_id") % 97 === 0)
+      .select(col("s").as("e_s"), col("doc_id").as("e_id"))
+    sh.join(broadcast(ev),
+        col("s") === col("e_s") && col("doc_id") =!= col("e_id"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("e_id")).as("n_eval_docs"),
+        countDistinct(col("s")).as("n_shared_shingles"))
+  }
+
+  val MixCapPerStratum = 5
+
+  /** Data mixing with per-stratum quality caps — the export-side
+    * sampling step: score every document (type-token ratio here; any
+    * deterministic scorer slots in), keep the top `MixCapPerStratum`
+    * per (source, lang) stratum, report the selected mix. The window
+    * partitions BY the stratum, so each partition ranks only its own
+    * rows — no global sort — and the rank orders by the ROUNDED score
+    * with a doc_id tie-break so both engines rank identically. */
+  def pipelineMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("score",
+        round(size(array_distinct(col("toks"))).cast("double") /
+          col("n_toks"), 6))
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= MixCapPerStratum)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_toks")).cast("long").as("sel_tokens"),
+        max(col("score")).as("best_score"),
+        min(col("score")).as("worst_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_filter" -> pipelineFilter)
+    "pipeline_filter" -> pipelineFilter,
+    "pipeline_decontaminate" -> pipelineDecontaminate,
+    "pipeline_mix" -> pipelineMix)
 
   private val stopList =
     TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -73,5 +127,37 @@ object Pipeline {
          |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
          |FROM gated JOIN deduped ON doc_id = keep_id
-         |GROUP BY source""".stripMargin)
+         |GROUP BY source""".stripMargin,
+    "pipeline_decontaminate" ->
+      """WITH shd AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(generate_series(1, len(t)-2),
+        |             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3
+        |), ev AS (
+        |  SELECT doc_id AS e_id, s FROM shd WHERE doc_id % 97 = 0
+        |)
+        |SELECT c.doc_id,
+        |       count(DISTINCT ev.e_id) AS n_eval_docs,
+        |       count(DISTINCT c.s) AS n_shared_shingles
+        |FROM shd c JOIN ev ON c.s = ev.s AND c.doc_id <> ev.e_id
+        |GROUP BY c.doc_id""".stripMargin,
+    "pipeline_mix" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, lang, len(t) AS n_toks,
+         |         round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+         |           AS score
+         |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS t
+         |        FROM documents)
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source, lang
+         |                               ORDER BY score DESC, doc_id) AS rn
+         |  FROM scored
+         |)
+         |SELECT source, lang, count(*) AS n_selected,
+         |       CAST(sum(n_toks) AS BIGINT) AS sel_tokens,
+         |       max(score) AS best_score, min(score) AS worst_score
+         |FROM ranked WHERE rn <= $MixCapPerStratum
+         |GROUP BY source, lang""".stripMargin)
 }
