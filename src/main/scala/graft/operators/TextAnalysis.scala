@@ -138,6 +138,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("tok"), col("score"))
   }
 
+  /** LM-style rarity filter — the integer-exact core of a perplexity
+    * quality filter: a bigram "model" (corpus occurrence counts) built
+    * in one shuffle on the bigram key, joined back to each document's
+    * bigrams, scoring docs by how many of their bigrams are corpus-rare
+    * (count ≤ RareMax). The model join is keyed on the bigram —
+    * distributed hash join, NO broadcast (vocabulary is unbounded at
+    * corpus scale, the tf-idf rule); the bigram stream is persisted
+    * because model build and scoring both read it. Exact integers plus
+    * ONE final division keep the oracle bit-parity safe (the
+    * pipeline_filter lesson); a real perplexity filter would replace
+    * the rarity test with Σ−ln P(w₂|w₁) over the same join. */
+  val RareMax = 2
+
+  def textBigramRarity(spark: SparkSession, dir: String): DataFrame =
+    bigramRarityOf(t(spark, dir, "documents"))
+
+  /** Core of [[textBigramRarity]] over any (doc_id, text) frame. */
+  def bigramRarityOf(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .withColumn("toks", toks)
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = bi.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    bi.join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") <= RareMax, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_bigrams"), 6)
+          .as("rare_ratio"))
+  }
+
   /** Character-bigram profile per language: the statistical signature a
     * real language-ID model trains on. Explode bigrams → count per
     * (lang, bigram) → top-5 per lang. One shuffle on (lang, bigram);
@@ -208,6 +244,7 @@ object TextAnalysis {
         size(col("freq")).as("n_distinct_toks"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_rarity" -> textBigramRarity,
     "text_token_map" -> textTokenMap,
     "text_normalize" -> textNormalize,
     "text_char_ngrams" -> textCharNgrams,
@@ -222,6 +259,22 @@ object TextAnalysis {
     .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_rarity" ->
+      s"""WITH bi AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |           i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |  WHERE len(t) >= 2
+         |), model AS (
+         |  SELECT bg, count(*) AS c FROM bi GROUP BY bg
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CASE WHEN c <= $RareMax THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rare,
+         |  round(CAST(sum(CASE WHEN c <= $RareMax THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / count(*), 6) AS rare_ratio
+         |FROM bi JOIN model USING (bg)
+         |GROUP BY doc_id""".stripMargin,
     "text_token_map" ->
       """SELECT doc_id,
         |  len(list_filter(t, x -> x = 'the')) AS n_the,

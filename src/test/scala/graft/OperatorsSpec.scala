@@ -285,4 +285,14 @@ class OperatorsSpec extends SparkSessionSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L)))
   }
+
+  test("bigramRarityOf counts corpus-rare bigrams per doc") {
+    // model: "a b"=3 (common), "b a"=1, "b c"=1 (rare at RareMax=2)
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramRarityOf(docs)
+      .select("doc_id", "n_bigrams", "n_rare")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L, 1L), (2L, 2L, 1L))) // doc 3 has no bigrams
+  }
 }
