@@ -69,6 +69,37 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact duplicated-span coverage: the exact-substring counterpart
+    * to the minhash ESTIMATE — per document, the fraction of its
+    * distinct [[SpanN]]-token spans that appear verbatim in at least
+    * one other document (the span-level dedup signal real pretraining
+    * pipelines compute before cutting repeated boilerplate). Distinct
+    * spans per doc first (so a doc repeating its own span doesn't
+    * inflate the corpus count), then ONE shuffle on the span key to
+    * count carrier docs, then a hash join back on the same key — the
+    * exploded span stream is persisted because the model build and the
+    * scoring both read it. All-integer outputs plus one final rounded
+    * division (oracle bit-parity, the pipeline_filter lesson). */
+  val SpanN = 8
+
+  def dedupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val spans = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= SpanN)
+      .select(col("doc_id"),
+        explode(array_distinct(shingleCol(col("toks"), SpanN))).as("span"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // spans are distinct within a doc, so count(*) per span = carrier docs
+    val carriers = spans.groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+    spans.join(carriers, "span")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_ratio"))
+  }
+
   val MinhashBands = 4
   val RowsPerBand = 2
 
@@ -382,6 +413,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_span_coverage" -> dedupSpanCoverage,
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
@@ -459,6 +491,25 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_span_coverage" -> {
+      val terms = (0 until SpanN).map(j => s"t[i+$j]").mkString(", ")
+      s"""WITH s AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |           list_transform(generate_series(1, len(t)-${SpanN - 1}),
+         |             i -> concat_ws(' ', $terms)))) AS span
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |  WHERE len(t) >= $SpanN
+         |), carriers AS (
+         |  SELECT span, count(*) AS n_docs FROM s GROUP BY span
+         |)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_spans,
+         |  round(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS dup_ratio
+         |FROM s JOIN carriers USING (span)
+         |GROUP BY doc_id""".stripMargin
+    },
     "dedup_minhash" ->
       s"""$shCte
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,

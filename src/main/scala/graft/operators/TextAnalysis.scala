@@ -174,6 +174,43 @@ object TextAnalysis {
           .as("rare_ratio"))
   }
 
+  /** Gopher-style repetition quality signals, per document: the
+    * duplicate-token ratio (1 − uniq/total) and the top-bigram fraction
+    * (how much of the doc the single most frequent bigram covers) — the
+    * repetition rules pretraining pipelines cut looping/boilerplate
+    * text with. Entirely narrow: every signal is array arithmetic on
+    * the row (sorted-runs max, same technique as [[textTokenMap]]), so
+    * the operator is a single codegen'd projection with ZERO shuffles —
+    * at 100 TB it runs at scan speed. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(t(spark, dir, "documents"))
+
+  /** Core of [[textRepetition]] over any (doc_id, text) frame. */
+  def repetitionOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", toks)
+      .where(size(col("toks")) >= 2)
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("st", array_sort(
+        transform(sequence(lit(1), col("n_toks") - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))))
+      .withColumn("n_bg", size(col("st")))
+      // boundary indices of equal-bigram runs in the sorted array;
+      // run lengths are the gaps between consecutive boundaries
+      .withColumn("bounds", filter(sequence(lit(1), col("n_bg")),
+        i => i === 1 || element_at(col("st"), i) =!= element_at(col("st"), i - 1)))
+      .withColumn("top_bg_run", array_max(zip_with(col("bounds"),
+        concat(slice(col("bounds"), lit(2), size(col("bounds"))),
+          array(col("n_bg") + 1)),
+        (a, b) => b - a)))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        round(lit(1d) - size(array_distinct(col("toks"))).cast("double")
+          / col("n_toks"), 6).as("dup_tok_ratio"),
+        col("top_bg_run").cast("long").as("top_bigram_run"),
+        round(col("top_bg_run").cast("double") / col("n_bg"), 6)
+          .as("top_bigram_ratio"))
+
   /** Character-bigram profile per language: the statistical signature a
     * real language-ID model trains on. Explode bigrams → count per
     * (lang, bigram) → top-5 per lang. One shuffle on (lang, bigram);
@@ -245,6 +282,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bigram_rarity" -> textBigramRarity,
+    "text_repetition" -> textRepetition,
     "text_token_map" -> textTokenMap,
     "text_normalize" -> textNormalize,
     "text_char_ngrams" -> textCharNgrams,
@@ -259,6 +297,24 @@ object TextAnalysis {
     .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), b AS (
+        |  SELECT doc_id, len(t) AS n_toks, len(list_distinct(t)) AS n_uniq,
+        |    unnest(list_transform(generate_series(1, len(t)-1),
+        |      i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+        |  FROM d
+        |), c AS (
+        |  SELECT doc_id, n_toks, n_uniq, bg, count(*) AS c
+        |  FROM b GROUP BY doc_id, n_toks, n_uniq, bg
+        |)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  round(1 - CAST(n_uniq AS DOUBLE) / n_toks, 6) AS dup_tok_ratio,
+        |  CAST(max(c) AS BIGINT) AS top_bigram_run,
+        |  round(CAST(max(c) AS DOUBLE) / (n_toks - 1), 6) AS top_bigram_ratio
+        |FROM c GROUP BY doc_id, n_toks, n_uniq""".stripMargin,
     "text_bigram_rarity" ->
       s"""WITH bi AS (
          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),

@@ -286,6 +286,16 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L)))
   }
 
+  test("repetitionOf finds the longest repeated bigram run") {
+    // doc 1 "a b a b a": bigrams (a b, b a, a b, b a) -> top run 2 of 4;
+    // 2 uniq toks of 5 -> dup_tok_ratio 0.6
+    // doc 2 "x y z": all bigrams distinct -> top run 1 of 2
+    val docs = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionOf(docs)
+      .as[(Long, Long, Double, Long, Double)].collect().toSet
+    assert(out == Set((1L, 5L, 0.6, 2L, 0.5), (2L, 3L, 0.0, 1L, 0.5)))
+  }
+
   test("bigramRarityOf counts corpus-rare bigrams per doc") {
     // model: "a b"=3 (common), "b a"=1, "b c"=1 (rare at RareMax=2)
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
@@ -294,5 +304,21 @@ class OperatorsSpec extends SparkSessionSpec {
       .select("doc_id", "n_bigrams", "n_rare")
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 3L, 1L), (2L, 2L, 1L))) // doc 3 has no bigrams
+  }
+
+  test("dedup_span_coverage flags only spans shared across docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 8 identical leading tokens shared by docs 1 and 2; doc 3 disjoint.
+    val base = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = Seq((1L, s"$base x1 x2"), (2L, s"$base y1"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("spanCov").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupSpanCoverage(spark, dir)
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: spans at offsets 1..3 (10 toks) -> 3 distinct, 1 shared
+    assert(out == Set((1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
   }
 }
