@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -99,10 +99,63 @@ object Pipeline {
         min(col("score")).as("worst_score"))
   }
 
+  val NShards = 16
+
+  /** Content-addressed shard key: first 7 md5 hex chars (28 bits —
+    * BIGINT-safe in both engines) mod [[NShards]]. Content-addressed so
+    * byte-identical documents land on the same shard no matter where
+    * they were scanned — shard-local exact dedup stays exact. */
+  def shardCol(text: Column): Column =
+    conv(substring(md5(text), 1, 7), 16, 10).cast("long") % NShards
+
+  /** Deterministic export sharding — the step that turns a curated
+    * corpus into N equal-ish training files. One hash aggregation on
+    * the shard key (the same shuffle the export write itself would
+    * do), reporting balance per shard: doc count, char volume, and
+    * lang/source spread. At 100 TB the shard key IS the write
+    * partition — no extra pass. */
+  def pipelineShard(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(shardCol(col("text")).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("shard_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+
+  val ContextLen = 2048
+
+  /** Context-window packing — concatenate each shard's documents in
+    * doc_id order and chop the token stream into [[ContextLen]]-token
+    * windows (the GPT-style "concat then chunk" batching step). A doc
+    * belongs to the chunk where its first token lands, so the whole
+    * assignment is ONE running-total window per shard (each window
+    * partition is a shard — no global sort) plus a hash aggregation.
+    * Emits per (shard, chunk) the docs started and their token mass. */
+  def pipelinePack(spark: SparkSession, dir: String): DataFrame =
+    packOf(t(spark, dir, "documents"))
+
+  /** Core of [[pipelinePack]] over any (doc_id, text) frame. */
+  def packOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), shardCol(col("text")).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("chunk_id",
+        floor((col("cum") - col("n_toks")) / ContextLen))
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("started_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_filter" -> pipelineFilter,
     "pipeline_decontaminate" -> pipelineDecontaminate,
-    "pipeline_mix" -> pipelineMix)
+    "pipeline_mix" -> pipelineMix,
+    "pipeline_shard" -> pipelineShard,
+    "pipeline_pack" -> pipelinePack)
 
   private val stopList =
     TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -159,5 +212,36 @@ object Pipeline {
          |       CAST(sum(n_toks) AS BIGINT) AS sel_tokens,
          |       max(score) AS best_score, min(score) AS worst_score
          |FROM ranked WHERE rn <= $MixCapPerStratum
-         |GROUP BY source, lang""".stripMargin)
+         |GROUP BY source, lang""".stripMargin,
+    // hex→int: CAST(concat('0x',…) AS BIGINT) ≡ Spark conv(…,16,10);
+    // 7 hex chars = 28 bits, overflow-free in both engines.
+    "pipeline_shard" ->
+      s"""SELECT CAST(concat('0x', substr(md5(text), 1, 7)) AS BIGINT)
+         |         % $NShards AS shard,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM documents
+         |GROUP BY 1""".stripMargin,
+    // `//` (floor div) — DuckDB CAST(double AS INT) ROUNDS, Spark
+    // truncates; chunk math must stay integral end to end.
+    "pipeline_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(text), 1, 7)) AS BIGINT)
+         |      % $NShards AS shard,
+         |    len(string_split(text, ' ')) AS n_toks
+         |  FROM documents
+         |), c AS (
+         |  SELECT shard, doc_id, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+         |                      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM d
+         |)
+         |SELECT shard,
+         |       CAST((cum - n_toks) // $ContextLen AS BIGINT) AS chunk_id,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS started_tokens
+         |FROM c GROUP BY 1, 2""".stripMargin)
 }

@@ -211,6 +211,50 @@ object TextAnalysis {
         round(col("top_bg_run").cast("double") / col("n_bg"), 6)
           .as("top_bigram_ratio"))
 
+  /** PII patterns, shared verbatim by the plan and the DuckDB oracle
+    * (kept to syntax with identical semantics in Java regex and RE2:
+    * char classes, bounded repeats, `\b`). */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII detection + redaction — the scrub step every corpus export
+    * runs. The synthetic corpus carries no PII, so (the mm_wav
+    * technique) canonical PII is synthesized IN-PLAN deterministically
+    * from row fields, then detected and redacted by the real regex
+    * machinery; both engines inject identically so every count and the
+    * redacted length are oracle-checked. Entirely narrow — a single
+    * codegen'd projection, scan speed at 100 TB. */
+  def textPii(spark: SparkSession, dir: String): DataFrame =
+    piiOf(t(spark, dir, "documents"))
+
+  /** Core of [[textPii]] over any (doc_id, text) frame. */
+  def piiOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("raw", concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.com"),
+        when(col("doc_id") % 3 === 0, lit(" cc ops@example.org"))
+          .otherwise(lit("")),
+        lit(" tel 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ip 10.0."), pmod(col("doc_id"), lit(256))
+            .cast("string"), lit(".1"))).otherwise(lit(""))))
+      // emails first: an address's digit.dot runs must never be eaten
+      // by the IP pass; phones last (no overlap either way).
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("raw"), lit(IpRe), lit(0)))
+          .cast("long").as("n_ips"),
+        length(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>"))
+          .cast("long").as("redacted_len"))
+
   /** Character-bigram profile per language: the statistical signature a
     * real language-ID model trains on. Explode bigrams → count per
     * (lang, bigram) → top-5 per lang. One shuffle on (lang, bigram);
@@ -283,6 +327,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bigram_rarity" -> textBigramRarity,
     "text_repetition" -> textRepetition,
+    "text_pii" -> textPii,
     "text_token_map" -> textTokenMap,
     "text_normalize" -> textNormalize,
     "text_char_ngrams" -> textCharNgrams,
@@ -297,6 +342,30 @@ object TextAnalysis {
     .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_pii" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    concat(text, ' contact u', CAST(doc_id AS VARCHAR),
+         |      '@mail.example.com',
+         |      CASE WHEN doc_id % 3 = 0 THEN ' cc ops@example.org'
+         |           ELSE '' END,
+         |      ' tel 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+         |      CASE WHEN doc_id % 5 = 0
+         |           THEN concat(' ip 10.0.',
+         |                       CAST(doc_id % 256 AS VARCHAR), '.1')
+         |           ELSE '' END) AS raw
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_extract_all(raw, '$IpRe')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$IpRe', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+         |FROM raw""".stripMargin,
     "text_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -321,4 +321,29 @@ class OperatorsSpec extends SparkSessionSpec {
     // doc 1: spans at offsets 1..3 (10 toks) -> 3 distinct, 1 shared
     assert(out == Set((1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
   }
+
+  test("packOf chops a shard's token stream at ContextLen boundaries") {
+    val spark2 = spark
+    import spark2.implicits._
+    // identical text => same content shard; 2050 tokens per doc, so
+    // doc 1 starts at offset 0 (chunk 0) and doc 2 at 2050 (chunk 1)
+    val text = Seq.fill(2050)("t").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = Pipeline.packOf(docs)
+      .select("chunk_id", "n_docs", "started_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L, 2050L), (1L, 1L, 2050L)))
+  }
+
+  test("piiOf counts and redacts injected emails/phones/IPs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // id 15 triggers all optional injections (%3 and %5); id 1 neither
+    val docs = Seq((15L, "hello world"), (1L, "hi")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiOf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // 15: "hello world contact <EMAIL> cc <EMAIL> tel <PHONE> ip <IP>"
+    //  1: "hi contact <EMAIL> tel <PHONE>"
+    assert(out == Set((15L, 2L, 1L, 1L, 58L), (1L, 1L, 1L, 0L, 30L)))
+  }
 }
