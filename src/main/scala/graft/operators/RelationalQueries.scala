@@ -66,6 +66,23 @@ object RelationalQueries {
         round(col("o_totalprice"), 2).as("o_totalprice"))
   }
 
+  /** Same row set as [[qWindowTopOrders]] (minus the rank column), but
+    * through the NATIVE [[graft.plans.TopKPerKey]] operator: a custom
+    * LogicalPlan/Strategy/SparkPlan that runs a bounded-heap top-k pass
+    * map-side BEFORE the shuffle, so the exchange carries at most
+    * partitions·keys·k rows instead of the whole table — the per-key
+    * analogue of TakeOrderedAndProject, and the in-mapper-combiner
+    * shape applied to ranking. Ordering is total (price desc, orderkey)
+    * so the row set is unique and oracle-comparable. */
+  def qTopKNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+        t(spark, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+
   /** Global sort + limit (top-k): TakeOrderedAndProject in the physical
     * plan — no full sort materialization at scale. */
   def qTopK(spark: SparkSession, dir: String): DataFrame =
@@ -387,6 +404,7 @@ object RelationalQueries {
     "q3_join" -> q3Join,
     "q_window_top_orders" -> qWindowTopOrders,
     "q_topk" -> qTopK,
+    "q_topk_native" -> qTopKNative,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
     "q_rollup" -> qRollup,
@@ -522,6 +540,14 @@ object RelationalQueries {
         |LIMIT 10""".stripMargin,
     "q_window_top_orders" ->
       """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "q_topk_native" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey

@@ -1,0 +1,154 @@
+package graft.plans
+
+import java.util.{HashMap => JHashMap, PriorityQueue => JPriorityQueue}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator extension (tier (c) of the extension ladder: custom
+  * LogicalPlan + SparkStrategy + SparkPlan): per-key top-k with
+  * MAP-SIDE PARTIAL TOP-K.
+  *
+  * The declarative lowering — `row_number() OVER (PARTITION BY key
+  * ORDER BY …) <= k` — must shuffle EVERY row to its key's partition
+  * and sort there before it can discard anything: at 100 TB the
+  * exchange carries the full corpus to keep k rows per key. This
+  * operator runs the same bounded-heap pass TWICE, partial then final
+  * (exactly the reference's in-mapper-combiner shape,
+  * `ref:KMeans.java:36-67`, applied to top-k instead of sums): each
+  * scan task keeps at most k rows per key it sees, ONLY those survivors
+  * cross the wire, and the post-shuffle pass re-applies the same heap
+  * to merge. The exchange shrinks from O(rows) to
+  * O(partitions · keys · k).
+  *
+  * Semantics contract: the caller's ordering must be a TOTAL order
+  * (tie-break to uniqueness, e.g. append the row id) — with ties at
+  * the k-boundary, "which tied row" is otherwise arbitrary on both
+  * this path and the window path. Memory: each pass holds
+  * (#distinct keys in the task) × k rows — the same working-set class
+  * as a partial HashAggregate (no spill path; keys·k must fit, rows
+  * need not).
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"topKPerKey: k must be positive, got $k")
+  require(keys.nonEmpty, "topKPerKey: at least one key expression")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
+    copy(child = c)
+}
+
+/** Plans [[TopKPerKeyNode]] as partial → (Exchange inserted by
+  * EnsureRequirements) → final. */
+class TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      val partial =
+        TopKPerKeyExec(keys, order, k, isFinal = false, planLater(child))
+      TopKPerKeyExec(keys, order, k, isFinal = true, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** One bounded-heap pass: keep the k first rows per key under `order`.
+  * The partial instance accepts any input distribution; the final one
+  * requires clustering on the keys, so EnsureRequirements inserts the
+  * (already-reduced) hash exchange between the two. */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    isFinal: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (isFinal) "TopKPerKeyFinal" else "TopKPerKeyPartial"
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (isFinal) ClusteredDistribution(keys) :: Nil
+    else UnspecifiedDistribution :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kCap = k
+    val keyExprs = keys
+    val orderExprs = order
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // "less" = earlier in sort order = better rank; heap head = the
+      // WORST retained row, so one peek decides admission.
+      val rankOrd: Ordering[InternalRow] =
+        new LazilyGeneratedOrdering(orderExprs, childOutput)
+      val heaps = new JHashMap[UnsafeRow, JPriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new JPriorityQueue[InternalRow](kCap, rankOrd.reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kCap) heap.offer(row.copy())
+        else if (rankOrd.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.offer(row.copy())
+        }
+      }
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+/** Public API + strategy registration. */
+object TopKPerKey {
+
+  /** Idempotently register the planner strategy on this session.
+    * `experimental.extraStrategies` is the public additive registry for
+    * exactly this (no sql-conf mutation, no effect on other plans);
+    * sessions built with `GraftExtensions` get it at build time
+    * instead. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[TopKPerKeyStrategy]))
+      spark.experimental.extraStrategies = cur :+ new TopKPerKeyStrategy
+  }
+
+  /** Top k rows per key group under `order` — (column, ascending?)
+    * pairs over the input's columns; make it a total order (see the
+    * node doc). Columns are resolved here against the analyzed child
+    * plan (Column objects carry lazily-resolved wrapper nodes in 4.x
+    * that never resolve inside a foreign logical node), so the node is
+    * born fully resolved; derived sort expressions are one
+    * `withColumn` away. Output columns = input columns; row set equals
+    * the `row_number() <= k` window lowering. */
+  def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
+                 k: Int): DataFrame = {
+    register(df.sparkSession)
+    val child = GraftSqlBridge.logicalPlan(df)
+    def attr(name: String): Attribute =
+      child.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"topKPerKey: no column '$name' among ${child.output.map(_.name).mkString(", ")}"))
+    val sortOrders = order.map { case (name, asc) =>
+      val dir = if (asc) Ascending else Descending
+      SortOrder(attr(name), dir, dir.defaultNullOrdering, Seq.empty)
+    }
+    GraftSqlBridge.dataset(df.sparkSession,
+      TopKPerKeyNode(keys.map(attr), sortOrders, k, child))
+  }
+}
