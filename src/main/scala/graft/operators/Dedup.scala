@@ -431,7 +431,7 @@ object Dedup {
       s"($b, $a0, $b0, $a1, $b1)"
     }.mkString(", ")
 
-  private lazy val shCte =
+  private[operators] lazy val shCte =
     s"""WITH sh AS (
       |  SELECT doc_id, list_transform(generate_series(1, len(t)-2),
       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles

@@ -150,8 +150,47 @@ object Pipeline {
         sum(col("n_toks")).as("started_tokens"))
   }
 
+  val SplitBuckets = 20
+
+  /** Train/val/test split (18/1/1 buckets by doc_id hash) WITH the
+    * leakage witness: splitting on doc_id — the common shortcut — lets
+    * NEAR-duplicate documents straddle splits, contaminating eval. A
+    * doc is "leaked" when any of its MinHash-LSH candidate partners
+    * ([[Dedup.dedupMinhash]] — the same signatures, persisted once)
+    * landed in a different split. The pair set is linear in corpus
+    * size (LSH-bucketed, never all-pairs), the split lookup joins are
+    * equi-keyed on doc id, and the final report is one hash agg — so
+    * the witness costs one LSH pass + two hash joins at any scale. A
+    * leakage-free pipeline splits near-dup CLUSTERS, not docs; the
+    * nonzero n_leaked column is the point. */
+  def pipelineSplit(spark: SparkSession, dir: String): DataFrame = {
+    val withSplit = t(spark, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+          1, 7), 16, 10).cast("long") % SplitBuckets)
+      .withColumn("split",
+        when(col("bucket") < SplitBuckets - 2, "train")
+          .when(col("bucket") === SplitBuckets - 2, "val")
+          .otherwise("test"))
+    val pairs = Dedup.dedupMinhash(spark, dir)
+    val edges = pairs.select(col("doc_a").as("d"), col("doc_b").as("o"))
+      .union(pairs.select(col("doc_b").as("d"), col("doc_a").as("o")))
+    val splits = withSplit.select(col("doc_id"), col("split"))
+    val leaky = edges
+      .join(splits.select(col("doc_id").as("d"), col("split").as("s_d")), "d")
+      .join(splits.select(col("doc_id").as("o"), col("split").as("s_o")), "o")
+      .where(col("s_d") =!= col("s_o"))
+      .select(col("d").as("leak_id")).distinct()
+    withSplit.join(leaky, col("doc_id") === col("leak_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("split_chars"),
+        sum(when(col("leak_id").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_filter" -> pipelineFilter,
+    "pipeline_split" -> pipelineSplit,
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_mix" -> pipelineMix,
     "pipeline_shard" -> pipelineShard,
@@ -213,6 +252,30 @@ object Pipeline {
          |       max(score) AS best_score, min(score) AS worst_score
          |FROM ranked WHERE rn <= $MixCapPerStratum
          |GROUP BY source, lang""".stripMargin,
+    "pipeline_split" ->
+      s"""${Dedup.shCte}, ws AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN b < ${SplitBuckets - 2} THEN 'train'
+         |         WHEN b = ${SplitBuckets - 2} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, n_chars,
+         |          CAST(concat('0x', substr(md5(concat('split:',
+         |            CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT)
+         |            % $SplitBuckets AS b
+         |        FROM documents)
+         |), leaky AS (
+         |  SELECT DISTINCT e.d FROM (
+         |    SELECT doc_a AS d, doc_b AS o FROM pairs
+         |    UNION ALL SELECT doc_b, doc_a FROM pairs) e
+         |  JOIN ws wa ON e.d = wa.doc_id
+         |  JOIN ws wb ON e.o = wb.doc_id
+         |  WHERE wa.split <> wb.split
+         |)
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS split_chars,
+         |       CAST(sum(CASE WHEN doc_id IN (SELECT d FROM leaky)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+         |FROM ws GROUP BY split""".stripMargin,
     // hex→int: CAST(concat('0x',…) AS BIGINT) ≡ Spark conv(…,16,10);
     // 7 hex chars = 28 bits, overflow-free in both engines.
     "pipeline_shard" ->

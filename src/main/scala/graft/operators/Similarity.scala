@@ -110,9 +110,78 @@ object Similarity {
     rankTopK(scored)
   }
 
+  val PqM = 8       // sub-blocks
+  val PqSubDim = 8  // dims per block (PqM * PqSubDim = 64 = d)
+  val PqKsub = 16   // codes per block → 8 × 4-bit codes per vector
+
+  /** Sub-codebooks `[m][j][dim]`: the m-th 8-dim block of the first
+    * [[PqKsub]] corpus vectors (deterministic seeding, exactly like
+    * [[KMeansQueries.fixedCentroids]] for IVF — a production run would
+    * k-means each block with the engine's own kernel; seeding keeps the
+    * DuckDB oracle exact). k·d = 16×64 doubles on the driver. */
+  private def pqCodebook(spark: SparkSession,
+                         dir: String): Array[Array[Array[Double]]] = {
+    val seeds = KMeansQueries.firstKCentroids(spark, dir, PqKsub)
+    Array.tabulate(PqM)(m => seeds.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+  }
+
+  private def withBlockDists(df: DataFrame, vec: String,
+                             cb: Array[Array[Array[Double]]],
+                             prefix: String): DataFrame =
+    (0 until PqM).foldLeft(df) { (d, m) =>
+      d.withColumn(s"$prefix$m", KMeansOps.distancesDyn(
+        slice(col(vec), m * PqSubDim + 1, PqSubDim), cb(m)))
+    }
+
+  /** Product-quantization encoding: per vector, per 8-dim block, the
+    * nearest of 16 sub-centroids (strict-< argmin, the O4 tie-break) —
+    * 64 doubles compress to 8 nibbles. Entirely narrow: one codegen'd
+    * projection over the scan, codebook rides as a typedLit reference
+    * object; at 100 TB the encode runs at scan speed and the CODES table
+    * it would write is 64× smaller than its input. recon_err (distance
+    * to the reconstruction) is the quantization-quality witness. */
+  def annPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    withBlockDists(emb(spark, dir), "v", cb, "ds_")
+      .select(col("vec_id") +:
+        (0 until PqM).map(m =>
+          (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
+            .cast("int").as(s"code_$m")) :+
+        round(sqrt((0 until PqM).map(m => array_min(col(s"ds_$m")))
+          .reduce(_ + _)), 6).as("recon_err"): _*)
+  }
+
+  /** PQ search via asymmetric distance computation: each query builds
+    * per-block lookup tables (query-to-sub-centroid squared distances —
+    * PqM·PqKsub doubles, broadcast with the query batch) and scores a
+    * corpus row by summing 8 table lookups on its CODES — the corpus
+    * vectors themselves are never touched after encoding. This is the
+    * scan-side weight of PQ at 100 TB: 8 bytes per vector instead of
+    * 512, with rank order preserved approximately (spec pins recall vs
+    * the exact baseline). Distance rank ASC with id tie-break. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    val codes = annPqCodes(spark, dir)
+    val luts = withBlockDists(queriesDf(spark, dir).select(col("query_id"),
+      col("qv")), "qv", cb, "lut_")
+    val scored = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(sqrt((0 until PqM).map(m =>
+          element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)), 6)
+          .as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> annTopKCosine,
-    "ann_ivf" -> annIvfCosine)
+    "ann_ivf" -> annIvfCosine,
+    "ann_pq_codes" -> annPqCodes,
+    "ann_pq" -> annPq)
 
   private def centsCte =
     s"""cents AS (
@@ -125,7 +194,60 @@ object Similarity {
        |  FROM embeddings WHERE vec_id < $NQueries
        |)""".stripMargin
 
+  /** Squared distance over block m's global coordinates. A
+    * generate_series TABLE function, not a list lambda — DuckDB lambdas
+    * cannot capture correlated outer columns ("Referenced table not
+    * found"). The 8-row sequential sum adds terms in ascending-i order,
+    * matching Spark's left-to-right aggregate fold bit for bit. */
+  private def sqdSql(a: String, b: String, m: Int): String =
+    s"(SELECT sum(($a[g.i] - $b[g.i]) * ($a[g.i] - $b[g.i])) " +
+      s"FROM generate_series(${m * PqSubDim + 1}, ${(m + 1) * PqSubDim}) g(i))"
+
+  private def pqCodesCte: String = {
+    val codeCols = (0 until PqM).map(m =>
+      s"""    (SELECT s.j FROM seeds s
+         |     ORDER BY ${sqdSql("e.v", "s.c", m)}, s.j LIMIT 1) AS code_$m""")
+      .mkString(",\n")
+    val minTerms = (0 until PqM).map(m =>
+      s"(SELECT min(${sqdSql("e.v", "s.c", m)}) FROM seeds s)")
+      .mkString(" + ")
+    s"""seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+       |         CAST(embedding AS DOUBLE[]) AS c
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT $PqKsub)
+       |), ev AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), codes AS (
+       |  SELECT e.vec_id,
+       |$codeCols,
+       |    round(sqrt($minTerms), 6) AS recon_err
+       |  FROM ev e
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_pq_codes" -> {
+      val cols = (0 until PqM).map(m => s"code_$m").mkString(", ")
+      s"""WITH $pqCodesCte
+         |SELECT vec_id, $cols, recon_err FROM codes""".stripMargin
+    },
+    "ann_pq" -> {
+      val adc = "sqrt(" + (0 until PqM).map(m =>
+        s"(SELECT ${sqdSql("qq.qv", "s.c", m)} FROM seeds s WHERE s.j = c.code_$m)")
+        .mkString(" + ") + ")"
+      s"""WITH $pqCodesCte
+         |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+         |  SELECT qq.query_id, c.vec_id AS neighbor_id,
+         |    round($adc, 6) AS adc_dist,
+         |    row_number() OVER (PARTITION BY qq.query_id
+         |      ORDER BY round($adc, 6), c.vec_id) AS rank
+         |  FROM codes c CROSS JOIN
+         |    (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |     FROM embeddings WHERE vec_id < $NQueries) qq
+         |  WHERE c.vec_id <> qq.query_id)
+         |WHERE rank <= $TopK""".stripMargin
+    },
     "ann_topk_cosine" ->
       s"""SELECT query_id, neighbor_id, rank, score FROM (
          |  SELECT q.query_id, e.vec_id AS neighbor_id,

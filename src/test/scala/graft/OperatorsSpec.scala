@@ -335,6 +335,46 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out == Set((0L, 1L, 2050L), (1L, 1L, 2050L)))
   }
 
+  test("PQ codes reconstruct the codebook seed vectors exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the first PqKsub vectors ARE the codebook, block-wise: each must
+    // self-assign with zero quantization error
+    val out = Similarity.annPqCodes(spark, sf0001)
+      .select(col("vec_id"), col("recon_err"))
+      .as[(Long, Double)].collect().toMap
+    (0L until Similarity.PqKsub.toLong).foreach(j => assert(out(j) == 0.0,
+      s"seed $j has recon_err ${out(j)}"))
+    // and quantization is lossy for the corpus at large
+    assert(out.values.count(_ > 0) > 400)
+  }
+
+  test("PQ ADC search recalls far above chance vs exact L2 top-10") {
+    val spark2 = spark
+    import spark2.implicits._
+    // exact L2 baseline computed directly (500×64 fits the driver)
+    val vecs = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toMap
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until Similarity.NQueries.toLong).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2sq(vecs(q), vecs(n)), n))
+        .take(Similarity.TopK).toSet
+    }.toMap
+    val pq = Similarity.annPq(spark, sf0001)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.map(q =>
+      (exact(q) & pq.getOrElse(q, Set.empty)).size.toDouble /
+        Similarity.TopK).sum / exact.size
+    // measured 0.28 with the 16-seed codebook; chance is 10/500 = 0.02
+    assert(recall >= 0.15, s"mean recall@10 $recall vs 0.02 chance")
+  }
+
   test("piiOf counts and redacts injected emails/phones/IPs") {
     val spark2 = spark
     import spark2.implicits._
