@@ -43,11 +43,21 @@ object Similarity {
   private def cosineScore: Column =
     round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
 
+  /** Per-query top-k + rank. The cut runs through the native
+    * [[graft.plans.TopKPerKey]] operator — map-side bounded heaps, so
+    * only parts·queries·k survivor rows reach the exchange instead of
+    * every (corpus × query) score the `row_number` lowering would
+    * shuffle and sort. The rank column is then a window over the
+    * already-tiny survivor set (≤ queries·k rows). Ordering is total —
+    * (rounded score, neighbor_id) — so the survivor SET equals the
+    * window lowering's by construction (PlansSpec proves the operator
+    * equivalence; the ann oracles gate these queries end-to-end). */
   private def rankTopK(scored: DataFrame): DataFrame = {
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("score" -> false, "neighbor_id" -> true), TopK)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= TopK)
+    cut.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
