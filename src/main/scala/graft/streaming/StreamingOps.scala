@@ -197,6 +197,35 @@ object StreamingOps {
 
   /** Running per-user event counts via mapGroupsWithState (update-mode
     * stateful aggregation with unbounded-by-design keyed state). */
+  final case class TopKOut(user_id: Long, event_id: Long, value: Double)
+
+  /** Streaming per-key top-k — the streaming analogue of the native
+    * batch [[graft.plans.TopKPerKey]] operator: per user, keep the k
+    * highest-value events seen so far in mapGroupsWithState state (the
+    * same bounded heap, k·(id,value) per key — state size independent
+    * of stream length), re-emitting the current top-k each batch.
+    * Ordering is total ((value desc, event_id) — ties at the boundary
+    * resolve identically to the batch window lowering, which
+    * StreamingSpec asserts against. */
+  def runningTopKPerUser(events: Dataset[SEvent],
+                         k: Int): Dataset[TopKOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Long, Double)], TopKOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SEvent],
+         state: GroupState[Seq[(Long, Double)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(e => (e.event_id, e.value)))
+            .sortBy { case (id, v) => (-v, id) }
+            .take(k)
+          state.update(merged)
+          merged.iterator.map { case (id, v) => TopKOut(userId, id, v) }
+      }
+  }
+
   def runningUserCounts(events: Dataset[SEvent]): Dataset[(Long, Long)] = {
     val spark = events.sparkSession
     import spark.implicits._

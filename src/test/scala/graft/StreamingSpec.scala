@@ -280,6 +280,37 @@ class StreamingSpec extends SparkSessionSpec {
     assert(st.weights.forall(_ > 0))
   }
 
+  test("streaming runningTopKPerUser converges to the batch per-user top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.runningTopKPerUser(mem.toDS(), 3)
+      .writeStream.format("memory").queryName("topkstream")
+      .outputMode("update").start()
+    try {
+      // two chunks so the bounded heap must merge state across batches
+      val (a, b) = batchEvents.splitAt(batchEvents.size / 2)
+      mem.addData(a)
+      q.processAllAvailable()
+      mem.addData(b)
+      q.processAllAvailable()
+    } finally q.stop()
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    // every final top-k element was emitted in the batch it entered
+    // state, and any emitted-then-evicted row ranks below all final
+    // survivors — so top-k over distinct emissions = the final state
+    val streamed = spark.table("topkstream").distinct()
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Events.events(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("runningUserCounts final state equals batch per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
