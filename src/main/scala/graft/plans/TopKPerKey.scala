@@ -18,16 +18,19 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * MAP-SIDE PARTIAL TOP-K.
   *
   * The declarative lowering — `row_number() OVER (PARTITION BY key
-  * ORDER BY …) <= k` — must shuffle EVERY row to its key's partition
-  * and sort there before it can discard anything: at 100 TB the
-  * exchange carries the full corpus to keep k rows per key. This
-  * operator runs the same bounded-heap pass TWICE, partial then final
-  * (exactly the reference's in-mapper-combiner shape,
-  * `ref:KMeans.java:36-67`, applied to top-k instead of sums): each
-  * scan task keeps at most k rows per key it sees, ONLY those survivors
-  * cross the wire, and the post-shuffle pass re-applies the same heap
-  * to merge. The exchange shrinks from O(rows) to
-  * O(partitions · keys · k).
+  * ORDER BY …) <= k` — gets Spark 4's WindowGroupLimit optimization:
+  * a partial rank-limit before the exchange bounds shuffle volume to
+  * k per key per task, like this operator. What it CANNOT skip is the
+  * sorting: WindowGroupLimit sits above a full per-partition Sort on
+  * both sides of the exchange (O(n log n) over every scanned row,
+  * spillable buffers), plus the Window machinery to re-derive ranks.
+  * This operator replaces all of that with bounded heaps — partial
+  * then final, the reference's in-mapper-combiner shape
+  * (`ref:KMeans.java:36-67`) applied to top-k instead of sums:
+  * O(n log k) heap pushes map-side, no sort of the input on either
+  * side of the exchange, same O(partitions · keys · k) exchange
+  * volume. When a rank column is needed, a window over the ≤ keys·k
+  * survivors is epsilon (see Similarity.rankTopK).
   *
   * Semantics contract: the caller's ordering must be a TOTAL order
   * (tie-break to uniqueness, e.g. append the row id) — with ties at
