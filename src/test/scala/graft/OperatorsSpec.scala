@@ -375,6 +375,21 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(recall >= 0.15, s"mean recall@10 $recall vs 0.02 chance")
   }
 
+  test("packOf conserves every token exactly once (random docs)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(424242)
+    val docs = (1L to 200L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(700))("w" + rnd.nextInt(50))
+        .mkString(" "))).toDF("doc_id", "text")
+    val out = Pipeline.packOf(docs)
+      .agg(sum(col("n_docs")), sum(col("started_tokens")))
+      .as[(Long, Long)].collect().head
+    val expectTokens = docs.select(size(split(col("text"), " ")))
+      .as[Int].collect().map(_.toLong).sum
+    assert(out == ((200L, expectTokens)))
+  }
+
   test("piiOf counts and redacts injected emails/phones/IPs") {
     val spark2 = spark
     import spark2.implicits._

@@ -64,6 +64,29 @@ class PlansSpec extends SparkSessionSpec {
       s"expected a hash exchange on the key between the two passes:\n$planStr")
   }
 
+  test("topKPerKey orders NULL scores like the window lowering") {
+    val spark2 = spark
+    import spark2.implicits._
+    // desc ordering: NULLS LAST in both the SortOrder default and the
+    // window's orderBy(desc) — null scores must lose to real ones
+    val df = Seq((1L, 1L, Some(2.0)), (1L, 2L, None), (1L, 3L, Some(1.0)),
+        (2L, 4L, None), (2L, 5L, None))
+      .toDF("key", "id", "score")
+    val native = TopKPerKey.topKPerKey(df,
+        Seq("key"), Seq("score" -> false, "id" -> true), 2)
+      .as[(Long, Long, Option[Double])].collect().toSet
+    val declarative = {
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("score").desc, col("id"))
+      df.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+        .select(col("key"), col("id"), col("score"))
+        .as[(Long, Long, Option[Double])].collect().toSet
+    }
+    assert(native == declarative &&
+      native == Set((1L, 1L, Some(2.0)), (1L, 3L, Some(1.0)),
+        (2L, 4L, None), (2L, 5L, None)))
+  }
+
   test("q_topk_native equals q_window_top_orders' rows on sf0.001") {
     val spark2 = spark
     import spark2.implicits._
