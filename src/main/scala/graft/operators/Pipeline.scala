@@ -188,7 +188,43 @@ object Pipeline {
         sum(when(col("leak_id").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
   }
 
+  /** Incremental ingest — the daily-batch admission check: a DELTA
+    * slice (doc_id % 10 == 0 here; a real run reads yesterday's
+    * partition) is screened against the BASE corpus before joining it.
+    * Exact-dup via a content-hash left join (flag, not filter — the
+    * report wants the rejected docs visible) and near-dup via the
+    * SAME MinHash-LSH pair relation the dedup family maintains,
+    * restricted to delta×base pairs. At scale the base side of the
+    * hash joins is the existing fingerprint/signature index — the
+    * delta never triggers a full-corpus rescan, which is the entire
+    * point of incremental ingest. Emits one row per delta doc:
+    * exact_dup flag, near-dup candidate count, admitted flag. */
+  def pipelineIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val isDelta = col("doc_id") % 10 === 0
+    val delta = docs.where(isDelta)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val baseHashes = docs.where(!isDelta)
+      .select(md5(col("text")).as("h")).distinct()
+      .withColumn("exact_hit", lit(1L))
+    val pairs = Dedup.dedupMinhash(spark, dir)
+    val crossPairs = pairs
+      .select(col("doc_a").as("d"), col("doc_b").as("o"))
+      .union(pairs.select(col("doc_b").as("d"), col("doc_a").as("o")))
+      .where(col("d") % 10 === 0 && col("o") % 10 =!= 0)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_near"))
+    delta
+      .join(baseHashes, Seq("h"), "left")
+      .join(crossPairs, col("doc_id") === col("d"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_hit"), lit(0L)).as("exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near_dup"),
+        when(col("exact_hit").isNull && col("n_near").isNull, 1L)
+          .otherwise(0L).as("admitted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_ingest" -> pipelineIngest,
     "pipeline_filter" -> pipelineFilter,
     "pipeline_split" -> pipelineSplit,
     "pipeline_decontaminate" -> pipelineDecontaminate,
@@ -252,6 +288,27 @@ object Pipeline {
          |       max(score) AS best_score, min(score) AS worst_score
          |FROM ranked WHERE rn <= $MixCapPerStratum
          |GROUP BY source, lang""".stripMargin,
+    "pipeline_ingest" ->
+      s"""${Dedup.shCte}, delta AS (
+         |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+         |), base_h AS (
+         |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+         |), cross_pairs AS (
+         |  SELECT e.d, count(*) AS n_near FROM (
+         |    SELECT doc_a AS d, doc_b AS o FROM pairs
+         |    UNION ALL SELECT doc_b, doc_a FROM pairs) e
+         |  WHERE e.d % 10 = 0 AND e.o % 10 <> 0
+         |  GROUP BY e.d
+         |)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS exact_dup,
+         |  CAST(coalesce(c.n_near, 0) AS BIGINT) AS n_near_dup,
+         |  CAST(CASE WHEN b.h IS NULL AND c.n_near IS NULL THEN 1 ELSE 0 END
+         |       AS BIGINT) AS admitted
+         |FROM delta d
+         |LEFT JOIN base_h b ON d.h = b.h
+         |LEFT JOIN cross_pairs c ON d.doc_id = c.d""".stripMargin,
     "pipeline_split" ->
       s"""${Dedup.shCte}, ws AS (
          |  SELECT doc_id, n_chars,
