@@ -65,6 +65,17 @@ class TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+object TopKPerKeyExec {
+  /** Distinct keys a PARTIAL task tracks before degrading: beyond the
+    * cap, rows of unseen keys stream through uncut (the final pass
+    * still cuts exactly, so results are unchanged) — the same graceful
+    * degradation as Spark's partial HashAggregate fallback. Memory is
+    * thereby bounded at cap·k rows per task even under key-per-row
+    * cardinality; the operator just stops saving shuffle volume for
+    * the overflow keys. */
+  val PartialKeyCap = 1 << 16
+}
+
 /** One bounded-heap pass: keep the k first rows per key under `order`.
   * The partial instance accepts any input distribution; the final one
   * requires clustering on the keys, so EnsureRequirements inserts the
@@ -74,7 +85,9 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     isFinal: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partialKeyCap: Int = TopKPerKeyExec.PartialKeyCap)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -89,6 +102,7 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val orderExprs = order
     val childOutput = child.output
+    val keyCap = if (isFinal) Int.MaxValue else partialKeyCap
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // "less" = earlier in sort order = better rank; heap head = the
@@ -96,21 +110,32 @@ case class TopKPerKeyExec(
       val rankOrd: Ordering[InternalRow] =
         new LazilyGeneratedOrdering(orderExprs, childOutput)
       val heaps = new JHashMap[UnsafeRow, JPriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      // Lazy flatMap so overflow rows STREAM through (never buffered);
+      // the heap survivors append after the input is drained. A
+      // bypassed row is forwarded without copy — the exchange above
+      // consumes each row before pulling the next. (The final pass
+      // never bypasses: its input is already clustered and at most
+      // survivors+overflow of the partials, and its output IS the
+      // result set.)
+      val passedThrough = iter.flatMap { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
-        if (heap == null) {
+        if (heap == null && heaps.size() < keyCap) {
           heap = new JPriorityQueue[InternalRow](kCap, rankOrd.reverse)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < kCap) heap.offer(row.copy())
-        else if (rankOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.offer(row.copy())
+        if (heap == null) Iterator.single(row)
+        else {
+          if (heap.size < kCap) heap.offer(row.copy())
+          else if (rankOrd.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.offer(row.copy())
+          }
+          Iterator.empty
         }
       }
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      passedThrough ++
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }
   }
 

@@ -87,6 +87,21 @@ class PlansSpec extends SparkSessionSpec {
         (2L, 4L, None), (2L, 5L, None)))
   }
 
+  test("partial pass degrades gracefully past the key cap (bypass exact)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 70k unique keys in ONE task exceeds PartialKeyCap (65536): the
+    // overflow keys bypass the partial heaps and stream through; the
+    // final pass cuts exactly. k=1 with unique keys ⇒ every row is its
+    // own top-1, so any loss or duplication through the bypass path
+    // changes the count.
+    val df = (1L to 70000L).map(i => (i, i, i.toDouble))
+      .toDF("key", "id", "score").repartition(1)
+    val out = TopKPerKey.topKPerKey(df,
+      Seq("key"), Seq("score" -> false, "id" -> true), 1)
+    assert(out.count() == 70000L)
+  }
+
   test("q_topk_native equals q_window_top_orders' rows on sf0.001") {
     val spark2 = spark
     import spark2.implicits._
