@@ -148,10 +148,19 @@ object Dedup {
     * sides; candidate count stays near-linear in n for honest LSH
     * parameters. Signatures are persisted before the self-join
     * (unpersist is left to the ContextCleaner once the DF is
-    * unreachable). */
+    * unreachable). The pair relation is memoized per (session, dir):
+    * pipeline_split / pipeline_ingest consume the SAME DataFrame this
+    * query materializes, not a re-derived twin (Spark's CacheManager
+    * would dedupe the cache storage by canonical plan anyway, but the
+    * memo also skips re-analysis and the re-persist warning). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    candidatePairs(bandSignatures(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    pairsMemo.computeIfAbsent((spark, dir), { case (s, d) =>
+      candidatePairs(bandSignatures(s, d)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    })
+
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Exact n-gram Jaccard similarity, evaluated only on the LSH
     * candidate pairs (verify stage of the classic two-phase near-dup

@@ -145,13 +145,19 @@ object Similarity {
 
   /** Product-quantization encoding: per vector, per 8-dim block, the
     * nearest of 16 sub-centroids (strict-< argmin, the O4 tie-break) —
-    * 64 doubles compress to 8 nibbles. Entirely narrow: one codegen'd
-    * projection over the scan, codebook rides as a typedLit reference
-    * object; at 100 TB the encode runs at scan speed and the CODES table
-    * it would write is 64× smaller than its input. recon_err (distance
-    * to the reconstruction) is the quantization-quality witness. */
-  def annPqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val cb = pqCodebook(spark, dir)
+    * 64 doubles compress to 8 four-bit codes (4 B/vector packed —
+    * 128× smaller than 512 B of doubles; emitted as int columns here).
+    * Entirely narrow: a projection stack over the scan, codebook rides
+    * as a typedLit reference object; at 100 TB the encode runs at scan
+    * speed. recon_err (distance to the reconstruction) is the
+    * quantization-quality witness. */
+  def annPqCodes(spark: SparkSession, dir: String): DataFrame =
+    annPqCodesFrom(spark, dir, pqCodebook(spark, dir))
+
+  /** Encoding body with the codebook threaded in, so [[annPq]] derives
+    * it once instead of paying a second seed-collect job. */
+  private def annPqCodesFrom(spark: SparkSession, dir: String,
+                             cb: Array[Array[Array[Double]]]): DataFrame =
     withBlockDists(emb(spark, dir), "v", cb, "ds_")
       .select(col("vec_id") +:
         (0 until PqM).map(m =>
@@ -159,19 +165,20 @@ object Similarity {
             .cast("int").as(s"code_$m")) :+
         round(sqrt((0 until PqM).map(m => array_min(col(s"ds_$m")))
           .reduce(_ + _)), 6).as("recon_err"): _*)
-  }
 
   /** PQ search via asymmetric distance computation: each query builds
     * per-block lookup tables (query-to-sub-centroid squared distances —
     * PqM·PqKsub doubles, broadcast with the query batch) and scores a
     * corpus row by summing 8 table lookups on its CODES — the corpus
     * vectors themselves are never touched after encoding. This is the
-    * scan-side weight of PQ at 100 TB: 8 bytes per vector instead of
-    * 512, with rank order preserved approximately (spec pins recall vs
-    * the exact baseline). Distance rank ASC with id tie-break. */
+    * scan-side weight of PQ at 100 TB: 4 packed bytes per vector
+    * instead of 512, with rank order preserved approximately (spec
+    * pins recall vs the exact baseline). Distance rank ASC with id
+    * tie-break; the corpus×queries score set cuts through the native
+    * TopKPerKey heaps like the other ANN rankers. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val cb = pqCodebook(spark, dir)
-    val codes = annPqCodes(spark, dir)
+    val codes = annPqCodesFrom(spark, dir, cb)
     val luts = withBlockDists(queriesDf(spark, dir).select(col("query_id"),
       col("qv")), "qv", cb, "lut_")
     val scored = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
@@ -179,10 +186,14 @@ object Similarity {
         round(sqrt((0 until PqM).map(m =>
           element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)), 6)
           .as("adc_dist"))
+    // the corpus×queries score set is the largest intermediate here —
+    // cut it through the native heaps like the other ANN rankers, then
+    // rank the ≤ q·k survivors
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("adc_dist" -> true, "neighbor_id" -> true), TopK)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= TopK)
+    cut.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("adc_dist"))
   }

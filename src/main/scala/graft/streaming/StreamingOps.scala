@@ -195,8 +195,6 @@ object StreamingOps {
       }
   }
 
-  /** Running per-user event counts via mapGroupsWithState (update-mode
-    * stateful aggregation with unbounded-by-design keyed state). */
   final case class TopKOut(user_id: Long, event_id: Long, value: Double)
 
   /** Streaming per-key top-k — the streaming analogue of the native
@@ -226,6 +224,8 @@ object StreamingOps {
       }
   }
 
+  /** Running per-user event counts via mapGroupsWithState (update-mode
+    * stateful aggregation with unbounded-by-design keyed state). */
   def runningUserCounts(events: Dataset[SEvent]): Dataset[(Long, Long)] = {
     val spark = events.sparkSession
     import spark.implicits._
