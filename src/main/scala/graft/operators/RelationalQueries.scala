@@ -32,6 +32,23 @@ object RelationalQueries {
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** [[q1Agg]] expressed through `spark.sql` over a temp view — the
+    * SQL entry point into the same Catalyst plan (identical text to
+    * the DuckDB oracle modulo the view name). One query exercising
+    * the parser→analyzer path keeps the SQL surface driver-gated, not
+    * just spec-gated (ExtensionsSpec covers the custom functions). */
+  def q1AggSql(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem_v GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** 3-way join: customer ⋈ orders ⋈ lineitem, revenue top-10.
     * customer is small → broadcast; orders⋈lineitem shuffles on
     * l_orderkey. Revenue in DECIMAL for exactness. */
@@ -401,6 +418,7 @@ object RelationalQueries {
     "q_stats" -> qStats,
     "q_quantiles" -> qQuantiles,
     "q1_agg" -> q1Agg,
+    "q1_agg_sql" -> q1AggSql,
     "q3_join" -> q3Join,
     "q_window_top_orders" -> qWindowTopOrders,
     "q_topk" -> qTopK,
@@ -520,6 +538,13 @@ object RelationalQueries {
         |  round(avg(l_discount), 6) AS avg_disc
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_agg_sql" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
