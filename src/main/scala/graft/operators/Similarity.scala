@@ -165,6 +165,11 @@ object Similarity {
             .cast("int").as(s"code_$m")) :+
         round(sqrt((0 until PqM).map(m => array_min(col(s"ds_$m")))
           .reduce(_ + _)), 6).as("recon_err"): _*)
+      // the physical compressed representation: 8 nibbles in one
+      // 32-bit word — the 4 B/vector an export would actually write
+      .withColumn("packed",
+        (0 until PqM).map(m => col(s"code_$m").cast("long") *
+          (1L << (4 * m))).reduce(_ + _))
 
   /** PQ search via asymmetric distance computation: each query builds
     * per-block lookup tables (query-to-sub-centroid squared distances —
@@ -250,8 +255,13 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_pq_codes" -> {
       val cols = (0 until PqM).map(m => s"code_$m").mkString(", ")
+      val packed = (0 until PqM)
+        .map(m => s"CAST(code_$m AS BIGINT) * ${1L << (4 * m)}")
+        .mkString(" + ")
       s"""WITH $pqCodesCte
-         |SELECT vec_id, $cols, recon_err FROM codes""".stripMargin
+         |SELECT vec_id, $cols, recon_err,
+         |       CAST($packed AS BIGINT) AS packed
+         |FROM codes""".stripMargin
     },
     "ann_pq" -> {
       val adc = "sqrt(" + (0 until PqM).map(m =>

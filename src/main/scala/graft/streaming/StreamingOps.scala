@@ -195,6 +195,35 @@ object StreamingOps {
       }
   }
 
+  final case class SDoc(ts: java.sql.Timestamp, doc_id: Long, text: String,
+                        lang: String)
+
+  /** Streaming curation — the batch pipeline_filter's gate+dedup chain
+    * on a document stream: the quality/language gates are stateless
+    * narrow ops (identical expressions to the batch path, so the two
+    * cannot drift), and exact dedup keys on the content hash with
+    * dropDuplicatesWithinWatermark — state holds one hash per distinct
+    * surviving document inside the watermark horizon, and a
+    * re-ingested duplicate arriving later is dropped without any
+    * corpus rescan. The admission decision is the same as
+    * [[graft.operators.Pipeline.pipelineIngest]]'s exact screen, made
+    * incrementally per micro-batch. */
+  def curateDocs(docs: Dataset[SDoc]): DataFrame =
+    docs.toDF()
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), x =>
+          x.isInCollection(graft.operators.TextAnalysis.Stopwords)))
+          .cast("double") / col("n_tokens"))
+      .where(col("n_tokens") >= graft.operators.Pipeline.MinTokens &&
+        col("stop_ratio") <= graft.operators.Pipeline.MaxStopRatio &&
+        col("lang") === "en")
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("n_tokens"))
+
   final case class TopKOut(user_id: Long, event_id: Long, value: Double)
 
   /** Streaming per-key top-k — the streaming analogue of the native

@@ -311,6 +311,47 @@ class StreamingSpec extends SparkSessionSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming curateDocs equals the batch gate set and drops re-ingested dups") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.SDoc
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    val t0 = 1700000000000L
+    val sdocs = docs.map { case (id, tx, lg) =>
+      SDoc(new Timestamp(t0 + id), id, tx, lg) }.toSeq
+    val mem = MemoryStream[SDoc]
+    val q = StreamingOps.curateDocs(mem.toDS())
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      mem.addData(sdocs)
+      q.processAllAvailable()
+      // re-ingest copies of the first 5 docs under NEW ids, still
+      // inside the watermark — the content-hash state must drop them
+      mem.addData(sdocs.take(5).map(d =>
+        d.copy(doc_id = d.doc_id + 1000000, ts = new Timestamp(t0 + 999))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("curated")
+      .as[(Long, Int)].collect().map(_._1).toSet
+    // batch expectation: the corpus has no duplicate texts, so the
+    // batch gate+dedup survivor set is exactly the gated set
+    val batch = graft.Tables.t(spark, sf0001, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .where(col("n_tokens") >= graft.operators.Pipeline.MinTokens &&
+        size(filter(col("toks"), x =>
+          x.isInCollection(graft.operators.TextAnalysis.Stopwords)))
+          .cast("double") / col("n_tokens")
+          <= graft.operators.Pipeline.MaxStopRatio &&
+        col("lang") === "en")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(!streamed.exists(_ >= 1000000L), "re-ingested dup leaked through")
+  }
+
   test("runningUserCounts final state equals batch per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
