@@ -203,11 +203,52 @@ object Similarity {
         col("adc_dist"))
   }
 
+  /** IVF-PQ — the canonical billion-scale ANN layout (coarse inverted
+    * lists + product-quantized residual-free codes): corpus rows carry
+    * (coarse cell, 8 PQ codes); a query probes its NProbe nearest
+    * cells ([[probeCellsCol]], in-plan) and ADC-scores ONLY rows in
+    * probed cells, from codes + broadcast lookup tables. At 100 TB the
+    * scan touches ~NProbe/k of the corpus and reads 4 packed bytes per
+    * touched vector — the multiplicative composition of the IVF prune
+    * and the PQ compression, which is why this layout is the scale
+    * default. Survivors cut through the native heaps as usual. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    val encoded = withBlockDists(
+      KMeansOps.assignDyn(emb(spark, dir), "v", cents), "v", cb, "ds_")
+      .select(col("vec_id") +: col("cluster") +:
+        (0 until PqM).map(m =>
+          (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
+            .cast("int").as(s"code_$m")): _*)
+    val probedLuts = withBlockDists(
+      queriesDf(spark, dir).select(col("query_id"), col("qv")),
+      "qv", cb, "lut_")
+      .withColumn("probe_cell",
+        explode(probeCellsCol(col("qv"), cents, NProbe)))
+    val scored = encoded
+      .join(broadcast(probedLuts),
+        col("probe_cell") === col("cluster") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(sqrt((0 until PqM).map(m =>
+          element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)), 6)
+          .as("adc_dist"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("adc_dist" -> true, "neighbor_id" -> true), TopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> annTopKCosine,
     "ann_ivf" -> annIvfCosine,
     "ann_pq_codes" -> annPqCodes,
-    "ann_pq" -> annPq)
+    "ann_pq" -> annPq,
+    "ann_ivfpq" -> annIvfPq)
 
   private def centsCte =
     s"""cents AS (
@@ -277,6 +318,33 @@ object Similarity {
          |    (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |     FROM embeddings WHERE vec_id < $NQueries) qq
          |  WHERE c.vec_id <> qq.query_id)
+         |WHERE rank <= $TopK""".stripMargin
+    },
+    "ann_ivfpq" -> {
+      val adc = "sqrt(" + (0 until PqM).map(m =>
+        s"(SELECT ${sqdSql("p.qv", "s.c", m)} FROM seeds s WHERE s.j = c2.code_$m)")
+        .mkString(" + ") + ")"
+      s"""WITH $centsCte, $pqCodesCte, codes2 AS (
+         |  SELECT cd.*,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster
+         |  FROM codes cd JOIN ev e USING (vec_id)
+         |), probed AS (
+         |  SELECT query_id, qv,
+         |         (SELECT list(cid) FROM (
+         |            SELECT cid FROM cents c
+         |            ORDER BY list_distance(q.qv, c.c), c.cid
+         |            LIMIT $NProbe)) AS probe
+         |  FROM q
+         |)
+         |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+         |  SELECT p.query_id, c2.vec_id AS neighbor_id,
+         |    round($adc, 6) AS adc_dist,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY round($adc, 6), c2.vec_id) AS rank
+         |  FROM codes2 c2 JOIN probed p
+         |    ON list_contains(p.probe, c2.cluster)
+         |   AND c2.vec_id <> p.query_id)
          |WHERE rank <= $TopK""".stripMargin
     },
     "ann_topk_cosine" ->

@@ -390,6 +390,28 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out == ((200L, expectTokens)))
   }
 
+  test("IVF-PQ neighbors all come from their query's probed cells") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cents = KMeansQueries.fixedCentroids(spark, sf0001)
+    val clusterOf = KMeansQueries.kmAssign(spark, sf0001)
+      .as[(Long, Int)].collect().toMap
+    val vecs = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toMap
+    val out = Similarity.annIvfPq(spark, sf0001)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, n) =>
+      val probed = Similarity.probeCells(cents, vecs(q).toArray,
+        Similarity.NProbe).toSet
+      assert(probed.contains(clusterOf(n)),
+        s"neighbor $n of query $q is in cell ${clusterOf(n)}, probed $probed")
+    }
+  }
+
   test("piiOf counts and redacts injected emails/phones/IPs") {
     val spark2 = spark
     import spark2.implicits._
