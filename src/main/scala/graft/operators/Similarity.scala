@@ -8,9 +8,8 @@ import graft.Tables.t
 import graft.functions.VectorFunctions._
 import graft.kmeans.KMeansOps
 
-/** Approximate-nearest-neighbor search over the `embeddings` table.
-  *
-  * Two paths per the training-pipeline mandate:
+/** Approximate-nearest-neighbor search over the `embeddings` table —
+  * five paths, from exact baseline to the billion-scale layout:
   *  - `ann_topk_cosine`: brute-force cosine top-k — the correctness
   *    baseline. The (small) query set is broadcast; the scan side
   *    streams once; per-query top-k via window rank. At scale this is
@@ -19,9 +18,15 @@ import graft.kmeans.KMeansOps
   *    engine's own clustering kernel) act as the coarse quantizer; each
   *    query probes only its `NProbe` nearest cells, cutting the scanned
   *    fraction to ~NProbe/k while returning near-identical neighbors.
+  *  - `ann_pq_codes` / `ann_pq`: product quantization — vectors encode
+  *    to 8 four-bit codes; search is asymmetric distance computation
+  *    from broadcast lookup tables, never touching raw vectors.
+  *  - `ann_ivfpq`: the composition — coarse routing × code compression.
   *
   * Ranking ties are broken on (rounded score desc, vec_id) so Spark and
-  * the DuckDB oracle rank identically despite float-summation order.
+  * the DuckDB oracle rank identically despite float-summation order;
+  * every ranker cuts through the native TopKPerKey heaps before a
+  * window over the survivors.
   */
 object Similarity {
 
