@@ -55,6 +55,28 @@ class PropertySpec extends SparkSessionSpec {
     }
   }
 
+  test("topKPerKey equals a driver-side reference over random k and data") {
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 400)
+      k <- Gen.chooseNum(1, 15)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.chooseNum(0L, 12L)
+        score <- Gen.chooseNum(-100.0, 100.0)
+      } yield (key, score))
+      parts <- Gen.chooseNum(1, 6)
+    } yield (rows.zipWithIndex.map { case ((key, sc), i) =>
+      (key, i.toLong, math.rint(sc * 4) / 4) }, k, parts)
+    samples(caseGen, 6).foreach { case (rows, k, parts) =>
+      val df = rows.toDF("key", "id", "score").repartition(parts)
+      val got = graft.plans.TopKPerKey.topKPerKey(df,
+          Seq("key"), Seq("score" -> false, "id" -> true), k)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = rows.groupBy(_._1).values.flatMap(g =>
+        g.sortBy { case (_, id, sc) => (-sc, id) }.take(k)).toSet
+      assert(got == want, s"k=$k parts=$parts")
+    }
+  }
+
   test("components equals a driver-side union-find on random graphs") {
     val edgeGen = for {
       n <- Gen.chooseNum(2, 30)
