@@ -20,6 +20,7 @@ object SparkEntry {
                              Map[String, String])](
     (KMeansQueries.queries, KMeansQueries.oracles),
     (RelationalQueries.queries, RelationalQueries.oracles),
+    (FunctionQueries.queries, FunctionQueries.oracles),
     (Dedup.queries, Dedup.oracles),
     (Similarity.queries, Similarity.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),

@@ -420,7 +420,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  // -------------------------------------------------------------------
+  // URL canonicalization dedup
+  // -------------------------------------------------------------------
+
+  /** Canonical form of a URL column: fragment stripped, scheme+host
+    * lowercased (path case PRESERVED — paths are case-sensitive),
+    * default-port `:443` dropped, `utm_*` tracking params removed,
+    * trailing slash trimmed. All single-pass codegen regex — the same
+    * narrow-projection shape as [[TextAnalysis.textNormalize]]. The
+    * utm-strip is scoped to leading/whole-query tracking params (the
+    * common crawl case); a non-utm param legitimately distinguishes
+    * URLs and is kept (OperatorsSpec pins both directions). */
+  def urlCanonical(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val schemeHost = regexp_extract(noFrag, "^[^/]*//[^/]*", 0)
+    val rest = substr(noFrag, length(schemeHost) + 1, length(noFrag))
+    val shClean = regexp_replace(lower(schemeHost), ":443$", "")
+    val restClean = regexp_replace(
+      regexp_replace(rest, "[?&]utm_[a-z_]*=[^&#]*", ""), "/$", "")
+    concat(shClean, restClean)
+  }
+
+  /** URL-level dedup — the crawl-pipeline front door (exact text dedup
+    * only fires AFTER fetch; URL canonicalization dedupes BEFORE,
+    * saving the fetch entirely). URLs are synthesized in-plan (the
+    * mm_wav/text_pii technique — the corpus carries none): groups of 4
+    * doc_ids share one logical URL expressed 4 ways (canonical /
+    * uppercased host + trailing slash / default port + utm params /
+    * fragment). Canonicalize → ONE hash-partitioned agg on the
+    * canonical key, the exact-dedup shape. */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val gid = expr("doc_id DIV 4").cast("string")
+    val x = expr("(doc_id DIV 4) % 10").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://cdn"), x, lit(".example.com/docs/"), gid))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://CDN"), x, lit(".EXAMPLE.COM/docs/"), gid, lit("/")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://cdn"), x, lit(".example.com:443/docs/"), gid,
+          lit("?utm_source=feed&utm_campaign=c9")))
+      .otherwise(
+        concat(lit("https://cdn"), x, lit(".example.com/docs/"), gid,
+          lit("#section-2")))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), urlCanonical(url).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("survivor"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url" -> dedupUrl,
     "dedup_exact" -> dedupExact,
     "dedup_span_coverage" -> dedupSpanCoverage,
     "dedup_minhash" -> dedupMinhash,
@@ -480,6 +530,33 @@ object Dedup {
     }.mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN concat('https://cdn', x, '.example.com/docs/', g)
+        |      WHEN 1 THEN concat('HTTPS://CDN', x, '.EXAMPLE.COM/docs/', g, '/')
+        |      WHEN 2 THEN concat('https://cdn', x, '.example.com:443/docs/', g,
+        |                         '?utm_source=feed&utm_campaign=c9')
+        |      ELSE concat('https://cdn', x, '.example.com/docs/', g,
+        |                  '#section-2')
+        |    END AS url
+        |  FROM (SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS g,
+        |               CAST((doc_id // 4) % 10 AS VARCHAR) AS x
+        |        FROM documents)
+        |), nf AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nfu FROM u
+        |), c AS (
+        |  SELECT doc_id, concat(
+        |    regexp_replace(lower(regexp_extract(nfu, '^[^/]*//[^/]*')),
+        |                   ':443$', ''),
+        |    regexp_replace(regexp_replace(
+        |      substr(nfu, length(regexp_extract(nfu, '^[^/]*//[^/]*')) + 1),
+        |      '[?&]utm_[a-z_]*=[^&#]*', '', 'g'), '/$', '')) AS canonical_url
+        |  FROM nf
+        |)
+        |SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS survivor
+        |FROM c GROUP BY canonical_url""".stripMargin,
     "dedup_embed_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

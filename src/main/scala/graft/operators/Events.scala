@@ -225,7 +225,34 @@ object Events {
         count(when(col("last_qclick_us").isNotNull, 1)).as("n_converted"))
   }
 
+  /** Per-user anomaly detection — z-score outliers against each user's
+    * own value distribution, the standard telemetry/abuse screen. Two
+    * passes sharing one shuffle key: per-user moments (avg, stddev —
+    * partial-aggregated map-side), hash-joined back to the events on
+    * the same user key (no second shuffle of the big side under AQE),
+    * then a narrow flag per event. Scores are rounded BEFORE the
+    * threshold test so both engines make the identical cut. Only users
+    * with n ≥ 5 qualify (a 2-event user's stddev is noise). */
+  def evAnomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyOf(events(spark, dir))
+
+  /** Core of [[evAnomaly]] over any (user_id, value) frame. */
+  def anomalyOf(ev: DataFrame): DataFrame = {
+    val stats = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("value")).as("mu"),
+        stddev_samp(col("value")).as("sigma"))
+      .where(col("n_events") >= 5 && col("sigma") > 0)
+    ev.join(stats, "user_id")
+      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(abs(col("z"))), 6).as("max_abs_z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly" -> evAnomaly,
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
     "ev_hourly" -> evHourly,
@@ -238,6 +265,20 @@ object Events {
     "ev_recent_clicks" -> evRecentClicks)
 
   val oracles: Map[String, String] = Map(
+    "ev_anomaly" ->
+      """WITH stats AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY user_id
+        |  HAVING count(*) >= 5 AND stddev_samp(value) > 0
+        |)
+        |SELECT e.user_id, max(s.n_events) AS n_events,
+        |  CAST(sum(CASE WHEN abs(round((e.value - s.mu) / s.sigma, 6)) > 3.0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(abs(round((e.value - s.mu) / s.sigma, 6))), 6)
+        |    AS max_abs_z
+        |FROM events e JOIN stats s ON e.user_id = s.user_id
+        |GROUP BY e.user_id""".stripMargin,
     "ev_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+
+/** Scalar-function and SQL-surface coverage the reference lacks entirely
+  * (SURVEY.md §2.1: its only scalar functions are pow/sqrt/add/divide —
+  * `Point.java:47-76`): string/date function suites, the window-function
+  * family beyond row_number, correlated subqueries (Catalyst
+  * decorrelation), null-safe join equality, and CSV/JSON source+sink
+  * round-trips. Everything is a built-in codegen'd function — no UDFs —
+  * and every query is DuckDB-oracle-checked, which pins the exact
+  * cross-engine semantics (1-based substring, ISO weeks, ntile split
+  * rules, null-safe `<=>` vs `IS NOT DISTINCT FROM`, …).
+  */
+object FunctionQueries {
+
+  /** String-function suite over `part`: case mapping, 1-based substring
+    * and search, padding, reverse, replace, translate, split_part, and
+    * Levenshtein edit distance. One narrow projection — scan speed at
+    * any scale; the value is the pinned cross-engine semantics. */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        length(col("p_name")).as("name_len"),
+        upper(col("p_brand")).as("brand_up"),
+        lower(col("p_type")).as("type_lo"),
+        substring(col("p_name"), 3, 5).as("name_sub"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        reverse(col("p_type")).as("type_rev"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        translate(col("p_name"), "aeiou", "01234").as("name_tr"),
+        split_part(col("p_type"), lit(" "), lit(2)).as("type_word2"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"))
+
+  /** Date/time-function suite over `orders`: calendar fields, ISO week,
+    * day-of-week (pinned to Spark's 1=Sunday convention), last_day,
+    * add_months (end-of-month clamping), and day difference against a
+    * fixed anchor. Derived dates are emitted as formatted strings so
+    * both engines compare text, not engine-specific date encodings. */
+  def qDates(spark: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(d, "yyyy-MM-dd").as("order_date"),
+        year(d).cast("long").as("yr"),
+        quarter(d).cast("long").as("qtr"),
+        month(d).cast("long").as("mo"),
+        dayofmonth(d).cast("long").as("dom"),
+        dayofyear(d).cast("long").as("doy"),
+        dayofweek(d).cast("long").as("dow"),
+        weekofyear(d).cast("long").as("iso_week"),
+        date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(d, 3), "yyyy-MM-dd").as("plus3m"),
+        datediff(to_date(lit("2024-06-30")), d).cast("long")
+          .as("days_to_h1_end"))
+  }
+
+  /** Window-function family beyond row_number (which q_window_top_orders
+    * covers): lag/lead, rank/dense_rank, ntile, percent_rank, cume_dist
+    * and first_value, all over one per-customer window — ONE shuffle on
+    * the partition key, each partition sorts only its own rows. The
+    * ordering (date, orderkey) is total, so every function is
+    * deterministic and the DuckDB oracle pins the split/tie semantics. */
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .where(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first_value(col("o_orderkey")).over(w).as("first_order"))
+  }
+
+  /** Correlated scalar subqueries through the SQL surface: per-customer
+    * order count and the customer's nation-average balance, written as
+    * correlated subqueries and DECORRELATED by Catalyst into aggregate+
+    * join plans (no per-row re-execution — the rewrite is what makes
+    * correlated SQL viable at scale). Text is identical to the DuckDB
+    * oracle modulo view names. */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_cust_sq")
+    t(spark, dir, "orders").createOrReplaceTempView("graft_ord_sq")
+    spark.sql(
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+        |  (SELECT count(*) FROM graft_ord_sq o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  round((SELECT avg(c2.c_acctbal) FROM graft_cust_sq c2
+        |         WHERE c2.c_nationkey = c.c_nationkey), 6) AS nation_avg
+        |FROM graft_cust_sq c""".stripMargin)
+  }
+
+  /** Null-safe join equality (`<=>` / IS NOT DISTINCT FROM): the join
+    * flavor where NULL keys MATCH each other instead of vanishing —
+    * needed whenever a nullable dimension key is a legitimate "unknown"
+    * bucket. Null keys are manufactured via nullif so the null-match
+    * path is actually exercised; a plain equi-join would silently drop
+    * those rows (OperatorsSpec asserts the difference). */
+  def qNullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), nullif(col("c_nationkey") % 5, lit(2)).as("k"))
+    val supp = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), nullif(col("s_nationkey") % 5, lit(2)).as("sk"))
+    cust.join(supp, cust("k") <=> supp("sk"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_custkey")).as("n_cust"),
+        countDistinct(col("s_suppkey")).as("n_supp"))
+  }
+
+  private def roundTripDir(kind: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${math.abs(dir.hashCode)}"
+
+  /** CSV sink + source round-trip: a per-priority aggregate is written
+    * as headered CSV and read back with an EXPLICIT schema (no
+    * inference pass — at scale schema inference is a full extra scan),
+    * then re-projected. The oracle computes the same aggregate straight
+    * from parquet, so the round-trip must be lossless: header mapping,
+    * quoting, and double formatting are all on trial. Doubles survive
+    * because Spark writes shortest-round-trip decimal text. */
+  def qCsvSource(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundTripDir("csv", dir)
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderpriority", StringType),
+      StructField("n_orders", LongType),
+      StructField("total", DoubleType)))
+    spark.read.option("header", "true").schema(schema).csv(out)
+      .select(col("o_orderpriority"), col("n_orders"),
+        round(col("total"), 2).as("total"))
+  }
+
+  /** JSON sink + source round-trip, same witness structure as
+    * [[qCsvSource]] on a different aggregate (per-lang/source document
+    * stats): JSON-lines writing, explicit-schema reading, field-order
+    * independence. */
+  def qJsonSource(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundTripDir("json", dir)
+    t(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .coalesce(1)
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_docs", LongType),
+      StructField("total_chars", LongType)))
+    spark.read.schema(schema).json(out)
+      .select(col("lang"), col("source"), col("n_docs"), col("total_chars"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_funcs" -> qStringFuncs,
+    "q_dates" -> qDates,
+    "q_window_funcs" -> qWindowFuncs,
+    "q_scalar_subquery" -> qScalarSubquery,
+    "q_null_safe_join" -> qNullSafeJoin,
+    "q_csv_source" -> qCsvSource,
+    "q_json_source" -> qJsonSource)
+
+  val oracles: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  length(p_name) AS name_len,
+        |  upper(p_brand) AS brand_up,
+        |  lower(p_type) AS type_lo,
+        |  substr(p_name, 3, 5) AS name_sub,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  reverse(p_type) AS type_rev,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  translate(p_name, 'aeiou', '01234') AS name_tr,
+        |  split_part(p_type, ' ', 2) AS type_word2,
+        |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev
+        |FROM part""".stripMargin,
+    "q_dates" ->
+      """SELECT o_orderkey,
+        |  strftime(d, '%Y-%m-%d') AS order_date,
+        |  CAST(year(d) AS BIGINT) AS yr,
+        |  CAST(quarter(d) AS BIGINT) AS qtr,
+        |  CAST(month(d) AS BIGINT) AS mo,
+        |  CAST(day(d) AS BIGINT) AS dom,
+        |  CAST(dayofyear(d) AS BIGINT) AS doy,
+        |  CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |  CAST(weekofyear(d) AS BIGINT) AS iso_week,
+        |  strftime(last_day(d), '%Y-%m-%d') AS month_end,
+        |  strftime(CAST(d + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+        |  CAST(date_diff('day', d, DATE '2024-06-30') AS BIGINT)
+        |    AS days_to_h1_end
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |      FROM orders)""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_orderkey) OVER w AS first_order
+        |FROM orders
+        |WHERE o_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  round((SELECT avg(c2.c_acctbal) FROM customer c2
+        |         WHERE c2.c_nationkey = c.c_nationkey), 6) AS nation_avg
+        |FROM customer c""".stripMargin,
+    "q_null_safe_join" ->
+      """SELECT k, count(*) AS n_pairs,
+        |  count(DISTINCT c_custkey) AS n_cust,
+        |  count(DISTINCT s_suppkey) AS n_supp
+        |FROM (SELECT c_custkey, nullif(c_nationkey % 5, 2) AS k
+        |      FROM customer) c
+        |JOIN (SELECT s_suppkey, nullif(s_nationkey % 5, 2) AS sk
+        |      FROM supplier) s
+        |  ON k IS NOT DISTINCT FROM sk
+        |GROUP BY k""".stripMargin,
+    "q_csv_source" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_json_source" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source""".stripMargin)
+}

@@ -202,13 +202,140 @@ object Multimodal {
         col("n_samples"),
         round(col("duration_ms"), 6).as("duration_ms"))
 
+  // ---------------------------------------------------------------------
+  // Real decoder #2: uncompressed 24-bit BMP (image counterpart of WAV)
+  // ---------------------------------------------------------------------
+
+  final case class BmpInfo(doc_id: Long, width: Int, height: Int,
+                           n_pixels: Long, file_size: Long,
+                           mean_b: Double, mean_g: Double, mean_r: Double)
+
+  /** REAL decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER) — pure
+    * byte arithmetic like [[WavDecoder]], no codec library: validates
+    * the BM/header fields, honors the 4-byte row stride padding and
+    * bottom-up vs top-down row order, and runs a full pass over the
+    * pixel array for per-channel (B,G,R) means. Returns None for
+    * anything that is not a plain 24-bit uncompressed BMP. */
+  object BmpDecoder {
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    def decode(docId: Long, b: Array[Byte]): Option[BmpInfo] = {
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+      val dataOffset = u32(b, 10).toInt
+      val biSize = u32(b, 14)
+      val width = u32(b, 18).toInt
+      val hRaw = u32(b, 22).toInt // signed: negative = top-down row order
+      val height = math.abs(hRaw)
+      if (biSize < 40 || width <= 0 || height == 0) return None
+      if (u16(b, 26) != 1 || u16(b, 28) != 24 || u32(b, 30) != 0) return None
+      val stride = ((width * 3 + 3) / 4) * 4
+      if (dataOffset.toLong + stride.toLong * height > b.length) return None
+      val sums = new Array[Long](3)
+      var r = 0
+      while (r < height) {
+        val rowStart = dataOffset + r * stride
+        var j = 0
+        while (j < width * 3) {
+          sums(j % 3) += b(rowStart + j) & 0xff
+          j += 1
+        }
+        r += 1
+      }
+      val n = width.toLong * height
+      Some(BmpInfo(docId, width, height, n, b.length.toLong,
+        sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n))
+    }
+  }
+
+  /** Decode a BMP binary column per-partition — same one-decoder-per-
+    * task shape as [[decodeWav]]; non-BMP blobs are dropped. */
+  def decodeBmp(media: Dataset[MediaRow]): Dataset[BmpInfo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(m => BmpDecoder.decode(m.doc_id, m.blob)))
+  }
+
+  /** In-plan synthesis of canonical bottom-up 24-bit BMPs (the
+    * [[wavMedia]] technique for images): per-row width/height from
+    * doc_id, pixel bytes from a deterministic function of (row, byte
+    * index), real 4-byte stride padding. Exposed for the spec's
+    * ByteBuffer byte-identity cross-check. */
+  def bmpMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val w = (lit(2) + (col("doc_id") % 7).cast("int")).cast("int")   // 2..8
+    val h = (lit(1) + (col("doc_id") % 5).cast("int")).cast("int")   // 1..5
+    val rowBytes = w * 3
+    val pad = (lit(4) - pmod(rowBytes, lit(4))) % 4
+    val stride = rowBytes + pad
+    // padding hex: "00" × pad (sequence(1,0) would DESCEND — guard pad=0)
+    val padHex = when(pad > 0,
+      concat_ws("", transform(sequence(lit(1), pad), _ => lit("00"))))
+      .otherwise(lit(""))
+    val pixHex = concat_ws("", transform(sequence(lit(0), h - 1), fr =>
+      concat(
+        concat_ws("", transform(sequence(lit(0), rowBytes - 1), j =>
+          lpad(hex(pmod(col("doc_id") * 7 + fr * 31 + j * 13, lit(251))),
+            2, "0"))),
+        padHex)))
+    val fileSize = (lit(54) + stride * h).cast("int")
+    val hexAll = concat(
+      lit("424D"), le32(fileSize), le32(lit(0)), le32(lit(54)), // BM, size, res, offset
+      le32(lit(40)), le32(w), le32(h),                          // biSize, w, h (bottom-up)
+      le16(lit(1)), le16(lit(24)), le32(lit(0)),                // planes, bpp, compression
+      le32(stride * h), le32(lit(2835)), le32(lit(2835)),       // image size, x/y ppm
+      le32(lit(0)), le32(lit(0)),                               // clrUsed, clrImportant
+      pixHex)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), unhex(hexAll).as("blob"))
+      .as[MediaRow]
+  }
+
+  /** Driver-checked exercise of the REAL [[BmpDecoder]] — and unlike
+    * mm_wav's spec-gated mean_abs, here EVERY output field including the
+    * per-channel pixel means is oracle-checked: the pixel function is
+    * closed-form in (doc_id, row, byte index), so the DuckDB oracle
+    * re-derives the channel sums with generate_series arithmetic. A bug
+    * in the synthesis, the stride/padding handling, or the decode loop
+    * all surface as value mismatches. */
+  def mmBmp(spark: SparkSession, dir: String): DataFrame =
+    decodeBmp(bmpMedia(spark, dir)).toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_pixels"), col("file_size"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_r"), 6).as("mean_r"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mmMeta,
     "mm_frames" -> mmFrames,
     "mm_wav" -> mmWav,
+    "mm_bmp" -> mmBmp,
     "mm_decode" -> mmDecode)
 
   val oracles: Map[String, String] = Map(
+    "mm_bmp" ->
+      """SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(54 + (w*3 + (4 - (w*3) % 4) % 4) * h AS BIGINT) AS file_size,
+        |  round((SELECT sum((doc_id*7 + (g.i // (w*3))*31 + (g.i % (w*3))*13) % 251)
+        |         FROM generate_series(0, 119) g(i)
+        |         WHERE g.i < h*w*3 AND (g.i % (w*3)) % 3 = 0) / (w*h*1.0), 6) AS mean_b,
+        |  round((SELECT sum((doc_id*7 + (g.i // (w*3))*31 + (g.i % (w*3))*13) % 251)
+        |         FROM generate_series(0, 119) g(i)
+        |         WHERE g.i < h*w*3 AND (g.i % (w*3)) % 3 = 1) / (w*h*1.0), 6) AS mean_g,
+        |  round((SELECT sum((doc_id*7 + (g.i // (w*3))*31 + (g.i % (w*3))*13) % 251)
+        |         FROM generate_series(0, 119) g(i)
+        |         WHERE g.i < h*w*3 AND (g.i % (w*3)) % 3 = 2) / (w*h*1.0), 6) AS mean_r
+        |FROM (SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+        |      FROM documents)""".stripMargin,
     "mm_wav" ->
       """SELECT doc_id,
         |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,

@@ -324,7 +324,36 @@ object TextAnalysis {
           .as("n_data"),
         size(col("freq")).as("n_distinct_toks"))
 
+  /** Corpus-level vocabulary statistics — the Zipf-shape summary every
+    * tokenizer/corpus report starts with: vocabulary size, total token
+    * count, hapax-legomena count (types seen exactly once — the long
+    * tail), and the share of all tokens covered by the 10 most frequent
+    * types (the Zipf head). ONE shuffle on the token key builds the
+    * frequency table; the head is taken with orderBy+limit — a
+    * TakeOrderedAndProject (per-partition heap + k-row merge), never a
+    * global sort, so the plan survives an unbounded vocabulary. */
+  def textVocabStats(spark: SparkSession, dir: String): DataFrame =
+    vocabStatsOf(t(spark, dir, "documents"))
+
+  /** Core of [[textVocabStats]] over any frame with a `text` column. */
+  def vocabStatsOf(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = tc.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("c")).as("total_tokens"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val top10 = tc.orderBy(col("c").desc, col("tok")).limit(10)
+      .agg(sum(col("c")).as("top10_tokens"))
+    totals.crossJoin(top10)
+      .select(col("vocab_size"), col("total_tokens"), col("n_hapax"),
+        round(col("top10_tokens").cast("double") / col("total_tokens"), 6)
+          .as("top10_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_stats" -> textVocabStats,
     "text_bigram_rarity" -> textBigramRarity,
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
@@ -342,6 +371,21 @@ object TextAnalysis {
     .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_stats" ->
+      """WITH tc AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM tc) AS vocab_size,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM tc) AS total_tokens,
+        |  (SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM tc) AS n_hapax,
+        |  round((SELECT CAST(sum(c) AS DOUBLE) FROM
+        |          (SELECT c FROM tc ORDER BY c DESC, tok LIMIT 10)) /
+        |        (SELECT sum(c) FROM tc), 6) AS top10_share""".stripMargin,
     "text_pii" ->
       s"""WITH raw AS (
          |  SELECT doc_id,

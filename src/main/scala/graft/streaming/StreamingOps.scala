@@ -49,6 +49,19 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-static enrichment join — the remaining join mode the
+    * streaming surface lacked (stream-stream interval join is
+    * [[recentClickPairs]]): each micro-batch of the stream hash-joins a
+    * STATIC dimension (user profile / allowlist / model registry). The
+    * static side is planned per micro-batch, so a broadcast hint keeps
+    * it off the shuffle path entirely — the streaming analogue of the
+    * reference's centroid broadcast (`ref:KMeans.java:152-157`).
+    * Stateless: no watermark needed, rows enrich and flow through. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("segment"))
+
   val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 
   /** Gap-based sessionization via flatMapGroupsWithState with event-time

@@ -16,6 +16,7 @@ class ContractSpec extends SparkSessionSpec {
     val sizes = Seq(
       operators.KMeansQueries.queries.size,
       operators.RelationalQueries.queries.size,
+      operators.FunctionQueries.queries.size,
       operators.Dedup.queries.size,
       operators.Similarity.queries.size,
       operators.TextAnalysis.queries.size,

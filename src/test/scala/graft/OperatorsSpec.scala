@@ -423,4 +423,117 @@ class OperatorsSpec extends SparkSessionSpec {
     //  1: "hi contact <EMAIL> tel <PHONE>"
     assert(out == Set((15L, 2L, 1L, 1L, 58L), (1L, 1L, 1L, 0L, 30L)))
   }
+
+  test("mmBmp's in-plan BMP synthesis is byte-identical to a JVM reference encoder") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def refBmp(docId: Long): Array[Byte] = {
+      val w = 2 + (docId % 7).toInt
+      val h = 1 + (docId % 5).toInt
+      val rb = w * 3; val pad = (4 - rb % 4) % 4; val stride = rb + pad
+      val bb = ByteBuffer.allocate(54 + stride * h)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte)
+      bb.putInt(54 + stride * h); bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(w); bb.putInt(h)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(stride * h)
+      bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      for (fr <- 0 until h) {
+        for (j <- 0 until rb)
+          bb.put(((docId * 7 + fr * 31 + j * 13) % 251).toByte)
+        for (_ <- 0 until pad) bb.put(0.toByte)
+      }
+      bb.array()
+    }
+    val blobs = operators.Multimodal.bmpMedia(spark, sf0001)
+      .collect().sortBy(_.doc_id).take(10)
+    blobs.foreach { m =>
+      assert(java.util.Arrays.equals(m.blob, refBmp(m.doc_id)),
+        s"BMP bytes mismatch for doc ${m.doc_id}")
+    }
+    // decoder round-trip on the reference bytes + garbage rejection
+    val info = operators.Multimodal.BmpDecoder.decode(6L, refBmp(6L)).get
+    assert(info.width == 2 + 6 % 7 && info.height == 1 + 6 % 5)
+    assert(info.n_pixels == info.width.toLong * info.height)
+    assert(operators.Multimodal.BmpDecoder
+      .decode(1L, Array[Byte](1, 2, 3)).isEmpty)
+    // channel means agree with a direct computation over the pixel fn
+    val w = info.width; val h = info.height; val rb = w * 3
+    def mean(ch: Int): Double = (for { fr <- 0 until h; j <- 0 until rb
+      if j % 3 == ch } yield (6L * 7 + fr * 31 + j * 13) % 251)
+      .sum.toDouble / (w * h)
+    assert(math.abs(info.mean_b - mean(0)) < 1e-12)
+    assert(math.abs(info.mean_g - mean(1)) < 1e-12)
+    assert(math.abs(info.mean_r - mean(2)) < 1e-12)
+  }
+
+  test("urlCanonical collapses tracking variants but keeps real params") {
+    val spark2 = spark
+    import spark2.implicits._
+    val urls = Seq(
+      "https://CDN1.Example.com/docs/7",
+      "https://cdn1.example.com:443/docs/7?utm_source=x&utm_campaign=y",
+      "https://cdn1.example.com/docs/7/",
+      "https://cdn1.example.com/docs/7#frag",
+      "https://cdn1.example.com/docs/7?page=2",
+      "https://cdn1.example.com/docs/8").toDF("url")
+    val out = urls.select(Dedup.urlCanonical(col("url")).as("c"))
+      .as[String].collect()
+    assert(out.take(4).toSet == Set("https://cdn1.example.com/docs/7"))
+    assert(out(4) == "https://cdn1.example.com/docs/7?page=2")
+    assert(out(5) == "https://cdn1.example.com/docs/8")
+  }
+
+  test("null-safe join matches NULL keys a plain equi-join drops") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq((1L, Option(10)), (2L, None)).toDF("ida", "k")
+    val b = Seq((3L, Option(10)), (4L, None)).toDF("idb", "kb")
+    val plain = a.join(b, a("k") === b("kb")).count()
+    val nullSafe = a.join(b, a("k") <=> b("kb")).count()
+    assert(plain == 1 && nullSafe == 2)
+  }
+
+  test("CSV and JSON source round-trips are lossless") {
+    val spark2 = spark
+    import spark2.implicits._
+    val csv = FunctionQueries.qCsvSource(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSet
+    val direct = Tables.t(spark, sf0001, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+          2).as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(csv == direct && csv.nonEmpty)
+    val json = FunctionQueries.qJsonSource(spark, sf0001)
+      .as[(String, String, Long, Long)].collect().toSet
+    val directJ = Tables.t(spark, sf0001, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("tc"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(json == directJ && json.nonEmpty)
+  }
+
+  test("vocabStatsOf counts vocabulary, hapax and the Zipf head") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabStatsOf(docs)
+      .as[(Long, Long, Long, Double)].collect().head
+    // vocab {a,b,c}; 5 tokens; hapax {b,c}; top-10 covers everything
+    assert(out == ((3L, 5L, 2L, 1.0)))
+  }
+
+  test("anomalyOf flags only the z>3 outlier events") {
+    val spark2 = spark
+    import spark2.implicits._
+    // user 1: ten 1.0s and one 100.0 → the 100 is a >3-sigma outlier;
+    // user 2: too few events to qualify
+    val ev = (Seq.fill(10)((1L, 1.0)) ++ Seq((1L, 100.0), (2L, 5.0)))
+      .toDF("user_id", "value")
+    val out = Events.anomalyOf(ev)
+      .select(col("user_id"), col("n_events"), col("n_outliers"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 11L, 1L)))
+  }
 }

@@ -370,4 +370,27 @@ class StreamingSpec extends SparkSessionSpec {
       .groupBy("user_id").count().as[(Long, Long)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("stream-static enrichment join equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = batchEvents.map(_.user_id).distinct
+      .map(u => (u, s"seg${u % 3}")).toDF("user_id", "segment")
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.enrichWithDim(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: the static side is re-planned per batch
+      mem.addData(batchEvents.take(batchEvents.size / 2))
+      q.processAllAvailable()
+      mem.addData(batchEvents.drop(batchEvents.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("enriched")
+      .as[(Long, Long, String, Double, String)].collect().toSet
+    val batch = batchEvents
+      .map(e => (e.event_id, e.user_id, e.event_type, e.value,
+        s"seg${e.user_id % 3}")).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
