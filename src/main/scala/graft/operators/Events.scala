@@ -236,16 +236,21 @@ object Events {
   def evAnomaly(spark: SparkSession, dir: String): DataFrame =
     anomalyOf(events(spark, dir))
 
-  /** Core of [[evAnomaly]] over any (user_id, value) frame. */
+  /** Core of [[evAnomaly]] over any (user_id, value) frame. The
+    * per-user moments ride a WINDOW over the user partition instead of
+    * a groupBy+self-join: ONE exchange of the events, one partition-key
+    * sort, and the final per-user aggregate reuses the window's
+    * hashpartitioning(user_id) — no second shuffle of the big side
+    * (the join formulation scans and shuffles the events twice). */
   def anomalyOf(ev: DataFrame): DataFrame = {
-    val stats = ev.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        avg(col("value")).as("mu"),
-        stddev_samp(col("value")).as("sigma"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val scored = ev
+      .withColumn("n_events", count(lit(1)).over(w))
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sigma", stddev_samp(col("value")).over(w))
       .where(col("n_events") >= 5 && col("sigma") > 0)
-    ev.join(stats, "user_id")
       .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
-      .groupBy(col("user_id"))
+    scored.groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
         sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
         round(max(abs(col("z"))), 6).as("max_abs_z"))

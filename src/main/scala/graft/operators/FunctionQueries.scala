@@ -119,6 +119,50 @@ object FunctionQueries {
         countDistinct(col("s_suppkey")).as("n_supp"))
   }
 
+  /** LATERAL correlated-aggregate subquery (per-customer stats over its
+    * own big orders): the SQL-surface form of a dependent join.
+    * Catalyst DECORRELATES the equi-correlated aggregate into ONE
+    * grouped aggregate + one join — no per-row re-execution — and
+    * handles the classic COUNT-bug correctly: a customer with NO
+    * qualifying orders still emits (n_big=0, max_big=NULL) because the
+    * lateral aggregate always yields a row. Two shapes were REJECTED
+    * after .explain audits, both of which Spark currently plans with
+    * scale hazards: LATERAL … ORDER BY/LIMIT (global range sort — use
+    * q_window_top_orders / native TopKPerKey for top-n-per-key) and a
+    * theta correlation on c_acctbal (domain join + BroadcastNestedLoop
+    * against the full orders table). Equi-correlation is the shape
+    * this engine endorses for LATERAL at 100 TB. */
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_cust_lat")
+    t(spark, dir, "orders").createOrReplaceTempView("graft_ord_lat")
+    spark.sql(
+      """SELECT c.c_custkey, l.n_big, l.max_big
+        |FROM graft_cust_lat c,
+        |LATERAL (SELECT count(*) AS n_big,
+        |                round(max(o_totalprice), 2) AS max_big
+        |         FROM graft_ord_lat o WHERE o.o_custkey = c.c_custkey
+        |           AND o.o_totalprice > 300000) l""".stripMargin)
+  }
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): ancestor-chain walk over
+    * an implicit hierarchy (parent(c) = c ÷ 2 — a binary-heap tree over
+    * custkeys), one level per recursion step. The same
+    * driver-loop-over-distributed-steps shape as the k-means kernel,
+    * but expressed declaratively; depth is log₂(maxkey) so the loop is
+    * bounded. Each engine runs its own fixpoint executor. */
+  def qRecursive(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_cust_rec")
+    spark.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS start, c_custkey AS node, 0 AS depth
+        |  FROM graft_cust_rec WHERE c_custkey % 100 = 0
+        |  UNION ALL
+        |  SELECT start, node DIV 2, depth + 1 FROM anc WHERE node > 1
+        |)
+        |SELECT start, max(depth) AS chain_len, count(*) AS n_nodes
+        |FROM anc GROUP BY start""".stripMargin)
+  }
+
   private def roundTripDir(kind: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${kind}_${math.abs(dir.hashCode)}"
 
@@ -172,6 +216,8 @@ object FunctionQueries {
     "q_dates" -> qDates,
     "q_window_funcs" -> qWindowFuncs,
     "q_scalar_subquery" -> qScalarSubquery,
+    "q_lateral" -> qLateral,
+    "q_recursive" -> qRecursive,
     "q_null_safe_join" -> qNullSafeJoin,
     "q_csv_source" -> qCsvSource,
     "q_json_source" -> qJsonSource)
@@ -228,6 +274,23 @@ object FunctionQueries {
         |  round((SELECT avg(c2.c_acctbal) FROM customer c2
         |         WHERE c2.c_nationkey = c.c_nationkey), 6) AS nation_avg
         |FROM customer c""".stripMargin,
+    "q_lateral" ->
+      """SELECT c.c_custkey, l.n_big, l.max_big
+        |FROM customer c,
+        |LATERAL (SELECT count(*) AS n_big,
+        |                round(max(o_totalprice), 2) AS max_big
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey
+        |           AND o.o_totalprice > 300000) l""".stripMargin,
+    "q_recursive" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS start, c_custkey AS node, 0 AS depth
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |  UNION ALL
+        |  SELECT start, node // 2, depth + 1 FROM anc WHERE node > 1
+        |)
+        |SELECT start, CAST(max(depth) AS INT) AS chain_len,
+        |       count(*) AS n_nodes
+        |FROM anc GROUP BY start""".stripMargin,
     "q_null_safe_join" ->
       """SELECT k, count(*) AS n_pairs,
         |  count(DISTINCT c_custkey) AS n_cust,
