@@ -434,11 +434,11 @@ object Dedup {
     * URLs and is kept (OperatorsSpec pins both directions). */
   def urlCanonical(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val schemeHost = regexp_extract(noFrag, "^[^/]*//[^/]*", 0)
+    val schemeHost = regexp_extract(noFrag, "^[^/]*//[^/?#]*", 0)
     val rest = substr(noFrag, length(schemeHost) + 1, length(noFrag))
     val shClean = regexp_replace(lower(schemeHost), ":443$", "")
     val restClean = regexp_replace(
-      regexp_replace(rest, "[?&]utm_[a-z_]*=[^&#]*", ""), "/$", "")
+      regexp_replace(rest, "[?&]utm_[a-z_]*=[^&#]*", ""), "/+$", "")
     concat(shClean, restClean)
   }
 
@@ -548,11 +548,11 @@ object Dedup {
         |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nfu FROM u
         |), c AS (
         |  SELECT doc_id, concat(
-        |    regexp_replace(lower(regexp_extract(nfu, '^[^/]*//[^/]*')),
+        |    regexp_replace(lower(regexp_extract(nfu, '^[^/]*//[^/?#]*')),
         |                   ':443$', ''),
         |    regexp_replace(regexp_replace(
-        |      substr(nfu, length(regexp_extract(nfu, '^[^/]*//[^/]*')) + 1),
-        |      '[?&]utm_[a-z_]*=[^&#]*', '', 'g'), '/$', '')) AS canonical_url
+        |      substr(nfu, length(regexp_extract(nfu, '^[^/]*//[^/?#]*')) + 1),
+        |      '[?&]utm_[a-z_]*=[^&#]*', '', 'g'), '/+$', '')) AS canonical_url
         |  FROM nf
         |)
         |SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS survivor

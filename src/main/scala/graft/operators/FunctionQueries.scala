@@ -171,7 +171,10 @@ object FunctionQueries {
     * inference pass — at scale schema inference is a full extra scan),
     * then re-projected. The oracle computes the same aggregate straight
     * from parquet, so the round-trip must be lossless: header mapping,
-    * quoting, and double formatting are all on trial. Doubles survive
+    * quoting, and double formatting are all on trial. The write stays
+    * at the plan's natural parallelism (one file per task — a
+    * coalesce(1) "single file" write would serialize the sink at
+    * scale); the read-back globs the directory. Doubles survive
     * because Spark writes shortest-round-trip decimal text. */
   def qCsvSource(spark: SparkSession, dir: String): DataFrame = {
     val out = roundTripDir("csv", dir)
@@ -180,7 +183,6 @@ object FunctionQueries {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
           .as("total"))
-      .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(out)
     val schema = StructType(Seq(
       StructField("o_orderpriority", StringType),
@@ -200,7 +202,6 @@ object FunctionQueries {
     t(spark, dir, "documents")
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
-      .coalesce(1)
       .write.mode("overwrite").json(out)
     val schema = StructType(Seq(
       StructField("lang", StringType),

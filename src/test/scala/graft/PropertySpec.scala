@@ -105,6 +105,80 @@ class PropertySpec extends SparkSessionSpec {
     }
   }
 
+  test("urlCanonical is idempotent and case/port/utm/slash-insensitive") {
+    val hostGen = Gen.oneOf("cdn1.Example.com", "a.b.ORG", "x-y.net")
+    val pathGen = Gen.oneOf("/p/1", "/docs/xyz", "/", "")
+    val caseGen = for {
+      host <- hostGen
+      path <- pathGen
+      port <- Gen.oneOf("", ":443")
+      slash <- Gen.oneOf("", "/")
+      utm <- Gen.oneOf("", "?utm_source=a", "?utm_source=a&utm_campaign=b")
+      frag <- Gen.oneOf("", "#f1")
+      upper <- Gen.oneOf(true, false)
+    } yield {
+      val sh = s"https://$host$port"
+      (if (upper) sh.toUpperCase else sh) + path + slash + utm + frag
+    }
+    val urls = samples(caseGen, 60)
+    val canon = urls.toDF("url")
+      .select(operators.Dedup.urlCanonical(col("url")).as("c"))
+      .as[String].collect()
+    urls.zip(canon).foreach { case (u, c) =>
+      // idempotent: canonicalizing a canonical URL is a no-op
+      val c2 = Seq(c).toDF("url")
+        .select(operators.Dedup.urlCanonical(col("url")).as("c"))
+        .as[String].head()
+      assert(c2 == c, s"not idempotent: $u -> $c -> $c2")
+      // canonical form has no port, no fragment, no utm, no trailing /
+      assert(!c.contains(":443") && !c.contains("#") && !c.contains("utm_"),
+        s"residue in canonical: $u -> $c")
+      assert(!c.endsWith("/"), s"trailing slash survives: $u -> $c")
+    }
+    // all variants of one host+path collapse to a single canonical form
+    val grouped = urls.zip(canon).groupBy { case (u, _) =>
+      val lower = u.toLowerCase
+      (lower.split("//")(1).split("[/:?#]")(0),
+        u.replaceAll("^[hH][^/]*//[^/]*", "").replaceAll("[?#].*$", "")
+          .replaceAll("/+$", ""))
+    }
+    grouped.foreach { case (key, vs) =>
+      assert(vs.map(_._2).distinct.size == 1,
+        s"variants of $key disagree: ${vs.distinct}")
+    }
+  }
+
+  test("BmpDecoder inverts the reference encoder over random dimensions") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dimGen = Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(1, 25),
+      Gen.chooseNum(0L, 1000000L))
+    samples(dimGen, 30).foreach { case (w, h, seed) =>
+      val rb = w * 3; val pad = (4 - rb % 4) % 4; val stride = rb + pad
+      val bb = ByteBuffer.allocate(54 + stride * h)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte)
+      bb.putInt(54 + stride * h); bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(w); bb.putInt(h)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(stride * h)
+      bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(h, rb)(rnd.nextInt(256))
+      for (fr <- 0 until h) {
+        for (j <- 0 until rb) bb.put(px(fr)(j).toByte)
+        for (_ <- 0 until pad) bb.put(0xEE.toByte) // padding must be skipped
+      }
+      val info = operators.Multimodal.BmpDecoder.decode(7L, bb.array()).get
+      assert(info.width == w && info.height == h)
+      assert(info.n_pixels == w.toLong * h)
+      def mean(ch: Int): Double =
+        (for { fr <- 0 until h; j <- 0 until rb if j % 3 == ch }
+          yield px(fr)(j)).sum.toDouble / (w.toLong * h)
+      assert(math.abs(info.mean_b - mean(0)) < 1e-12, s"mean_b w=$w h=$h")
+      assert(math.abs(info.mean_g - mean(1)) < 1e-12, s"mean_g w=$w h=$h")
+      assert(math.abs(info.mean_r - mean(2)) < 1e-12, s"mean_r w=$w h=$h")
+    }
+  }
+
   test("vecScale(vecScale(v, n), 1/n) is identity (Point.scale inverse)") {
     val cases = samples(Gen.zip(pointGen, Gen.chooseNum(1, 1000)), 20)
     cases.foreach { case (p, n) =>
