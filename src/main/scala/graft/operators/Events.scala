@@ -256,7 +256,31 @@ object Events {
         round(max(abs(col("z"))), 6).as("max_abs_z"))
   }
 
+  /** Time-series gap filling — densify the hourly series so every
+    * (hour, event_type) cell exists, zero-filled where no events landed
+    * (dashboards and downstream window math need the gaps explicit).
+    * The hour grid is GENERATED IN-PLAN: a 1-row min/max aggregate
+    * explodes through sequence() into the dense hour axis and
+    * cross-joins the observed type set — no driver-side collect, no
+    * hand-written calendar table; both small sides broadcast into the
+    * left join against the real counts. */
+  def evGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val hourly = ev
+      .groupBy(expr(s"ts_us DIV $HourUs").as("hour_idx"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = ev.agg(
+        min(expr(s"ts_us DIV $HourUs")).as("lo"),
+        max(expr(s"ts_us DIV $HourUs")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    grid.join(hourly, Seq("hour_idx", "event_type"), "left")
+      .select((col("hour_idx") * HourUs).as("hour_us"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"), col("n").isNull.as("is_gap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gap_fill" -> evGapFill,
     "ev_anomaly" -> evAnomaly,
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
@@ -270,6 +294,29 @@ object Events {
     "ev_recent_clicks" -> evRecentClicks)
 
   val oracles: Map[String, String] = Map(
+    // the DuckDB series must have CONSTANT bounds (no subquery/lateral
+    // parameters), so a wide constant hour range is clamped by the
+    // data-driven BETWEEN — same rows as the in-plan sequence()
+    "ev_gap_fill" ->
+      """WITH h AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour_idx,
+        |         event_type
+        |  FROM events
+        |), c AS (
+        |  SELECT hour_idx, event_type, count(*) AS n FROM h GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM h
+        |), grid AS (
+        |  SELECT g.i AS hour_idx, t.event_type
+        |  FROM generate_series(470000, 480000) g(i),
+        |       (SELECT DISTINCT event_type FROM h) t
+        |  WHERE g.i BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)
+        |)
+        |SELECT grid.hour_idx * 3600000000 AS hour_us, grid.event_type,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n, c.n IS NULL AS is_gap
+        |FROM grid LEFT JOIN c
+        |  ON grid.hour_idx = c.hour_idx
+        | AND grid.event_type = c.event_type""".stripMargin,
     "ev_anomaly" ->
       """WITH stats AS (
         |  SELECT user_id, count(*) AS n_events,

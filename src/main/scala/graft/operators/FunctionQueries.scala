@@ -193,6 +193,24 @@ object FunctionQueries {
         round(col("total"), 2).as("total"))
   }
 
+  /** ORC sink + source round-trip — the third columnar-format leg next
+    * to the parquet scans everything else uses: per-nation supplier
+    * stats written as ORC, read back, re-projected. Same lossless-
+    * round-trip witness structure as [[qCsvSource]]; ORC's own schema
+    * rides the files, so no explicit read schema is needed. */
+  def qOrcSource(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundTripDir("orc", dir)
+    t(spark, dir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_bal"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .select(col("s_nationkey"), col("n_suppliers"),
+        round(col("total_bal"), 2).as("total_bal"))
+  }
+
   /** JSON sink + source round-trip, same witness structure as
     * [[qCsvSource]] on a different aggregate (per-lang/source document
     * stats): JSON-lines writing, explicit-schema reading, field-order
@@ -221,7 +239,8 @@ object FunctionQueries {
     "q_recursive" -> qRecursive,
     "q_null_safe_join" -> qNullSafeJoin,
     "q_csv_source" -> qCsvSource,
-    "q_json_source" -> qJsonSource)
+    "q_json_source" -> qJsonSource,
+    "q_orc_source" -> qOrcSource)
 
   val oracles: Map[String, String] = Map(
     "q_string_funcs" ->
@@ -307,6 +326,11 @@ object FunctionQueries {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS total
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_orc_source" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |  round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
     "q_json_source" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
