@@ -163,6 +163,55 @@ object FunctionQueries {
         |FROM anc GROUP BY start""".stripMargin)
   }
 
+  /** UNPIVOT (melt) — the inverse of q_pivot: per-priority status
+    * totals computed wide, then melted back to (priority, status,
+    * total) rows with Dataset.unpivot. Wide→long is a narrow per-row
+    * explode (no shuffle beyond the feeding aggregate); the oracle
+    * states the same result as a direct GROUP BY, so the
+    * pivot→unpivot pair is proven lossless. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .select(col("o_orderpriority"),
+        coalesce(col("F").cast("double"), lit(0.0)).as("F"),
+        coalesce(col("O").cast("double"), lit(0.0)).as("O"),
+        coalesce(col("P").cast("double"), lit(0.0)).as("P"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "o_orderstatus", "total")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("total"), 2).as("total"))
+  }
+
+  /** Array / higher-order-function suite over a per-order token-like
+    * array (the lineitem quantities of each order): construction via
+    * collect_list with a deterministic in-array order, then transform /
+    * filter / exists / aggregate (fold) / zip_with / slice / sort /
+    * distinct — the lambda-function family every array-bearing schema
+    * leans on, all inside codegen. Oracle mirrors with DuckDB list
+    * lambdas (1-based indexing on BOTH engines, SURVEY §7.4). */
+  def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val arr = t(spark, dir, "lineitem")
+      .where(col("l_orderkey") % 50 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(
+        struct(col("l_linenumber"), col("l_quantity")))).as("ls"))
+      .select(col("l_orderkey"),
+        transform(col("ls"), s => s.getField("l_quantity")).as("qs"))
+    arr.select(col("l_orderkey"),
+      size(col("qs")).cast("long").as("n_items"),
+      round(aggregate(col("qs"), lit(0.0d), (acc, x) => acc + x), 2)
+        .as("total_qty"),
+      size(filter(col("qs"), _ > 25.0)).cast("long").as("n_big"),
+      exists(col("qs"), _ > 45.0).as("any_huge"),
+      round(element_at(array_sort(col("qs")), 1), 2).as("min_qty"),
+      round(element_at(array_sort(col("qs")), -1), 2).as("max_qty"),
+      size(array_distinct(col("qs"))).cast("long").as("n_distinct"),
+      round(aggregate(slice(col("qs"), 1, 3), lit(0.0d),
+        (acc, x) => acc + x), 2).as("head3_sum"))
+  }
+
   private def roundTripDir(kind: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${kind}_${math.abs(dir.hashCode)}"
 
@@ -238,6 +287,8 @@ object FunctionQueries {
     "q_lateral" -> qLateral,
     "q_recursive" -> qRecursive,
     "q_null_safe_join" -> qNullSafeJoin,
+    "q_unpivot" -> qUnpivot,
+    "q_array_funcs" -> qArrayFuncs,
     "q_csv_source" -> qCsvSource,
     "q_json_source" -> qJsonSource,
     "q_orc_source" -> qOrcSource)
@@ -326,6 +377,36 @@ object FunctionQueries {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS total
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS t
+        |  FROM orders GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT p.o_orderpriority, s.o_orderstatus
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+        |       (VALUES ('F'), ('O'), ('P')) s(o_orderstatus)
+        |)
+        |SELECT g.o_orderpriority, g.o_orderstatus,
+        |       round(coalesce(a.t, 0.0), 2) AS total
+        |FROM grid g
+        |LEFT JOIN agg a USING (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q_array_funcs" ->
+      """WITH arr AS (
+        |  SELECT l_orderkey,
+        |         list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
+        |  FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey
+        |)
+        |SELECT l_orderkey,
+        |  CAST(len(qs) AS BIGINT) AS n_items,
+        |  round(list_sum(qs), 2) AS total_qty,
+        |  CAST(len(list_filter(qs, x -> x > 25.0)) AS BIGINT) AS n_big,
+        |  len(list_filter(qs, x -> x > 45.0)) > 0 AS any_huge,
+        |  round(list_sort(qs)[1], 2) AS min_qty,
+        |  round(list_sort(qs)[-1], 2) AS max_qty,
+        |  CAST(len(list_distinct(qs)) AS BIGINT) AS n_distinct,
+        |  round(list_sum(qs[1:3]), 2) AS head3_sum
+        |FROM arr""".stripMargin,
     "q_orc_source" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
         |  round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)

@@ -13,9 +13,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,6 +35,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the reader — a `count(*)` never parses a double
   * (SupportsPushDownRequiredColumns). Options:
   * `splitSizeBytes` (default 128 MiB) controls range size.
+  *
+  * `df.write.format("points").mode("overwrite"|"append").save(path)`
+  * is the matching SINK (see [[PointsWriteBuilder]]): task-atomic
+  * rename-on-commit files, truncate-on-overwrite, value-exact
+  * round-trip through the scan.
   */
 class PointsDataSource extends TableProvider with DataSourceRegister {
 
@@ -62,15 +68,19 @@ object PointsTable {
 }
 
 class PointsTable(path: String, splitSize: Long)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"points(`$path`)"
+  override def name(): String = s"points($path)"
   override def schema(): StructType = PointsTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PointsScanBuilder(path, splitSize)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PointsWriteBuilder(path, info.schema())
 }
 
 class PointsScanBuilder(path: String, splitSize: Long)
@@ -183,4 +193,104 @@ class PointsPartitionReader(split: PointsInputPartition, parsePoint: Boolean)
 
   override def get(): InternalRow = row
   override def close(): Unit = stream.close()
+}
+
+// ---------------------------------------------------------------------
+// Write path: `df.write.format("points").save(path)` — the SINK half of
+// the reference text contract. Accepts a single array<double> column,
+// emits one `<x1, x2, …>` line per row via java.lang.Double.toString
+// (shortest-round-trip text, so read-back through the scan above is
+// value-exact). One file per task; each writer streams to a hidden
+// `.inprogress` file and RENAMES on task commit, so a failed/speculated
+// attempt never leaves a half-file visible — task-level atomicity, the
+// FileOutputCommitter-v2 guarantee class. Job commit drops a _SUCCESS
+// marker. mode("overwrite") maps to SupportsTruncate (directory cleared
+// once, driver-side, before any task runs); mode("append") adds files.
+// ---------------------------------------------------------------------
+
+class PointsWriteBuilder(path: String, schema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new PointsWrite(path, schema, doTruncate)
+}
+
+class PointsWrite(path: String, schema: StructType, truncate: Boolean)
+  extends Write {
+  require(schema.fields.length == 1 && (schema.fields(0).dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }), s"points sink expects a single array<double> column, got: $schema")
+
+  override def toBatch: BatchWrite = new PointsBatchWrite(path, truncate)
+}
+
+class PointsBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+
+  /** Driver-side: clear on truncate, ensure the directory exists. */
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    PointsWriterFactory(path)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(new Configuration())
+    fs.create(p, true).close()
+  }
+
+  /** Task-level abort already removed in-progress files; nothing global
+    * to roll back (committed files are task-atomic renames). */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class PointsWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PointsDataWriter(path, partitionId, taskId)
+}
+
+final case class PointsCommit(file: String) extends WriterCommitMessage
+
+class PointsDataWriter(dir: String, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId")
+  private val tmpPath = new Path(dir, f".part-$partitionId%05d-$taskId.inprogress")
+  private val fs = tmpPath.getFileSystem(new Configuration())
+  private val writer = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(tmpPath, true),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  override def write(row: InternalRow): Unit = {
+    val arr = row.getArray(0)
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder("<")
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(", ")
+      sb.append(java.lang.Double.toString(arr.getDouble(i)))
+      i += 1
+    }
+    sb.append(">\n")
+    writer.write(sb.toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    if (!fs.rename(tmpPath, finalPath))
+      throw new java.io.IOException(s"points sink: rename failed for $finalPath")
+    PointsCommit(finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    fs.delete(tmpPath, false)
+    ()
+  }
+
+  override def close(): Unit = ()
 }
