@@ -281,4 +281,41 @@ object StreamingOps {
           (userId, n)
       }
   }
+
+  /** Welford running-moments state — NOT private: mGWS state classes
+    * must be codegen-accessible (constructor called from generated
+    * code). */
+  final case class MomState(n: Long, mean: Double, m2: Double)
+
+  final case class MomOut(user_id: Long, n: Long, mean: Double,
+                          var_samp: Double)
+
+  /** Per-user running moments (count / mean / sample variance) via
+    * WELFORD's single-pass update inside mapGroupsWithState — the
+    * streaming counterpart of ev_anomaly's batch moments, and the state
+    * shape an online z-score monitor needs: O(1) doubles per user
+    * regardless of stream length, numerically stable (no sum-of-squares
+    * catastrophic cancellation). Emits the updated moments per
+    * micro-batch (update mode); StreamingSpec asserts the final state
+    * equals the batch avg/var_samp. */
+  def runningUserMoments(events: Dataset[SEvent]): Dataset[MomOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[MomState, MomOut](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SEvent], state: GroupState[MomState]) =>
+          var s = state.getOption.getOrElse(MomState(0L, 0.0, 0.0))
+          rows.foreach { e =>
+            val n1 = s.n + 1
+            val d = e.value - s.mean
+            val mean1 = s.mean + d / n1
+            s = MomState(n1, mean1, s.m2 + d * (e.value - mean1))
+          }
+          state.update(s)
+          MomOut(userId, s.n, s.mean,
+            if (s.n > 1) s.m2 / (s.n - 1) else 0.0)
+      }
+  }
 }

@@ -371,6 +371,41 @@ class StreamingSpec extends SparkSessionSpec {
     assert(streamed == batch)
   }
 
+  test("runningUserMoments (Welford) final state equals batch avg/var_samp") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.runningUserMoments(mem.toDS())
+      .writeStream.format("memory").queryName("moments")
+      .outputMode("update").start()
+    try {
+      // two micro-batches: state must carry across
+      mem.addData(batchEvents.take(batchEvents.size / 2))
+      q.processAllAvailable()
+      mem.addData(batchEvents.drop(batchEvents.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("moments")
+      .groupBy("user_id")
+      .agg(max(struct(col("n"), col("mean"), col("var_samp"))).as("s"))
+      .select(col("user_id"), col("s.n"), col("s.mean"), col("s.var_samp"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val batch = Events.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), avg("value").as("mean"),
+        variance(col("value")).as("v"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+    streamed.foreach { case (uid, (n, mean, v)) =>
+      val (bn, bmean, bv) = batch(uid)
+      assert(n == bn, s"count mismatch for user $uid")
+      assert(math.abs(mean - bmean) < 1e-9, s"mean mismatch for user $uid")
+      assert(math.abs(v - (if (bn > 1) bv else 0.0)) < 1e-9,
+        s"variance mismatch for user $uid")
+    }
+  }
+
   test("stream-static enrichment join equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
     val dim = batchEvents.map(_.user_id).distinct
