@@ -106,6 +106,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteNearestCentroid)
+    e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),

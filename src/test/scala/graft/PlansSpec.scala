@@ -114,4 +114,63 @@ class PlansSpec extends SparkSessionSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(native == viaWindow && native.nonEmpty)
   }
+
+  private def withTopKRewrite[A](body: => A): A = {
+    graft.plans.TopKPerKey.register(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteWindowTopK
+    try body
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ eq graft.plans.RewriteWindowTopK)
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode)
+  }
+
+  test("RewriteWindowTopK lowers the row_number idiom to the native operator") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(4)
+    val rows = (1L to 2000L).map(i =>
+      (rnd.nextInt(30).toLong, i, math.floor(rnd.nextDouble() * 400) / 4))
+    val df = rows.toDF("key", "id", "score").repartition(5)
+    val expected = windowTopK(df, 3)
+      .as[(Long, Long, Double)].collect().toSet
+    withTopKRewrite {
+      val rewritten = windowTopK(df, 3)
+      val plan = planOf(rewritten)
+      assert(plan.contains("TopKPerKeyFinal"),
+        s"rewrite did not fire:\n$plan")
+      assert(!plan.contains("WindowExec"), s"window survived:\n$plan")
+      val got = rewritten.as[(Long, Long, Double)].collect().toSet
+      assert(got == expected && got.nonEmpty)
+    }
+  }
+
+  test("RewriteWindowTopK leaves non-eligible shapes alone") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 200L).map(i => (i % 5, i, i * 1.5))
+      .toDF("key", "id", "score")
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("score").desc, col("id"))
+    withTopKRewrite {
+      // (1) rank column kept in the output → the window must run
+      val keepsRank = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+      assert(!planOf(keepsRank).contains("TopKPerKeyFinal"))
+      // (2) rank() admits ties past k → not row-set-equivalent, no fire
+      val rankNotRowNumber = df.withColumn("rn", rank().over(w))
+        .where(col("rn") <= 2).select(col("key"), col("id"))
+      assert(!planOf(rankNotRowNumber).contains("TopKPerKeyFinal"))
+      // (3) global top-k (no partition) stays on TakeOrderedAndProject
+      val noPartition = df.withColumn("rn",
+          row_number().over(Window.orderBy(col("score").desc, col("id"))))
+        .where(col("rn") <= 2).select(col("key"), col("id"))
+      assert(!planOf(noPartition).contains("TopKPerKeyFinal"))
+    }
+  }
 }
