@@ -436,9 +436,27 @@ object Dedup {
     val noFrag = regexp_replace(url, "#.*$", "")
     val schemeHost = regexp_extract(noFrag, "^[^/]*//[^/?#]*", 0)
     val rest = substr(noFrag, length(schemeHost) + 1, length(noFrag))
-    val shClean = regexp_replace(lower(schemeHost), ":443$", "")
+    // default ports are SCHEME-relative: https:443 and http:80 are the
+    // no-port endpoints; http://h:443 is a different service — keep it
+    val shClean = regexp_replace(
+      regexp_replace(lower(schemeHost), "^(https://[^/:]*):443$", "$1"),
+      "^(http://[^/:]*):80$", "$1")
+    // utm strip in three non-overlapping passes so a KEPT param after a
+    // leading utm param re-acquires the '?' (a single [?&]-led pass
+    // would eat the '?' and emit a malformed '&'-led query):
+    //   1. '&utm_x=v'   (non-leading)            → ''
+    //   2. '?utm_x=v&'  (leading, kept follows)  → '?'
+    //   3. '?utm_x=v'   (query was only utm)     → ''
+    // then path/query slash normalization: '/…/?q' → '/…?q', '/+$' → ''
     val restClean = regexp_replace(
-      regexp_replace(rest, "[?&]utm_[a-z_]*=[^&#]*", ""), "/+$", "")
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(rest, "&utm_[a-z_]*=[^&#]*", ""),
+            "\\?utm_[a-z_]*=[^&#]*&", "?"),
+          "\\?utm_[a-z_]*=[^&#]*$", ""),
+        "/+\\?", "?"),
+      "/+$", "")
     concat(shClean, restClean)
   }
 
@@ -548,11 +566,18 @@ object Dedup {
         |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nfu FROM u
         |), c AS (
         |  SELECT doc_id, concat(
-        |    regexp_replace(lower(regexp_extract(nfu, '^[^/]*//[^/?#]*')),
-        |                   ':443$', ''),
         |    regexp_replace(regexp_replace(
-        |      substr(nfu, length(regexp_extract(nfu, '^[^/]*//[^/?#]*')) + 1),
-        |      '[?&]utm_[a-z_]*=[^&#]*', '', 'g'), '/+$', '')) AS canonical_url
+        |      lower(regexp_extract(nfu, '^[^/]*//[^/?#]*')),
+        |      '^(https://[^/:]*):443$', '\1'),
+        |      '^(http://[^/:]*):80$', '\1'),
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(
+        |        substr(nfu, length(regexp_extract(nfu, '^[^/]*//[^/?#]*')) + 1),
+        |        '&utm_[a-z_]*=[^&#]*', '', 'g'),
+        |      '\?utm_[a-z_]*=[^&#]*&', '?'),
+        |      '\?utm_[a-z_]*=[^&#]*$', ''),
+        |      '/+\?', '?'),
+        |      '/+$', '')) AS canonical_url
         |  FROM nf
         |)
         |SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS survivor

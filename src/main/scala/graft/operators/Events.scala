@@ -226,13 +226,11 @@ object Events {
   }
 
   /** Per-user anomaly detection — z-score outliers against each user's
-    * own value distribution, the standard telemetry/abuse screen. Two
-    * passes sharing one shuffle key: per-user moments (avg, stddev —
-    * partial-aggregated map-side), hash-joined back to the events on
-    * the same user key (no second shuffle of the big side under AQE),
-    * then a narrow flag per event. Scores are rounded BEFORE the
-    * threshold test so both engines make the identical cut. Only users
-    * with n ≥ 5 qualify (a 2-event user's stddev is noise). */
+    * own value distribution, the standard telemetry/abuse screen.
+    * Moments ride a window over the user partition (see [[anomalyOf]]
+    * for the one-exchange plan rationale); scores are rounded BEFORE
+    * the threshold test so both engines make the identical cut. Only
+    * users with n ≥ 5 qualify (a 2-event user's stddev is noise). */
   def evAnomaly(spark: SparkSession, dir: String): DataFrame =
     anomalyOf(events(spark, dir))
 
@@ -295,8 +293,9 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     // the DuckDB series must have CONSTANT bounds (no subquery/lateral
-    // parameters), so a wide constant hour range is clamped by the
-    // data-driven BETWEEN — same rows as the in-plan sequence()
+    // parameters), so a wide constant hour range (covers ~2014-2039,
+    // ample margin around the fixed 2024-01 testdata window) is clamped
+    // by the data-driven BETWEEN — same rows as the in-plan sequence()
     "ev_gap_fill" ->
       """WITH h AS (
         |  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour_idx,
@@ -308,7 +307,7 @@ object Events {
         |  SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM h
         |), grid AS (
         |  SELECT g.i AS hour_idx, t.event_type
-        |  FROM generate_series(470000, 480000) g(i),
+        |  FROM generate_series(390000, 610000) g(i),
         |       (SELECT DISTINCT event_type FROM h) t
         |  WHERE g.i BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)
         |)

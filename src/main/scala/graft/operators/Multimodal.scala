@@ -225,15 +225,22 @@ object Multimodal {
 
     def decode(docId: Long, b: Array[Byte]): Option[BmpInfo] = {
       if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
-      val dataOffset = u32(b, 10).toInt
+      // header fields validated in LONG arithmetic: a hostile 32-bit
+      // field must fail the guards, not wrap negative and index b(-1)
+      val dataOffsetL = u32(b, 10)
       val biSize = u32(b, 14)
-      val width = u32(b, 18).toInt
+      val widthL = u32(b, 18)
       val hRaw = u32(b, 22).toInt // signed: negative = top-down row order
-      val height = math.abs(hRaw)
-      if (biSize < 40 || width <= 0 || height == 0) return None
+      val heightL = math.abs(hRaw.toLong)
+      if (biSize < 40 || widthL <= 0 || widthL > (1 << 20) ||
+        heightL == 0 || heightL > (1 << 20)) return None
       if (u16(b, 26) != 1 || u16(b, 28) != 24 || u32(b, 30) != 0) return None
+      if (dataOffsetL < 54 || dataOffsetL > b.length) return None
+      val width = widthL.toInt
+      val height = heightL.toInt
+      val dataOffset = dataOffsetL.toInt
       val stride = ((width * 3 + 3) / 4) * 4
-      if (dataOffset.toLong + stride.toLong * height > b.length) return None
+      if (dataOffsetL + stride.toLong * height > b.length) return None
       val sums = new Array[Long](3)
       var r = 0
       while (r < height) {

@@ -66,9 +66,13 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
         Some((a, k))
       case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) =>
         Some((a, k))
-      case LessThan(a: Attribute, Literal(k: Int, IntegerType)) =>
+      // k > MinValue: `k - 1` on Int.MinValue wraps to MaxValue and
+      // would turn an always-false filter into top-MaxValue-per-key
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+          if k > Int.MinValue =>
         Some((a, k - 1))
-      case GreaterThan(Literal(k: Int, IntegerType), a: Attribute) =>
+      case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
+          if k > Int.MinValue =>
         Some((a, k - 1))
       case EqualTo(a: Attribute, Literal(1, IntegerType)) => Some((a, 1))
       case EqualTo(Literal(1, IntegerType), a: Attribute) => Some((a, 1))

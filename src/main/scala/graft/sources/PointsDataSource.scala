@@ -227,6 +227,14 @@ class PointsWrite(path: String, schema: StructType, truncate: Boolean)
 
 class PointsBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
 
+  /** Per-JOB id baked into every file name: taskId/partitionId are only
+    * unique within one Spark application, so an append from a LATER
+    * application would otherwise collide with existing part files
+    * (rename fails, or worse silently replaces) — the same reason the
+    * built-in file sources stamp a job UUID. */
+  private val jobId =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
   /** Driver-side: clear on truncate, ensure the directory exists. */
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -234,12 +242,16 @@ class PointsBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
     val fs = p.getFileSystem(conf)
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    PointsWriterFactory(path)
+    PointsWriterFactory(path, jobId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // same session Hadoop conf as the factory: spark.hadoop.* settings
+    // (fs.defaultFS, object-store credentials) must resolve the marker
+    // on the SAME filesystem as the data files
+    val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path, "_SUCCESS")
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     fs.create(p, true).close()
   }
 
@@ -248,29 +260,42 @@ class PointsBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final case class PointsWriterFactory(path: String) extends DataWriterFactory {
+final case class PointsWriterFactory(path: String, jobId: String)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PointsDataWriter(path, partitionId, taskId)
+    new PointsDataWriter(path, jobId, partitionId, taskId)
 }
 
 final case class PointsCommit(file: String) extends WriterCommitMessage
 
-class PointsDataWriter(dir: String, partitionId: Int, taskId: Long)
+class PointsDataWriter(dir: String, jobId: String, partitionId: Int,
+                       taskId: Long)
   extends DataWriter[InternalRow] {
 
-  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId")
-  private val tmpPath = new Path(dir, f".part-$partitionId%05d-$taskId.inprogress")
+  private val finalPath =
+    new Path(dir, f"part-$partitionId%05d-$taskId-$jobId")
+  private val tmpPath =
+    new Path(dir, f".part-$partitionId%05d-$taskId-$jobId.inprogress")
   private val fs = tmpPath.getFileSystem(new Configuration())
   private val writer = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(tmpPath, true),
       java.nio.charset.StandardCharsets.UTF_8))
 
   override def write(row: InternalRow): Unit = {
+    // the format has no null representation: fail the task with a clear
+    // message instead of NPE-ing (null array) or silently writing 0.0
+    // (null element — getDouble on a null slot returns 0.0)
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException(
+        "points sink: null point array (the text format has no null form)")
     val arr = row.getArray(0)
     val n = arr.numElements()
     val sb = new java.lang.StringBuilder("<")
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"points sink: null element at index $i (no null form)")
       if (i > 0) sb.append(", ")
       sb.append(java.lang.Double.toString(arr.getDouble(i)))
       i += 1

@@ -109,18 +109,22 @@ class PropertySpec extends SparkSessionSpec {
     val hostGen = Gen.oneOf("cdn1.Example.com", "a.b.ORG", "x-y.net")
     val pathGen = Gen.oneOf("/p/1", "/docs/xyz", "/", "")
     val caseGen = for {
+      scheme <- Gen.oneOf("https", "http")
       host <- hostGen
       path <- pathGen
-      port <- Gen.oneOf("", ":443")
+      defPort <- Gen.oneOf(false, true)
       slash <- Gen.oneOf("", "/")
-      utm <- Gen.oneOf("", "?utm_source=a", "?utm_source=a&utm_campaign=b")
+      q <- Gen.oneOf("", "?utm_source=a", "?utm_source=a&utm_campaign=b",
+        "?utm_source=a&page=2", "?page=2&utm_source=a", "?page=2")
       frag <- Gen.oneOf("", "#f1")
       upper <- Gen.oneOf(true, false)
     } yield {
-      val sh = s"https://$host$port"
-      (if (upper) sh.toUpperCase else sh) + path + slash + utm + frag
+      val port = if (!defPort) ""
+        else if (scheme == "https") ":443" else ":80"
+      val sh = s"$scheme://$host$port"
+      (if (upper) sh.toUpperCase else sh) + path + slash + q + frag
     }
-    val urls = samples(caseGen, 60)
+    val urls = samples(caseGen, 80)
     val canon = urls.toDF("url")
       .select(operators.Dedup.urlCanonical(col("url")).as("c"))
       .as[String].collect()
@@ -130,17 +134,25 @@ class PropertySpec extends SparkSessionSpec {
         .select(operators.Dedup.urlCanonical(col("url")).as("c"))
         .as[String].head()
       assert(c2 == c, s"not idempotent: $u -> $c -> $c2")
-      // canonical form has no port, no fragment, no utm, no trailing /
-      assert(!c.contains(":443") && !c.contains("#") && !c.contains("utm_"),
-        s"residue in canonical: $u -> $c")
+      // no default port, fragment, or utm residue; kept params survive
+      // with a well-formed '?'-led query
+      assert(!c.contains(":443") && !c.contains(":80") && !c.contains("#") &&
+        !c.contains("utm_"), s"residue in canonical: $u -> $c")
       assert(!c.endsWith("/"), s"trailing slash survives: $u -> $c")
+      assert(!c.contains("&") || c.contains("?"),
+        s"malformed '&'-led query: $u -> $c")
+      if (u.contains("page=2"))
+        assert(c.endsWith("?page=2"), s"kept param lost/mangled: $u -> $c")
     }
-    // all variants of one host+path collapse to a single canonical form
+    // all variants of one (scheme, host, path, kept-params) collapse to
+    // a single canonical form
     val grouped = urls.zip(canon).groupBy { case (u, _) =>
       val lower = u.toLowerCase
-      (lower.split("//")(1).split("[/:?#]")(0),
-        u.replaceAll("^[hH][^/]*//[^/]*", "").replaceAll("[?#].*$", "")
-          .replaceAll("/+$", ""))
+      (lower.split("://")(0),
+        lower.split("//")(1).split("[/:?#]")(0),
+        u.replaceAll("^[hH][^/]*//[^/?#]*", "").replaceAll("[?#].*$", "")
+          .replaceAll("/+$", ""),
+        u.contains("page=2"))
     }
     grouped.foreach { case (key, vs) =>
       assert(vs.map(_._2).distinct.size == 1,
