@@ -47,6 +47,32 @@ object Pipeline {
           .as("avg_tokens"))
   }
 
+  /** Pipeline OBSERVABILITY via `Dataset.observe`: the ingest/gate/
+    * output row counts every production curation run reports, collected
+    * as accumulator-backed metrics DURING the one real pass — a
+    * separate count() per stage would re-run the scan per metric (at
+    * 100 TB, three extra full jobs). The metrics surface on THIS
+    * dataset's QueryExecution.observedMetrics once one of its own
+    * actions runs (collect/write — NOT count(), which plans a separate
+    * execution); production code reads them via a
+    * QueryExecutionListener. OperatorsSpec asserts they equal
+    * independently-computed counts. Returns the observed gated frame
+    * (same rows as the pipelineFilter gate). */
+  def observedGate(docs: DataFrame): DataFrame =
+    docs
+      .observe("ingest", count(lit(1)).as("n_ingested"),
+        sum(col("n_chars")).as("chars_ingested"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"),
+          x => x.isInCollection(TextAnalysis.Stopwords))).cast("double") /
+          col("n_tokens"))
+      .where(col("n_tokens") >= MinTokens &&
+        col("stop_ratio") <= MaxStopRatio && col("lang") === "en")
+      .observe("gated", count(lit(1)).as("n_survivors"),
+        sum(col("n_chars")).as("chars_survived"))
+
   /** Benchmark decontamination — the overlap check every training
     * pipeline runs before export: corpus documents sharing any 3-gram
     * shingle with the "evaluation set" (deterministically designated

@@ -524,6 +524,23 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out == ((3L, 5L, 2L, 1.0)))
   }
 
+  test("observedGate reports ingest/survivor metrics from the single pass") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val observed = Pipeline.observedGate(docs)
+    // drive THE dataset's own QueryExecution (count() would plan a
+    // separate execution whose metrics land elsewhere)
+    val survivors = observed.collect().length.toLong
+    val metrics = observed.queryExecution.observedMetrics
+    val ingest = metrics("ingest")
+    val gated = metrics("gated")
+    assert(ingest.getAs[Long]("n_ingested") == docs.count())
+    assert(ingest.getAs[Long]("chars_ingested") ==
+      docs.agg(sum(col("n_chars"))).head().getLong(0))
+    assert(gated.getAs[Long]("n_survivors") == survivors && survivors > 0)
+    assert(survivors < ingest.getAs[Long]("n_ingested"),
+      "gate dropped nothing — metrics would be vacuous")
+  }
+
   test("anomalyOf flags only the z>3 outlier events") {
     val spark2 = spark
     import spark2.implicits._
