@@ -277,7 +277,24 @@ object Events {
         coalesce(col("n"), lit(0L)).as("n"), col("n").isNull.as("is_gap"))
   }
 
+  /** RANGE-frame window — the VALUE-based frame q_running_total's ROWS
+    * frame can't express: per event, the rolling 1-hour sum/count of
+    * the same user's events, frame bounds in microseconds of event
+    * time. The frame is tie-safe by construction (equal timestamps are
+    * all in or all out together — no row-order dependence), one shuffle
+    * on the user key, per-partition sort on time only. */
+  def evRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-HourUs, 0)
+    events(spark, dir)
+      .where(col("user_id") % 7 === 0)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        round(sum(col("value")).over(w), 4).as("sum_1h"),
+        count(lit(1)).over(w).as("n_1h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_range_frame" -> evRangeFrame,
     "ev_gap_fill" -> evGapFill,
     "ev_anomaly" -> evAnomaly,
     "ev_funnel" -> evFunnel,
@@ -292,6 +309,16 @@ object Events {
     "ev_recent_clicks" -> evRecentClicks)
 
   val oracles: Map[String, String] = Map(
+    "ev_range_frame" ->
+      """SELECT user_id, event_id, ts_us,
+        |  round(sum(value) OVER w, 4) AS sum_1h,
+        |  count(*) OVER w AS n_1h
+        |FROM (SELECT user_id, event_id,
+        |        CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+        |      FROM events WHERE user_id % 7 = 0)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING
+        |                   AND CURRENT ROW)""".stripMargin,
     // the DuckDB series must have CONSTANT bounds (no subquery/lateral
     // parameters), so a wide constant hour range (covers ~2014-2039,
     // ample margin around the fixed 2024-01 testdata window) is clamped

@@ -402,7 +402,31 @@ object RelationalQueries {
         .as("p90_within_rank_2pct"))
   }
 
+  /** Heavy-hitters sketch witness — the third member of the
+    * sketch-bound family (HLL distinct / approx-percentile): Spark's
+    * single-pass `stat.freqItems` (Karp-Shenker-Papadimitriou) promises
+    * a SUPERSET of every item with frequency > support. The witness
+    * emits each source's exact share plus a boolean that the sketch
+    * surfaced it — every source here sits near 5% > the 3% support, so
+    * the oracle claims `true` per row and the driver's hash compare
+    * fails iff the sketch ever drops a qualifying heavy hitter. (False
+    * positives in the sketch are allowed by contract and not tested.) */
+  def qFreqItemsBound(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val fi = docs.stat.freqItems(Seq("source"), 0.03)
+    val shares = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("total"))))
+      .select(col("source"),
+        round(col("n").cast("double") / col("total"), 6).as("share"))
+    shares.crossJoin(broadcast(fi))
+      .select(col("source"), col("share"),
+        array_contains(col("source_freqItems"), col("source"))
+          .as("in_sketch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_freq_items_bound" -> qFreqItemsBound,
     "q_grouping_sets" -> qGroupingSets,
     "q_running_total" -> qRunningTotal,
     "q_approx_quantiles_bound" -> qApproxQuantilesBound,
@@ -431,6 +455,12 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_freq_items_bound" ->
+      """SELECT source,
+        |  round(CAST(count(*) AS DOUBLE) /
+        |        (SELECT count(*) FROM documents), 6) AS share,
+        |  true AS in_sketch
+        |FROM documents GROUP BY source""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) * 2 +
