@@ -406,23 +406,31 @@ object RelationalQueries {
     * sketch-bound family (HLL distinct / approx-percentile): Spark's
     * single-pass `stat.freqItems` (Karp-Shenker-Papadimitriou) promises
     * a SUPERSET of every item with frequency > support. The witness
-    * emits each source's exact share plus a boolean that the sketch
-    * surfaced it — every source here sits near 5% > the 3% support, so
-    * the oracle claims `true` per row and the driver's hash compare
-    * fails iff the sketch ever drops a qualifying heavy hitter. (False
-    * positives in the sketch are allowed by contract and not tested.) */
+    * claims EXACTLY the guarantee: `share > support → in sketch`
+    * (sources at/below the support line may legitimately be absent, so
+    * the boolean is the implication, not raw membership — data-shape
+    * shifts at other scale factors cannot break the gate while the
+    * sketch honors its contract). The oracle claims `true` per row;
+    * the driver's hash compare fails iff the sketch ever drops a
+    * qualifying heavy hitter. (False positives in the sketch are
+    * allowed by contract and not tested.) */
+  val FreqItemsSupport = 0.03
+
   def qFreqItemsBound(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val fi = docs.stat.freqItems(Seq("source"), 0.03)
+    val fi = docs.stat.freqItems(Seq("source"), FreqItemsSupport)
     val shares = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("total"))))
       .select(col("source"),
-        round(col("n").cast("double") / col("total"), 6).as("share"))
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        (col("n").cast("double") / col("total") > FreqItemsSupport)
+          .as("qualifies"))
     shares.crossJoin(broadcast(fi))
       .select(col("source"), col("share"),
-        array_contains(col("source_freqItems"), col("source"))
-          .as("in_sketch"))
+        (!col("qualifies") ||
+          array_contains(col("source_freqItems"), col("source")))
+          .as("guarantee_holds"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -459,7 +467,7 @@ object RelationalQueries {
       """SELECT source,
         |  round(CAST(count(*) AS DOUBLE) /
         |        (SELECT count(*) FROM documents), 6) AS share,
-        |  true AS in_sketch
+        |  true AS guarantee_holds
         |FROM documents GROUP BY source""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
