@@ -263,15 +263,18 @@ object Events {
     * hand-written calendar table; both small sides broadcast into the
     * left join against the real counts. */
   def evGapFill(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-    val hourly = ev
+    // ONE scan of the events: bounds and the observed type set both
+    // derive from the (persisted, hours×types-sized) hourly aggregate —
+    // reading them off the raw table again would cost two more full
+    // passes that ReuseExchange cannot dedup
+    val hourly = events(spark, dir)
       .groupBy(expr(s"ts_us DIV $HourUs").as("hour_idx"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val grid = ev.agg(
-        min(expr(s"ts_us DIV $HourUs")).as("lo"),
-        max(expr(s"ts_us DIV $HourUs")).as("hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = hourly
+      .agg(min(col("hour_idx")).as("lo"), max(col("hour_idx")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
-      .crossJoin(ev.select(col("event_type")).distinct())
+      .crossJoin(hourly.select(col("event_type")).distinct())
     grid.join(hourly, Seq("hour_idx", "event_type"), "left")
       .select((col("hour_idx") * HourUs).as("hour_us"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n"), col("n").isNull.as("is_gap"))

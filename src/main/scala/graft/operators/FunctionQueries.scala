@@ -212,8 +212,17 @@ object FunctionQueries {
         (acc, x) => acc + x), 2).as("head3_sum"))
   }
 
+  /** Per-PROCESS nonce in the sink path: deterministic within one JVM
+    * (bench's repeat runs overwrite their own directory) but two
+    * concurrent processes on the same data dir never share a sink —
+    * one's overwrite-delete would race the other's read-back scan.
+    * floorMod, not abs: abs(Int.MinValue) is still negative. */
+  private lazy val processNonce: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   private def roundTripDir(kind: String, dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${math.abs(dir.hashCode)}"
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
+      s"${java.lang.Math.floorMod(dir.hashCode, 1 << 30)}_$processNonce"
 
   /** CSV sink + source round-trip: a per-priority aggregate is written
     * as headered CSV and read back with an EXPLICIT schema (no

@@ -21,10 +21,14 @@ object Pipeline {
   val MinTokens = 20
   val MaxStopRatio = 0.3
 
-  /** Survivor counts and volume per source after the full gate+dedup
-    * chain. */
-  def pipelineFilter(spark: SparkSession, dir: String): DataFrame = {
-    val gated = t(spark, dir, "documents")
+  /** THE quality/language gate — single definition consumed by
+    * [[pipelineFilter]], [[observedGate]] and the streaming
+    * [[graft.streaming.StreamingOps.curateDocs]], so the batch and
+    * streaming gates cannot drift: tokenize, derive n_tokens /
+    * stop_ratio, keep docs with enough tokens, low stopword ratio and
+    * lang = en. Entirely narrow (no shuffle). */
+  def gate(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("stop_ratio",
@@ -33,6 +37,11 @@ object Pipeline {
           col("n_tokens"))
       .where(col("n_tokens") >= MinTokens &&
         col("stop_ratio") <= MaxStopRatio && col("lang") === "en")
+
+  /** Survivor counts and volume per source after the full gate+dedup
+    * chain. */
+  def pipelineFilter(spark: SparkSession, dir: String): DataFrame = {
+    val gated = gate(t(spark, dir, "documents"))
     val deduped = gated
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
@@ -59,17 +68,9 @@ object Pipeline {
     * independently-computed counts. Returns the observed gated frame
     * (same rows as the pipelineFilter gate). */
   def observedGate(docs: DataFrame): DataFrame =
-    docs
-      .observe("ingest", count(lit(1)).as("n_ingested"),
-        sum(col("n_chars")).as("chars_ingested"))
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("stop_ratio",
-        size(filter(col("toks"),
-          x => x.isInCollection(TextAnalysis.Stopwords))).cast("double") /
-          col("n_tokens"))
-      .where(col("n_tokens") >= MinTokens &&
-        col("stop_ratio") <= MaxStopRatio && col("lang") === "en")
+    gate(docs
+        .observe("ingest", count(lit(1)).as("n_ingested"),
+          sum(col("n_chars")).as("chars_ingested")))
       .observe("gated", count(lit(1)).as("n_survivors"),
         sum(col("n_chars")).as("chars_survived"))
 

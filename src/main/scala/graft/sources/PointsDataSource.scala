@@ -67,6 +67,25 @@ object PointsTable {
   val DefaultSplitSize: Long = 128L * 1024 * 1024
 }
 
+/** Hadoop Configuration is not java.io.Serializable; ship the SESSION
+  * conf (spark.hadoop.* — fs.defaultFS, object-store credentials) to
+  * executors via Hadoop's own write/readFields, so task-side
+  * FileSystem.get resolves the SAME filesystem the driver planned
+  * against. A bare `new Configuration()` on the executor silently
+  * drops every session setting. */
+final class SerializableHadoopConf(@transient var value: Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 class PointsTable(path: String, splitSize: Long)
   extends Table with SupportsRead with SupportsWrite {
 
@@ -129,17 +148,20 @@ class PointsScan(path: String, splitSize: Long, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    PointsReaderFactory(parsePoint = required.fieldNames.contains("point"))
+    PointsReaderFactory(parsePoint = required.fieldNames.contains("point"),
+      conf = new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 final case class PointsInputPartition(path: String, start: Long, length: Long)
   extends InputPartition
 
-final case class PointsReaderFactory(parsePoint: Boolean)
+final case class PointsReaderFactory(parsePoint: Boolean,
+                                     conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PointsPartitionReader(
-      partition.asInstanceOf[PointsInputPartition], parsePoint)
+      partition.asInstanceOf[PointsInputPartition], parsePoint, conf)
 }
 
 /** Range reader with the Hadoop text-split ownership contract: a split
@@ -148,7 +170,8 @@ final case class PointsReaderFactory(parsePoint: Boolean)
   * or ending exactly at — the boundary, owned by the previous split,
   * which reads past its own end to finish it); it then emits lines
   * while their start offset is < end. */
-class PointsPartitionReader(split: PointsInputPartition, parsePoint: Boolean)
+class PointsPartitionReader(split: PointsInputPartition, parsePoint: Boolean,
+                            conf: SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
 
   private val end = split.start + split.length
@@ -157,7 +180,7 @@ class PointsPartitionReader(split: PointsInputPartition, parsePoint: Boolean)
 
   private val stream = {
     val p = new Path(split.path)
-    p.getFileSystem(new Configuration()).open(p)
+    p.getFileSystem(conf.value).open(p)
   }
   private var pos: Long = split.start
   // ONE LineReader for skip + reads: it buffers ahead, so a second
@@ -242,7 +265,7 @@ class PointsBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
     val fs = p.getFileSystem(conf)
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    PointsWriterFactory(path, jobId)
+    PointsWriterFactory(path, jobId, new SerializableHadoopConf(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -260,23 +283,24 @@ class PointsBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final case class PointsWriterFactory(path: String, jobId: String)
+final case class PointsWriterFactory(path: String, jobId: String,
+                                     conf: SerializableHadoopConf)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PointsDataWriter(path, jobId, partitionId, taskId)
+    new PointsDataWriter(path, jobId, partitionId, taskId, conf)
 }
 
 final case class PointsCommit(file: String) extends WriterCommitMessage
 
 class PointsDataWriter(dir: String, jobId: String, partitionId: Int,
-                       taskId: Long)
+                       taskId: Long, conf: SerializableHadoopConf)
   extends DataWriter[InternalRow] {
 
   private val finalPath =
     new Path(dir, f"part-$partitionId%05d-$taskId-$jobId")
   private val tmpPath =
     new Path(dir, f".part-$partitionId%05d-$taskId-$jobId.inprogress")
-  private val fs = tmpPath.getFileSystem(new Configuration())
+  private val fs = tmpPath.getFileSystem(conf.value)
   private val writer = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(tmpPath, true),
       java.nio.charset.StandardCharsets.UTF_8))

@@ -222,16 +222,7 @@ object StreamingOps {
     * [[graft.operators.Pipeline.pipelineIngest]]'s exact screen, made
     * incrementally per micro-batch. */
   def curateDocs(docs: Dataset[SDoc]): DataFrame =
-    docs.toDF()
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("stop_ratio",
-        size(filter(col("toks"), x =>
-          x.isInCollection(graft.operators.TextAnalysis.Stopwords)))
-          .cast("double") / col("n_tokens"))
-      .where(col("n_tokens") >= graft.operators.Pipeline.MinTokens &&
-        col("stop_ratio") <= graft.operators.Pipeline.MaxStopRatio &&
-        col("lang") === "en")
+    graft.operators.Pipeline.gate(docs.toDF())
       .withColumn("h", md5(col("text")))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("h")
