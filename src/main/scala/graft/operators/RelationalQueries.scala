@@ -413,7 +413,11 @@ object RelationalQueries {
     * sketch honors its contract). The oracle claims `true` per row;
     * the driver's hash compare fails iff the sketch ever drops a
     * qualifying heavy hitter. (False positives in the sketch are
-    * allowed by contract and not tested.) */
+    * allowed by contract and not tested.) `stat.freqItems` runs its
+    * single distributed pass eagerly and returns the sketch as a LOCAL
+    * 1-row relation — a justified driver action: the result is
+    * O(1/support) items by construction, the same size class as the
+    * k-row centroid collects in the k-means loop. */
   val FreqItemsSupport = 0.03
 
   def qFreqItemsBound(spark: SparkSession, dir: String): DataFrame = {
