@@ -406,6 +406,41 @@ class StreamingSpec extends SparkSessionSpec {
     }
   }
 
+  test("checkpointed parquet file sink delivers exactly the streamed rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("stream_sink").toFile
+    val out = new java.io.File(base, "data").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val mem = MemoryStream[SEvent]
+    // partitioned fault-tolerant file sink: offsets + completed files
+    // tracked in the checkpoint, one dir per event_type
+    val q = mem.toDF()
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .partitionBy("event_type")
+      .outputMode("append").start()
+    try {
+      mem.addData(batchEvents.take(batchEvents.size / 2))
+      q.processAllAvailable()
+      mem.addData(batchEvents.drop(batchEvents.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(out)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect().toSet
+    val expected = batchEvents
+      .map(e => (e.event_id, e.ts_us, e.user_id, e.event_type, e.value))
+      .toSet
+    assert(back == expected && back.nonEmpty)
+    // partition pruning works on the streamed layout
+    val clicks = spark.read.parquet(out)
+      .where(col("event_type") === "click").count()
+    assert(clicks == batchEvents.count(_.event_type == "click"))
+  }
+
   test("stream-static enrichment join equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
     val dim = batchEvents.map(_.user_id).distinct
