@@ -248,7 +248,55 @@ object Similarity {
         col("adc_dist"))
   }
 
+  val HybridTopK = 5
+
+  /** Hybrid keyword+vector retrieval — the modern RAG-retrieval shape,
+    * and the first operator joining the TEXT corpus to its embeddings:
+    * score = ½·(token Jaccard vs the query doc) + ½·(embedding
+    * cosine), top-[[HybridTopK]] per query. The lexical leg is
+    * integer-exact until one division (distinct-token overlap;
+    * |A∪B| = |A|+|B|−|A∩B|), the blend is rounded BEFORE ranking, and
+    * the ranker is the same native-TopKPerKey cut the ANN paths use.
+    * This is the broadcast-query formulation (queries tiny, corpus
+    * streams once); at corpus scale the lexical leg becomes an
+    * inverted-index join (the tf-idf shape) and the vector leg the IVF
+    * probe — both already in this module/TextAnalysis. */
+  def retrievalHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val vecs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val corpus = docs.join(vecs, docs("doc_id") === vecs("vec_id"))
+      .select(col("doc_id"), col("toks"), col("v"),
+        l2Norm(col("v")).as("nrm"))
+    val qs = corpus.where(col("doc_id") % 997 === 0)
+      .select(col("doc_id").as("query_id"), col("toks").as("q_toks"),
+        col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val scored = hybridScores(corpus, qs)
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("score" -> false, "neighbor_id" -> true),
+      HybridTopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** Core of [[retrievalHybrid]]: blended scores for every
+    * (corpus row, query) pair. Exposed for the crafted-input spec. */
+  def hybridScores(corpus: DataFrame, qs: DataFrame): DataFrame =
+    corpus.join(broadcast(qs), col("doc_id") =!= col("query_id"))
+      .withColumn("n_shared",
+        size(array_intersect(col("toks"), col("q_toks"))))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (size(col("toks")) + size(col("q_toks")) - col("n_shared")))
+      .withColumn("cos",
+        dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm")))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        round(col("jaccard") * 0.5 + col("cos") * 0.5, 6).as("score"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retrieval_hybrid" -> retrievalHybrid,
     "ann_topk_cosine" -> annTopKCosine,
     "ann_ivf" -> annIvfCosine,
     "ann_pq_codes" -> annPqCodes,
@@ -299,6 +347,31 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "retrieval_hybrid" ->
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, list_distinct(string_split(d.text, ' ')) AS toks,
+         |         CAST(e.embedding AS DOUBLE[]) AS v
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |), q AS (
+         |  SELECT doc_id AS query_id, toks AS q_toks, v AS q_v
+         |  FROM corpus WHERE doc_id % 997 = 0
+         |), scored AS (
+         |  SELECT q.query_id, c.doc_id AS neighbor_id,
+         |    round(
+         |      (CAST(len(list_intersect(c.toks, q.q_toks)) AS DOUBLE) /
+         |       (len(c.toks) + len(q.q_toks)
+         |        - len(list_intersect(c.toks, q.q_toks)))) * 0.5
+         |      + list_cosine_similarity(c.v, q.q_v) * 0.5, 6) AS score
+         |  FROM corpus c, q WHERE c.doc_id <> q.query_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, neighbor_id)
+         |           AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+         |FROM ranked WHERE rank <= $HybridTopK""".stripMargin,
     "ann_pq_codes" -> {
       val cols = (0 until PqM).map(m => s"code_$m").mkString(", ")
       val packed = (0 until PqM)

@@ -541,6 +541,35 @@ class OperatorsSpec extends SparkSessionSpec {
       "gate dropped nothing — metrics would be vacuous")
   }
 
+  test("hybridScores ranks both-affinity docs above single-leg matches") {
+    val spark2 = spark
+    import spark2.implicits._
+    // query doc 0: tokens {a,b,c,d}, vector (1,0).
+    // doc 1: same tokens AND same direction  -> both legs high
+    // doc 2: same tokens, orthogonal vector  -> lexical only
+    // doc 3: no shared tokens, same direction -> vector only
+    // doc 4: nothing in common                -> lowest
+    def row(id: Long, toks: Seq[String], v: Seq[Double]) = (id, toks, v)
+    val corpus = Seq(
+      row(0L, Seq("a", "b", "c", "d"), Seq(1.0, 0.0)),
+      row(1L, Seq("a", "b", "c", "d"), Seq(2.0, 0.0)),
+      row(2L, Seq("a", "b", "c", "d"), Seq(0.0, 1.0)),
+      row(3L, Seq("x", "y", "z", "w"), Seq(1.0, 0.0)),
+      row(4L, Seq("x", "y", "z", "w"), Seq(0.0, 1.0)))
+      .toDF("doc_id", "toks", "v")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v")))
+    val qs = corpus.where(col("doc_id") === 0)
+      .select(col("doc_id").as("query_id"), col("toks").as("q_toks"),
+        col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val scores = Similarity.hybridScores(corpus, qs)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(scores(1L) == 1.0) // jaccard 1 + cosine 1
+    assert(scores(1L) > scores(2L) && scores(1L) > scores(3L))
+    assert(scores(2L) == 0.5 && scores(3L) == 0.5) // one full leg each
+    assert(scores(4L) == 0.0)
+  }
+
   test("anomalyOf flags only the z>3 outlier events") {
     val spark2 = spark
     import spark2.implicits._
