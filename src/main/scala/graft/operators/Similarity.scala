@@ -295,7 +295,42 @@ object Similarity {
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
         round(col("jaccard") * 0.5 + col("cos") * 0.5, 6).as("score"))
 
+  /** FILTERED vector search — metadata-constrained ANN, the vector-DB
+    * capability RAG stacks rely on ("neighbors from MY tenant/category
+    * only"): each query retrieves its top-k among corpus vectors
+    * sharing the query's label. The filter is applied as a JOIN
+    * PREDICATE — i.e. BEFORE scoring — which is the correctness-
+    * critical order: post-filtering an unfiltered top-k silently
+    * under-returns (a query whose true same-label neighbors rank 11th+
+    * globally would get < k rows, or none). Pre-filtering also does
+    * strictly less scoring work: only label-matched rows compute a
+    * cosine. Same broadcast-query + native-TopKPerKey shape as the
+    * other rankers; at scale the label predicate pushes into the
+    * partition layout (partition by label) or the IVF cell routing. */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"),
+        col("label"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val qs = corpus.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label").as("q_label"))
+    val scored = corpus.join(broadcast(qs),
+        col("vec_id") =!= col("query_id") &&
+          col("label") === col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), cosineScore.as("score"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("score" -> false, "neighbor_id" -> true), TopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label").cast("long").as("label"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_filtered" -> annFiltered,
     "retrieval_hybrid" -> retrievalHybrid,
     "ann_topk_cosine" -> annTopKCosine,
     "ann_ivf" -> annIvfCosine,
@@ -347,6 +382,29 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "ann_filtered" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv, label AS q_label FROM e
+         |  WHERE vec_id < $NQueries
+         |), scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         CAST(e.label AS BIGINT) AS label,
+         |         round(list_cosine_similarity(e.v, q.qv), 6) AS score
+         |  FROM e, q
+         |  WHERE e.vec_id <> q.query_id AND e.label = q.q_label
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, label, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, neighbor_id)
+         |           AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, label,
+         |       score
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "retrieval_hybrid" ->
       s"""WITH corpus AS (
          |  SELECT d.doc_id, list_distinct(string_split(d.text, ' ')) AS toks,

@@ -541,6 +541,30 @@ class OperatorsSpec extends SparkSessionSpec {
       "gate dropped nothing — metrics would be vacuous")
   }
 
+  test("annFiltered returns full-k SAME-LABEL neighbors (no post-filter under-return)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Similarity.annFiltered(spark, sf0001)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val emb = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    // every neighbor shares its query's label
+    out.foreach { case (q, _, n, lbl, _) =>
+      assert(lbl == emb(q) && lbl == emb(n),
+        s"label mismatch: query $q (label ${emb(q)}) -> $n (label ${emb(n)})")
+    }
+    // and each query returns min(k, candidates) rows — the property a
+    // post-filtered unfiltered top-k violates
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val candidates = emb.count { case (id, l) => id != q && l == emb(q) }
+      assert(rows.length == math.min(Similarity.TopK, candidates),
+        s"query $q returned ${rows.length} of expected " +
+          s"${math.min(Similarity.TopK, candidates)}")
+    }
+  }
+
   test("hybridScores ranks both-affinity docs above single-leg matches") {
     val spark2 = spark
     import spark2.implicits._
