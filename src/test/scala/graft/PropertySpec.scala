@@ -191,6 +191,30 @@ class PropertySpec extends SparkSessionSpec {
     }
   }
 
+  test("points sink -> scan round-trips exactly over random data/layout") {
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 300)
+      d <- Gen.chooseNum(1, 8)
+      parts <- Gen.chooseNum(1, 7)
+      split <- Gen.oneOf(32L, 64L, 1024L, 128L * 1024 * 1024)
+      rows <- Gen.listOfN(n, Gen.listOfN(d,
+        Gen.chooseNum(-1e6, 1e6)))
+    } yield (rows, parts, split)
+    samples(caseGen, 6).foreach { case (rows, parts, split) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("pts_prop").toFile.getAbsolutePath + "/d"
+      rows.map(_.toArray).toDF("point").repartition(parts)
+        .write.format("points").mode("overwrite").save(dir)
+      val back = spark.read.format("points")
+        .option("splitSizeBytes", split.toString).load(dir)
+        .as[Seq[Double]].collect().map(_.toList)
+        .sortBy(_.toString())
+      // bit-exact doubles: Double.toString text is shortest-round-trip
+      assert(back.toSeq == rows.map(_.toList).sortBy(_.toString()),
+        s"n=${rows.size} parts=$parts split=$split")
+    }
+  }
+
   test("vecScale(vecScale(v, n), 1/n) is identity (Point.scale inverse)") {
     val cases = samples(Gen.zip(pointGen, Gen.chooseNum(1, 1000)), 20)
     cases.foreach { case (p, n) =>
