@@ -329,7 +329,81 @@ object Similarity {
         col("label").cast("long").as("label"), col("score"))
   }
 
+  val MmrLambda = 0.7
+  val MmrK = 5
+
+  final case class MmrCand(query_id: Long, cand_id: Long, rel: Double,
+                           v: Seq[Double])
+  final case class MmrPick(query_id: Long, mmr_rank: Int, cand_id: Long,
+                           score: Double)
+
+  /** Spark-round-compatible 6dp rounding (BigDecimal over the shortest
+    * decimal representation, HALF_UP) — the greedy loop's sims must
+    * round exactly like the `round(x, 6)` both engines apply. */
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Pure greedy MMR over one query's candidate list: pick the highest
+    * relevance first, then repeatedly the candidate maximizing
+    * λ·rel − (1−λ)·max-sim-to-selected, every sim and every combined
+    * score rounded to 6dp BEFORE comparison and ties broken on
+    * cand_id — bit-reproducible against the DuckDB recursive-CTE
+    * oracle. O(k·C·d) per query over C = [[TopK]] candidates. */
+  def mmrSelect(query: Long, cands: Seq[MmrCand]): Seq[MmrPick] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var num = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        num += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      num / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pool = scala.collection.mutable.ArrayBuffer(
+      cands.sortBy(c => (-c.rel, c.cand_id)): _*)
+    val selected = scala.collection.mutable.ArrayBuffer[MmrCand]()
+    val out = scala.collection.mutable.ArrayBuffer[MmrPick]()
+    while (selected.length < MmrK && pool.nonEmpty) {
+      val (best, score) =
+        if (selected.isEmpty) (pool.head, r6(pool.head.rel))
+        else pool.map { c =>
+          val maxSim = selected.map(s => r6(cos(c.v, s.v))).max
+          (c, r6(MmrLambda * c.rel - (1 - MmrLambda) * maxSim))
+        }.minBy { case (c, s) => (-s, c.cand_id) }
+      out += MmrPick(query, selected.length + 1, best.cand_id, score)
+      selected += best
+      pool -= best
+    }
+    out.toSeq
+  }
+
+  /** MMR-diversified reranking — the second retrieval stage after
+    * recall: from each query's brute-force top-[[TopK]] (the
+    * ann_topk_cosine set, vectors carried along), greedily select
+    * [[MmrK]] results trading relevance against redundancy
+    * (λ = [[MmrLambda]]). The greedy loop runs per query GROUP via
+    * flatMapGroups — distributed across queries, O(k·C·d) on ≤ C rows
+    * per group, no driver involvement. The DuckDB oracle replays the
+    * exact greedy recursion as a recursive CTE (LATERAL argmax per
+    * step over the same rounded scores), so the selection ORDER — not
+    * just the set — is value-checked. */
+  def retrievalMmr(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val scored = emb(spark, dir)
+      .join(broadcast(queriesDf(spark, dir)),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        cosineScore.as("rel"), col("v"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("rel" -> false, "cand_id" -> true), TopK)
+    cut.as[MmrCand]
+      .groupByKey(_.query_id)
+      .flatMapGroups((q, it) => mmrSelect(q, it.toSeq).iterator)
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retrieval_mmr" -> retrievalMmr,
     "ann_filtered" -> annFiltered,
     "retrieval_hybrid" -> retrievalHybrid,
     "ann_topk_cosine" -> annTopKCosine,
@@ -382,6 +456,51 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // replays the greedy MMR recursion step by step: the LATERAL argmax
+    // inside the recursive term picks the same (rounded score, id)
+    // winner the Scala loop does, carrying the selected set as a list
+    "retrieval_mmr" ->
+      s"""WITH RECURSIVE cand AS (
+         |  SELECT query_id, neighbor_id AS cand_id, score AS rel, v FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      CAST(e.embedding AS DOUBLE[]) AS v,
+         |      round(list_cosine_similarity(q.qv,
+         |            CAST(e.embedding AS DOUBLE[])), 6) AS score,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_cosine_similarity(q.qv,
+         |                 CAST(e.embedding AS DOUBLE[])), 6) DESC,
+         |                 e.vec_id) AS rank
+         |    FROM embeddings e CROSS JOIN
+         |      (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id < $NQueries) q
+         |    WHERE e.vec_id <> q.query_id)
+         |  WHERE rank <= $TopK
+         |), sel AS (
+         |  SELECT query_id, 1 AS step, cand_id AS picked,
+         |         round(rel, 6) AS score, [cand_id] AS sel_ids
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rel DESC, cand_id) AS rn FROM cand)
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.query_id, s.step + 1, pick.cand_id, pick.score,
+         |         list_append(s.sel_ids, pick.cand_id)
+         |  FROM sel s, LATERAL (
+         |    SELECT c.cand_id,
+         |      round($MmrLambda*c.rel - ${1 - MmrLambda}*(
+         |        SELECT max(round(list_cosine_similarity(c.v, c2.v), 6))
+         |        FROM cand c2
+         |        WHERE c2.query_id = c.query_id
+         |          AND list_contains(s.sel_ids, c2.cand_id)), 6) AS score
+         |    FROM cand c
+         |    WHERE c.query_id = s.query_id
+         |      AND NOT list_contains(s.sel_ids, c.cand_id)
+         |    ORDER BY score DESC, c.cand_id LIMIT 1
+         |  ) pick
+         |  WHERE s.step < $MmrK
+         |)
+         |SELECT query_id, CAST(step AS INT) AS mmr_rank,
+         |       picked AS cand_id, score
+         |FROM sel""".stripMargin,
     "ann_filtered" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label

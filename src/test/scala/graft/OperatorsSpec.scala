@@ -565,6 +565,23 @@ class OperatorsSpec extends SparkSessionSpec {
     }
   }
 
+  test("mmrSelect prefers a diverse lower-relevance pick over a redundant one") {
+    import Similarity.MmrCand
+    // 1 is most relevant; 2 is nearly a duplicate of 1; 3 is diverse.
+    // Greedy MMR must pick 1, then 3 (diversity beats 2's relevance),
+    // then 2.
+    val cands = Seq(
+      MmrCand(0L, 1L, 0.9, Seq(1.0, 0.0)),
+      MmrCand(0L, 2L, 0.85, Seq(0.99, 0.1)),
+      MmrCand(0L, 3L, 0.5, Seq(0.0, 1.0)),
+      MmrCand(0L, 4L, 0.4, Seq(0.1, 0.9)))
+    val picks = Similarity.mmrSelect(0L, cands)
+    assert(picks.map(_.cand_id).take(3) == Seq(1L, 3L, 2L),
+      s"unexpected MMR order: ${picks.map(_.cand_id)}")
+    assert(picks.head.score == 0.9)
+    assert(picks.map(_.mmr_rank) == (1 to picks.length))
+  }
+
   test("hybridScores ranks both-affinity docs above single-leg matches") {
     val spark2 = spark
     import spark2.implicits._
