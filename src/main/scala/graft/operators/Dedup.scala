@@ -219,29 +219,32 @@ object Dedup {
     * collapse map-side (partial min over a lexicographic
     * (distance, id) struct, ties → lowest id); the fine-assignment
     * join is equi-keyed on coarse id, so a skewed region is AQE's
-    * skew-join case, not a cross join. Remaining scale caveat (same as
-    * r2, documented): fine centroids are the first k rows by vec_id —
-    * a real corpus would seed them from a distributed k-means/sample
-    * pass; the blocking shape is unchanged. Threshold 0.4 is
-    * calibrated to this synthetic data (real near-dup corpora would
-    * use ≥0.95). */
+    * skew-join case, not a cross join. Seeding is a sort-free modulo
+    * pick: every ss-th vec_id (ss = n DIV k from the same broadcast
+    * 1-row params) becomes a centroid with fid = vec_id / ss — a
+    * narrow filter every task evaluates independently, no window, no
+    * global sort, no single-task funnel. vec_id 0 always qualifies
+    * with fid 0, so the coarse subset (fid % stride = 0) is never
+    * empty. Threshold 0.4 is calibrated to this synthetic data (real
+    * near-dup corpora would use ≥0.95). */
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val params = emb.agg(count(lit(1)).as("n"))
-      .select(greatest(ceil(col("n") / lit(TargetCellSize.toDouble)), lit(1L))
-        .cast("int").as("k"))
-      .select(col("k"), ceil(sqrt(col("k"))).cast("int").as("stride"))
-    // centroid origin: first k rows by vec_id (the k-row window output
-    // is tiny; its input pass is the documented seeding caveat above)
-    // persisted: k rows, feeds coarse + fine routing + the assignment
+      .select(col("n"),
+        greatest(ceil(col("n") / lit(TargetCellSize.toDouble)), lit(1L))
+          .cast("int").as("k"))
+      .select(col("k"), ceil(sqrt(col("k"))).cast("int").as("stride"),
+        greatest(floor(col("n") / col("k")).cast("long"), lit(1L)).as("ss"))
+    // centroid origin: every ss-th vector (vec_id % ss = 0). The pick
+    // is a stateless per-row predicate — fully parallel at any scale.
+    // fid = vec_id / ss is exact (the filter guarantees integrality).
+    // persisted: ~k rows, feeds coarse + fine routing + the assignment
     // join — derived once, read from cache everywhere else
     val fine = emb.crossJoin(broadcast(params))
-      .withColumn("fid",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
-      .where(col("fid") < col("k"))
-      .select(col("fid"), col("v").as("c"), col("stride"))
+      .where(col("vec_id") % col("ss") === 0)
+      .select((col("vec_id") / col("ss")).cast("int").as("fid"),
+        col("v").as("c"), col("stride"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val coarse = fine.where(col("fid") % col("stride") === 0)
       .select(col("fid").as("coid"), col("c").as("cc"))
@@ -666,16 +669,17 @@ object Dedup {
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |), params AS (
-         |  SELECT k, CAST(ceil(sqrt(k)) AS INT) AS stride FROM (
-         |    SELECT CAST(greatest(ceil(count(*) / ${TargetCellSize}.0), 1)
+         |  SELECT k, CAST(ceil(sqrt(k)) AS INT) AS stride,
+         |         greatest(n // k, 1) AS ss
+         |  FROM (
+         |    SELECT count(*) AS n,
+         |           CAST(greatest(ceil(count(*) / ${TargetCellSize}.0), 1)
          |                AS INT) AS k
          |    FROM embeddings)
          |), fine AS (
-         |  SELECT fid, v AS c FROM (
-         |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS fid,
-         |           v
-         |    FROM e) r, params
-         |  WHERE r.fid < params.k
+         |  SELECT CAST(vec_id // ss AS INT) AS fid, v AS c
+         |  FROM e, params
+         |  WHERE vec_id % ss = 0
          |), coarse AS (
          |  SELECT fid AS coid, c AS cc FROM fine, params
          |  WHERE fid % params.stride = 0
