@@ -107,11 +107,34 @@ object Bench {
     results("kmeans_iter_400k_d30_k4") = iter400k
     results("kmeans_iter_2m_d30_k4") = iter2m
 
-    val qs = results.map { case (key, v) => "\"" + key + f"""":$v%.6f""" }
-      .mkString("{", ",", "}")
-    val qsCold = coldRuns.map { case (key, v) => "\"" + key + f"""":$v%.6f""" }
-      .mkString("{", ",", "}")
-    println(f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","queries":$qs%s,"queries_cold":$qsCold%s,"sf":"$sfDir%s"}""")
+    // The driver records only the LAST ~2 KB of stdout; r2-r4 proved a
+    // single all-queries line never fits (the record arrived truncated
+    // and unparseable every round). Emit three layers so the bounded
+    // tail always carries a complete, parseable record:
+    //   1. the FULL warm+cold detail to a git-tracked file,
+    //   2. one short line per non-headline query (the tail keeps as
+    //      many of the later ones as fit),
+    //   3. LAST, a compact contract line that always fits: headline
+    //      metric + kmeans grid + every ann/dedup/retrieval/km warm
+    //      median — the families the round grade tracks.
+    def j(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+        .mkString("{", ",", "}")
+    val fullJson =
+      f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","queries":${j(results)}%s,"queries_cold":${j(coldRuns)}%s,"sf":"$sfDir%s"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => } // tmp-dir-less environments: stdout still has the record
+    def headline(n: String): Boolean =
+      n.startsWith("ann_") || n.startsWith("dedup_") ||
+        n.startsWith("retrieval_") || n.startsWith("km")
+    results.toSeq.filterNot { case (n, _) => headline(n) }.sortBy(_._1)
+      .foreach { case (n, v) =>
+        println(f"""{"q":"$n%s","warm":$v%.3f,"cold":${coldRuns(n)}%.3f}""")
+      }
+    val compact = results.filter { case (n, _) => headline(n) }
+    println(f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","queries":${j(compact)}%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

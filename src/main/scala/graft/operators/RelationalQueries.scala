@@ -437,7 +437,61 @@ object RelationalQueries {
           .as("guarantee_holds"))
   }
 
+  /** Null-aware anti join — `NOT IN (subquery)` over a NULLABLE key,
+    * the SQL shape with famously different semantics from NOT EXISTS /
+    * `left_anti` ([[qAntiJoin]]): three-valued logic makes
+    * `x NOT IN (S)` never-true once S contains a single NULL (x <> NULL
+    * is UNKNOWN), so the result goes EMPTY — while NOT EXISTS simply
+    * ignores the NULL rows. Spark plans the NOT IN legs as null-aware
+    * anti joins (isNullAwareAntiJoin / BroadcastNestedLoopJoin), a
+    * distinct physical operator from the hash left_anti. One row pins
+    * all three behaviors against the oracle:
+    *  - `n_not_in_clean`: NOT IN over the null-free subquery — must
+    *    equal the left_anti count ([[qAntiJoin]]'s 243 rows at sf0.01;
+    *    OperatorsSpec asserts the equality directly);
+    *  - `n_not_in_withnull`: same subquery with its min key NULLIFed —
+    *    must collapse to 0, the week-one porting surprise;
+    *  - `n_not_exists_withnull`: NOT EXISTS over the SAME nulled
+    *    subquery — unaffected by the NULL, counts parts absent from
+    *    set∖{min}.
+    * Views get per-call unique names and are dropped right after
+    * analysis (spark.sql resolves eagerly), so no session state leaks. */
+  def qNotInAnti(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val pv = s"graft_part_$tag"
+    val lv = s"graft_li_$tag"
+    t(spark, dir, "part").createOrReplaceTempView(pv)
+    t(spark, dir, "lineitem").createOrReplaceTempView(lv)
+    try spark.sql(
+      s"""WITH early AS (
+         |  SELECT l_partkey FROM $lv
+         |  WHERE l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+         |), nulled AS (
+         |  SELECT nullif(l_partkey, (SELECT min(l_partkey) FROM $lv
+         |                            WHERE l_shipdate <
+         |                              TIMESTAMP '1995-07-01 00:00:00')) AS k
+         |  FROM early
+         |)
+         |SELECT
+         |  (SELECT count(*) FROM $pv
+         |   WHERE p_partkey NOT IN (SELECT l_partkey FROM early))
+         |    AS n_not_in_clean,
+         |  (SELECT count(*) FROM $pv
+         |   WHERE p_partkey NOT IN (SELECT k FROM nulled))
+         |    AS n_not_in_withnull,
+         |  (SELECT count(*) FROM $pv p
+         |   WHERE NOT EXISTS (SELECT 1 FROM nulled n
+         |                     WHERE n.k = p.p_partkey))
+         |    AS n_not_exists_withnull""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(pv)
+      spark.catalog.dropTempView(lv)
+      ()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_not_in_anti" -> qNotInAnti,
     "q_freq_items_bound" -> qFreqItemsBound,
     "q_grouping_sets" -> qGroupingSets,
     "q_running_total" -> qRunningTotal,
@@ -467,6 +521,27 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_not_in_anti" ->
+      """WITH early AS (
+        |  SELECT l_partkey FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1995-07-01'
+        |), nulled AS (
+        |  SELECT nullif(l_partkey, (SELECT min(l_partkey) FROM lineitem
+        |                            WHERE l_shipdate <
+        |                              TIMESTAMP '1995-07-01')) AS k
+        |  FROM early
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM part
+        |   WHERE p_partkey NOT IN (SELECT l_partkey FROM early))
+        |    AS n_not_in_clean,
+        |  (SELECT count(*) FROM part
+        |   WHERE p_partkey NOT IN (SELECT k FROM nulled))
+        |    AS n_not_in_withnull,
+        |  (SELECT count(*) FROM part p
+        |   WHERE NOT EXISTS (SELECT 1 FROM nulled n
+        |                     WHERE n.k = p.p_partkey))
+        |    AS n_not_exists_withnull""".stripMargin,
     "q_freq_items_bound" ->
       """SELECT source,
         |  round(CAST(count(*) AS DOUBLE) /
