@@ -38,32 +38,20 @@ object Multimodal {
           .as("frame_sample"))
 
   // ---------------------------------------------------------------------
-  // Stubbed decode pipeline (typed, partition-wise)
+  // Typed decode pipeline (partition-wise, format-dispatching)
   // ---------------------------------------------------------------------
 
   final case class MediaRow(doc_id: Long, blob: Array[Byte])
-  final case class DecodedMedia(doc_id: Long, width: Int, height: Int,
-                                n_frames: Int, mean_luma: Double)
 
-  /** STUB decoder: the real implementation would call an image/audio
-    * codec (not present in this container). This deterministic fake
-    * derives "decoded" properties from the raw bytes so the pipeline
-    * shape — per-partition batching, typed Encoders, closure-free
-    * columns downstream — is fully exercised and testable. */
-  object FakeDecoder {
-    def decode(m: MediaRow): DecodedMedia = {
-      val b = m.blob
-      def u(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
-      val sampled = b.indices.by(100).map(i => b(i) & 0xff)
-      DecodedMedia(
-        doc_id = m.doc_id,
-        width = 16 + u(0) % 64,
-        height = 16 + u(1) % 64,
-        n_frames = (b.length + 99) / 100,
-        mean_luma = if (sampled.isEmpty) 0.0
-                    else sampled.sum.toDouble / (255.0 * sampled.size))
-    }
-  }
+  /** Unified decode output across media formats: format-specific fields
+    * are null where they don't apply (images have no sample rate, audio
+    * no pixel geometry), `n_units` is the format's natural count (PCM
+    * frames / pixels) and `mean_signal` its mean amplitude (mean |PCM|
+    * normalized to [0,1] / mean blue-channel byte). */
+  final case class DecodedAny(doc_id: Long, format: String,
+                              width: Option[Int], height: Option[Int],
+                              sample_rate: Option[Int], n_units: Long,
+                              mean_signal: Double)
 
   // ---------------------------------------------------------------------
   // Real decoder for a codec-free format: canonical PCM WAV
@@ -124,21 +112,39 @@ object Multimodal {
     media.mapPartitions(_.flatMap(m => WavDecoder.decode(m.doc_id, m.blob)))
   }
 
-  /** Decode via mapPartitions: one decoder instance per partition (the
-    * shape a JNI/codec handle needs — init once per task, stream the
-    * batch through it). Driver check is rows-only (stub output has no
-    * SQL equivalent by design). */
+  /** Generic decode: a MIXED media column (even doc_ids carry a real
+    * PCM16 WAV, odd a real 24-bit BMP, both synthesized in-plan exactly
+    * like [[wavMedia]]/[[bmpMedia]]) decoded in ONE mapPartitions pass
+    * that dispatches per blob on the container magic ("RIFF" → the real
+    * [[WavDecoder]], "BM" → the real [[BmpDecoder]], anything else
+    * dropped) — the one-decoder-per-task shape a JNI/codec handle needs
+    * (init once per partition, stream the batch through), now with no
+    * stub anywhere: every output value is real decoder output and the
+    * DuckDB oracle re-derives all of it in closed form, including the
+    * full-payload means (mean |PCM| and mean blue-channel byte). */
   def mmDecode(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val media: Dataset[MediaRow] = t(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("blob"))
-      .as[MediaRow]
-    media.mapPartitions { rows =>
+    mixedMedia(spark, dir).mapPartitions { rows =>
       // per-partition decoder init would go here (codec handle, model…)
-      rows.map(FakeDecoder.decode)
+      rows.flatMap { m =>
+        val b = m.blob
+        if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F')
+          WavDecoder.decode(m.doc_id, b).map(w =>
+            DecodedAny(m.doc_id, "wav", None, None, Some(w.sample_rate),
+              w.n_samples, w.mean_abs))
+        else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+          BmpDecoder.decode(m.doc_id, b).map(i =>
+            DecodedAny(m.doc_id, "bmp", Some(i.width), Some(i.height),
+              None, i.n_pixels, i.mean_b))
+        else None
+      }
     }.toDF()
-      .withColumn("mean_luma", round(col("mean_luma"), 6))
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_units"), round(col("mean_signal"), 6).as("mean_signal"))
   }
 
   /** The SQL-expressible slice of the decode contract, split out of the
@@ -174,8 +180,10 @@ object Multimodal {
   /** The in-plan WAV synthesis feeding [[mmWav]], exposed so the spec
     * can cross-check the hex-composed blobs (ALL fields, including the
     * spec-gated mean_abs) against a JVM ByteBuffer reference encoder. */
-  def wavMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
+  /** Hex text of the canonical PCM16 WAV blob for one documents row, as
+    * a COLUMN over (doc_id, n_chars) — shared by [[wavMedia]] and the
+    * mixed-format [[mixedMedia]] corpus. */
+  private def wavHexCol: org.apache.spark.sql.Column = {
     val rate = (lit(8000) + (col("doc_id") % 4).cast("int") * 4000).cast("int")
     val nCh = (lit(1) + (col("doc_id") % 2).cast("int")).cast("int")
     val nFrames = ((col("n_chars") % 50).cast("int") + 1).cast("int")
@@ -183,14 +191,30 @@ object Multimodal {
     val nSamp = nFrames * nCh
     val pcmHex = concat_ws("", transform(sequence(lit(1), nSamp),
       i => le16(((col("doc_id") * 31 + i * 7) % 65536).cast("int"))))
-    val hexAll = concat(
+    concat(
       lit("52494646"), le32(lit(36) + dataLen),          // "RIFF", chunk size
       lit("57415645"), lit("666D7420"), le32(lit(16)),   // "WAVE", "fmt ", 16
       le16(lit(1)), le16(nCh), le32(rate),               // PCM, channels, rate
       le32(rate * nCh * 2), le16(nCh * 2), le16(lit(16)),// byte rate, align, bps
       lit("64617461"), le32(dataLen), pcmHex)            // "data", len, payload
+  }
+
+  def wavMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
     t(spark, dir, "documents")
-      .select(col("doc_id"), unhex(hexAll).as("blob"))
+      .select(col("doc_id"), unhex(wavHexCol).as("blob"))
+      .as[MediaRow]
+  }
+
+  /** The mixed-format corpus feeding [[mmDecode]]: even doc_ids get the
+    * WAV blob, odd the BMP — one binary column whose format varies row
+    * to row, which is what a real multimodal table looks like. */
+  def mixedMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        unhex(when(col("doc_id") % 2 === 0, wavHexCol)
+          .otherwise(bmpHexCol)).as("blob"))
       .as[MediaRow]
   }
 
@@ -271,8 +295,10 @@ object Multimodal {
     * doc_id, pixel bytes from a deterministic function of (row, byte
     * index), real 4-byte stride padding. Exposed for the spec's
     * ByteBuffer byte-identity cross-check. */
-  def bmpMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
+  /** Hex text of the canonical bottom-up 24-bit BMP blob for one
+    * documents row, as a COLUMN over doc_id — shared by [[bmpMedia]]
+    * and [[mixedMedia]]. */
+  private def bmpHexCol: org.apache.spark.sql.Column = {
     val w = (lit(2) + (col("doc_id") % 7).cast("int")).cast("int")   // 2..8
     val h = (lit(1) + (col("doc_id") % 5).cast("int")).cast("int")   // 1..5
     val rowBytes = w * 3
@@ -289,15 +315,19 @@ object Multimodal {
             2, "0"))),
         padHex)))
     val fileSize = (lit(54) + stride * h).cast("int")
-    val hexAll = concat(
+    concat(
       lit("424D"), le32(fileSize), le32(lit(0)), le32(lit(54)), // BM, size, res, offset
       le32(lit(40)), le32(w), le32(h),                          // biSize, w, h (bottom-up)
       le16(lit(1)), le16(lit(24)), le32(lit(0)),                // planes, bpp, compression
       le32(stride * h), le32(lit(2835)), le32(lit(2835)),       // image size, x/y ppm
       le32(lit(0)), le32(lit(0)),                               // clrUsed, clrImportant
       pixHex)
+  }
+
+  def bmpMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
     t(spark, dir, "documents")
-      .select(col("doc_id"), unhex(hexAll).as("blob"))
+      .select(col("doc_id"), unhex(bmpHexCol).as("blob"))
       .as[MediaRow]
   }
 
@@ -326,6 +356,33 @@ object Multimodal {
     "mm_decode" -> mmDecode)
 
   val oracles: Map[String, String] = Map(
+    // both legs in closed form: the wav leg re-derives mean |PCM| from
+    // the sample stream (doc_id*31 + 7i mod 2^16, sign-extended), the
+    // bmp leg reuses the mm_bmp pixel arithmetic. Even doc_ids are wav
+    // (so n_channels = 1 + doc_id%2 = 1 ⇒ n_samples = frames), odd bmp.
+    "mm_decode" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(n_chars % 50 + 1 AS BIGINT) AS n_units,
+        |  round((SELECT sum(abs(CASE WHEN s >= 32768 THEN s - 65536
+        |                             ELSE s END))
+        |         FROM (SELECT (doc_id*31 + g.i*7) % 65536 AS s
+        |               FROM generate_series(1, 50) g(i)
+        |               WHERE g.i <= n_chars % 50 + 1))
+        |        / ((n_chars % 50 + 1) * 32768.0), 6) AS mean_signal
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'bmp' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(NULL AS BIGINT) AS sample_rate,
+        |  CAST(w * h AS BIGINT) AS n_units,
+        |  round((SELECT sum((doc_id*7 + (g.i // (w*3))*31 + (g.i % (w*3))*13) % 251)
+        |         FROM generate_series(0, 119) g(i)
+        |         WHERE g.i < h*w*3 AND (g.i % (w*3)) % 3 = 0) / (w*h*1.0), 6)
+        |    AS mean_signal
+        |FROM (SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+        |      FROM documents WHERE doc_id % 2 = 1)""".stripMargin,
     "mm_bmp" ->
       """SELECT doc_id,
         |  CAST(w AS BIGINT) AS width,

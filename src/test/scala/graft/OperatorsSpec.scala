@@ -69,13 +69,25 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(r.isNullAt(0) && r.isNullAt(1)) // no silent truncation
   }
 
-  test("mm_frames (oracle-checked) agrees with the stub decoder's n_frames") {
-    val frames = operators.Multimodal.mmFrames(spark, sf0001)
-      .select(col("doc_id"), col("n_frames"))
+  test("mm_decode agrees with mm_wav and mm_bmp on their shared doc_ids") {
     val dec = operators.Multimodal.mmDecode(spark, sf0001)
-      .select(col("doc_id"), col("n_frames").cast("long").as("nf_stub"))
-    assert(frames.join(dec, "doc_id")
-      .where(col("n_frames") =!= col("nf_stub")).count() == 0)
+    val wav = operators.Multimodal.mmWav(spark, sf0001)
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("sample_rate").as("w_rate"),
+        col("n_samples").as("w_n"))
+    val bmp = operators.Multimodal.mmBmp(spark, sf0001)
+      .where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("width").as("b_w"), col("height").as("b_h"),
+        col("n_pixels").as("b_n"), col("mean_b").as("b_mean"))
+    assert(dec.join(wav, "doc_id")
+      .where(col("format") =!= "wav" ||
+        col("sample_rate") =!= col("w_rate") ||
+        col("n_units") =!= col("w_n")).count() == 0)
+    assert(dec.join(bmp, "doc_id")
+      .where(col("format") =!= "bmp" ||
+        col("width") =!= col("b_w") || col("height") =!= col("b_h") ||
+        col("n_units") =!= col("b_n") ||
+        col("mean_signal") =!= col("b_mean")).count() == 0)
   }
 
   test("WavDecoder parses real PCM16 WAV bytes end-to-end through mapPartitions") {
@@ -221,14 +233,22 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(mean > 0.6, s"IVF mean recall@10 too low: $mean")
   }
 
-  test("FakeDecoder is deterministic and shape-correct") {
-    val m = Multimodal.MediaRow(7L, "hello world, this is a fake image payload".getBytes)
-    val d1 = Multimodal.FakeDecoder.decode(m)
-    val d2 = Multimodal.FakeDecoder.decode(m)
-    assert(d1 == d2)
-    assert(d1.width >= 16 && d1.width < 80)
-    assert(d1.n_frames == 1)
-    assert(d1.mean_luma > 0 && d1.mean_luma <= 1.0)
+  test("mmDecode dispatches on magic bytes and drops undecodable blobs") {
+    val media = Multimodal.mixedMedia(spark, sf0001)
+    val decoded = Multimodal.mmDecode(spark, sf0001)
+    // every blob in the mixed corpus is a valid wav or bmp → none dropped
+    assert(decoded.count() == media.count())
+    // formats follow the parity split
+    assert(decoded.where(col("doc_id") % 2 === 0 && col("format") =!= "wav")
+      .count() == 0)
+    assert(decoded.where(col("doc_id") % 2 === 1 && col("format") =!= "bmp")
+      .count() == 0)
+    // a garbage blob is dropped, not decoded or crashed
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRow(1L, Array[Byte](1, 2, 3, 4, 5)),
+      Multimodal.MediaRow(2L, "not a media file".getBytes)).toDS()
+    assert(Multimodal.decodeWav(junk).count() == 0)
+    assert(Multimodal.decodeBmp(junk).count() == 0)
   }
 
   test("mm_decode emits one decoded row per document") {
