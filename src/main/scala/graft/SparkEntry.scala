@@ -23,6 +23,7 @@ object SparkEntry {
     (FunctionQueries.queries, FunctionQueries.oracles),
     (Dedup.queries, Dedup.oracles),
     (Similarity.queries, Similarity.oracles),
+    (AnnIndex.queries, AnnIndex.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (Pipeline.queries, Pipeline.oracles),

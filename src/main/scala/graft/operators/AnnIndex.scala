@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.VectorFunctions._
+import graft.kmeans.KMeansOps
+import graft.sources.ParquetSink
+
+/** PERSISTED IVF-PQ index — the build-once / query-many shape real
+  * 100 TB vector search runs on, closing the gap where every `ann_*`
+  * query re-derived centroids + codebook and re-encoded the corpus
+  * per run ([[Similarity]] keeps those as the self-contained variants).
+  *
+  * Build ([[annIndexBuild]]) writes three artifacts under a
+  * deterministic per-corpus path:
+  *  - `codes/` — one row per corpus vector: (vec_id, code_0..7,
+  *    packed), HIVE-PARTITIONED BY COARSE CELL via
+  *    [[ParquetSink.writePartitioned]] and sorted by vec_id within
+  *    each cell, so a probe-pruned search reads ONLY the probed cell
+  *    directories (partition pruning) at 4 packed bytes per vector —
+  *    the corpus's raw embeddings are never touched again;
+  *  - `cents/` — the k coarse centroids (k rows);
+  *  - `codebook/` — the PQ sub-codebooks (PqM·PqKsub rows).
+  *
+  * Search ([[annIndexSearch]]) answers the standard query batch by
+  * SCANNING the index: centroids + codebook load from their k-row
+  * artifacts (driver-side, same O(k·d) weight as the k-means loop's
+  * collects), the query batch probes its cells, and the codes scan is
+  * statically pruned to the probed cells before ADC scoring. The
+  * result is bit-identical to [[Similarity.annIvfPq]] — same oracle.
+  *
+  * Artifact root: `spark.graft.artifacts.dir` (a shared filesystem
+  * path on a real cluster — HDFS/S3); defaults to the JVM tmpdir,
+  * which is correct only in local mode. The path is keyed by data dir
+  * AND corpus row count, so a regenerated corpus self-invalidates.
+  */
+object AnnIndex {
+
+  import Similarity.{NProbe, PqKsub, PqM, TopK}
+
+  def artifactRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.artifacts.dir")
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_artifacts")
+
+  def indexPath(spark: SparkSession, dir: String): String = {
+    val n = t(spark, dir, "embeddings").count()
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${artifactRoot(spark)}/ivfpq_${key}_n$n"
+  }
+
+  /** Write the full index (codes + cents + codebook); returns its path.
+    * The codes write is the one corpus-sized job: assignment + PQ
+    * encode are narrow projections over the scan, then ONE shuffle
+    * routes rows to their cell directory (one file per cell). */
+  def buildIndex(spark: SparkSession, dir: String): String = {
+    val path = indexPath(spark, dir)
+    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val cb = Similarity.pqCodebook(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val encoded = Similarity.withBlockDists(
+      KMeansOps.assignDyn(emb, "v", cents), "v", cb, "ds_")
+      .select(col("vec_id") +: col("cluster") +:
+        (0 until PqM).map(m =>
+          (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
+            .cast("int").as(s"code_$m")): _*)
+      .withColumn("packed",
+        (0 until PqM).map(m => col(s"code_$m").cast("long") *
+          (1L << (4 * m))).reduce(_ + _))
+    ParquetSink.writePartitioned(encoded, s"$path/codes",
+      partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
+    val spark2 = spark
+    import spark2.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
+    (for { m <- 0 until PqM; j <- 0 until PqKsub } yield (m, j, cb(m)(j).toSeq))
+      .toDF("m", "j", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    path
+  }
+
+  /** Build-once gate: reuse the artifact when its committed codes dir
+    * exists, else build. (The path embeds the corpus row count, so a
+    * changed corpus never reuses a stale index.) */
+  def ensureIndex(spark: SparkSession, dir: String): String = {
+    val path = indexPath(spark, dir)
+    val success = new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(success)) path else buildIndex(spark, dir)
+  }
+
+  /** Build the index, then report per-cell invariants READ BACK FROM
+    * THE ARTIFACT — cell population, vec_id range, and the sum of
+    * packed code words (a fingerprint of every code nibble in the
+    * cell). The DuckDB oracle recomputes all of it from the raw
+    * embeddings, so a corrupted write, a mis-routed row, or a codec
+    * drift between build and artifact all surface as value
+    * mismatches. */
+  def annIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val path = buildIndex(spark, dir)
+    spark.read.parquet(s"$path/codes")
+      .groupBy(col("cluster").cast("int").as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"),
+        sum(col("packed")).as("sum_packed"))
+  }
+
+  /** IVF-PQ search over the PERSISTED index: the corpus side of the
+    * plan reads `codes/` only — statically pruned to the probed cells
+    * (the probe set is derived driver-side from the tiny query batch,
+    * so the cell filter is a literal `IN` the scan's partition
+    * discovery prunes on), then ADC-scored from broadcast per-query
+    * lookup tables and cut through the native top-k heaps. Result ==
+    * [[Similarity.annIvfPq]] (same oracle) with the per-run
+    * centroid/codebook derivation and corpus re-encode replaced by
+    * three artifact reads. */
+  def annIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIndex(spark, dir)
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/cents")
+      .orderBy(col("cid")).collect().map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+    val cb = Array.tabulate(PqM, PqKsub)((m, j) => cbRows((m, j)))
+    val qs = Similarity.queriesDf(spark, dir)
+      .select(col("query_id"), col("qv"))
+    // static partition filter: probed cells of the (tiny) query batch,
+    // computed driver-side with the same argmin/tie-break as the
+    // in-plan routing (OperatorsSpec asserts the two agree)
+    val probedAll = qs.collect()
+      .flatMap(r => Similarity.probeCells(cents,
+        r.getSeq[Double](1).toArray, NProbe))
+      .distinct.sorted
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cluster").isin(probedAll.map(Int.box): _*))
+    val probedLuts = Similarity.withBlockDists(qs, "qv", cb, "lut_")
+      .withColumn("probe_cell",
+        explode(Similarity.probeCellsCol(col("qv"), cents, NProbe)))
+    val scored = codes
+      .join(broadcast(probedLuts),
+        col("probe_cell") === col("cluster") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(sqrt((0 until PqM).map(m =>
+          element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)), 6)
+          .as("adc_dist"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("adc_dist" -> true, "neighbor_id" -> true), TopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_dist"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_index_build" -> annIndexBuild,
+    "ann_index_search" -> annIndexSearch)
+
+  val oracles: Map[String, String] = Map(
+    // recompute the per-cell invariants from the raw embeddings via the
+    // same assignment + PQ-encode SQL the ann_* oracles share
+    "ann_index_build" -> {
+      val packed = (0 until PqM)
+        .map(m => s"CAST(code_$m AS BIGINT) * ${1L << (4 * m)}")
+        .mkString(" + ")
+      s"""WITH ${Similarity.centsCte}, ${Similarity.pqCodesCte}, codes2 AS (
+         |  SELECT cd.*,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster
+         |  FROM codes cd JOIN ev e USING (vec_id)
+         |)
+         |SELECT CAST(cluster AS INT) AS cluster, count(*) AS n_vectors,
+         |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
+         |       CAST(sum($packed) AS BIGINT) AS sum_packed
+         |FROM codes2 GROUP BY cluster""".stripMargin
+    },
+    // search over the persisted index answers exactly like ann_ivfpq
+    "ann_index_search" -> Similarity.oracles("ann_ivfpq"))
+}

@@ -34,13 +34,13 @@ object Similarity {
   val TopK = 10
   val NProbe = 2
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def emb(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       // norm computed once per corpus vector, before any join fan-out
       .withColumn("nrm", l2Norm(col("v")))
 
-  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def queriesDf(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
@@ -134,13 +134,13 @@ object Similarity {
     * [[KMeansQueries.fixedCentroids]] for IVF — a production run would
     * k-means each block with the engine's own kernel; seeding keeps the
     * DuckDB oracle exact). k·d = 16×64 doubles on the driver. */
-  private def pqCodebook(spark: SparkSession,
+  private[operators] def pqCodebook(spark: SparkSession,
                          dir: String): Array[Array[Array[Double]]] = {
     val seeds = KMeansQueries.firstKCentroids(spark, dir, PqKsub)
     Array.tabulate(PqM)(m => seeds.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
   }
 
-  private def withBlockDists(df: DataFrame, vec: String,
+  private[operators] def withBlockDists(df: DataFrame, vec: String,
                              cb: Array[Array[Array[Double]]],
                              prefix: String): DataFrame =
     (0 until PqM).foldLeft(df) { (d, m) =>
@@ -412,7 +412,7 @@ object Similarity {
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq)
 
-  private def centsCte =
+  private[operators] def centsCte =
     s"""cents AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
        |         CAST(embedding AS DOUBLE[]) AS c
@@ -432,7 +432,7 @@ object Similarity {
     s"(SELECT sum(($a[g.i] - $b[g.i]) * ($a[g.i] - $b[g.i])) " +
       s"FROM generate_series(${m * PqSubDim + 1}, ${(m + 1) * PqSubDim}) g(i))"
 
-  private def pqCodesCte: String = {
+  private[operators] def pqCodesCte: String = {
     val codeCols = (0 until PqM).map(m =>
       s"""    (SELECT s.j FROM seeds s
          |     ORDER BY ${sqdSql("e.v", "s.c", m)}, s.j LIMIT 1) AS code_$m""")

@@ -251,6 +251,25 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(Multimodal.decodeBmp(junk).count() == 0)
   }
 
+  test("persisted ANN index: search equals ann_ivfpq, scans only the index, builds once") {
+    val search = AnnIndex.annIndexSearch(spark, sf0001)
+    val direct = Similarity.annIvfPq(spark, sf0001)
+    assert(search.collect().toSet == direct.collect().toSet)
+    // corpus side reads the codes artifact with partition pruning; the
+    // only raw-embeddings scan is the pushed-down query batch
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("/codes"), "corpus side must scan the index artifact")
+    assert(plan.contains("PartitionFilters: [cluster"),
+      "codes scan must prune on the probed cells")
+    // build-once: a second search reuses the committed artifact
+    val success = new java.io.File(
+      s"${AnnIndex.indexPath(spark, sf0001)}/codes/_SUCCESS")
+    assert(success.exists)
+    val t1 = success.lastModified()
+    AnnIndex.annIndexSearch(spark, sf0001).count()
+    assert(success.lastModified() == t1, "second search must not rebuild")
+  }
+
   test("mm_decode emits one decoded row per document") {
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
     assert(Multimodal.mmDecode(spark, sf0001).count() == n)
