@@ -59,9 +59,57 @@ object KMeansRunner {
     val pts =
       if (cache) points.persist(StorageLevel.MEMORY_AND_DISK)
       else points
-    try runLoop(pts, vecCol, k, maxIter, eps, seed)
+    try runLoop(pts, vecCol, k, maxIter, eps, seed,
+      sampleCentroids(pts, vecCol, k, _), identity)
     finally if (cache) { pts.unpersist(); () }
   }
+
+  /** ORACLE-REPLAYABLE variant of [[run]]: identical loop semantics,
+    * but (a) the seed sample orders by a multiplicative hash of the
+    * INTEGER id column instead of xxhash64 of the vector — the same
+    * seeded, layout-independent selection, now computable by any SQL
+    * engine — and (b) each round's new centroids are quantized to
+    * `roundDp` decimals (Spark `round` semantics: HALF_UP over the
+    * shortest decimal representation) BEFORE the shift test, so both
+    * engines enter every round from bit-identical centroids and
+    * float-summation-order divergence cannot compound across rounds.
+    * This is what lets a DuckDB recursive CTE replay the whole seeded
+    * Lloyd recursion value-exactly (the kmeans_full oracle). */
+  def runReplayable(points: DataFrame, vecCol: String, idCol: String,
+                    k: Int, maxIter: Int, eps: Double, seed: Long,
+                    roundDp: Int = 6,
+                    cache: Boolean = true): KMeansResult = {
+    require(k > 0 && maxIter >= 1)
+    val pts =
+      if (cache) points.persist(StorageLevel.MEMORY_AND_DISK)
+      else points
+    try runLoop(pts, vecCol, k, maxIter, eps, seed,
+      idHashSampleCentroids(pts, vecCol, idCol, k, _),
+      _.map(_.map(roundHalfUp(_, roundDp))))
+    finally if (cache) { pts.unpersist(); () }
+  }
+
+  /** Spark-`round`-compatible decimal rounding (BigDecimal over the
+    * shortest decimal representation, HALF_UP). */
+  def roundHalfUp(x: Double, dp: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Seeded k-sample keyed on a multiplicative hash of an integer id:
+    * `(id · 2654435761 + seed · 40503) mod (2³¹−1)`, ties on id — the
+    * Knuth-style scramble every SQL engine can reproduce exactly in
+    * 64-bit integer arithmetic. Same one-pass TakeOrderedAndProject
+    * shape as [[sampleCentroids]]. */
+  def idHashSampleCentroids(points: DataFrame, vecCol: String,
+                            idCol: String, k: Int,
+                            seed: Long): Array[Array[Double]] =
+    points.select(col(vecCol), col(idCol))
+      .orderBy(pmod(col(idCol) * lit(2654435761L) + lit(seed * 40503L),
+        lit(2147483647L)), col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .map(rowVec)
 
   /** Seeded k-sample without replacement, O(k) driver memory.
     * Ordered by a seeded content hash rather than `rand(seed)`: rand is
@@ -81,9 +129,16 @@ object KMeansRunner {
   private def rowVec(r: Row): Array[Double] =
     r.getSeq[Double](0).toArray
 
+  /** Loop body shared by [[run]] and [[runReplayable]]: `sample` draws
+    * the (re-)init centroid set for a given seed; `post` is applied to
+    * each round's new centroids before the shift test (identity for
+    * the plain run, decimal quantization for the replayable one). */
   private def runLoop(pts: DataFrame, vecCol: String, k: Int, maxIter: Int,
-                      eps: Double, seed: Long): KMeansResult = {
-    var centroids = sampleCentroids(pts, vecCol, k, seed)
+                      eps: Double, seed: Long,
+                      sample: Long => Array[Array[Double]],
+                      post: Array[Array[Double]] => Array[Array[Double]])
+      : KMeansResult = {
+    var centroids = sample(seed)
     var iter = 1 // KMeans.java:113 — starts at 1 ⇒ at most maxIter−1 rounds
     var error = Double.NaN
     var reinits = 0
@@ -98,9 +153,9 @@ object KMeansRunner {
         // empty-cluster policy: full re-init, skip error check,
         // iteration still counts (KMeans.java:167-171).
         reinits += 1
-        centroids = sampleCentroids(pts, vecCol, k, seed + iter)
+        centroids = sample(seed + iter)
       } else {
-        val newCentroids = Array.tabulate(k)(byId(_))
+        val newCentroids = post(Array.tabulate(k)(byId(_)))
         error = KMeansOps.shift(centroids, newCentroids)
         log += error
         centroids = newCentroids

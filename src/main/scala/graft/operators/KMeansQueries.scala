@@ -93,12 +93,19 @@ object KMeansQueries {
       .agg(round(sum(col("d2")), 4).as("inertia"))
   }
 
-  /** Full seeded iterative run (O11-O14) — not SQL-expressible (iterative,
-    * data-dependent trip count); driver records rows-only. Emitted as
+  /** Full seeded iterative run (O11-O14), now ORACLE-CHECKED: the
+    * [[KMeansRunner.runReplayable]] variant seeds by a multiplicative
+    * id hash and quantizes each round's centroids to 6dp, which lets a
+    * DuckDB recursive CTE replay the entire seeded Lloyd recursion
+    * (per-level argmin assignment → rounded group means → Σ‖Δc‖ stop
+    * test) value-exactly — the retrieval_mmr technique applied to the
+    * flagship. Caveat (documented, spec-gated elsewhere): the oracle
+    * does not model the empty-cluster re-init branch, which this data
+    * never triggers with k=8 seeded from distinct points. Emitted as
     * (cluster, dim, value) scalar rows (array cells crash the driver's
     * pandas row sort). */
   def kmeansFull(spark: SparkSession, dir: String): DataFrame = {
-    val res = KMeansRunner.run(points(spark, dir), "v",
+    val res = KMeansRunner.runReplayable(points(spark, dir), "v", "vec_id",
       k = K, maxIter = 20, eps = 0.01, seed = 42L)
     val spark2 = spark
     import spark2.implicits._
@@ -163,5 +170,56 @@ object KMeansQueries {
       s"""$centsCte
          |SELECT round(sum(d2), 4) AS inertia FROM (
          |  SELECT (SELECT min(list_distance(a.v, c.c) ** 2) FROM cents c) AS d2
-         |  FROM assigned a)""".stripMargin)
+         |  FROM assigned a)""".stripMargin,
+    // replays runReplayable's seeded Lloyd recursion exactly: seed set
+    // by the same id-hash order, per level a correlated argmin
+    // assignment + 6dp-rounded group means carried as a list-of-structs
+    // state row, stopping on Σ‖Δc‖ < eps or the maxIter−1 update bound.
+    // State rows recurse only while s.err ≥ eps, so the final (max r)
+    // row is the run's result whether it converged or hit the bound.
+    "kmeans_full" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), seeds AS (
+         |  SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents
+         |  FROM (
+         |    SELECT CAST(row_number() OVER (
+         |             ORDER BY (vec_id * 2654435761 + 42 * 40503) % 2147483647,
+         |                      vec_id) - 1 AS INT) AS cid, v AS c
+         |    FROM e
+         |    ORDER BY (vec_id * 2654435761 + 42 * 40503) % 2147483647, vec_id
+         |    LIMIT $K
+         |  )
+         |), iter AS (
+         |  SELECT 0 AS r, (SELECT cents FROM seeds) AS cents, 1e308 AS err
+         |  UNION ALL
+         |  SELECT s.r + 1, nxt.cents, nxt.err
+         |  FROM iter s, LATERAL (
+         |    WITH asg AS (
+         |      SELECT e.vec_id, e.v,
+         |        (SELECT u.cid FROM (SELECT unnest(s.cents) AS u)
+         |         ORDER BY list_distance(e.v, u.c), u.cid LIMIT 1) AS cl
+         |      FROM e
+         |    ), mean_dims AS (
+         |      SELECT cl, dim, round(sum(v[dim]) / count(*), 6) AS m
+         |      FROM asg CROSS JOIN generate_series(1, $DIM) g(dim)
+         |      GROUP BY cl, dim
+         |    ), newc AS (
+         |      SELECT cl AS cid, list(m ORDER BY dim) AS c
+         |      FROM mean_dims GROUP BY cl
+         |    )
+         |    SELECT
+         |      (SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid)
+         |       FROM newc) AS cents,
+         |      (SELECT sum(list_distance(n.c, u.c))
+         |       FROM newc n JOIN (SELECT unnest(s.cents) AS u) t
+         |         ON n.cid = u.cid) AS err
+         |  ) nxt
+         |  WHERE s.err >= 0.01 AND s.r < 19
+         |)
+         |SELECT u.cid AS cluster, CAST(g.dim AS INT) AS dim,
+         |       u.c[g.dim] AS value
+         |FROM (SELECT r, cents FROM iter ORDER BY r DESC LIMIT 1) f,
+         |     (SELECT unnest(f.cents) AS u) s2,
+         |     generate_series(1, $DIM) g(dim)""".stripMargin)
 }

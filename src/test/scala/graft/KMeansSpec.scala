@@ -192,6 +192,22 @@ class KMeansSpec extends SparkSessionSpec {
     assert(thrown.getMessage != null)
   }
 
+  test("runReplayable is layout-independent and emits 6dp-quantized centroids") {
+    val pts = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+    val a = KMeansRunner.runReplayable(pts, "v", "vec_id",
+      k = 4, maxIter = 5, eps = 0.01, seed = 42L)
+    val b = KMeansRunner.runReplayable(pts.repartition(13), "v", "vec_id",
+      k = 4, maxIter = 5, eps = 0.01, seed = 42L)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq,
+      "partition layout must not change the replayable run")
+    // every component sits exactly on the 6dp grid
+    a.centroids.flatten.foreach { x =>
+      assert(KMeansRunner.roundHalfUp(x, 6) == x)
+    }
+  }
+
   test("reference text format round-trips through PointsIO") {
     val tmp = java.nio.file.Files.createTempDirectory("pio").toString
     val data = Seq((0, Seq(0.41410840, 1.48714702)),
