@@ -169,6 +169,35 @@ object StreamingOps {
       .select(col("user_id"), col("event_id"), col("ts_us"), col("c_ts_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the join mode
+    * [[recentClickPairs]] (inner) leaves open: every purchase emits,
+    * null-extended when no qualifying click exists. The outer side is
+    * WATERMARK-DRIVEN: a purchase can only be proven matchless once
+    * the global watermark moves past its join horizon (no click that
+    * could still arrive can fall in its window), so null-extended rows
+    * surface one watermark advance later than matches — the spec pins
+    * that timing. Same coarse-interval-for-state-expiry /
+    * exact-microsecond-window split as the inner join: each side holds
+    * ≤ watermark + interval of history, and results match the batch
+    * left-outer formulation exactly. */
+  def recentClickPairsOuter(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("ts_us").as("c_ts_us"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("ts_us"))
+      .withWatermark("ts", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR 1 SECOND") &&
+        col("c_ts") <= col("ts") &&
+        col("c_ts_us") >= col("ts_us") - HourUs &&
+        col("c_ts_us") < col("ts_us"),
+      "leftOuter")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("c_ts_us"))
+  }
+
   final case class FunnelState(lastViewUs: Long, lastQClickUs: Long)
   final case class FunnelOut(user_id: Long, event_id: Long, ts_us: Long,
                              converted: Boolean)

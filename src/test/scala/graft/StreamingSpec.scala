@@ -134,6 +134,71 @@ class StreamingSpec extends SparkSessionSpec {
     assert(expected.nonEmpty && streamed == expected)
   }
 
+  test("stream-stream LEFT OUTER interval join equals the batch left-outer pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.recentClickPairsOuter(mem.toDF())
+      .writeStream.format("memory").queryName("clickpairs_outer")
+      .outputMode("append").start()
+    val h = StreamingOps.HourUs
+    // far-future click+purchase sentinels advance BOTH sides' watermarks
+    // so real unmatched purchases can be proven matchless and flush
+    def wmSentinels(offsetUs: Long): Seq[SEvent] = Seq(
+      sentinel(offsetUs).copy(event_type = "click"),
+      sentinel(offsetUs).copy(event_type = "purchase"))
+    try {
+      mem.addData(batchEvents)
+      q.processAllAvailable()
+      mem.addData(wmSentinels(4L * h))
+      q.processAllAvailable()
+      mem.addData(wmSentinels(8L * h))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("clickpairs_outer")
+      .where(col("user_id") >= 0)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val clicks = batchEvents.filter(_.event_type == "click")
+    val expected = batchEvents.filter(_.event_type == "purchase").flatMap { p =>
+      val matches = clicks.filter(c => c.user_id == p.user_id &&
+        c.ts_us >= p.ts_us - h && c.ts_us < p.ts_us)
+      if (matches.isEmpty) Seq((p.user_id, p.event_id, p.ts_us, None))
+      else matches.map(c => (p.user_id, p.event_id, p.ts_us, Some(c.ts_us)))
+    }.toSet
+    assert(expected.exists(_._4.isEmpty), "fixture must contain unmatched purchases")
+    assert(streamed == expected)
+  }
+
+  test("outer-join null row emits only after the watermark passes the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.recentClickPairsOuter(mem.toDF())
+      .writeStream.format("memory").queryName("clickpairs_outer_timing")
+      .outputMode("append").start()
+    val h = StreamingOps.HourUs
+    val t0 = 1700000000000000L
+    def ev(id: Long, us: Long, et: String) =
+      SEvent(id, new Timestamp(us / 1000), us, 1L, et, 1.0)
+    try {
+      // one clickless purchase: no output until the watermark passes
+      mem.addData(Seq(ev(10L, t0, "purchase")))
+      q.processAllAvailable()
+      assert(spark.table("clickpairs_outer_timing").count() == 0,
+        "unmatched purchase must NOT emit before the watermark passes")
+      // push both watermarks far past the purchase's join horizon; the
+      // sentinel pair shares a timestamp so the strict c_ts_us < ts_us
+      // window keeps them from matching each other
+      mem.addData(Seq(ev(-2L, t0 + 6 * h, "click"), ev(-3L, t0 + 6 * h, "purchase")))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(-4L, t0 + 12 * h, "click"), ev(-5L, t0 + 12 * h, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("clickpairs_outer_timing")
+      .where(col("event_id") === 10L)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(rows == Seq((1L, 10L, t0, None)),
+      "the null-extended row must surface once the watermark passes")
+  }
+
   test("streaming funnel conversion counts equal batch evFunnel") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
