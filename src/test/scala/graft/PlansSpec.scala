@@ -173,4 +173,58 @@ class PlansSpec extends SparkSessionSpec {
       assert(!planOf(noPartition).contains("TopKPerKeyFinal"))
     }
   }
+
+  /** Permanent regression guard for the round-4 finding (an
+    * un-partitioned `row_number().over(Window.orderBy(...))` funneled
+    * the whole corpus through ONE task in dedupEmbedCosine's seeding):
+    * sweep EVERY driver-contract query's physical plan and reject the
+    * single-point-of-scale anti-patterns outright. */
+  test("plan lint: no global window, no cartesian product, BNLJ only on bounded builds") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{FilterExec, GlobalLimitExec, LocalTableScanExec, TakeOrderedAndProjectExec}
+
+    // a BNLJ build side is acceptably bounded when it demonstrably
+    // collapses (1-row aggregate, literal rows, a limit) or is a
+    // selective slice (filter above/into the scan — the broadcast-query
+    // pattern); a FULL unfiltered table on the broadcast side fails
+    def bounded(p: SparkPlan): Boolean = p.collectFirst {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty => ()
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => ()
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty => ()
+      case _: LocalTableScanExec => ()
+      case _: GlobalLimitExec => ()
+      case _: TakeOrderedAndProjectExec => ()
+      case _: FilterExec => ()
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.dataFilters.nonEmpty => ()
+    }.nonEmpty
+
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.sparkPlan
+        plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            s"$name: un-partitioned Window (single-task global sort)"
+          case _: CartesianProductExec =>
+            s"$name: CartesianProduct on unbounded inputs"
+          case j: BroadcastNestedLoopJoinExec if !bounded(j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          }) =>
+            s"$name: BroadcastNestedLoopJoin over an unbounded build side"
+        }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+
+    // negative control: the exact round-4 pattern must trip the detector
+    val bad = spark.range(100).toDF("id")
+      .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
+    val caught = bad.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(caught.nonEmpty, "lint failed to catch an un-partitioned Window")
+  }
 }
