@@ -41,14 +41,10 @@ object AnnIndex {
 
   import Similarity.{NProbe, PqKsub, PqM, TopK}
 
-  def artifactRoot(spark: SparkSession): String =
-    spark.conf.getOption("spark.graft.artifacts.dir")
-      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_artifacts")
-
   def indexPath(spark: SparkSession, dir: String): String = {
     val n = t(spark, dir, "embeddings").count()
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${artifactRoot(spark)}/ivfpq_${key}_n$n"
+    s"${graft.sources.Artifacts.root(spark)}/ivfpq_${key}_n$n"
   }
 
   /** Write the full index (codes + cents + codebook); returns its path.

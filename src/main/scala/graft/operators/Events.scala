@@ -263,14 +263,18 @@ object Events {
     * hand-written calendar table; both small sides broadcast into the
     * left join against the real counts. */
   def evGapFill(spark: SparkSession, dir: String): DataFrame = {
-    // ONE scan of the events: bounds and the observed type set both
-    // derive from the (persisted, hours×types-sized) hourly aggregate —
-    // reading them off the raw table again would cost two more full
-    // passes that ReuseExchange cannot dedup
+    // ONE scan of the events: bounds, the observed type set and the
+    // join's right side all consume the SAME (hours×types-sized) hourly
+    // aggregate, materialized once via localCheckpoint. Unlike the
+    // previous persist(), this registers nothing in the session's
+    // CacheManager — the blocks are owned by the checkpointed RDD and
+    // freed by the ContextCleaner as soon as the returned DataFrame is
+    // unreachable, so repeated invocations cannot accumulate session
+    // state (query functions must not mutate the session).
     val hourly = events(spark, dir)
       .groupBy(expr(s"ts_us DIV $HourUs").as("hour_idx"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val grid = hourly
       .agg(min(col("hour_idx")).as("lo"), max(col("hour_idx")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
@@ -322,10 +326,10 @@ object Events {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |             RANGE BETWEEN 3600000000 PRECEDING
         |                   AND CURRENT ROW)""".stripMargin,
-    // the DuckDB series must have CONSTANT bounds (no subquery/lateral
-    // parameters), so a wide constant hour range (covers ~2014-2039,
-    // ample margin around the fixed 2024-01 testdata window) is clamped
-    // by the data-driven BETWEEN — same rows as the in-plan sequence()
+    // the grid bounds are DATA-DRIVEN via the scalar (list-returning)
+    // generate_series, which unlike the table function accepts column
+    // arguments — no hardcoded hour range to silently go stale if the
+    // testdata window ever moves
     "ev_gap_fill" ->
       """WITH h AS (
         |  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour_idx,
@@ -336,10 +340,9 @@ object Events {
         |), b AS (
         |  SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM h
         |), grid AS (
-        |  SELECT g.i AS hour_idx, t.event_type
-        |  FROM generate_series(390000, 610000) g(i),
+        |  SELECT s.hour_idx, t.event_type
+        |  FROM (SELECT unnest(generate_series(lo, hi)) AS hour_idx FROM b) s,
         |       (SELECT DISTINCT event_type FROM h) t
-        |  WHERE g.i BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)
         |)
         |SELECT grid.hour_idx * 3600000000 AS hour_us, grid.event_type,
         |  CAST(coalesce(c.n, 0) AS BIGINT) AS n, c.n IS NULL AS is_gap

@@ -83,23 +83,41 @@ object FunctionQueries {
         first_value(col("o_orderkey")).over(w).as("first_order"))
   }
 
+  /** Register per-call uniquely-named temp views, build the query,
+    * drop the views. `spark.sql` analyzes eagerly, so the returned
+    * DataFrame's plan holds the RESOLVED relations and survives the
+    * drop — no fixed-name session-catalog mutation, no race between
+    * two dirs queried concurrently in one session. */
+  private def withViews(spark: SparkSession,
+                        dfs: (String, org.apache.spark.sql.DataFrame)*)
+                       (body: Map[String, String] => DataFrame): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val names = dfs.map { case (alias, df) =>
+      val n = s"graft_${alias}_$tag"
+      df.createOrReplaceTempView(n)
+      alias -> n
+    }.toMap
+    try body(names)
+    finally { names.values.foreach(spark.catalog.dropTempView); () }
+  }
+
   /** Correlated scalar subqueries through the SQL surface: per-customer
     * order count and the customer's nation-average balance, written as
     * correlated subqueries and DECORRELATED by Catalyst into aggregate+
     * join plans (no per-row re-execution — the rewrite is what makes
     * correlated SQL viable at scale). Text is identical to the DuckDB
     * oracle modulo view names. */
-  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "customer").createOrReplaceTempView("graft_cust_sq")
-    t(spark, dir, "orders").createOrReplaceTempView("graft_ord_sq")
-    spark.sql(
-      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
-        |  (SELECT count(*) FROM graft_ord_sq o
-        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
-        |  round((SELECT avg(c2.c_acctbal) FROM graft_cust_sq c2
-        |         WHERE c2.c_nationkey = c.c_nationkey), 6) AS nation_avg
-        |FROM graft_cust_sq c""".stripMargin)
-  }
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame =
+    withViews(spark, "cust" -> t(spark, dir, "customer"),
+      "ord" -> t(spark, dir, "orders")) { v =>
+      spark.sql(
+        s"""SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+           |  (SELECT count(*) FROM ${v("ord")} o
+           |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           |  round((SELECT avg(c2.c_acctbal) FROM ${v("cust")} c2
+           |         WHERE c2.c_nationkey = c.c_nationkey), 6) AS nation_avg
+           |FROM ${v("cust")} c""".stripMargin)
+    }
 
   /** Null-safe join equality (`<=>` / IS NOT DISTINCT FROM): the join
     * flavor where NULL keys MATCH each other instead of vanishing —
@@ -132,17 +150,17 @@ object FunctionQueries {
     * theta correlation on c_acctbal (domain join + BroadcastNestedLoop
     * against the full orders table). Equi-correlation is the shape
     * this engine endorses for LATERAL at 100 TB. */
-  def qLateral(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "customer").createOrReplaceTempView("graft_cust_lat")
-    t(spark, dir, "orders").createOrReplaceTempView("graft_ord_lat")
-    spark.sql(
-      """SELECT c.c_custkey, l.n_big, l.max_big
-        |FROM graft_cust_lat c,
-        |LATERAL (SELECT count(*) AS n_big,
-        |                round(max(o_totalprice), 2) AS max_big
-        |         FROM graft_ord_lat o WHERE o.o_custkey = c.c_custkey
-        |           AND o.o_totalprice > 300000) l""".stripMargin)
-  }
+  def qLateral(spark: SparkSession, dir: String): DataFrame =
+    withViews(spark, "cust" -> t(spark, dir, "customer"),
+      "ord" -> t(spark, dir, "orders")) { v =>
+      spark.sql(
+        s"""SELECT c.c_custkey, l.n_big, l.max_big
+           |FROM ${v("cust")} c,
+           |LATERAL (SELECT count(*) AS n_big,
+           |                round(max(o_totalprice), 2) AS max_big
+           |         FROM ${v("ord")} o WHERE o.o_custkey = c.c_custkey
+           |           AND o.o_totalprice > 300000) l""".stripMargin)
+    }
 
   /** Recursive CTE (Spark 4's WITH RECURSIVE): ancestor-chain walk over
     * an implicit hierarchy (parent(c) = c ÷ 2 — a binary-heap tree over
@@ -150,18 +168,18 @@ object FunctionQueries {
     * driver-loop-over-distributed-steps shape as the k-means kernel,
     * but expressed declaratively; depth is log₂(maxkey) so the loop is
     * bounded. Each engine runs its own fixpoint executor. */
-  def qRecursive(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "customer").createOrReplaceTempView("graft_cust_rec")
-    spark.sql(
-      """WITH RECURSIVE anc AS (
-        |  SELECT c_custkey AS start, c_custkey AS node, 0 AS depth
-        |  FROM graft_cust_rec WHERE c_custkey % 100 = 0
-        |  UNION ALL
-        |  SELECT start, node DIV 2, depth + 1 FROM anc WHERE node > 1
-        |)
-        |SELECT start, max(depth) AS chain_len, count(*) AS n_nodes
-        |FROM anc GROUP BY start""".stripMargin)
-  }
+  def qRecursive(spark: SparkSession, dir: String): DataFrame =
+    withViews(spark, "cust" -> t(spark, dir, "customer")) { v =>
+      spark.sql(
+        s"""WITH RECURSIVE anc AS (
+           |  SELECT c_custkey AS start, c_custkey AS node, 0 AS depth
+           |  FROM ${v("cust")} WHERE c_custkey % 100 = 0
+           |  UNION ALL
+           |  SELECT start, node DIV 2, depth + 1 FROM anc WHERE node > 1
+           |)
+           |SELECT start, max(depth) AS chain_len, count(*) AS n_nodes
+           |FROM anc GROUP BY start""".stripMargin)
+    }
 
   /** UNPIVOT (melt) — the inverse of q_pivot: per-priority status
     * totals computed wide, then melted back to (priority, status,
@@ -220,8 +238,14 @@ object FunctionQueries {
   private lazy val processNonce: String =
     java.util.UUID.randomUUID().toString.take(8)
 
-  private def roundTripDir(kind: String, dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
+  /** Sink path under the shared artifacts root
+    * ([[graft.sources.Artifacts.root]]): configurable to a shared
+    * filesystem on a real cluster, where executors write their sink
+    * files and the driver's read-back glob must see them — a
+    * machine-local tmpdir would only work in local mode. */
+  private def roundTripDir(spark: SparkSession, kind: String,
+                           dir: String): String =
+    s"${graft.sources.Artifacts.root(spark)}/graft_${kind}_" +
       s"${java.lang.Math.floorMod(dir.hashCode, 1 << 30)}_$processNonce"
 
   /** CSV sink + source round-trip: a per-priority aggregate is written
@@ -235,7 +259,7 @@ object FunctionQueries {
     * scale); the read-back globs the directory. Doubles survive
     * because Spark writes shortest-round-trip decimal text. */
   def qCsvSource(spark: SparkSession, dir: String): DataFrame = {
-    val out = roundTripDir("csv", dir)
+    val out = roundTripDir(spark, "csv", dir)
     t(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
@@ -257,7 +281,7 @@ object FunctionQueries {
     * round-trip witness structure as [[qCsvSource]]; ORC's own schema
     * rides the files, so no explicit read schema is needed. */
   def qOrcSource(spark: SparkSession, dir: String): DataFrame = {
-    val out = roundTripDir("orc", dir)
+    val out = roundTripDir(spark, "orc", dir)
     t(spark, dir, "supplier")
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n_suppliers"),
@@ -274,7 +298,7 @@ object FunctionQueries {
     * stats): JSON-lines writing, explicit-schema reading, field-order
     * independence. */
   def qJsonSource(spark: SparkSession, dir: String): DataFrame = {
-    val out = roundTripDir("json", dir)
+    val out = roundTripDir(spark, "json", dir)
     t(spark, dir, "documents")
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))

@@ -38,15 +38,19 @@ object RelationalQueries {
     * the parser→analyzer path keeps the SQL surface driver-gated, not
     * just spec-gated (ExtensionsSpec covers the custom functions). */
   def q1AggSql(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    spark.sql(
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS sum_base_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem_v GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    // per-call unique view, dropped after the eager analysis resolves
+    // it — no fixed-name session-catalog mutation
+    val v = s"graft_li_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "lineitem").createOrReplaceTempView(v)
+    try spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_base_price,
+         |  round(avg(l_discount), 6) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM $v GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    finally { spark.catalog.dropTempView(v); () }
   }
 
   /** 3-way join: customer ⋈ orders ⋈ lineitem, revenue top-10.

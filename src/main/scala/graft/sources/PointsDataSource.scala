@@ -95,14 +95,22 @@ class PointsTable(path: String, splitSize: Long)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  // the Hadoop conf is captured HERE — newScanBuilder/newWriteBuilder
+  // run on the thread of the session that issued the query, so a
+  // multi-session application resolves fs settings/credentials from
+  // the CORRECT session instead of whatever SparkSession.active holds
+  // at job-commit time
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PointsScanBuilder(path, splitSize)
+    new PointsScanBuilder(path, splitSize, new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf()))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new PointsWriteBuilder(path, info.schema())
+    new PointsWriteBuilder(path, info.schema(), new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf()))
 }
 
-class PointsScanBuilder(path: String, splitSize: Long)
+class PointsScanBuilder(path: String, splitSize: Long,
+                        conf: SerializableHadoopConf)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = PointsTable.Schema
@@ -110,10 +118,11 @@ class PointsScanBuilder(path: String, splitSize: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PointsScan(path, splitSize, required)
+  override def build(): Scan = new PointsScan(path, splitSize, required, conf)
 }
 
-class PointsScan(path: String, splitSize: Long, required: StructType)
+class PointsScan(path: String, splitSize: Long, required: StructType,
+                 conf: SerializableHadoopConf)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -126,9 +135,8 @@ class PointsScan(path: String, splitSize: Long, required: StructType)
     * contract (see [[PointsPartitionReader]]), so planning never opens
     * file contents — O(#files) driver work, like the built-in sources. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(conf.value)
     val matched: Array[FileStatus] =
       Option(fs.globStatus(p)).getOrElse(Array.empty)
     val files = matched.flatMap { st =>
@@ -149,8 +157,7 @@ class PointsScan(path: String, splitSize: Long, required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     PointsReaderFactory(parsePoint = required.fieldNames.contains("point"),
-      conf = new SerializableHadoopConf(
-        SparkSession.active.sessionState.newHadoopConf()))
+      conf = conf)
 }
 
 final case class PointsInputPartition(path: String, start: Long, length: Long)
@@ -231,24 +238,27 @@ class PointsPartitionReader(split: PointsInputPartition, parsePoint: Boolean,
 // once, driver-side, before any task runs); mode("append") adds files.
 // ---------------------------------------------------------------------
 
-class PointsWriteBuilder(path: String, schema: StructType)
+class PointsWriteBuilder(path: String, schema: StructType,
+                         conf: SerializableHadoopConf)
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new PointsWrite(path, schema, doTruncate)
+  override def build(): Write = new PointsWrite(path, schema, doTruncate, conf)
 }
 
-class PointsWrite(path: String, schema: StructType, truncate: Boolean)
+class PointsWrite(path: String, schema: StructType, truncate: Boolean,
+                  conf: SerializableHadoopConf)
   extends Write {
   require(schema.fields.length == 1 && (schema.fields(0).dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false
   }), s"points sink expects a single array<double> column, got: $schema")
 
-  override def toBatch: BatchWrite = new PointsBatchWrite(path, truncate)
+  override def toBatch: BatchWrite = new PointsBatchWrite(path, truncate, conf)
 }
 
-class PointsBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+class PointsBatchWrite(path: String, truncate: Boolean,
+                       conf: SerializableHadoopConf) extends BatchWrite {
 
   /** Per-JOB id baked into every file name: taskId/partitionId are only
     * unique within one Spark application, so an append from a LATER
@@ -260,21 +270,19 @@ class PointsBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
 
   /** Driver-side: clear on truncate, ensure the directory exists. */
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(conf.value)
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    PointsWriterFactory(path, jobId, new SerializableHadoopConf(conf))
+    PointsWriterFactory(path, jobId, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // same session Hadoop conf as the factory: spark.hadoop.* settings
+    // same captured conf as the factory: spark.hadoop.* settings
     // (fs.defaultFS, object-store credentials) must resolve the marker
     // on the SAME filesystem as the data files
-    val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path, "_SUCCESS")
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(conf.value)
     fs.create(p, true).close()
   }
 
