@@ -47,6 +47,21 @@ object AnnIndex {
     s"${graft.sources.Artifacts.root(spark)}/ivfpq_${key}_n$n"
   }
 
+  /** Assignment + PQ encode of one (vec_id, v) corpus against a given
+    * centroid set and codebook — narrow projections over the scan,
+    * shared by the base build and the frozen-codebook delta append. */
+  private def encode(corpus: DataFrame, cents: Array[Array[Double]],
+                     cb: Array[Array[Array[Double]]]): DataFrame =
+    Similarity.withBlockDists(
+      KMeansOps.assignDyn(corpus, "v", cents), "v", cb, "ds_")
+      .select(col("vec_id") +: col("cluster") +:
+        (0 until PqM).map(m =>
+          (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
+            .cast("int").as(s"code_$m")): _*)
+      .withColumn("packed",
+        (0 until PqM).map(m => col(s"code_$m").cast("long") *
+          (1L << (4 * m))).reduce(_ + _))
+
   /** Write the full index (codes + cents + codebook); returns its path.
     * The codes write is the one corpus-sized job: assignment + PQ
     * encode are narrow projections over the scan, then ONE shuffle
@@ -57,15 +72,7 @@ object AnnIndex {
     val cb = Similarity.pqCodebook(spark, dir)
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    val encoded = Similarity.withBlockDists(
-      KMeansOps.assignDyn(emb, "v", cents), "v", cb, "ds_")
-      .select(col("vec_id") +: col("cluster") +:
-        (0 until PqM).map(m =>
-          (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
-            .cast("int").as(s"code_$m")): _*)
-      .withColumn("packed",
-        (0 until PqM).map(m => col(s"code_$m").cast("long") *
-          (1L << (4 * m))).reduce(_ + _))
+    val encoded = encode(emb, cents, cb)
     ParquetSink.writePartitioned(encoded, s"$path/codes",
       partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
     val spark2 = spark
@@ -106,6 +113,60 @@ object AnnIndex {
         sum(col("packed")).as("sum_packed"))
   }
 
+  /** Read the persisted k-row centroid artifact back as the in-plan
+    * array form. */
+  private def readCents(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/cents")
+      .orderBy(col("cid")).collect().map(_.getSeq[Double](1).toArray)
+
+  /** Read the persisted PQ codebook artifact back as [m][j][dim]. */
+  private def readCodebook(spark: SparkSession,
+                           path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+    Array.tabulate(PqM, PqKsub)((m, j) => rows((m, j)))
+  }
+
+  /** Deterministic "newly arrived" vectors for the append path: each
+    * base vector re-enters REVERSED with vec_id offset by the corpus
+    * size — disjoint ids, different geometry, closed-form for the
+    * oracle (list_reverse + count offset). */
+  private def deltaCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    emb.crossJoin(broadcast(emb.agg(count(lit(1)).as("n_base"))))
+      .select((col("vec_id") + col("n_base")).as("vec_id"),
+        reverse(toDoubleVec(col("embedding"))).as("v"))
+  }
+
+  /** INCREMENTAL append — the segment model (Lucene/FAISS shape) that
+    * makes a 100 TB index maintainable: new vectors are encoded with
+    * the FROZEN centroids + codebook READ FROM THE ARTIFACT (real
+    * systems never re-derive the quantizers on ingest — that would
+    * silently re-key every existing cell) and written as a SEPARATE
+    * `codes_delta` segment, overwrite-idempotent, leaving the base
+    * segment untouched. Search/compaction reads the segment union.
+    * The query reports per-(segment, cell) invariants over the merged
+    * index read back from disk; the oracle re-derives both segments
+    * from raw embeddings — base as ann_index_build, delta over the
+    * reversed+offset corpus with the SAME base-derived quantizers. */
+  def annIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIndex(spark, dir)
+    val cents = readCents(spark, path)
+    val cb = readCodebook(spark, path)
+    val encoded = encode(deltaCorpus(spark, dir), cents, cb)
+    ParquetSink.writePartitioned(encoded, s"$path/codes_delta",
+      partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
+    spark.read.parquet(s"$path/codes").withColumn("segment", lit("base"))
+      .unionByName(spark.read.parquet(s"$path/codes_delta")
+        .withColumn("segment", lit("delta")))
+      .groupBy(col("segment"), col("cluster").cast("int").as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"),
+        sum(col("packed")).as("sum_packed"))
+  }
+
   /** IVF-PQ search over the PERSISTED index: the corpus side of the
     * plan reads `codes/` only — statically pruned to the probed cells
     * (the probe set is derived driver-side from the tiny query batch,
@@ -117,12 +178,8 @@ object AnnIndex {
     * three artifact reads. */
   def annIndexSearch(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureIndex(spark, dir)
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/cents")
-      .orderBy(col("cid")).collect().map(_.getSeq[Double](1).toArray)
-    val cbRows = spark.read.parquet(s"$path/codebook").collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
-      .toMap
-    val cb = Array.tabulate(PqM, PqKsub)((m, j) => cbRows((m, j)))
+    val cents = readCents(spark, path)
+    val cb = readCodebook(spark, path)
     val qs = Similarity.queriesDf(spark, dir)
       .select(col("query_id"), col("qv"))
     // static partition filter: probed cells of the (tiny) query batch,
@@ -156,6 +213,7 @@ object AnnIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_index_build" -> annIndexBuild,
+    "ann_index_append" -> annIndexAppend,
     "ann_index_search" -> annIndexSearch)
 
   val oracles: Map[String, String] = Map(
@@ -175,6 +233,45 @@ object AnnIndex {
          |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
          |       CAST(sum($packed) AS BIGINT) AS sum_packed
          |FROM codes2 GROUP BY cluster""".stripMargin
+    },
+    // the delta segment re-derived from raw embeddings: reversed+offset
+    // vectors, encoded against the SAME base-derived quantizers
+    "ann_index_append" -> {
+      val packed = (0 until PqM)
+        .map(m => s"CAST(code_$m AS BIGINT) * ${1L << (4 * m)}")
+        .mkString(" + ")
+      val codeColsD = (0 until PqM).map(m =>
+        s"""    (SELECT s.j FROM seeds s
+           |     ORDER BY ${Similarity.sqdSql("e.v", "s.c", m)}, s.j LIMIT 1)
+           |      AS code_$m""".stripMargin)
+        .mkString(",\n")
+      s"""WITH ${Similarity.centsCte}, ${Similarity.pqCodesCte}, codes2 AS (
+         |  SELECT cd.*,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster
+         |  FROM codes cd JOIN ev e USING (vec_id)
+         |), ev_d AS (
+         |  SELECT vec_id + (SELECT count(*) FROM embeddings) AS vec_id,
+         |         list_reverse(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings
+         |), codes_d AS (
+         |  SELECT e.vec_id,
+         |$codeColsD,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster
+         |  FROM ev_d e
+         |)
+         |SELECT 'base' AS segment, CAST(cluster AS INT) AS cluster,
+         |       count(*) AS n_vectors, min(vec_id) AS min_vec_id,
+         |       max(vec_id) AS max_vec_id,
+         |       CAST(sum($packed) AS BIGINT) AS sum_packed
+         |FROM codes2 GROUP BY cluster
+         |UNION ALL
+         |SELECT 'delta' AS segment, CAST(cluster AS INT) AS cluster,
+         |       count(*) AS n_vectors, min(vec_id) AS min_vec_id,
+         |       max(vec_id) AS max_vec_id,
+         |       CAST(sum($packed) AS BIGINT) AS sum_packed
+         |FROM codes_d GROUP BY cluster""".stripMargin
     },
     // search over the persisted index answers exactly like ann_ivfpq
     "ann_index_search" -> Similarity.oracles("ann_ivfpq"))

@@ -428,7 +428,7 @@ object Similarity {
     * cannot capture correlated outer columns ("Referenced table not
     * found"). The 8-row sequential sum adds terms in ascending-i order,
     * matching Spark's left-to-right aggregate fold bit for bit. */
-  private def sqdSql(a: String, b: String, m: Int): String =
+  private[operators] def sqdSql(a: String, b: String, m: Int): String =
     s"(SELECT sum(($a[g.i] - $b[g.i]) * ($a[g.i] - $b[g.i])) " +
       s"FROM generate_series(${m * PqSubDim + 1}, ${(m + 1) * PqSubDim}) g(i))"
 
