@@ -139,6 +139,20 @@ object AnnIndex {
         reverse(toDoubleVec(col("embedding"))).as("v"))
   }
 
+  /** Encode the delta corpus with the artifact's frozen quantizers and
+    * write it as the `codes_delta` segment (overwrite-idempotent);
+    * shared by the append report and the compaction. Returns the index
+    * path. */
+  private def ensureDelta(spark: SparkSession, dir: String): String = {
+    val path = ensureIndex(spark, dir)
+    val cents = readCents(spark, path)
+    val cb = readCodebook(spark, path)
+    val encoded = encode(deltaCorpus(spark, dir), cents, cb)
+    ParquetSink.writePartitioned(encoded, s"$path/codes_delta",
+      partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
+    path
+  }
+
   /** INCREMENTAL append — the segment model (Lucene/FAISS shape) that
     * makes a 100 TB index maintainable: new vectors are encoded with
     * the FROZEN centroids + codebook READ FROM THE ARTIFACT (real
@@ -151,16 +165,40 @@ object AnnIndex {
     * from raw embeddings — base as ann_index_build, delta over the
     * reversed+offset corpus with the SAME base-derived quantizers. */
   def annIndexAppend(spark: SparkSession, dir: String): DataFrame = {
-    val path = ensureIndex(spark, dir)
-    val cents = readCents(spark, path)
-    val cb = readCodebook(spark, path)
-    val encoded = encode(deltaCorpus(spark, dir), cents, cb)
-    ParquetSink.writePartitioned(encoded, s"$path/codes_delta",
-      partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
+    val path = ensureDelta(spark, dir)
     spark.read.parquet(s"$path/codes").withColumn("segment", lit("base"))
       .unionByName(spark.read.parquet(s"$path/codes_delta")
         .withColumn("segment", lit("delta")))
       .groupBy(col("segment"), col("cluster").cast("int").as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"),
+        sum(col("packed")).as("sum_packed"))
+  }
+
+  /** SEGMENT COMPACTION — the third phase of the index lifecycle
+    * (build → append → compact): fold the delta segment back into one
+    * canonical segment so searches stop paying the per-segment scan
+    * union and small-files tax. Codes are NOT re-derived — compaction
+    * is a pure RE-LAYOUT of already-encoded rows (the quantizers are
+    * frozen, so re-encoding would be wasted work and a silent
+    * correctness hazard): read the segment union, ONE shuffle routes
+    * rows back to their cell directory, sorted by vec_id within each
+    * cell — restoring exactly the layout/pruning properties of a fresh
+    * build at delta-plus-base scan cost, never touching raw
+    * embeddings. The report reads the COMPACTED artifact back and
+    * emits the same per-cell invariants as `ann_index_build`; the
+    * oracle re-derives base+delta codes from raw embeddings and
+    * aggregates them as one segment, so a row lost, duplicated or
+    * mis-routed by the rewrite surfaces as a value mismatch. */
+  def annIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureDelta(spark, dir)
+    val merged = spark.read.parquet(s"$path/codes")
+      .unionByName(spark.read.parquet(s"$path/codes_delta"))
+    ParquetSink.writePartitioned(merged, s"$path/codes_compacted",
+      partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
+    spark.read.parquet(s"$path/codes_compacted")
+      .groupBy(col("cluster").cast("int").as("cluster"))
       .agg(count(lit(1)).as("n_vectors"),
         min(col("vec_id")).as("min_vec_id"),
         max(col("vec_id")).as("max_vec_id"),
@@ -214,6 +252,7 @@ object AnnIndex {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_index_build" -> annIndexBuild,
     "ann_index_append" -> annIndexAppend,
+    "ann_index_compact" -> annIndexCompact,
     "ann_index_search" -> annIndexSearch)
 
   val oracles: Map[String, String] = Map(
@@ -272,6 +311,43 @@ object AnnIndex {
          |       max(vec_id) AS max_vec_id,
          |       CAST(sum($packed) AS BIGINT) AS sum_packed
          |FROM codes_d GROUP BY cluster""".stripMargin
+    },
+    // the compacted artifact == base ∪ delta re-derived from raw
+    // embeddings, aggregated as ONE segment (same CTEs as the append
+    // oracle, minus the segment discriminator)
+    "ann_index_compact" -> {
+      val packed = (0 until PqM)
+        .map(m => s"CAST(code_$m AS BIGINT) * ${1L << (4 * m)}")
+        .mkString(" + ")
+      val codeColsD = (0 until PqM).map(m =>
+        s"""    (SELECT s.j FROM seeds s
+           |     ORDER BY ${Similarity.sqdSql("e.v", "s.c", m)}, s.j LIMIT 1)
+           |      AS code_$m""".stripMargin)
+        .mkString(",\n")
+      s"""WITH ${Similarity.centsCte}, ${Similarity.pqCodesCte}, codes2 AS (
+         |  SELECT cd.*,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster
+         |  FROM codes cd JOIN ev e USING (vec_id)
+         |), ev_d AS (
+         |  SELECT vec_id + (SELECT count(*) FROM embeddings) AS vec_id,
+         |         list_reverse(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings
+         |), codes_d AS (
+         |  SELECT e.vec_id,
+         |$codeColsD,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster
+         |  FROM ev_d e
+         |), merged AS (
+         |  SELECT vec_id, cluster, $packed AS pk FROM codes2
+         |  UNION ALL
+         |  SELECT vec_id, cluster, $packed AS pk FROM codes_d
+         |)
+         |SELECT CAST(cluster AS INT) AS cluster, count(*) AS n_vectors,
+         |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
+         |       CAST(sum(pk) AS BIGINT) AS sum_packed
+         |FROM merged GROUP BY cluster""".stripMargin
     },
     // search over the persisted index answers exactly like ann_ivfpq
     "ann_index_search" -> Similarity.oracles("ann_ivfpq"))

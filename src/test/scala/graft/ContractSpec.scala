@@ -19,6 +19,7 @@ class ContractSpec extends SparkSessionSpec {
       operators.FunctionQueries.queries.size,
       operators.Dedup.queries.size,
       operators.Similarity.queries.size,
+      operators.AnnIndex.queries.size,
       operators.TextAnalysis.queries.size,
       operators.Multimodal.queries.size,
       operators.Pipeline.queries.size,

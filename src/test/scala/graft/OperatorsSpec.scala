@@ -270,6 +270,23 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(success.lastModified() == t1, "second search must not rebuild")
   }
 
+  test("index compaction preserves the segment union exactly") {
+    // per-cell invariants of the compacted artifact == append's
+    // per-(segment, cell) invariants folded over segments
+    val compact = AnnIndex.annIndexCompact(spark, sf0001)
+    val appended = AnnIndex.annIndexAppend(spark, sf0001)
+      .groupBy(col("cluster"))
+      .agg(sum(col("n_vectors")).as("n_vectors"),
+        min(col("min_vec_id")).as("min_vec_id"),
+        max(col("max_vec_id")).as("max_vec_id"),
+        sum(col("sum_packed")).as("sum_packed"))
+    assert(compact.collect().toSet == appended.collect().toSet)
+    // no duplicated or dropped vectors in the rewrite
+    val codes = spark.read.parquet(
+      s"${AnnIndex.indexPath(spark, sf0001)}/codes_compacted")
+    assert(codes.count() == codes.select("vec_id").distinct().count())
+  }
+
   test("mm_decode emits one decoded row per document") {
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
     assert(Multimodal.mmDecode(spark, sf0001).count() == n)
