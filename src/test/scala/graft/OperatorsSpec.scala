@@ -580,6 +580,20 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out == ((3L, 5L, 2L, 1.0)))
   }
 
+  test("bloom-pruned decontamination equals exact and prunes below the join") {
+    val bloom = Pipeline.pipelineDecontaminateBloom(spark, sf0001)
+    val exact = Pipeline.pipelineDecontaminate(spark, sf0001)
+    assert(bloom.collect().toSet == exact.collect().toSet)
+    // the might_contain cut must sit on the corpus scan side, under the
+    // confirm join — that placement is the entire scale claim
+    val plan = bloom.queryExecution.executedPlan.toString
+    val pruneAt = plan.indexOf("might_contain")
+    val joinAt = plan.indexOf("Join")
+    assert(pruneAt >= 0, "bloom prune missing from physical plan")
+    assert(joinAt >= 0 && pruneAt > joinAt,
+      "bloom prune must appear below (after) the join in the plan tree")
+  }
+
   test("observedGate reports ingest/survivor metrics from the single pass") {
     val docs = Tables.t(spark, sf0001, "documents")
     val observed = Pipeline.observedGate(docs)
