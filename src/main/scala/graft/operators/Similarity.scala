@@ -248,6 +248,57 @@ object Similarity {
         col("adc_dist"))
   }
 
+  val Sq8Levels = 255
+
+  /** Scalar-quantized corpus — (vec_id, codes: array<int>) plus the
+    * 1-row (mn, step) params broadcast into the plan. Quantization is
+    * global-affine int8 (the SQ8 of FAISS/Lucene): code = min(255,
+    * ⌊(x − mn)/step⌋) with step = (mx − mn)/255 derived from ONE tiny
+    * corpus aggregate — in-plan, broadcast, no driver collect. The
+    * encode is a narrow codegen projection at scan speed; the encoded
+    * corpus is 64 B/vector instead of 512 B of doubles. */
+  private def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val params = e.agg(min(array_min(col("v"))).as("mn"),
+        max(array_max(col("v"))).as("mx"))
+      .withColumn("step", (col("mx") - col("mn")) / lit(Sq8Levels.toDouble))
+    e.crossJoin(broadcast(params))
+      .select(col("vec_id"), col("mn"), col("step"),
+        transform(col("v"), x =>
+          least(lit(Sq8Levels.toLong),
+            floor((x - col("mn")) / col("step"))).cast("int")).as("codes"))
+  }
+
+  /** SQ8 search — the third compression point on the ANN spectrum
+    * (raw 512 B → SQ8 64 B → PQ 4 B per vector): score queries against
+    * the DEQUANTIZED codes (asymmetric — the raw query meets
+    * mid-interval reconstructions mn + (c + 0.5)·step), so after the
+    * one-time encode the corpus scan reads int8 codes only. SQ8 keeps
+    * ~8× compression at near-exact rank quality (reconstruction error
+    * ≤ step/2 per coordinate — spec-pinned), which is why it is the
+    * default for re-rank tiers where PQ's 128× is too lossy. Same
+    * broadcast-query / native-heap-cut shape as the other ANN paths. */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val scored = sq8Codes(spark, dir)
+      .join(broadcast(queriesDf(spark, dir)
+        .select(col("query_id"), col("qv"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(sqrt(aggregate(
+          zip_with(col("qv"), col("codes"), (q, c) => {
+            val d = q - (col("mn") +
+              (c.cast("double") + lit(0.5d)) * col("step"))
+            d * d
+          }), lit(0.0d), (acc, x) => acc + x)), 6).as("sq8_dist"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("sq8_dist" -> true, "neighbor_id" -> true), TopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq8_dist"), col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("sq8_dist"))
+  }
+
   val HybridTopK = 5
 
   /** Hybrid keyword+vector retrieval — the modern RAG-retrieval shape,
@@ -410,6 +461,7 @@ object Similarity {
     "ann_ivf" -> annIvfCosine,
     "ann_pq_codes" -> annPqCodes,
     "ann_pq" -> annPq,
+    "ann_sq8" -> annSq8,
     "ann_ivfpq" -> annIvfPq)
 
   private[operators] def centsCte =
@@ -573,6 +625,33 @@ object Similarity {
          |    (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |     FROM embeddings WHERE vec_id < $NQueries) qq
          |  WHERE c.vec_id <> qq.query_id)
+         |WHERE rank <= $TopK""".stripMargin
+    },
+    // quantize-dequantize replayed coordinate-wise: the same global
+    // (mn, step), floor/cap code, and mid-interval reconstruction as
+    // the Spark side, summed in ascending-i order (generate_series) to
+    // match the left-to-right aggregate fold bit for bit
+    "ann_sq8" -> {
+      val dq = s"(p.mn + (least($Sq8Levels, " +
+        "floor((e.v[g.i] - p.mn) / p.step)) + 0.5) * p.step)"
+      val term = s"(qq.qv[g.i] - $dq)"
+      val dist = s"sqrt((SELECT sum($term * $term) " +
+        s"FROM generate_series(1, ${PqM * PqSubDim}) g(i)))"
+      s"""WITH ev AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), p AS (
+         |  SELECT mn, (mx - mn) / ${Sq8Levels.toDouble} AS step FROM (
+         |    SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM ev)
+         |)
+         |SELECT query_id, neighbor_id, rank, sq8_dist FROM (
+         |  SELECT qq.query_id, e.vec_id AS neighbor_id,
+         |    round($dist, 6) AS sq8_dist,
+         |    row_number() OVER (PARTITION BY qq.query_id
+         |      ORDER BY round($dist, 6), e.vec_id) AS rank
+         |  FROM ev e, p, (SELECT vec_id AS query_id,
+         |                        CAST(embedding AS DOUBLE[]) AS qv
+         |                 FROM embeddings WHERE vec_id < $NQueries) qq
+         |  WHERE e.vec_id <> qq.query_id)
          |WHERE rank <= $TopK""".stripMargin
     },
     "ann_ivfpq" -> {

@@ -270,6 +270,24 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(success.lastModified() == t1, "second search must not rebuild")
   }
 
+  test("sq8 reconstruction error is bounded by half a quantization step") {
+    // |x − dq(x)| ≤ step/2 per coordinate, by the floor + mid-interval
+    // construction — THE invariant that makes SQ8 near-exact
+    val e = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+    val params = e.agg(min(array_min(col("v"))).as("mn"),
+        max(array_max(col("v"))).as("mx"))
+      .withColumn("step", (col("mx") - col("mn")) / lit(255.0d))
+    val worst = e.crossJoin(broadcast(params))
+      .select(array_max(transform(col("v"), x => {
+        val c = least(lit(255L), floor((x - col("mn")) / col("step")))
+        abs(x - (col("mn") + (c.cast("double") + lit(0.5d)) * col("step")))
+      })).as("err"), col("step"))
+      .agg(max(col("err") / col("step"))).head().getDouble(0)
+    assert(worst <= 0.5 + 1e-9, s"worst err/step = $worst")
+  }
+
   test("index compaction preserves the segment union exactly") {
     // per-cell invariants of the compacted artifact == append's
     // per-(segment, cell) invariants folded over segments
