@@ -58,6 +58,49 @@ object TextAnalysis {
         col("mean_tok_len"), col("stop_ratio"), col("uniq_ratio"),
         col("quality"))
 
+  /** Fixed quality-classifier weights — stand-ins for a distilled
+    * linear model's published coefficients (real pipelines train a
+    * fastText/logistic scorer on labeled quality data and export its
+    * weights; inference is then pure arithmetic). Order: bias,
+    * uniq_ratio, stop_ratio, len_norm, mean_tok_len. */
+  val QmBias = -0.15
+  val QmUniq = 0.8
+  val QmStop = -1.2
+  val QmLen = 0.6
+  val QmTokLen = 0.05
+
+  /** MODEL INFERENCE in-plan: score every document with a linear
+    * quality classifier — the "classifier-filtered" curation step
+    * (GPT-3/CCNet-style), expressed as a narrow codegen projection so
+    * scoring runs at scan speed over 100 TB with zero shuffles, no
+    * model server, no UDF. The logit stays in exact left-to-right
+    * double arithmetic (no transcendentals — a sigmoid would only
+    * monotonically rescale it, so the keep threshold is equivalently a
+    * logit cut at 0). Emits the features, the rounded logit, and the
+    * keep decision. */
+  def textQualityModel(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("ur",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("sr",
+        size(filter(col("toks"), x => x.isInCollection(Stopwords)))
+          .cast("double") / col("n_tokens"))
+      .withColumn("ln_",
+        least(col("n_tokens"), lit(100)).cast("double") / 100)
+      .withColumn("mtl",
+        (length(col("text")) - col("n_tokens") + 1)
+          .cast("double") / col("n_tokens"))
+      .withColumn("logit",
+        lit(QmBias) + col("ur") * QmUniq + col("sr") * QmStop +
+          col("ln_") * QmLen + col("mtl") * QmTokLen)
+      .select(col("doc_id"),
+        round(col("ur"), 6).as("uniq_ratio"),
+        round(col("sr"), 6).as("stop_ratio"),
+        round(col("logit"), 6).as("model_logit"),
+        (col("logit") > 0).cast("int").as("kept"))
+
   /** Language ID: explode tokens, broadcast-join the marker table,
     * majority vote with (count desc, lang asc) tie-break, 'und' when no
     * marker hits. */
@@ -361,6 +404,7 @@ object TextAnalysis {
     "text_normalize" -> textNormalize,
     "text_char_ngrams" -> textCharNgrams,
     "text_quality" -> textQuality,
+    "text_quality_model" -> textQualityModel,
     "text_langid" -> textLangId,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
@@ -470,6 +514,29 @@ object TextAnalysis {
         |  FROM bg GROUP BY lang, bg
         |)
         |SELECT lang, rank, bg, n FROM counted WHERE rank <= 5""".stripMargin,
+    // the logit replayed with the same left-to-right term order, so
+    // both engines produce bit-identical doubles before the round
+    "text_quality_model" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ur,
+         |    CAST(len(list_filter(t, x -> list_contains($stopList, x)))
+         |         AS DOUBLE) / len(t) AS sr,
+         |    CAST(least(len(t), 100) AS DOUBLE) / 100 AS ln_,
+         |    CAST(length(text) - len(t) + 1 AS DOUBLE) / len(t) AS mtl
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+         |        FROM documents)
+         |), g AS (
+         |  SELECT doc_id, ur, sr,
+         |    $QmBias + ur * $QmUniq + sr * $QmStop + ln_ * $QmLen
+         |      + mtl * $QmTokLen AS logit
+         |  FROM f
+         |)
+         |SELECT doc_id, round(ur, 6) AS uniq_ratio,
+         |       round(sr, 6) AS stop_ratio,
+         |       round(logit, 6) AS model_logit,
+         |       CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM g""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, len(t) AS n_tokens,
          |  len(list_distinct(t)) AS n_uniq,
