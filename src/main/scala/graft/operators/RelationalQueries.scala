@@ -494,7 +494,52 @@ object RelationalQueries {
     }
   }
 
+  val PrIters = 5
+  val PrDamp = 0.85
+
+  /** PAGERANK over the customer↔supplier trade graph — the iterative
+    * GRAPH workload class (beyond connected components,
+    * [[Dedup.dedupComponents]]): edges are distinct (customer,
+    * supplier) trading pairs from lineitem×orders, symmetrized so both
+    * sides propagate mass; node ids are namespaced ('c'/'s' prefix)
+    * since the key spaces overlap. Each of the [[PrIters]] fixed
+    * rounds is ONE equi-join of the edge list with the current ranks
+    * plus one hash aggregation — the same bounded-driver-loop shape as
+    * Lloyd and components: the driver holds only the loop counter,
+    * never a rank vector, so the plan scales to any node/edge count.
+    * Per-round ranks round to 12dp — exactly like the Lloyd replay's
+    * per-level 6dp means — pinning both engines to identical state so
+    * float summation order cannot drift across rounds; the final
+    * report rounds to 9 (the driver's own compare precision).
+    * Dangling nodes cannot arise (symmetrized edges ⇒ outdeg ≥ 1). */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val cs = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+    val withDeg = edges.join(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count() // bounded driver action: ONE scalar, like k
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to PrIters) {
+      val contribs = withDeg.join(pr, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("pr") / col("outdeg")).as("cb"))
+      pr = nodes.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit((1 - PrDamp) / n) +
+            lit(PrDamp) * coalesce(col("cb"), lit(0.0d)), 12).as("pr"))
+    }
+    pr.select(col("node"), round(col("pr"), 9).as("pagerank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> qPageRank,
     "q_not_in_anti" -> qNotInAnti,
     "q_freq_items_bound" -> qFreqItemsBound,
     "q_grouping_sets" -> qGroupingSets,
@@ -525,6 +570,52 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    // replays the fixed-round power iteration with the Lloyd-replay
+    // state-row technique: one recursive row carries the full rank
+    // list; each LATERAL recomputes contributions from the base edge
+    // table and re-rounds to 12dp so both engines hold identical state
+    "graph_pagerank" ->
+      s"""WITH RECURSIVE cs AS (
+         |  SELECT DISTINCT concat('c', o_custkey) AS src,
+         |                  concat('s', l_suppkey) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), edges AS (
+         |  SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs
+         |), deg AS (
+         |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), nn AS (SELECT count(*) AS n FROM nodes
+         |), iter AS (
+         |  SELECT 0 AS r,
+         |    (SELECT list(struct_pack(node := node,
+         |                             pr := 1.0 / (SELECT n FROM nn))
+         |            ORDER BY node) FROM nodes) AS prs
+         |  UNION ALL
+         |  SELECT s.r + 1, nxt.prs
+         |  FROM iter s, LATERAL (
+         |    WITH cur AS (
+         |      SELECT u.node AS node, u.pr AS pr
+         |      FROM (SELECT unnest(s.prs) AS u)
+         |    ), contrib AS (
+         |      SELECT e.dst AS node, sum(c.pr / d.outdeg) AS cb
+         |      FROM edges e
+         |      JOIN deg d ON e.src = d.src
+         |      JOIN cur c ON e.src = c.node
+         |      GROUP BY e.dst
+         |    )
+         |    SELECT (SELECT list(struct_pack(node := n.node,
+         |              pr := round((1 - $PrDamp) / (SELECT n FROM nn)
+         |                    + $PrDamp * coalesce(c.cb, 0.0), 12))
+         |            ORDER BY n.node)
+         |            FROM nodes n LEFT JOIN contrib c ON n.node = c.node)
+         |      AS prs
+         |  ) nxt
+         |  WHERE s.r < $PrIters
+         |)
+         |SELECT u.node AS node, round(u.pr, 9) AS pagerank
+         |FROM (SELECT prs FROM iter ORDER BY r DESC LIMIT 1) f,
+         |     (SELECT unnest(f.prs) AS u) s2""".stripMargin,
     "q_not_in_anti" ->
       """WITH early AS (
         |  SELECT l_partkey FROM lineitem

@@ -270,6 +270,18 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(success.lastModified() == t1, "second search must not rebuild")
   }
 
+  test("pagerank conserves mass and concentrates on supplier hubs") {
+    val pr = RelationalQueries.qPageRank(spark, sf0001).collect()
+    // symmetric edges ⇒ no dangling mass: Σpr = 1 up to rounding
+    assert(math.abs(pr.map(_.getDouble(1)).sum - 1.0) < 1e-6)
+    // 10 suppliers vs 150 customers: each supplier aggregates many
+    // customers' mass, so the mean supplier rank must dominate
+    val (sup, cust) = pr.partition(_.getString(0).startsWith("s"))
+    assert(sup.nonEmpty && cust.nonEmpty)
+    assert(sup.map(_.getDouble(1)).sum / sup.length >
+      cust.map(_.getDouble(1)).sum / cust.length)
+  }
+
   test("sq8 reconstruction error is bounded by half a quantization step") {
     // |x − dq(x)| ≤ step/2 per coordinate, by the floor + mid-interval
     // construction — THE invariant that makes SQ8 near-exact
