@@ -249,6 +249,7 @@ class OperatorsSpec extends SparkSessionSpec {
       Multimodal.MediaRow(2L, "not a media file".getBytes)).toDS()
     assert(Multimodal.decodeWav(junk).count() == 0)
     assert(Multimodal.decodeBmp(junk).count() == 0)
+    assert(Multimodal.decodePng(junk).count() == 0)
   }
 
   test("persisted ANN index: search equals ann_ivfpq, scans only the index, builds once") {
@@ -268,6 +269,32 @@ class OperatorsSpec extends SparkSessionSpec {
     val t1 = success.lastModified()
     AnnIndex.annIndexSearch(spark, sf0001).count()
     assert(success.lastModified() == t1, "second search must not rebuild")
+  }
+
+  test("png decoder: all five filter types round-trip; corruption drops") {
+    import Multimodal.{PngDecoder, PngEncoder}
+    // drive every filter type through the unfilter path, including the
+    // Average/Paeth rows the in-plan corpus doesn't use
+    for (ftBase <- 0 to 4; id <- Seq(3L, 9L, 23L, 34L)) {
+      val blob = PngEncoder.encodeWith(id, r => (ftBase + r) % 5)
+      val info = PngDecoder.decode(id, blob)
+        .getOrElse(fail(s"gray8 PNG (ftBase=$ftBase, id=$id) must decode"))
+      val w = (2 + id % 7).toInt
+      val h = (1 + id % 5).toInt
+      val expMean = (for (r <- 0 until h; j <- 0 until w)
+        yield PngEncoder.pixel(id, r, j)).sum.toDouble / (w * h)
+      assert(info.width == w && info.height == h)
+      assert(math.abs(info.mean_px - expMean) < 1e-12,
+        s"ftBase=$ftBase id=$id: ${info.mean_px} vs $expMean")
+    }
+    val good = PngEncoder.encode(7L)
+    // flip one IDAT payload byte: the chunk CRC must catch it
+    val poisoned = good.clone()
+    poisoned(8 + 25 + 12) = (poisoned(8 + 25 + 12) ^ 0x5a).toByte
+    assert(PngDecoder.decode(7L, poisoned).isEmpty, "CRC must reject")
+    // truncation and garbage drop instead of crashing
+    assert(PngDecoder.decode(7L, good.take(good.length - 6)).isEmpty)
+    assert(PngDecoder.decode(7L, "not a png at all".getBytes).isEmpty)
   }
 
   test("pagerank conserves mass and concentrates on supplier hubs") {
