@@ -513,6 +513,7 @@ object RelationalQueries {
     * report rounds to 9 (the driver's own compare precision).
     * Dangling nodes cannot arise (symmetrized edges ⇒ outdeg ≥ 1). */
   def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val cs = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(t(spark, dir, "orders")
@@ -522,11 +523,19 @@ object RelationalQueries {
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
     val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+    // derive + cache the (src, dst, outdeg) edge relation ONCE — the
+    // components pattern: without it every round's lineage re-scans
+    // lineitem×orders (6 full re-derivations for 5 rounds)
     val withDeg = edges.join(
       edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-    val nodes = edges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src")).distinct()
+      .select(col("src").as("node"))
     val n = nodes.count() // bounded driver action: ONE scalar, like k
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    // eager per-round localCheckpoint truncates the lineage (the rank
+    // relation alone — O(nodes), tiny next to the edge relation); at
+    // cluster scale a reliable-storage checkpoint sits at the same spot
+    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
     for (_ <- 1 to PrIters) {
       val contribs = withDeg.join(pr, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("outdeg")).as("cb"))
@@ -534,7 +543,9 @@ object RelationalQueries {
         .select(col("node"),
           round(lit((1 - PrDamp) / n) +
             lit(PrDamp) * coalesce(col("cb"), lit(0.0d)), 12).as("pr"))
+        .localCheckpoint(true)
     }
+    withDeg.unpersist() // ranks are materialized; drop the edge cache
     pr.select(col("node"), round(col("pr"), 9).as("pagerank"))
   }
 
