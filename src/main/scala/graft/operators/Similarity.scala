@@ -299,6 +299,62 @@ object Similarity {
         col("sq8_dist"))
   }
 
+  val RefineC = 50
+
+  /** TWO-TIER refined search (the FAISS `IndexRefine` shape): IVF-PQ
+    * prunes + ADC-scores a candidate pool of [[RefineC]] per query
+    * (cheap, code-only), then ONLY those candidates join back to the
+    * raw embeddings by vec_id — an equi hash join whose probe side is
+    * queries·C rows, not the corpus — for exact L2 re-ranking of the
+    * final top-k. This is how production systems buy back PQ's rank
+    * error without scanning raw vectors: the corpus-sized pass reads
+    * 4 B/vector codes, the exact pass touches ≤ queries·C rows
+    * regardless of corpus size. Exact distances are summed in
+    * ascending-coordinate order (matching the oracle's
+    * generate_series replay), ranked with the usual rounded-score +
+    * id tie-break through the native heaps. */
+  def annRefine(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    val encoded = withBlockDists(
+      KMeansOps.assignDyn(emb(spark, dir), "v", cents), "v", cb, "ds_")
+      .select(col("vec_id") +: col("cluster") +:
+        (0 until PqM).map(m =>
+          (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
+            .cast("int").as(s"code_$m")): _*)
+    val probedLuts = withBlockDists(
+      queriesDf(spark, dir).select(col("query_id"), col("qv")),
+      "qv", cb, "lut_")
+      .withColumn("probe_cell",
+        explode(probeCellsCol(col("qv"), cents, NProbe)))
+    val adcScored = encoded
+      .join(broadcast(probedLuts),
+        col("probe_cell") === col("cluster") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        round(sqrt((0 until PqM).map(m =>
+          element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)), 6)
+          .as("adc_dist"))
+    val pool = graft.plans.TopKPerKey.topKPerKey(adcScored,
+      Seq("query_id"), Seq("adc_dist" -> true, "neighbor_id" -> true),
+      RefineC)
+    val exact = pool
+      .join(emb(spark, dir).select(col("vec_id"), col("v")),
+        col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(sqrt(aggregate(
+          zip_with(col("qv"), col("v"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x)), 6).as("exact_dist"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(exact,
+      Seq("query_id"), Seq("exact_dist" -> true, "neighbor_id" -> true),
+      TopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact_dist"), col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("exact_dist"))
+  }
+
   val HybridTopK = 5
 
   /** Hybrid keyword+vector retrieval — the modern RAG-retrieval shape,
@@ -462,6 +518,7 @@ object Similarity {
     "ann_pq_codes" -> annPqCodes,
     "ann_pq" -> annPq,
     "ann_sq8" -> annSq8,
+    "ann_refine" -> annRefine,
     "ann_ivfpq" -> annIvfPq)
 
   private[operators] def centsCte =
@@ -679,6 +736,46 @@ object Similarity {
          |  FROM codes2 c2 JOIN probed p
          |    ON list_contains(p.probe, c2.cluster)
          |   AND c2.vec_id <> p.query_id)
+         |WHERE rank <= $TopK""".stripMargin
+    },
+    // two stages replayed: the ADC pool cut at RefineC with the same
+    // (rounded adc, id) order, then exact L2 over raw coordinates in
+    // ascending-i order for the final rank
+    "ann_refine" -> {
+      val adc = "sqrt(" + (0 until PqM).map(m =>
+        s"(SELECT ${sqdSql("p.qv", "s.c", m)} FROM seeds s WHERE s.j = c2.code_$m)")
+        .mkString(" + ") + ")"
+      val exact = "sqrt((SELECT sum((pl.qv[g.i] - e.v[g.i]) * " +
+        "(pl.qv[g.i] - e.v[g.i])) " +
+        s"FROM generate_series(1, ${PqM * PqSubDim}) g(i)))"
+      s"""WITH $centsCte, $pqCodesCte, codes2 AS (
+         |  SELECT cd.*,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster
+         |  FROM codes cd JOIN ev e USING (vec_id)
+         |), probed AS (
+         |  SELECT query_id, qv,
+         |         (SELECT list(cid) FROM (
+         |            SELECT cid FROM cents c
+         |            ORDER BY list_distance(q.qv, c.c), c.cid
+         |            LIMIT $NProbe)) AS probe
+         |  FROM q
+         |), pool AS (
+         |  SELECT query_id, qv, neighbor_id FROM (
+         |    SELECT p.query_id, p.qv, c2.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY round($adc, 6), c2.vec_id) AS rk
+         |    FROM codes2 c2 JOIN probed p
+         |      ON list_contains(p.probe, c2.cluster)
+         |     AND c2.vec_id <> p.query_id)
+         |  WHERE rk <= $RefineC
+         |)
+         |SELECT query_id, neighbor_id, rank, exact_dist FROM (
+         |  SELECT pl.query_id, pl.neighbor_id,
+         |    round($exact, 6) AS exact_dist,
+         |    row_number() OVER (PARTITION BY pl.query_id
+         |      ORDER BY round($exact, 6), pl.neighbor_id) AS rank
+         |  FROM pool pl JOIN ev e ON pl.neighbor_id = e.vec_id)
          |WHERE rank <= $TopK""".stripMargin
     },
     "ann_topk_cosine" ->

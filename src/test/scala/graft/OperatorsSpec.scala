@@ -297,6 +297,28 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(PngDecoder.decode(7L, "not a png at all".getBytes).isEmpty)
   }
 
+  test("refined search recall beats or matches plain IVF-PQ vs exact L2") {
+    val emb = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val exactTop = (0L until Similarity.NQueries).flatMap { q =>
+      emb.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(emb(q), emb(n)), n)).take(Similarity.TopK)
+        .map(n => (q, n))
+    }.toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(exactTop).size.toDouble / exactTop.size
+    val r = recall(Similarity.annRefine(spark, sf0001))
+    val p = recall(Similarity.annIvfPq(spark, sf0001))
+    assert(r >= p, s"refine recall $r < ivfpq recall $p")
+    assert(r > 0.5, s"refine recall $r implausibly low")
+  }
+
   test("pagerank conserves mass and concentrates on supplier hubs") {
     val pr = RelationalQueries.qPageRank(spark, sf0001).collect()
     // symmetric edges ⇒ no dangling mass: Σpr = 1 up to rounding
