@@ -49,6 +49,20 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Streaming cardinality: distinct users per event type via the
+    * HyperLogLog++ sketch — exact distinct-count state in a stream is
+    * unbounded (every key ever seen), while the sketch is a few KB per
+    * group FOREVER and merges associatively across micro-batches,
+    * which is exactly why production streaming cardinality is always
+    * sketch-based. Complete mode: the running estimate per type.
+    * StreamingSpec pins streaming == batch `approx_count_distinct`
+    * (identical sketch, identical estimate) and the ±5% envelope vs
+    * exact — the same witness structure as `q_approx_distinct`. */
+  def runningDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+
   /** Stream-static enrichment join — the remaining join mode the
     * streaming surface lacked (stream-stream interval join is
     * [[recentClickPairs]]): each micro-batch of the stream hash-joins a

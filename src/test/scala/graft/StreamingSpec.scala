@@ -50,6 +50,36 @@ class StreamingSpec extends SparkSessionSpec {
     assert(streamed == batch)
   }
 
+  test("streaming HLL distinct users equals batch sketch, within 5% of exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.runningDistinctUsers(mem.toDF())
+      .writeStream.format("memory").queryName("hll_users")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: the estimate must come from MERGED sketches
+      val (a, b) = batchEvents.splitAt(batchEvents.length / 2)
+      mem.addData(a)
+      q.processAllAvailable()
+      mem.addData(b)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_users")
+      .as[(String, Long)].collect().toMap
+    val src = batchEvents.toDF()
+    val batch = StreamingOps.runningDistinctUsers(src)
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch,
+      "micro-batch-merged sketch must equal the one-shot sketch")
+    val exact = src.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(streamed(k) - n).toDouble / n < 0.05,
+        s"$k: ${streamed(k)} vs exact $n")
+    }
+  }
+
   test("streaming sessionize equals batch evSessionize after timeout flush") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
