@@ -402,6 +402,80 @@ object Similarity {
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
         round(col("jaccard") * 0.5 + col("cos") * 0.5, 6).as("score"))
 
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 retrieval over a real INVERTED INDEX — the lexical-leg
+    * handoff [[retrievalHybrid]]'s doc promises for corpus scale: the
+    * posting-list relation (tok, doc_id, tf, dl) is built in one
+    * explode+agg shuffle on the token key, document frequencies fold
+    * over it (tf is unique per (tok, doc_id), so a plain count ≡
+    * count(DISTINCT doc_id)), and query terms reach their postings by
+    * an EQUI JOIN on the term — per-query work is proportional to the
+    * matched posting lists, never the corpus, which is exactly why
+    * search engines store this layout. Queries (the `doc_id % 997`
+    * sample's distinct tokens) broadcast; (n_docs, avgdl) ride in the
+    * plan as a broadcast 1-row aggregate.
+    *
+    * Determinism: per-term Okapi scores — idf = ln(1 + (N − df + ½)/
+    * (df + ½)), tf-norm with k1=[[Bm25K1]], b=[[Bm25B]] — are
+    * quantized to integer MICRO-units before the per-(query, doc) sum,
+    * so the fold is order-independent (the hybrid operator's
+    * "integer-exact until one division" rule applied to a float sum);
+    * one division converts back for ranking through the native
+    * TopKPerKey heaps. The posting list feeds both df and the score
+    * join, so it materializes once via localCheckpoint (ContextCleaner
+    * frees the blocks; no session CacheManager mutation). At 100 TB the
+    * same relation becomes a build-once artifact exactly like the
+    * [[AnnIndex]] parquet index. */
+  def retrievalBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val qs = docs.where(col("doc_id") % 997 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("toks"))).as("tok"))
+    val scored = bm25Scores(docs, qs)
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("score" -> false, "neighbor_id" -> true),
+      HybridTopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** Core of [[retrievalBm25]]: Okapi scores for every (query, doc)
+    * pair sharing ≥1 term. `docs` is (doc_id, toks); `qs` is the
+    * exploded (query_id, tok) term set. Exposed for the crafted-input
+    * spec. */
+  def bm25Scores(docs: DataFrame, qs: DataFrame): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    postings.join(dfreq, "tok")
+      .join(broadcast(qs), "tok")
+      .where(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0d) + (col("n_docs") - col("df") + lit(0.5d))
+          / (col("df") + lit(0.5d))))
+      .withColumn("tfn",
+        col("tf") * lit(Bm25K1 + 1) / (col("tf") + lit(Bm25K1)
+          * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .withColumn("term_micros",
+        round(col("idf") * col("tfn") * lit(1e6d)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micros")).as("micros"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        round(col("micros") / lit(1e6d), 6).as("score"))
+  }
+
   /** FILTERED vector search — metadata-constrained ANN, the vector-DB
     * capability RAG stacks rely on ("neighbors from MY tenant/category
     * only"): each query retrieves its top-k among corpus vectors
@@ -513,6 +587,7 @@ object Similarity {
     "retrieval_mmr" -> retrievalMmr,
     "ann_filtered" -> annFiltered,
     "retrieval_hybrid" -> retrievalHybrid,
+    "retrieval_bm25" -> retrievalBm25,
     "ann_topk_cosine" -> annTopKCosine,
     "ann_ivf" -> annIvfCosine,
     "ann_pq_codes" -> annPqCodes,
@@ -655,6 +730,44 @@ object Similarity {
          |                            ORDER BY score DESC, neighbor_id)
          |           AS rank
          |  FROM scored
+         |)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+         |FROM ranked WHERE rank <= $HybridTopK""".stripMargin,
+    "retrieval_bm25" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), postings AS (
+         |  SELECT tok, doc_id, dl, count(*) AS tf FROM (
+         |    SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM d)
+         |  GROUP BY tok, doc_id, dl
+         |), dfreq AS (
+         |  SELECT tok, count(*) AS df FROM postings GROUP BY tok
+         |), st AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(t)) AS avgdl
+         |  FROM d
+         |), q AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS tok
+         |  FROM d WHERE doc_id % 997 = 0
+         |), terms AS (
+         |  SELECT q.query_id, p.doc_id AS neighbor_id,
+         |    CAST(round(
+         |      ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         |      * (p.tf * ${Bm25K1 + 1} / (p.tf + $Bm25K1
+         |         * (${1 - Bm25B} + $Bm25B * p.dl / st.avgdl)))
+         |      * 1e6) AS BIGINT) AS term_micros
+         |  FROM postings p JOIN dfreq USING (tok) JOIN q USING (tok)
+         |       CROSS JOIN st
+         |  WHERE p.doc_id <> q.query_id
+         |), agg AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(CAST(sum(term_micros) AS DOUBLE) / 1e6, 6) AS score
+         |  FROM terms GROUP BY query_id, neighbor_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, neighbor_id)
+         |           AS rank
+         |  FROM agg
          |)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
          |FROM ranked WHERE rank <= $HybridTopK""".stripMargin,

@@ -760,6 +760,40 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(scores(4L) == 0.0)
   }
 
+  test("bm25Scores matches the hand-computed Okapi formula") {
+    val spark2 = spark
+    import spark2.implicits._
+    // query doc 0 terms {a, b}; doc 1 shares both (tf(a)=2), doc 2
+    // shares only 'a', doc 3 shares nothing (must not appear at all —
+    // the inverted-index join only touches matched postings).
+    val docs = Seq(
+      (0L, Seq("a", "b")),
+      (1L, Seq("a", "a", "b", "c")),
+      (2L, Seq("a", "c", "c", "c")),
+      (3L, Seq("c", "c", "c", "c")))
+      .toDF("doc_id", "toks")
+    val qs = docs.where(col("doc_id") === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("toks"))).as("tok"))
+    val out = Similarity.bm25Scores(docs, qs)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(out.keySet == Set(1L, 2L), s"unexpected neighbor set: $out")
+    // replicate the operator's quantized arithmetic exactly:
+    // N=4, avgdl=(2+4+4+4)/4=3.5, df(a)=3, df(b)=2
+    def micros(tf: Long, df: Long, dl: Long): Long = {
+      val idf = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+      val tfn = tf * (Similarity.Bm25K1 + 1) / (tf + Similarity.Bm25K1 *
+        (1 - Similarity.Bm25B + Similarity.Bm25B * dl / 3.5))
+      math.round(idf * tfn * 1e6)
+    }
+    val exp1 = (micros(2, 3, 4) + micros(1, 2, 4)) / 1e6 // terms a + b
+    val exp2 = micros(1, 3, 4) / 1e6                     // term a only
+    assert(math.abs(out(1L) - exp1) < 1e-9, s"doc1: ${out(1L)} vs $exp1")
+    assert(math.abs(out(2L) - exp2) < 1e-9, s"doc2: ${out(2L)} vs $exp2")
+    assert(out(1L) > out(2L), "two shared terms must outrank one")
+  }
+
   test("anomalyOf flags only the z>3 outlier events") {
     val spark2 = spark
     import spark2.implicits._
