@@ -395,7 +395,40 @@ object TextAnalysis {
           .as("top10_share"))
   }
 
+  val ChunkW = 32
+  val ChunkS = 24
+
+  /** Sliding-window document CHUNKING — the RAG-ingest shape that
+    * feeds every embed/index stage downstream: windows of [[ChunkW]]
+    * tokens advancing by stride [[ChunkS]] (so consecutive chunks
+    * overlap by ChunkW−ChunkS tokens and no boundary sentence is lost
+    * to a hard split). The chunk count is integer-exact —
+    * 1 + ⌈max(n−W, 0)/S⌉ — and the window materializes per row via
+    * sequence+explode+slice, a NARROW projection: no shuffle, stays in
+    * whole-stage codegen, parallel in the number of documents. Tail
+    * chunks shorter than W are kept (both engines' slice clamps at the
+    * end), so Σ chunk coverage spans every token. At 100 TB this is
+    * scan-speed work whose output partitioning simply inherits the
+    * input's. */
+  def textChunk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chunks",
+        (floor((greatest(col("n_tokens") - ChunkW, lit(0))
+          + lit(ChunkS - 1)) / lit(ChunkS.toDouble)) + 1).cast("int"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), col("n_chunks") - 1)))
+      .withColumn("chunk_start", col("chunk_id") * ChunkS)
+      .withColumn("chunk_toks",
+        slice(col("toks"), col("chunk_start") + 1, lit(ChunkW)))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("chunk_id"), col("chunk_start"),
+        size(col("chunk_toks")).as("chunk_len"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> textChunk,
     "text_vocab_stats" -> textVocabStats,
     "text_bigram_rarity" -> textBigramRarity,
     "text_repetition" -> textRepetition,
@@ -415,6 +448,31 @@ object TextAnalysis {
     .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_chunk" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), m AS (
+         |  SELECT doc_id, t, CAST(len(t) AS INT) AS n_tokens,
+         |         CAST(floor((greatest(len(t) - $ChunkW, 0)
+         |              + ${ChunkS - 1}) / $ChunkS.0) + 1 AS INT) AS n_chunks
+         |  FROM d
+         |), ex AS (
+         |  -- scalar generate_series (list) + unnest: the table-function
+         |  -- form cannot take lateral column bounds
+         |  SELECT doc_id, t, n_tokens, n_chunks,
+         |         unnest(generate_series(0, n_chunks - 1)) AS i
+         |  FROM m
+         |)
+         |SELECT doc_id, n_tokens, n_chunks,
+         |       CAST(i AS INT) AS chunk_id,
+         |       CAST(i * $ChunkS AS INT) AS chunk_start,
+         |       CAST(len(list_slice(t, i * $ChunkS + 1,
+         |                           i * $ChunkS + $ChunkW)) AS INT)
+         |         AS chunk_len,
+         |       array_to_string(list_slice(t, i * $ChunkS + 1,
+         |                                  i * $ChunkS + $ChunkW), ' ')
+         |         AS chunk_text
+         |FROM ex""".stripMargin,
     "text_vocab_stats" ->
       """WITH tc AS (
         |  SELECT tok, count(*) AS c

@@ -794,6 +794,30 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out(1L) > out(2L), "two shared terms must outrank one")
   }
 
+  test("textChunk covers every token with stride-aligned overlapping windows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = TextAnalysis.textChunk(spark, sf0001)
+      .as[(Long, Int, Int, Int, Int, Int, String)].collect()
+      .groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (docId, chunks) =>
+      val sorted = chunks.sortBy(_._4)
+      val (_, nTokens, nChunks, _, _, _, _) = sorted.head
+      assert(sorted.length == nChunks, s"doc $docId chunk count")
+      // starts are 0, S, 2S, …
+      assert(sorted.map(_._5).toSeq ==
+        sorted.indices.map(_ * TextAnalysis.ChunkS))
+      // all chunks full-width except possibly the tail, which clamps
+      sorted.init.foreach(c => assert(c._6 == TextAnalysis.ChunkW))
+      val last = sorted.last
+      assert(last._5 + last._6 == nTokens,
+        s"doc $docId: coverage ends at ${last._5 + last._6} of $nTokens")
+      // the text of each chunk has exactly chunk_len tokens
+      sorted.foreach(c => assert(c._7.split(" ").length == c._6))
+    }
+  }
+
   test("anomalyOf flags only the z>3 outlier events") {
     val spark2 = spark
     import spark2.implicits._
