@@ -292,7 +292,50 @@ object Pipeline {
           .otherwise(0L).as("admitted"))
   }
 
+  val WSampleK = 10
+
+  /** WEIGHTED sampling per source stratum — the mixture-building
+    * primitive [[pipelineMix]]'s fixed quotas don't cover: pick
+    * [[WSampleK]] docs per source with inclusion probability
+    * proportional to document length, via Efraimidis–Spirakis A-Res
+    * made DETERMINISTIC. Each doc draws a reproducible uniform
+    * u ∈ (0,1) from a domain-separated content hash (md5 of
+    * "wsample:"+doc_id — the [[pipelineSplit]] idiom), and ranks by
+    * the E–S key ln(u)/w (the monotone-log form of u^(1/w); w =
+    * n_chars): the top-k by key IS a weighted-without-replacement
+    * sample. One narrow projection derives the keys, the native
+    * TopKPerKey heap cut keeps k rows per source on the map side, and
+    * the only shuffle moves sources·k survivors — at 100 TB the sample
+    * of a petabyte stratum costs one scan plus a k-row exchange.
+    * Keys round to 9dp before ranking (tie-break doc_id) so both
+    * engines rank identically despite libm's last-ulp ln drift. */
+  def pipelineSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")), WSampleK)
+
+  /** Core of [[pipelineSampleWeighted]]: per-source E–S top-k over
+    * (doc_id, source, n_chars). Exposed for the crafted-input spec. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val keyed = docs
+      .withColumn("h",
+        conv(substring(md5(concat(lit("wsample:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("u",
+        (col("h") + lit(0.5d)) / lit(4294967296.0d))
+      .withColumn("es_key", round(log(col("u")) / col("n_chars"), 9))
+      .drop("h", "u")
+    val cut = graft.plans.TopKPerKey.topKPerKey(keyed,
+      Seq("source"), Seq("es_key" -> false, "doc_id" -> true), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("source"), col("rank"), col("doc_id"),
+        col("n_chars"), col("es_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_sample_weighted" -> pipelineSampleWeighted,
     "pipeline_ingest" -> pipelineIngest,
     "pipeline_filter" -> pipelineFilter,
     "pipeline_split" -> pipelineSplit,
@@ -322,6 +365,25 @@ object Pipeline {
       |GROUP BY c.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_sample_weighted" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source, n_chars,
+         |    (CAST(concat('0x', substr(md5(concat('wsample:',
+         |       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+         |      / 4294967296.0 AS u
+         |  FROM documents
+         |), k AS (
+         |  SELECT doc_id, source, n_chars,
+         |         round(ln(u) / n_chars, 9) AS es_key
+         |  FROM s
+         |), r AS (
+         |  SELECT source, doc_id, n_chars, es_key,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY es_key DESC, doc_id) AS rank
+         |  FROM k
+         |)
+         |SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars, es_key
+         |FROM r WHERE rank <= $WSampleK""".stripMargin,
     "pipeline_filter" ->
       s"""WITH gated AS (
          |  SELECT doc_id, text, source, n_chars,

@@ -818,6 +818,35 @@ class OperatorsSpec extends SparkSessionSpec {
     }
   }
 
+  test("weightedSample reproduces the deterministic E-S keys and favors weight") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one source: doc 0 carries ~1e9 of the weight, 29 others carry 10
+    // each — doc 0 must be in any weighted top-5.
+    val docs = ((0L, "s", 1000000000L) +:
+      (1L to 29L).map(id => (id, "s", 10L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Pipeline.weightedSample(docs, 5)
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(out.length == 5)
+    assert(out.exists(_._3 == 0L), "heaviest doc missing from the sample")
+    // replicate the hash→uniform→key derivation exactly
+    def esKey(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      BigDecimal(math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { case (_, _, id, w, key) =>
+      assert(key == esKey(id, w), s"doc $id: $key vs ${esKey(id, w)}")
+    }
+    // ranks ordered by key desc
+    assert(out.sortBy(_._2).map(_._5).toSeq ==
+      out.map(_._5).sorted.reverse.toSeq)
+  }
+
   test("anomalyOf flags only the z>3 outlier events") {
     val spark2 = spark
     import spark2.implicits._
