@@ -334,7 +334,54 @@ object Pipeline {
         col("n_chars"), col("es_key"))
   }
 
+  /** SCD TYPE-2 history build — the warehouse-side operator every
+    * curation pipeline needs once metadata starts changing under it:
+    * collapse a per-key change stream (each customer's orders, ordered
+    * by (o_orderdate, o_orderkey)) into validity intervals of the
+    * tracked attribute (o_orderpriority), one row per consecutive run
+    * of an unchanged value with [valid_from, valid_to) bounds, the
+    * open current version flagged. Classic gaps-and-islands: lag()
+    * marks run starts, a running sum numbers versions, one aggregation
+    * folds runs to spans, lead() closes each span with its successor's
+    * start. ALL THREE windows and the aggregation share the same
+    * partition key, so the whole operator costs ONE exchange on
+    * o_custkey at any scale — no self-join, no driver state; ties on
+    * the change date break integer-exactly by order key. */
+  def pipelineScd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")))
+
+  /** Core of [[pipelineScd2]] over any (o_custkey, o_orderkey,
+    * o_orderdate, o_orderpriority)-shaped change stream. Exposed for
+    * the crafted-input spec. */
+  def scd2Of(src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val ver = src
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(wOrd))
+      .withColumn("chg",
+        (col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+          .cast("int"))
+      .withColumn("version", sum(col("chg"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("int"))
+    val spans = ver
+      .groupBy(col("o_custkey"), col("version"), col("o_orderpriority"))
+      .agg(min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val wVer = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    spans
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .select(col("o_custkey"), col("version"), col("o_orderpriority"),
+        col("valid_from"), col("valid_to"), col("n_orders"),
+        col("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_scd2" -> pipelineScd2,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
     "pipeline_ingest" -> pipelineIngest,
     "pipeline_filter" -> pipelineFilter,
@@ -365,6 +412,34 @@ object Pipeline {
       |GROUP BY c.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_scd2" ->
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |                OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)
+        |), ver AS (
+        |  SELECT o_custkey, o_orderdate, o_orderpriority,
+        |         CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS INT) AS version
+        |  FROM chg
+        |), spans AS (
+        |  SELECT o_custkey, version, o_orderpriority,
+        |         min(o_orderdate) AS valid_from,
+        |         count(*) AS n_orders
+        |  FROM ver GROUP BY o_custkey, version, o_orderpriority
+        |)
+        |SELECT o_custkey, version, o_orderpriority, valid_from,
+        |       lead(valid_from) OVER w2 AS valid_to,
+        |       CAST(n_orders AS BIGINT) AS n_orders,
+        |       CAST(lead(valid_from) OVER w2 IS NULL AS INT) AS is_current
+        |FROM spans
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)""".stripMargin,
     "pipeline_sample_weighted" ->
       s"""WITH s AS (
          |  SELECT doc_id, source, n_chars,

@@ -847,6 +847,30 @@ class OperatorsSpec extends SparkSessionSpec {
       out.map(_._5).sorted.reverse.toSeq)
   }
 
+  test("scd2Of collapses change runs into adjoining validity intervals") {
+    val spark2 = spark
+    import spark2.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // customer 1: A A B A — three versions (the return to A is a NEW
+    // version, not a merge with version 1); customer 2: constant.
+    val src = Seq(
+      (1L, 10L, ts(1), "A"), (1L, 11L, ts(2), "A"),
+      (1L, 12L, ts(3), "B"), (1L, 13L, ts(4), "A"),
+      (2L, 20L, ts(5), "X"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val out = Pipeline.scd2Of(src)
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Long, Int)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2, r._3, r._6, r._7)).toSeq == Seq(
+      (1L, 1, "A", 2L, 0), (1L, 2, "B", 1L, 0), (1L, 3, "A", 1L, 1),
+      (2L, 1, "X", 1L, 1)))
+    // intervals adjoin: each valid_to equals the successor's valid_from
+    val c1 = out.filter(_._1 == 1L)
+    assert(c1(0)._5.contains(c1(1)._4) && c1(1)._5.contains(c1(2)._4))
+    assert(c1(2)._5.isEmpty, "current version must be open-ended")
+  }
+
   test("anomalyOf flags only the z>3 outlier events") {
     val spark2 = spark
     import spark2.implicits._
