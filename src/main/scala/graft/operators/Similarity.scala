@@ -431,10 +431,7 @@ object Similarity {
   def retrievalBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val qs = docs.where(col("doc_id") % 997 === 0)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(col("toks"))).as("tok"))
-    val scored = bm25Scores(docs, qs)
+    val scored = bm25Scores(docs, col("doc_id") % 997 === 0)
     val cut = graft.plans.TopKPerKey.topKPerKey(scored,
       Seq("query_id"), Seq("score" -> false, "neighbor_id" -> true),
       HybridTopK)
@@ -445,10 +442,15 @@ object Similarity {
   }
 
   /** Core of [[retrievalBm25]]: Okapi scores for every (query, doc)
-    * pair sharing ≥1 term. `docs` is (doc_id, toks); `qs` is the
-    * exploded (query_id, tok) term set. Exposed for the crafted-input
+    * pair sharing ≥1 term. `docs` is (doc_id, toks); `queryPred`
+    * selects which doc_ids act as queries (their distinct terms ARE
+    * their posting rows). EVERYTHING — document frequencies, corpus
+    * stats (n_docs, avgdl via one distinct over (doc_id, dl)), and the
+    * query term sets — derives from the single checkpointed posting
+    * relation, so the corpus text is scanned exactly ONCE no matter
+    * how many consumers fold over it. Exposed for the crafted-input
     * spec. */
-  def bm25Scores(docs: DataFrame, qs: DataFrame): DataFrame = {
+  def bm25Scores(docs: DataFrame, queryPred: Column): DataFrame = {
     val postings = docs
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("tok"))
@@ -456,8 +458,11 @@ object Similarity {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(size(col("toks"))).as("avgdl"))
+    val stats = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+    val qs = postings.where(queryPred)
+      .select(col("doc_id").as("query_id"), col("tok"))
     postings.join(dfreq, "tok")
       .join(broadcast(qs), "tok")
       .where(col("doc_id") =!= col("query_id"))

@@ -772,10 +772,7 @@ class OperatorsSpec extends SparkSessionSpec {
       (2L, Seq("a", "c", "c", "c")),
       (3L, Seq("c", "c", "c", "c")))
       .toDF("doc_id", "toks")
-    val qs = docs.where(col("doc_id") === 0)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(col("toks"))).as("tok"))
-    val out = Similarity.bm25Scores(docs, qs)
+    val out = Similarity.bm25Scores(docs, col("doc_id") === 0)
       .as[(Long, Long, Double)].collect()
       .map(r => r._2 -> r._3).toMap
     assert(out.keySet == Set(1L, 2L), s"unexpected neighbor set: $out")
