@@ -549,7 +549,62 @@ object RelationalQueries {
     pr.select(col("node"), round(col("pr"), 9).as("pagerank"))
   }
 
+  val TriAlpha = 1.02
+
+  /** TRIANGLE COUNTING — graph workload #3 (after components and
+    * PageRank), over the supplier CO-PURCHASE projection: suppliers
+    * are adjacent when their shared-customer count is above
+    * [[TriAlpha]]× the mean pair weight. The threshold is RELATIVE —
+    * an in-plan 1-row avg broadcast — so the graph stays meaningful at
+    * every scale factor (absolute cutoffs go degenerate the moment the
+    * data grows). Projection fanout is per-customer quadratic in that
+    * customer's supplier degree — the skew point at 100 TB; the `s1 <
+    * s2` orientation already halves it, heavy customers would be
+    * capped/salted exactly like [[SkewUtils]] does for joins, and
+    * production systems orient by (degree, id) instead of id alone.
+    * The edge list is REUSED three times by the triangle join, so it
+    * materializes once via localCheckpoint — without it, each arm
+    * re-derives the full projection. The triangle join itself is two
+    * equi hash joins (ab.s2=bc.s1, then the closing (a, c) pair),
+    * per-supplier participation one explode + agg. Integer-exact end
+    * to end. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val cs = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val a = cs.select(col("c"), col("s").as("sa"))
+    val b = cs.select(col("c").as("cb"), col("s").as("sb"))
+    val w = a.join(b, col("c") === col("cb") && col("sa") < col("sb"))
+      .groupBy(col("sa").as("s1"), col("sb").as("s2"))
+      .agg(count(lit(1)).as("w"))
+    val m = w.agg(avg(col("w")).as("mw"))
+    val e = w.crossJoin(broadcast(m))
+      .where(col("w") >= lit(TriAlpha) * col("mw"))
+      .select(col("s1"), col("s2"))
+      .localCheckpoint()
+    triangleCounts(e)
+  }
+
+  /** Core of [[qTriangles]]: per-node triangle participation over an
+    * id-oriented (s1 < s2) edge list. Exposed for the crafted-graph
+    * spec. */
+  def triangleCounts(e: DataFrame): DataFrame = {
+    val ab = e.select(col("s1").as("ta"), col("s2").as("tb"))
+    val bc = e.select(col("s1").as("ub"), col("s2").as("tc"))
+    val ac = e.select(col("s1").as("va"), col("s2").as("vc"))
+    val tri = ab.join(bc, col("tb") === col("ub"))
+      .join(ac, col("ta") === col("va") && col("tc") === col("vc"))
+      .select(col("ta"), col("tb"), col("tc"))
+    tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("supp"))
+      .groupBy(col("supp")).agg(count(lit(1)).as("n_tri"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> qTriangles,
     "graph_pagerank" -> qPageRank,
     "q_not_in_anti" -> qNotInAnti,
     "q_freq_items_bound" -> qFreqItemsBound,
@@ -581,6 +636,26 @@ object RelationalQueries {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), w AS (
+         |  SELECT a.s AS s1, b.s AS s2, count(*) AS w
+         |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+         |  GROUP BY 1, 2
+         |), m AS (SELECT avg(w) AS mw FROM w),
+         |e AS (
+         |  SELECT s1, s2 FROM w, m WHERE w >= $TriAlpha * mw
+         |), tri AS (
+         |  SELECT ab.s1 AS a, ab.s2 AS b, bc.s2 AS c
+         |  FROM e ab
+         |  JOIN e bc ON ab.s2 = bc.s1
+         |  JOIN e ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2
+         |)
+         |SELECT supp, count(*) AS n_tri
+         |FROM (SELECT unnest([a, b, c]) AS supp FROM tri)
+         |GROUP BY supp""".stripMargin,
     // replays the fixed-round power iteration with the Lloyd-replay
     // state-row technique: one recursive row carries the full rank
     // list; each LATERAL recomputes contributions from the base edge

@@ -868,6 +868,19 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(c1(2)._5.isEmpty, "current version must be open-ended")
   }
 
+  test("triangleCounts finds exactly the triangles of a crafted graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 4-clique on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and
+    // (1,2,4) only; node 5 hangs off node 1 in no triangle.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (1L, 5L)).toDF("s1", "s2")
+    val out = RelationalQueries.triangleCounts(e)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L),
+      s"unexpected triangle counts: $out")
+  }
+
   test("anomalyOf flags only the z>3 outlier events") {
     val spark2 = spark
     import spark2.implicits._
