@@ -603,7 +603,49 @@ object RelationalQueries {
       .groupBy(col("supp")).agg(count(lit(1)).as("n_tri"))
   }
 
+  val ZBits = 8
+
+  /** Z-ORDER (Morton) LAYOUT — the multi-dimensional data-layout
+    * primitive behind Delta/Iceberg `ZORDER BY`: co-locating rows by
+    * the bit-interleaved key of (l_partkey, l_suppkey) makes parquet
+    * row-group min/max pruning effective for predicates on EITHER
+    * column, where a 1-D sort only serves its leading column. Each
+    * dimension quantizes to [[ZBits]] bits against its in-plan global
+    * min/max (a broadcast 1-row aggregate — no driver collect), the
+    * interleave is a pure bit expression (codegen, no UDF), and the
+    * write bucket is the Z-value's top 6 bits — an 8×8 grid cell, NO
+    * global sort or ntile (an un-partitioned window would be the
+    * PlansSpec-banned single-task pattern; a prefix of Z IS a range).
+    * The query reports per-bucket (count, min/max of both dims): the
+    * file-skipping property made measurable — both dims' per-bucket
+    * ranges are bounded by their quantization cell, which the spec
+    * asserts. At 100 TB the same bucket column feeds
+    * `ParquetSink.writePartitioned` and each bucket becomes a
+    * prunable file. Integer-exact end to end. */
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val bounds = li.agg(min(col("x")).as("xlo"), max(col("x")).as("xhi"),
+      min(col("y")).as("ylo"), max(col("y")).as("yhi"))
+    val q = li.crossJoin(broadcast(bounds))
+      .withColumn("xq", floor((col("x") - col("xlo")) * (1 << ZBits)
+        / (col("xhi") - col("xlo") + 1)).cast("long"))
+      .withColumn("yq", floor((col("y") - col("ylo")) * (1 << ZBits)
+        / (col("yhi") - col("ylo") + 1)).cast("long"))
+    val z = (0 until ZBits).map { i =>
+      shiftleft(shiftright(col("xq"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(col("yq"), i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+    q.withColumn("zval", z)
+      .withColumn("bucket", shiftright(col("zval"), 2 * ZBits - 6))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> qZorderLayout,
     "graph_triangles" -> qTriangles,
     "graph_pagerank" -> qPageRank,
     "q_not_in_anti" -> qNotInAnti,
@@ -635,7 +677,33 @@ object RelationalQueries {
     "q_distinct" -> qDistinct,
     "q_monthly" -> qMonthly)
 
+  private def zInterleaveSql: String =
+    (0 until ZBits).map { i =>
+      s"(((xq >> $i) & 1) << ${2 * i + 1}) + (((yq >> $i) & 1) << ${2 * i})"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey AS x, l_suppkey AS y FROM lineitem
+         |), b AS (
+         |  SELECT min(x) AS xlo, max(x) AS xhi,
+         |         min(y) AS ylo, max(y) AS yhi
+         |  FROM li
+         |), q AS (
+         |  SELECT x, y,
+         |    CAST(floor((x - xlo) * ${1 << ZBits} / (xhi - xlo + 1))
+         |      AS BIGINT) AS xq,
+         |    CAST(floor((y - ylo) * ${1 << ZBits} / (yhi - ylo + 1))
+         |      AS BIGINT) AS yq
+         |  FROM li, b
+         |), z AS (
+         |  SELECT x, y, ($zInterleaveSql) AS zval FROM q
+         |)
+         |SELECT (zval >> ${2 * ZBits - 6}) AS bucket, count(*) AS n,
+         |       min(x) AS x_min, max(x) AS x_max,
+         |       min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY 1""".stripMargin,
     "graph_triangles" ->
       s"""WITH cs AS (
          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s

@@ -881,6 +881,27 @@ class OperatorsSpec extends SparkSessionSpec {
       s"unexpected triangle counts: $out")
   }
 
+  test("qZorderLayout bounds BOTH dims' per-bucket ranges (file-skipping property)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = RelationalQueries.qZorderLayout(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val (xlo, xhi) = (out.map(_._3).min, out.map(_._4).max)
+    val (ylo, yhi) = (out.map(_._5).min, out.map(_._6).max)
+    // a bucket fixes the top 3 quantized bits of EACH dim, so each
+    // dim's in-bucket spread is at most 1/8 of its global range (+1
+    // for quantization edges) — the property a 1-D sort only gives
+    // its leading column
+    val (xr, yr) = (xhi - xlo + 1, yhi - ylo + 1)
+    out.foreach { case (b, _, xmn, xmx, ymn, ymx) =>
+      assert(xmx - xmn <= xr / 8 + 1, s"bucket $b x-spread ${xmx - xmn}")
+      assert(ymx - ymn <= yr / 8 + 1, s"bucket $b y-spread ${ymx - ymn}")
+    }
+    // every row lands in a real 8x8 grid cell
+    assert(out.forall(r => r._1 >= 0 && r._1 < 64))
+  }
+
   test("anomalyOf flags only the z>3 outlier events") {
     val spark2 = spark
     import spark2.implicits._
