@@ -427,7 +427,79 @@ object TextAnalysis {
         size(col("chunk_toks")).as("chunk_len"),
         array_join(col("chunk_toks"), " ").as("chunk_text"))
 
+  val BpeRounds = 6
+
+  /** BPE TOKENIZER TRAINING in-engine — the vocabulary-learning loop
+    * every LLM data stack runs before anything else: [[BpeRounds]]
+    * rounds of (count adjacent symbol pairs weighted by word
+    * frequency) → (merge the argmax pair corpus-wide). The corpus is
+    * touched ONCE — the word-frequency aggregation — and every
+    * subsequent round works on the VOCAB-sized (syms, cnt) relation:
+    * one pair-explode aggregation, a 1-row argmax collect (the
+    * bounded-driver-action shape of Lloyd's k centroids), and a
+    * narrow per-word merge apply, re-checkpointed per round to keep
+    * lineage flat. The merge apply is position-local — candidate
+    * pairs exclude self-pairs (l = r), a documented variant that
+    * makes greedy leftmost merging overlap-free, so transform+filter
+    * express it without stateful folds. Ties break (count desc, left,
+    * right) — binary string order in both engines. Returns the merge
+    * table itself (round, left, right, merged, pair_count) — R rows;
+    * the DuckDB oracle replays the full recursion with the
+    * PageRank-oracle state-row technique. At 100 TB the corpus-sized
+    * agg dominates and the loop cost is independent of corpus size —
+    * exactly why BPE trainers run on word-count tables, not raw
+    * text. */
+  def textBpe(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark,
+      t(spark, dir, "documents")
+        .select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+      BpeRounds)
+
+  /** Core of [[textBpe]] over any (tok, cnt) word-frequency relation.
+    * Exposed for the crafted-corpus spec. */
+  def bpeTrain(spark: SparkSession, wordCounts: DataFrame,
+      rounds: Int): DataFrame = {
+    var words = wordCounts
+      .select(split(col("tok"), "").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = words
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), col("syms"),
+          explode(sequence(lit(0), size(col("syms")) - 2)).as("i"))
+        .select(col("cnt"),
+          element_at(col("syms"), col("i") + 1).as("l"),
+          element_at(col("syms"), col("i") + 2).as("r"))
+        .where(col("l") =!= col("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (bl, br, bc) =
+        (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, bl, br, bl + br, bc))
+      words = words.withColumn("syms",
+        filter(
+          transform(col("syms"), (x, i) =>
+            when(x === lit(bl) &&
+              get(col("syms"), i + 1) === lit(br), lit(bl + br))
+              .when(x === lit(br) &&
+                get(col("syms"), i - 1) === lit(bl),
+                lit(null).cast("string"))
+              .otherwise(x)),
+          y => y.isNotNull))
+        .localCheckpoint()
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged",
+      "pair_count")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe" -> textBpe,
     "text_chunk" -> textChunk,
     "text_vocab_stats" -> textVocabStats,
     "text_bigram_rarity" -> textBigramRarity,
@@ -448,6 +520,72 @@ object TextAnalysis {
     .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // replays the full BPE recursion with the PageRank-oracle
+    // state-row technique: one recursive row carries the whole
+    // (syms, cnt) vocabulary; each LATERAL re-counts pairs, takes the
+    // argmax, and applies the merge via a correlated position
+    // subquery (DuckDB lambdas cannot capture outer columns)
+    "text_bpe" ->
+      s"""WITH RECURSIVE words AS (
+         |  SELECT tok, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY tok
+         |), bpe AS (
+         |  SELECT 0 AS r,
+         |    (SELECT list(struct_pack(syms := string_split(tok, ''),
+         |                             cnt := cnt)
+         |            ORDER BY tok) FROM words) AS st,
+         |    CAST([] AS STRUCT(l VARCHAR, r VARCHAR, c BIGINT)[])
+         |      AS merges
+         |  UNION ALL
+         |  SELECT s.r + 1, nxt.st,
+         |         s.merges || [struct_pack(l := nxt.bl, r := nxt.br,
+         |                                  c := nxt.bc)]
+         |  FROM bpe s, LATERAL (
+         |    WITH cur AS (
+         |      SELECT u.syms AS syms, u.cnt AS cnt
+         |      FROM (SELECT unnest(s.st) AS u)
+         |    ), pairs AS (
+         |      SELECT p.pl, p.pr, sum(p.cnt) AS pc FROM (
+         |        SELECT w.syms[w.i] AS pl, w.syms[w.i+1] AS pr,
+         |               w.cnt AS cnt
+         |        FROM (SELECT syms, cnt,
+         |                     unnest(generate_series(1, len(syms)-1)) AS i
+         |              FROM cur) w
+         |      ) p
+         |      WHERE p.pl <> p.pr
+         |      GROUP BY p.pl, p.pr
+         |    ), best AS (
+         |      SELECT pl, pr, pc FROM pairs
+         |      ORDER BY pc DESC, pl, pr LIMIT 1
+         |    )
+         |    SELECT b.pl AS bl, b.pr AS br, b.pc AS bc,
+         |      (SELECT list(struct_pack(syms := (
+         |          SELECT list(sym ORDER BY ii) FROM (
+         |            SELECT pos.ii AS ii, CASE
+         |               WHEN c.syms[pos.ii] = b.pl
+         |                    AND c.syms[pos.ii+1] = b.pr
+         |                 THEN b.pl || b.pr
+         |               WHEN c.syms[pos.ii] = b.pr
+         |                    AND c.syms[pos.ii-1] = b.pl
+         |                 THEN NULL
+         |               ELSE c.syms[pos.ii] END AS sym
+         |            FROM (SELECT unnest(generate_series(1,
+         |                    len(c.syms))) AS ii) pos
+         |          ) WHERE sym IS NOT NULL
+         |        ), cnt := c.cnt))
+         |       FROM cur c) AS st
+         |    FROM best b
+         |  ) nxt
+         |  WHERE s.r < $BpeRounds
+         |)
+         |SELECT CAST(m.i AS INT) AS round, m.u.l AS left_sym,
+         |       m.u.r AS right_sym, m.u.l || m.u.r AS merged,
+         |       m.u.c AS pair_count
+         |FROM (SELECT merges FROM bpe ORDER BY r DESC LIMIT 1) f,
+         |     (SELECT unnest(f.merges, recursive := false) AS u,
+         |             generate_subscripts(f.merges, 1) AS i) m""".stripMargin,
     "text_chunk" ->
       s"""WITH d AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -902,6 +902,21 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out.forall(r => r._1 >= 0 && r._1 < 64))
   }
 
+  test("bpeTrain learns merges in frequency order, composing earlier merges") {
+    val spark2 = spark
+    import spark2.implicits._
+    // pairs round 1: (a,b)=5, (b,c)=3, (b,d)=2 -> merge ab.
+    // round 2: (ab,c)=3, (ab,d)=2 -> merge ab+c: a LEARNED symbol on
+    // the left proves merges compose. round 3: only (ab,d)=2 left.
+    val words = Seq(("abc", 3L), ("abd", 2L)).toDF("tok", "cnt")
+    val out = TextAnalysis.bpeTrain(spark, words, 3)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "ab", "c", "abc", 3L),
+      (3, "ab", "d", "abd", 2L)), s"unexpected merge table: ${out.toSeq}")
+  }
+
   test("anomalyOf flags only the z>3 outlier events") {
     val spark2 = spark
     import spark2.implicits._
