@@ -459,7 +459,13 @@ object TextAnalysis {
   /** Core of [[textBpe]] over any (tok, cnt) word-frequency relation.
     * Exposed for the crafted-corpus spec. */
   def bpeTrain(spark: SparkSession, wordCounts: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame = bpeLoop(spark, wordCounts, rounds)._1
+
+  /** The shared train loop: returns (merge table, final merged
+    * vocabulary relation) so [[textBpe]] reports the merges and
+    * [[textBpeEncode]] the encoded subword stats off ONE run. */
+  private def bpeLoop(spark: SparkSession, wordCounts: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
     var words = wordCounts
       .select(split(col("tok"), "").as("syms"), col("cnt"))
       .localCheckpoint()
@@ -494,11 +500,38 @@ object TextAnalysis {
     }
     val spark2 = spark
     import spark2.implicits._
-    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged",
-      "pair_count")
+    (merges.toSeq.toDF("round", "left_sym", "right_sym", "merged",
+      "pair_count"), words)
+  }
+
+  /** BPE ENCODE — the apply side of [[textBpe]]: the subword
+    * vocabulary and its corpus frequencies after all [[BpeRounds]]
+    * merges, i.e. what the trained tokenizer actually emits. Reuses
+    * the train loop's final merged relation (vocab-sized), so encode
+    * is one explode + agg on top of training; per-subword totals are
+    * Σ word_count over every occurrence slot. n_words counts the
+    * distinct words each subword appears in — the df analog over the
+    * learned vocabulary. Integer-exact. */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark,
+      t(spark, dir, "documents")
+        .select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+      BpeRounds)
+
+  /** Core of [[textBpeEncode]] over any (tok, cnt) relation. Exposed
+    * for the crafted-corpus spec. */
+  def bpeEncode(spark: SparkSession, wordCounts: DataFrame,
+      rounds: Int): DataFrame = {
+    val (_, words) = bpeLoop(spark, wordCounts, rounds)
+    words.select(col("cnt"), explode(col("syms")).as("subword"))
+      .groupBy(col("subword"))
+      .agg(sum(col("cnt")).as("n_occurrences"),
+        count(lit(1)).as("n_slots"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_encode" -> textBpeEncode,
     "text_bpe" -> textBpe,
     "text_chunk" -> textChunk,
     "text_vocab_stats" -> textVocabStats,
@@ -519,73 +552,88 @@ object TextAnalysis {
   private val markerValues = LangMarkers
     .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
+  /** Replays the full BPE recursion with the PageRank-oracle
+    * state-row technique: one recursive row carries the whole
+    * (syms, cnt) vocabulary; each LATERAL re-counts pairs, takes the
+    * argmax, and applies the merge via a correlated position
+    * subquery (DuckDB lambdas cannot capture outer columns). Shared
+    * by the `text_bpe` (merge table) and `text_bpe_encode` (final
+    * vocabulary) oracles. */
+  private val bpeCte: String =
+    s"""WITH RECURSIVE words AS (
+       |  SELECT tok, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY tok
+       |), bpe AS (
+       |  SELECT 0 AS r,
+       |    (SELECT list(struct_pack(syms := string_split(tok, ''),
+       |                             cnt := cnt)
+       |            ORDER BY tok) FROM words) AS st,
+       |    CAST([] AS STRUCT(l VARCHAR, r VARCHAR, c BIGINT)[])
+       |      AS merges
+       |  UNION ALL
+       |  SELECT s.r + 1, nxt.st,
+       |         s.merges || [struct_pack(l := nxt.bl, r := nxt.br,
+       |                                  c := nxt.bc)]
+       |  FROM bpe s, LATERAL (
+       |    WITH cur AS (
+       |      SELECT u.syms AS syms, u.cnt AS cnt
+       |      FROM (SELECT unnest(s.st) AS u)
+       |    ), pairs AS (
+       |      SELECT p.pl, p.pr, sum(p.cnt) AS pc FROM (
+       |        SELECT w.syms[w.i] AS pl, w.syms[w.i+1] AS pr,
+       |               w.cnt AS cnt
+       |        FROM (SELECT syms, cnt,
+       |                     unnest(generate_series(1, len(syms)-1)) AS i
+       |              FROM cur) w
+       |      ) p
+       |      WHERE p.pl <> p.pr
+       |      GROUP BY p.pl, p.pr
+       |    ), best AS (
+       |      SELECT pl, pr, pc FROM pairs
+       |      ORDER BY pc DESC, pl, pr LIMIT 1
+       |    )
+       |    SELECT b.pl AS bl, b.pr AS br, b.pc AS bc,
+       |      (SELECT list(struct_pack(syms := (
+       |          SELECT list(sym ORDER BY ii) FROM (
+       |            SELECT pos.ii AS ii, CASE
+       |               WHEN c.syms[pos.ii] = b.pl
+       |                    AND c.syms[pos.ii+1] = b.pr
+       |                 THEN b.pl || b.pr
+       |               WHEN c.syms[pos.ii] = b.pr
+       |                    AND c.syms[pos.ii-1] = b.pl
+       |                 THEN NULL
+       |               ELSE c.syms[pos.ii] END AS sym
+       |            FROM (SELECT unnest(generate_series(1,
+       |                    len(c.syms))) AS ii) pos
+       |          ) WHERE sym IS NOT NULL
+       |        ), cnt := c.cnt))
+       |       FROM cur c) AS st
+       |    FROM best b
+       |  ) nxt
+       |  WHERE s.r < $BpeRounds
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // replays the full BPE recursion with the PageRank-oracle
-    // state-row technique: one recursive row carries the whole
-    // (syms, cnt) vocabulary; each LATERAL re-counts pairs, takes the
-    // argmax, and applies the merge via a correlated position
-    // subquery (DuckDB lambdas cannot capture outer columns)
     "text_bpe" ->
-      s"""WITH RECURSIVE words AS (
-         |  SELECT tok, count(*) AS cnt
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
-         |        FROM documents)
-         |  GROUP BY tok
-         |), bpe AS (
-         |  SELECT 0 AS r,
-         |    (SELECT list(struct_pack(syms := string_split(tok, ''),
-         |                             cnt := cnt)
-         |            ORDER BY tok) FROM words) AS st,
-         |    CAST([] AS STRUCT(l VARCHAR, r VARCHAR, c BIGINT)[])
-         |      AS merges
-         |  UNION ALL
-         |  SELECT s.r + 1, nxt.st,
-         |         s.merges || [struct_pack(l := nxt.bl, r := nxt.br,
-         |                                  c := nxt.bc)]
-         |  FROM bpe s, LATERAL (
-         |    WITH cur AS (
-         |      SELECT u.syms AS syms, u.cnt AS cnt
-         |      FROM (SELECT unnest(s.st) AS u)
-         |    ), pairs AS (
-         |      SELECT p.pl, p.pr, sum(p.cnt) AS pc FROM (
-         |        SELECT w.syms[w.i] AS pl, w.syms[w.i+1] AS pr,
-         |               w.cnt AS cnt
-         |        FROM (SELECT syms, cnt,
-         |                     unnest(generate_series(1, len(syms)-1)) AS i
-         |              FROM cur) w
-         |      ) p
-         |      WHERE p.pl <> p.pr
-         |      GROUP BY p.pl, p.pr
-         |    ), best AS (
-         |      SELECT pl, pr, pc FROM pairs
-         |      ORDER BY pc DESC, pl, pr LIMIT 1
-         |    )
-         |    SELECT b.pl AS bl, b.pr AS br, b.pc AS bc,
-         |      (SELECT list(struct_pack(syms := (
-         |          SELECT list(sym ORDER BY ii) FROM (
-         |            SELECT pos.ii AS ii, CASE
-         |               WHEN c.syms[pos.ii] = b.pl
-         |                    AND c.syms[pos.ii+1] = b.pr
-         |                 THEN b.pl || b.pr
-         |               WHEN c.syms[pos.ii] = b.pr
-         |                    AND c.syms[pos.ii-1] = b.pl
-         |                 THEN NULL
-         |               ELSE c.syms[pos.ii] END AS sym
-         |            FROM (SELECT unnest(generate_series(1,
-         |                    len(c.syms))) AS ii) pos
-         |          ) WHERE sym IS NOT NULL
-         |        ), cnt := c.cnt))
-         |       FROM cur c) AS st
-         |    FROM best b
-         |  ) nxt
-         |  WHERE s.r < $BpeRounds
-         |)
+      s"""$bpeCte
          |SELECT CAST(m.i AS INT) AS round, m.u.l AS left_sym,
          |       m.u.r AS right_sym, m.u.l || m.u.r AS merged,
          |       m.u.c AS pair_count
          |FROM (SELECT merges FROM bpe ORDER BY r DESC LIMIT 1) f,
          |     (SELECT unnest(f.merges, recursive := false) AS u,
          |             generate_subscripts(f.merges, 1) AS i) m""".stripMargin,
+    "text_bpe_encode" ->
+      s"""$bpeCte
+         |SELECT w.sym AS subword,
+         |       CAST(sum(w.cnt) AS BIGINT) AS n_occurrences,
+         |       count(*) AS n_slots
+         |FROM (SELECT f2.u.cnt AS cnt, unnest(f2.u.syms) AS sym
+         |      FROM (SELECT unnest(f.st) AS u
+         |            FROM (SELECT st FROM bpe
+         |                  ORDER BY r DESC LIMIT 1) f) f2) w
+         |GROUP BY w.sym""".stripMargin,
     "text_chunk" ->
       s"""WITH d AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

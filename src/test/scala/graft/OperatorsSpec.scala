@@ -915,6 +915,18 @@ class OperatorsSpec extends SparkSessionSpec {
       (1, "a", "b", "ab", 5L),
       (2, "ab", "c", "abc", 3L),
       (3, "ab", "d", "abd", 2L)), s"unexpected merge table: ${out.toSeq}")
+    // after all three merges both words collapse to single subwords
+    val enc = TextAnalysis.bpeEncode(spark, words, 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(enc == Map("abc" -> ((3L, 1L)), "abd" -> ((2L, 1L))),
+      s"unexpected encoded vocab: $enc")
+    // one round earlier, 'abd' is still split as [ab, d]
+    val enc2 = TextAnalysis.bpeEncode(spark, words, 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(enc2 == Map("abc" -> ((3L, 1L)), "ab" -> ((2L, 1L)),
+      "d" -> ((2L, 1L))), s"unexpected round-2 vocab: $enc2")
   }
 
   test("anomalyOf flags only the z>3 outlier events") {
