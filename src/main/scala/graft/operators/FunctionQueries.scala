@@ -83,6 +83,60 @@ object FunctionQueries {
         first_value(col("o_orderkey")).over(w).as("first_order"))
   }
 
+  /** IGNORE NULLS window family — forward-fill ("last observation
+    * carried forward") and its mirrors, the time-series idiom SQL
+    * ports hit immediately after plain lag/lead: the nullable measure
+    * (value only on click events) is filled per user from the most
+    * recent non-null via `last(ignoreNulls)` over a trailing frame,
+    * first non-null via `first(ignoreNulls)` over the leading frame,
+    * and `lead(ignoreNulls)` finds the next observed value. One
+    * window partition key = ONE exchange; ordering ties broken by
+    * event_id. */
+  def qWindowNulls(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wPast = wAll.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wFuture = wAll.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    t(spark, dir, "events")
+      .where(col("user_id") % 25 === 0)
+      .withColumn("click_value",
+        when(col("event_type") === "click", round(col("value"), 6)))
+      .select(col("user_id"), col("event_id"), col("click_value"),
+        last(col("click_value"), ignoreNulls = true).over(wPast)
+          .as("filled_ffill"),
+        first(col("click_value"), ignoreNulls = true).over(wFuture)
+          .as("filled_bfill"),
+        lead(col("click_value"), 1, null, ignoreNulls = true).over(wAll)
+          .as("next_click_value"))
+  }
+
+  val HistBins = 20
+
+  /** Equi-width HISTOGRAM with in-plan bounds — the profiling
+    * primitive: bin edges derive from a broadcast 1-row (min, max)
+    * aggregate (no driver collect), bin assignment is one narrow
+    * projection, and the histogram is one hash aggregation. Totals
+    * accumulate in integer cents so the per-bin sum is
+    * order-independent. Two passes over the column at any scale —
+    * the same shape `approx_quantile` avoids only by sketching
+    * ([[RelationalQueries]]' bound family). */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_totalprice").as("x"))
+    val bounds = o.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(lit(HistBins - 1),
+          floor((col("x") - col("lo")) * HistBins
+            / (col("hi") - col("lo") + lit(1e-9)))).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("x")), 2).as("x_min"),
+        round(max(col("x")), 2).as("x_max"),
+        sum(round(col("x") * 100).cast("long")).as("sum_cents"))
+  }
+
   /** Register per-call uniquely-named temp views, build the query,
     * drop the views. `spark.sql` analyzes eagerly, so the returned
     * DataFrame's plan holds the RESOLVED relations and survives the
@@ -313,6 +367,8 @@ object FunctionQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_nulls" -> qWindowNulls,
+    "q_histogram" -> qHistogram,
     "q_string_funcs" -> qStringFuncs,
     "q_dates" -> qDates,
     "q_window_funcs" -> qWindowFuncs,
@@ -327,6 +383,37 @@ object FunctionQueries {
     "q_orc_source" -> qOrcSource)
 
   val oracles: Map[String, String] = Map(
+    "q_window_nulls" ->
+      """SELECT user_id, event_id, click_value,
+        |  last_value(click_value IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_ffill,
+        |  first_value(click_value IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS filled_bfill,
+        |  -- lead(IGNORE NULLS) == first non-null strictly after the
+        |  -- current row
+        |  first_value(click_value IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |    AS next_click_value
+        |FROM (SELECT user_id, event_id, ts,
+        |             CASE WHEN event_type = 'click'
+        |                  THEN round(value, 6) END AS click_value
+        |      FROM events WHERE user_id % 25 = 0)""".stripMargin,
+    "q_histogram" ->
+      s"""WITH o AS (SELECT o_totalprice AS x FROM orders),
+         |b AS (SELECT min(x) AS lo, max(x) AS hi FROM o)
+         |SELECT CAST(least(${HistBins - 1},
+         |         floor((x - lo) * $HistBins / (hi - lo + 1e-9)))
+         |         AS INT) AS bin,
+         |       count(*) AS n,
+         |       round(min(x), 2) AS x_min, round(max(x), 2) AS x_max,
+         |       CAST(sum(CAST(round(x * 100) AS BIGINT)) AS BIGINT)
+         |         AS sum_cents
+         |FROM o, b GROUP BY 1""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey,
         |  length(p_name) AS name_len,

@@ -380,7 +380,44 @@ object Pipeline {
         col("is_current"))
   }
 
+  /** MERGE/UPSERT — the Delta/Iceberg `MERGE INTO` shape as one FULL
+    * OUTER equi join: a delta of per-customer spend (aggregated from
+    * orders in integer CENTS so the sum is order-independent) merges
+    * into the customer dimension; matched keys update the balance,
+    * unmatched delta keys insert (late-arriving dimension rows,
+    * synthesized at key+5000000), unmatched base keys pass through.
+    * The join is the only shuffle — at warehouse scale the base side
+    * stays partition-local when bucketed by key, and the same plan is
+    * what table formats execute under MERGE. Classification and the
+    * new balance are pure projections; everything integer-exact. */
+  def pipelineUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val delta = t(spark, dir, "orders")
+      .select(
+        when(col("o_custkey") % 97 === 0, col("o_custkey") + 5000000L)
+          .otherwise(col("o_custkey")).as("d_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("d_custkey"))
+      .agg(sum(col("cents")).as("spend_cents"),
+        count(lit(1)).as("n_orders"))
+    base.join(delta, col("c_custkey") === col("d_custkey"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("d_custkey")).as("custkey"),
+        when(col("c_custkey").isNotNull && col("d_custkey").isNotNull,
+          "update")
+          .when(col("c_custkey").isNull, "insert")
+          .otherwise("keep").as("action"),
+        coalesce(col("bal_cents"), lit(0L)).as("old_bal_cents"),
+        coalesce(col("spend_cents"), lit(0L)).as("spend_cents"),
+        (coalesce(col("bal_cents"), lit(0L))
+          + coalesce(col("spend_cents"), lit(0L))).as("new_bal_cents"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_upsert" -> pipelineUpsert,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
     "pipeline_ingest" -> pipelineIngest,
@@ -412,6 +449,31 @@ object Pipeline {
       |GROUP BY c.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |), delta AS (
+        |  SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey + 5000000
+        |              ELSE o_custkey END AS d_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS spend_cents,
+        |         count(*) AS n_orders
+        |  FROM orders
+        |  GROUP BY 1
+        |)
+        |SELECT coalesce(c_custkey, d_custkey) AS custkey,
+        |       CASE WHEN c_custkey IS NOT NULL AND d_custkey IS NOT NULL
+        |              THEN 'update'
+        |            WHEN c_custkey IS NULL THEN 'insert'
+        |            ELSE 'keep' END AS action,
+        |       coalesce(bal_cents, 0) AS old_bal_cents,
+        |       coalesce(spend_cents, 0) AS spend_cents,
+        |       coalesce(bal_cents, 0) + coalesce(spend_cents, 0)
+        |         AS new_bal_cents,
+        |       coalesce(n_orders, 0) AS n_orders
+        |FROM base FULL OUTER JOIN delta ON c_custkey = d_custkey""".stripMargin,
     "pipeline_scd2" ->
       """WITH chg AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
