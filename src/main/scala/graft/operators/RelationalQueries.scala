@@ -644,7 +644,32 @@ object RelationalQueries {
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
   }
 
+  /** ANALYZE-style COLUMN PROFILING — the stats collection every
+    * cost-based optimizer and data-quality gate runs first: per
+    * column of `orders`, row count, null count and EXACT distinct
+    * cardinality, computed in ONE scan (Spark expands the multi-
+    * distinct aggregate internally) and unpivoted to one row per
+    * column. At warehouse scale the exact distincts become the HLL
+    * sketches of the `q_approx_distinct*` family — this is the
+    * ground-truth shape they approximate. */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+      count_distinct(col(c)).as(s"nd_$c")))
+    t(spark, dir, "orders").agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          col(s"nulls_$c").as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"))): _*)).as("s"))
+      .select(col("s.column").as("column"), col("n"),
+        col("s.n_nulls").as("n_nulls"),
+        col("s.n_distinct").as("n_distinct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> qProfile,
     "q_zorder_layout" -> qZorderLayout,
     "graph_triangles" -> qTriangles,
     "graph_pagerank" -> qPageRank,
@@ -682,7 +707,21 @@ object RelationalQueries {
       s"(((xq >> $i) & 1) << ${2 * i + 1}) + (((yq >> $i) & 1) << ${2 * i})"
     }.mkString(" + ")
 
+  private def profileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val rows = cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_nulls,
+         |       count(DISTINCT $c) AS n_distinct
+         |FROM orders""".stripMargin
+    }
+    rows.mkString("\nUNION ALL\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_profile" -> profileSql,
     "q_zorder_layout" ->
       s"""WITH li AS (
          |  SELECT l_partkey AS x, l_suppkey AS y FROM lineitem

@@ -125,6 +125,45 @@ object Similarity {
     rankTopK(scored)
   }
 
+  val GraphK = 5
+
+  /** ALL-VECTORS KNN GRAPH — the corpus-wide neighbor structure that
+    * powers near-dup clustering, diversity sampling and
+    * graph-propagated quality labels: every vector's top-[[GraphK]]
+    * cosine neighbors, not just a broadcast query batch's. The
+    * broadcast formulation is impossible here (the "query" side IS
+    * the corpus), so both sides route through the IVF cells: each
+    * vector probes its [[NProbe]] nearest cells (in-plan, exploded to
+    * (vector, cell) rows) and candidates materialize via the EQUI
+    * join probe_cell = cluster — candidate count is Σ cell_size ×
+    * probers-per-cell, never n². Per-vector ranking cuts through the
+    * native TopKPerKey heaps before the survivor window. Same
+    * deterministic seeded cells as [[annIvfCosine]], so the DuckDB
+    * oracle replays the identical approximation. */
+  def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
+    val probed = emb(spark, dir)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .withColumn("probe_cell",
+        explode(probeCellsCol(col("qv"), cents, NProbe)))
+    val scored = assigned
+      .join(probed,
+        col("probe_cell") === col("cluster") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineScore.as("score"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("score" -> false, "neighbor_id" -> true),
+      GraphK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("score"))
+  }
+
   val PqM = 8       // sub-blocks
   val PqSubDim = 8  // dims per block (PqM * PqSubDim = 64 = d)
   val PqKsub = 16   // codes per block → 8 × 4-bit codes per vector
@@ -593,6 +632,7 @@ object Similarity {
     "ann_filtered" -> annFiltered,
     "retrieval_hybrid" -> retrievalHybrid,
     "retrieval_bm25" -> retrievalBm25,
+    "ann_knn_graph" -> annKnnGraph,
     "ann_topk_cosine" -> annTopKCosine,
     "ann_ivf" -> annIvfCosine,
     "ann_pq_codes" -> annPqCodes,
@@ -910,6 +950,32 @@ object Similarity {
          |     FROM embeddings WHERE vec_id < $NQueries) q
          |  WHERE e.vec_id <> q.query_id)
          |WHERE rank <= $TopK""".stripMargin,
+    "ann_knn_graph" ->
+      s"""WITH $centsCte, assigned AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         |         (SELECT c.cid FROM cents c
+         |          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid
+         |          LIMIT 1) AS cluster
+         |  FROM embeddings e
+         |), probed AS (
+         |  SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+         |         (SELECT list(cid) FROM (
+         |            SELECT cid FROM cents c
+         |            ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid
+         |            LIMIT $NProbe)) AS probe
+         |  FROM embeddings e
+         |)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+         |FROM (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(p.qv, a.v), 6) AS score,
+         |    row_number() OVER (
+         |      PARTITION BY p.query_id
+         |      ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+         |               a.vec_id) AS rank
+         |  FROM assigned a JOIN probed p
+         |    ON list_contains(p.probe, a.cluster) AND a.vec_id <> p.query_id)
+         |WHERE rank <= $GraphK""".stripMargin,
     "ann_ivf" ->
       s"""WITH $centsCte, assigned AS (
          |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
