@@ -316,6 +316,40 @@ object StreamingOps {
       }
   }
 
+  final case class CdcState(tsUs: Long, eventId: Long, value: Double)
+  final case class CdcOut(user_id: Long, ts_us: Long, event_id: Long,
+                          value: Double)
+
+  /** CDC LAST-WRITE-WINS dimension maintenance — the streaming
+    * counterpart of the batch MERGE ([[graft.operators.Pipeline
+    * .pipelineUpsert]]): keyed state holds each key's CURRENT value
+    * as (ts_us, event_id, value), every micro-batch folds its rows
+    * into that state by (ts_us, event_id) recency — so OUT-OF-ORDER
+    * arrivals can never regress a newer value, the property a naive
+    * overwrite-per-row CDC apply silently violates — and each update
+    * emits the key's new current row (update-mode changelog). State
+    * is O(1) per key; at scale this is exactly the state-store shape
+    * a streaming materialized dimension keeps. */
+  def cdcLatest(events: Dataset[SEvent]): Dataset[CdcOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CdcState, CdcOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SEvent], state: GroupState[CdcState]) =>
+          val init = state.getOption
+            .getOrElse(CdcState(Long.MinValue, Long.MinValue, 0.0))
+          val best = rows.foldLeft(init) { (b, e) =>
+            if (e.ts_us > b.tsUs ||
+              (e.ts_us == b.tsUs && e.event_id > b.eventId))
+              CdcState(e.ts_us, e.event_id, e.value)
+            else b
+          }
+          state.update(best)
+          CdcOut(uid, best.tsUs, best.eventId, best.value)
+      }
+  }
+
   /** Welford running-moments state — NOT private: mGWS state classes
     * must be codegen-accessible (constructor called from generated
     * code). */

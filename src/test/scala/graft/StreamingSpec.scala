@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Events
@@ -464,6 +465,58 @@ class StreamingSpec extends SparkSessionSpec {
     val batch = Events.events(spark, sf0001)
       .groupBy("user_id").count().as[(Long, Long)].collect().toSet
     assert(streamed == batch)
+  }
+
+  test("cdcLatest final state equals the batch latest-row-per-user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.cdcLatest(mem.toDS())
+      .writeStream.format("memory").queryName("cdclatest")
+      .outputMode("update").start()
+    try {
+      // two micro-batches, split mid-stream: the state must fold
+      // across batch boundaries
+      val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cdclatest")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .where(col("rn") === 1).drop("rn")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = Events.events(spark, sf0001)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("cdcLatest ignores an out-of-order older row for an updated key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.cdcLatest(mem.toDS())
+      .writeStream.format("memory").queryName("cdcooo")
+      .outputMode("update").start()
+    def ev(id: Long, tsUs: Long, v: Double) =
+      SEvent(id, new Timestamp(tsUs / 1000), tsUs, 1L, "click", v)
+    try {
+      mem.addData(Seq(ev(10L, 5000000L, 42.0)))
+      q.processAllAvailable()
+      // older ts arrives later: the emitted current row must STILL be
+      // the newer one — a naive overwrite would regress to 7.0
+      mem.addData(Seq(ev(11L, 1000000L, 7.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("cdcooo")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r._2 == 5000000L && r._4 == 42.0),
+      s"out-of-order row regressed the state: ${rows.toSeq}")
   }
 
   test("runningUserMoments (Welford) final state equals batch avg/var_samp") {
