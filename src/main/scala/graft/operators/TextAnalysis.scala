@@ -467,7 +467,7 @@ object TextAnalysis {
   private def bpeLoop(spark: SparkSession, wordCounts: DataFrame,
       rounds: Int): (DataFrame, DataFrame) = {
     var words = wordCounts
-      .select(split(col("tok"), "").as("syms"), col("cnt"))
+      .select(col("tok"), split(col("tok"), "").as("syms"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
@@ -530,7 +530,33 @@ object TextAnalysis {
         count(lit(1)).as("n_slots"))
   }
 
+  /** PER-DOCUMENT token counts under the TRAINED tokenizer — the
+    * "how many tokens is my corpus" question every pipeline answers
+    * before budgeting a training run, answered with the engine's own
+    * BPE instead of a whitespace proxy ([[textTokens]]): each word's
+    * final subword count comes from the train loop's merged
+    * vocabulary (vocab-sized), the corpus joins to it on the word —
+    * AQE broadcasts when the vocab fits, the [[textTfIdf]] rule —
+    * and one aggregation folds per-document totals plus the
+    * subwords-per-word inflation factor. */
+  def textBpeDoc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (_, words) = bpeLoop(spark,
+      docs.select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+      BpeRounds)
+    val wordLen = words.select(col("tok"), size(col("syms")).as("n_sub"))
+    docs.select(col("doc_id"), explode(toks).as("tok"))
+      .join(wordLen, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        round(sum(col("n_sub")) / count(lit(1)), 6)
+          .as("subwords_per_word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_doc" -> textBpeDoc,
     "text_bpe_encode" -> textBpeEncode,
     "text_bpe" -> textBpe,
     "text_chunk" -> textChunk,
@@ -567,7 +593,8 @@ object TextAnalysis {
        |  GROUP BY tok
        |), bpe AS (
        |  SELECT 0 AS r,
-       |    (SELECT list(struct_pack(syms := string_split(tok, ''),
+       |    (SELECT list(struct_pack(tok := tok,
+       |                             syms := string_split(tok, ''),
        |                             cnt := cnt)
        |            ORDER BY tok) FROM words) AS st,
        |    CAST([] AS STRUCT(l VARCHAR, r VARCHAR, c BIGINT)[])
@@ -578,7 +605,7 @@ object TextAnalysis {
        |                                  c := nxt.bc)]
        |  FROM bpe s, LATERAL (
        |    WITH cur AS (
-       |      SELECT u.syms AS syms, u.cnt AS cnt
+       |      SELECT u.tok AS tok, u.syms AS syms, u.cnt AS cnt
        |      FROM (SELECT unnest(s.st) AS u)
        |    ), pairs AS (
        |      SELECT p.pl, p.pr, sum(p.cnt) AS pc FROM (
@@ -595,7 +622,7 @@ object TextAnalysis {
        |      ORDER BY pc DESC, pl, pr LIMIT 1
        |    )
        |    SELECT b.pl AS bl, b.pr AS br, b.pc AS bc,
-       |      (SELECT list(struct_pack(syms := (
+       |      (SELECT list(struct_pack(tok := c.tok, syms := (
        |          SELECT list(sym ORDER BY ii) FROM (
        |            SELECT pos.ii AS ii, CASE
        |               WHEN c.syms[pos.ii] = b.pl
@@ -634,6 +661,21 @@ object TextAnalysis {
          |            FROM (SELECT st FROM bpe
          |                  ORDER BY r DESC LIMIT 1) f) f2) w
          |GROUP BY w.sym""".stripMargin,
+    "text_bpe_doc" ->
+      s"""$bpeCte, wl AS (
+         |  SELECT f2.u.tok AS tok, len(f2.u.syms) AS n_sub
+         |  FROM (SELECT unnest(f.st) AS u
+         |        FROM (SELECT st FROM bpe
+         |              ORDER BY r DESC LIMIT 1) f) f2
+         |)
+         |SELECT d.doc_id, count(*) AS n_words,
+         |       CAST(sum(wl.n_sub) AS BIGINT) AS n_subwords,
+         |       round(CAST(sum(wl.n_sub) AS DOUBLE) / count(*), 6)
+         |         AS subwords_per_word
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |      FROM documents) d
+         |JOIN wl USING (tok)
+         |GROUP BY d.doc_id""".stripMargin,
     "text_chunk" ->
       s"""WITH d AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
