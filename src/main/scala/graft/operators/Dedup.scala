@@ -490,7 +490,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("survivor"))
   }
 
+  val ClusterTau = 0.4
+
+  /** EMBEDDING-CLUSTER dedup — the composition the KNN graph exists
+    * for: [[Similarity.annKnnGraph]]'s per-vector neighbors,
+    * thresholded at [[ClusterTau]] cosine (the corpus's calibrated
+    * near-dup bar, compared on 6dp-rounded scores so the boundary is
+    * engine-exact), canonicalized to undirected edges and collapsed
+    * with the O(log D) pointer-jumping [[components]] kernel; each
+    * clustered doc reports its component and whether it is the
+    * canonical (min-id) representative a dedup pass would keep.
+    * Versus pairwise thresholding ([[dedupEmbedCosine]]), the
+    * cluster view correctly merges A~B~C chains where A and C are not
+    * themselves neighbors — the transitive closure semantic
+    * production dedup actually wants. */
+  def dedupEmbedCluster(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.annKnnGraph(spark, dir)
+      .where(col("score") >= ClusterTau)
+      .select(least(col("query_id"), col("neighbor_id")).as("doc_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("doc_b"))
+      .distinct()
+    components(edges)
+      .select(col("doc"), col("component"),
+        (col("doc") === col("component")).cast("int").as("is_canonical"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embed_cluster" -> dedupEmbedCluster,
     "dedup_url" -> dedupUrl,
     "dedup_exact" -> dedupExact,
     "dedup_span_coverage" -> dedupSpanCoverage,
@@ -551,6 +577,24 @@ object Dedup {
     }.mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "dedup_embed_cluster" ->
+      s"""WITH RECURSIVE ${Similarity.centsCte},
+         |${Similarity.knnGraphCte}, pe AS (
+         |  SELECT DISTINCT least(query_id, neighbor_id) AS a,
+         |                  greatest(query_id, neighbor_id) AS b
+         |  FROM knn WHERE score >= $ClusterTau
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM pe
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM pe
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc, least(src, min(dst)) AS component,
+         |       CAST(src = least(src, min(dst)) AS INT) AS is_canonical
+         |FROM reach GROUP BY src""".stripMargin,
     "dedup_url" ->
       """WITH u AS (
         |  SELECT doc_id,

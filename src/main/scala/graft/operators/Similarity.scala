@@ -641,6 +641,38 @@ object Similarity {
     "ann_refine" -> annRefine,
     "ann_ivfpq" -> annIvfPq)
 
+  /** Shared replay of [[annKnnGraph]] (requires [[centsCte]] in the
+    * same WITH): every vector's IVF-probed top-[[GraphK]] cosine
+    * neighbors as a `knn` CTE. Reused by the `dedup_embed_cluster`
+    * oracle. */
+  private[operators] def knnGraphCte: String =
+    s"""assigned AS (
+       |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+       |         (SELECT c.cid FROM cents c
+       |          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid
+       |          LIMIT 1) AS cluster
+       |  FROM embeddings e
+       |), probed AS (
+       |  SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+       |         (SELECT list(cid) FROM (
+       |            SELECT cid FROM cents c
+       |            ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid
+       |            LIMIT $NProbe)) AS probe
+       |  FROM embeddings e
+       |), knn AS (
+       |  SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+       |  FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |      round(list_cosine_similarity(p.qv, a.v), 6) AS score,
+       |      row_number() OVER (
+       |        PARTITION BY p.query_id
+       |        ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+       |                 a.vec_id) AS rank
+       |    FROM assigned a JOIN probed p
+       |      ON list_contains(p.probe, a.cluster) AND a.vec_id <> p.query_id)
+       |  WHERE rank <= $GraphK
+       |)""".stripMargin
+
   private[operators] def centsCte =
     s"""cents AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
@@ -951,31 +983,8 @@ object Similarity {
          |  WHERE e.vec_id <> q.query_id)
          |WHERE rank <= $TopK""".stripMargin,
     "ann_knn_graph" ->
-      s"""WITH $centsCte, assigned AS (
-         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-         |         (SELECT c.cid FROM cents c
-         |          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid
-         |          LIMIT 1) AS cluster
-         |  FROM embeddings e
-         |), probed AS (
-         |  SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
-         |         (SELECT list(cid) FROM (
-         |            SELECT cid FROM cents c
-         |            ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid
-         |            LIMIT $NProbe)) AS probe
-         |  FROM embeddings e
-         |)
-         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
-         |FROM (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    round(list_cosine_similarity(p.qv, a.v), 6) AS score,
-         |    row_number() OVER (
-         |      PARTITION BY p.query_id
-         |      ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
-         |               a.vec_id) AS rank
-         |  FROM assigned a JOIN probed p
-         |    ON list_contains(p.probe, a.cluster) AND a.vec_id <> p.query_id)
-         |WHERE rank <= $GraphK""".stripMargin,
+      s"""WITH $centsCte, $knnGraphCte
+         |SELECT query_id, rank, neighbor_id, score FROM knn""".stripMargin,
     "ann_ivf" ->
       s"""WITH $centsCte, assigned AS (
          |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
