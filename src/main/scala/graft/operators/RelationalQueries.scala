@@ -514,6 +514,9 @@ object RelationalQueries {
     * Dangling nodes cannot arise (symmetrized edges ⇒ outdeg ≥ 1). */
   def qPageRank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // cs is read THREE times before withDeg's cache exists (both union
+    // arms + the degree agg) — materialize it once; it is tiny
+    // (distinct trading pairs) next to the joins that build it
     val cs = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(t(spark, dir, "orders")
@@ -522,6 +525,7 @@ object RelationalQueries {
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
+      .localCheckpoint()
     val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
     // derive + cache the (src, dst, outdeg) edge relation ONCE — the
     // components pattern: without it every round's lineage re-scans
@@ -549,25 +553,25 @@ object RelationalQueries {
     pr.select(col("node"), round(col("pr"), 9).as("pagerank"))
   }
 
-  val TriAlpha = 1.02
+  val TriTopM = 8
 
   /** TRIANGLE COUNTING — graph workload #3 (after components and
-    * PageRank), over the supplier CO-PURCHASE projection: suppliers
-    * are adjacent when their shared-customer count is above
-    * [[TriAlpha]]× the mean pair weight. The threshold is RELATIVE —
-    * an in-plan 1-row avg broadcast — so the graph stays meaningful at
-    * every scale factor (absolute cutoffs go degenerate the moment the
-    * data grows). Projection fanout is per-customer quadratic in that
-    * customer's supplier degree — the skew point at 100 TB; the `s1 <
-    * s2` orientation already halves it, heavy customers would be
-    * capped/salted exactly like [[SkewUtils]] does for joins, and
-    * production systems orient by (degree, id) instead of id alone.
-    * The edge list is REUSED three times by the triangle join, so it
-    * materializes once via localCheckpoint — without it, each arm
-    * re-derives the full projection. The triangle join itself is two
-    * equi hash joins (ab.s2=bc.s1, then the closing (a, c) pair),
-    * per-supplier participation one explode + agg. Integer-exact end
-    * to end. */
+    * PageRank), over the supplier CO-PURCHASE AFFINITY graph: each
+    * supplier keeps its [[TriTopM]] strongest trading partners by
+    * shared-customer count (ties by partner id), the kNN-graph
+    * sparsification that keeps |E| ≤ M·n and the triangle join's
+    * wedge count ≤ M²·n at EVERY scale factor — a mean-relative
+    * threshold was tried first and left this projection near-complete
+    * (wedges Θ(n³)) because co-purchase weights concentrate; top-M is
+    * how production graph systems bound dense projections. The
+    * per-node cut runs through the native TopKPerKey heaps.
+    * Projection fanout is per-customer quadratic in that customer's
+    * supplier degree — the skew point at 100 TB; the `s1 < s2`
+    * orientation halves it and heavy customers would be capped/salted
+    * like [[SkewUtils]]. The (customer, supplier) relation feeds both
+    * self-join arms, and the selected edge list feeds the triangle
+    * join's three arms — each materializes once via localCheckpoint.
+    * Integer-exact end to end. */
   def qTriangles(spark: SparkSession, dir: String): DataFrame = {
     val cs = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -576,15 +580,21 @@ object RelationalQueries {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
+      .localCheckpoint()
     val a = cs.select(col("c"), col("s").as("sa"))
     val b = cs.select(col("c").as("cb"), col("s").as("sb"))
     val w = a.join(b, col("c") === col("cb") && col("sa") < col("sb"))
       .groupBy(col("sa").as("s1"), col("sb").as("s2"))
       .agg(count(lit(1)).as("w"))
-    val m = w.agg(avg(col("w")).as("mw"))
-    val e = w.crossJoin(broadcast(m))
-      .where(col("w") >= lit(TriAlpha) * col("mw"))
-      .select(col("s1"), col("s2"))
+    val und = w.select(col("s1").as("src"), col("s2").as("dst"), col("w"))
+      .unionByName(w.select(col("s2").as("src"), col("s1").as("dst"),
+        col("w")))
+    val sel = graft.plans.TopKPerKey.topKPerKey(und,
+      Seq("src"), Seq("w" -> false, "dst" -> true), TriTopM)
+    val e = sel
+      .select(least(col("src"), col("dst")).as("s1"),
+        greatest(col("src"), col("dst")).as("s2"))
+      .distinct()
       .localCheckpoint()
     triangleCounts(e)
   }
@@ -751,9 +761,20 @@ object RelationalQueries {
          |  SELECT a.s AS s1, b.s AS s2, count(*) AS w
          |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
          |  GROUP BY 1, 2
-         |), m AS (SELECT avg(w) AS mw FROM w),
-         |e AS (
-         |  SELECT s1, s2 FROM w, m WHERE w >= $TriAlpha * mw
+         |), und AS (
+         |  SELECT s1 AS src, s2 AS dst, w FROM w
+         |  UNION ALL
+         |  SELECT s2 AS src, s1 AS dst, w FROM w
+         |), sel AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src
+         |                              ORDER BY w DESC, dst) AS rn
+         |    FROM und)
+         |  WHERE rn <= $TriTopM
+         |), e AS (
+         |  SELECT DISTINCT least(src, dst) AS s1, greatest(src, dst) AS s2
+         |  FROM sel
          |), tri AS (
          |  SELECT ab.s1 AS a, ab.s2 AS b, bc.s2 AS c
          |  FROM e ab
