@@ -316,6 +316,50 @@ object StreamingOps {
       }
   }
 
+  final case class SDocSrc(ts: java.sql.Timestamp, doc_id: Long,
+                           text: String, source: String)
+
+  final case class WSampleOut(source: String, doc_id: Long,
+                              n_chars: Long, es_key: Double)
+
+  /** STREAMING weighted sampling — the A-Res property that makes
+    * Efraimidis–Spirakis the streaming-native sampler: because each
+    * row's key is independent of every other row, a bounded per-key
+    * state (the current top-k (es_key, doc_id, n_chars) triples per
+    * source) is EXACTLY the weighted sample of everything seen so
+    * far, no matter how the stream is batched or ordered. Keys are
+    * the same deterministic md5-derived ln(u)/w as the batch
+    * [[graft.operators.Pipeline.weightedSample]], so the final state
+    * EQUALS the batch sample bit-for-bit (spec-pinned) — the
+    * batch/streaming parity the curation gate already has. State is
+    * O(k) per source; each update emits the source's current sample
+    * (update-mode changelog). */
+  def weightedSampleStream(docs: Dataset[SDocSrc], k: Int)
+      : Dataset[WSampleOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.toDF()
+      .withColumn("es_key",
+        round(log((conv(substring(md5(concat(lit("wsample:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          + lit(0.5d)) / lit(4294967296.0d))
+          / length(col("text")), 9))
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"), col("es_key"))
+      .as[WSampleOut]
+    keyed
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Seq[WSampleOut], WSampleOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[WSampleOut],
+         state: GroupState[Seq[WSampleOut]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++ rows)
+            .sortBy(r => (-r.es_key, r.doc_id)).take(k)
+          state.update(merged)
+          merged.iterator
+      }
+  }
+
   final case class CdcState(tsUs: Long, eventId: Long, value: Double)
   final case class CdcOut(user_id: Long, ts_us: Long, event_id: Long,
                           value: Double)

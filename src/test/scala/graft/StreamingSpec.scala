@@ -519,6 +519,43 @@ class StreamingSpec extends SparkSessionSpec {
       s"out-of-order row regressed the state: ${rows.toSeq}")
   }
 
+  test("weightedSampleStream final state equals the batch weighted sample") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.SDocSrc
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect()
+    val t0 = 1700000000000L
+    val sdocs = docs.map { case (id, tx, src) =>
+      SDocSrc(new Timestamp(t0 + id), id, tx, src) }.toSeq
+    val mem = MemoryStream[SDocSrc]
+    val q = StreamingOps
+      .weightedSampleStream(mem.toDS(), graft.operators.Pipeline.WSampleK)
+      .writeStream.format("memory").queryName("wsample")
+      .outputMode("update").start()
+    try {
+      // arbitrary batching must not matter: A-Res keys are per-row
+      val (b1, b2) = sdocs.splitAt(sdocs.length / 3)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // the final state is the per-source top-k over EVERYTHING emitted:
+    // evicted rows rank strictly below the survivors by construction
+    val streamed = spark.table("wsample").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("es_key").desc, col("doc_id"))))
+      .where(col("rn") <= graft.operators.Pipeline.WSampleK)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("es_key"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Pipeline
+      .pipelineSampleWeighted(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("es_key"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("runningUserMoments (Welford) final state equals batch avg/var_samp") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
