@@ -82,6 +82,14 @@ object Bench {
       coldRuns(name) = once()
       val runs = Seq.fill(3)(once()).sorted
       results(name) = runs(runs.length / 2)
+      // drain debris BETWEEN queries, outside the timed sections: the
+      // checkpoint-heavy driver-loop queries (components, PageRank,
+      // BPE, Lloyd) leave blocks that only free once the ContextCleaner
+      // notices unreachable RDDs — without the nudge, the async cleanup
+      // steals cycles from whichever query runs next (profiled: a
+      // 6.5 s isolated PageRank measured 33 s late in the gauntlet,
+      // WARM slower than COLD — pure backlog noise, not plan cost)
+      if (coldRuns(name) > 1.0) { System.gc(); Thread.sleep(200) }
     }
 
     // The query gauntlet above leaves session debris (cached plans, a
