@@ -44,7 +44,10 @@ object AnnIndex {
   def indexPath(spark: SparkSession, dir: String): String = {
     val n = t(spark, dir, "embeddings").count()
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${graft.sources.Artifacts.root(spark)}/ivfpq_${key}_n$n"
+    // v2: codes carry the label metadata column (filtered search);
+    // the version bump keeps a stale label-less artifact from being
+    // reused by the build-once gate
+    s"${graft.sources.Artifacts.root(spark)}/ivfpq2_${key}_n$n"
   }
 
   /** Assignment + PQ encode of one (vec_id, v) corpus against a given
@@ -54,7 +57,7 @@ object AnnIndex {
                      cb: Array[Array[Array[Double]]]): DataFrame =
     Similarity.withBlockDists(
       KMeansOps.assignDyn(corpus, "v", cents), "v", cb, "ds_")
-      .select(col("vec_id") +: col("cluster") +:
+      .select(col("vec_id") +: col("label") +: col("cluster") +:
         (0 until PqM).map(m =>
           (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
             .cast("int").as(s"code_$m")): _*)
@@ -71,7 +74,8 @@ object AnnIndex {
     val cents = KMeansQueries.fixedCentroids(spark, dir)
     val cb = Similarity.pqCodebook(spark, dir)
     val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"),
+        col("label"))
     val encoded = encode(emb, cents, cb)
     ParquetSink.writePartitioned(encoded, s"$path/codes",
       partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
@@ -136,7 +140,7 @@ object AnnIndex {
     val emb = t(spark, dir, "embeddings")
     emb.crossJoin(broadcast(emb.agg(count(lit(1)).as("n_base"))))
       .select((col("vec_id") + col("n_base")).as("vec_id"),
-        reverse(toDoubleVec(col("embedding"))).as("v"))
+        reverse(toDoubleVec(col("embedding"))).as("v"), col("label"))
   }
 
   /** Encode the delta corpus with the artifact's frozen quantizers and
@@ -249,7 +253,56 @@ object AnnIndex {
         col("adc_dist"))
   }
 
+  /** FILTERED search over the persisted index — the vector-DB
+    * composition of [[annIndexSearch]] (scan the artifact, never raw
+    * embeddings) and [[Similarity.annFiltered]]'s correctness rule
+    * (the metadata predicate is a JOIN condition applied BEFORE
+    * ranking — post-filtering an unfiltered top-k under-returns):
+    * the index stores the label ALONGSIDE the codes (this is why
+    * vector stores keep filterable metadata in the segment, not in a
+    * side table — the filter must not re-join raw data), so the plan
+    * reads probed cells, keeps label-matched rows, ADC-scores only
+    * those, and heap-cuts per query. */
+  def annIndexSearchFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIndex(spark, dir)
+    val cents = readCents(spark, path)
+    val cb = readCodebook(spark, path)
+    val qs = Similarity.queriesDf(spark, dir)
+      .select(col("query_id"), col("qv"))
+      .join(t(spark, dir, "embeddings")
+          .select(col("vec_id"), col("label").as("q_label")),
+        col("query_id") === col("vec_id"))
+      .select(col("query_id"), col("qv"), col("q_label"))
+    val probedAll = qs.collect()
+      .flatMap(r => Similarity.probeCells(cents,
+        r.getSeq[Double](1).toArray, NProbe))
+      .distinct.sorted
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cluster").isin(probedAll.map(Int.box): _*))
+    val probedLuts = Similarity.withBlockDists(qs, "qv", cb, "lut_")
+      .withColumn("probe_cell",
+        explode(Similarity.probeCellsCol(col("qv"), cents, NProbe)))
+    val scored = codes
+      .join(broadcast(probedLuts),
+        col("probe_cell") === col("cluster") &&
+          col("vec_id") =!= col("query_id") &&
+          col("label") === col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"),
+        round(sqrt((0 until PqM).map(m =>
+          element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)), 6)
+          .as("adc_dist"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("adc_dist" -> true, "neighbor_id" -> true), TopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("label"), col("adc_dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_index_search_filtered" -> annIndexSearchFiltered,
     "ann_index_build" -> annIndexBuild,
     "ann_index_append" -> annIndexAppend,
     "ann_index_compact" -> annIndexCompact,
@@ -350,5 +403,38 @@ object AnnIndex {
          |FROM merged GROUP BY cluster""".stripMargin
     },
     // search over the persisted index answers exactly like ann_ivfpq
-    "ann_index_search" -> Similarity.oracles("ann_ivfpq"))
+    "ann_index_search" -> Similarity.oracles("ann_ivfpq"),
+    // ann_ivfpq's replay with the label equality as a PRE-RANKING join
+    // predicate (the annFiltered rule)
+    "ann_index_search_filtered" -> {
+      val adc = "sqrt(" + (0 until PqM).map(m =>
+        s"(SELECT ${Similarity.sqdSql("p.qv", "s.c", m)} FROM seeds s WHERE s.j = c2.code_$m)")
+        .mkString(" + ") + ")"
+      s"""WITH ${Similarity.centsCte}, ${Similarity.pqCodesCte}, codes2 AS (
+         |  SELECT cd.*, emb.label,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster
+         |  FROM codes cd JOIN ev e USING (vec_id)
+         |       JOIN embeddings emb USING (vec_id)
+         |), probed AS (
+         |  SELECT q.query_id, q.qv, emb.label AS q_label,
+         |         (SELECT list(cid) FROM (
+         |            SELECT cid FROM cents c
+         |            ORDER BY list_distance(q.qv, c.c), c.cid
+         |            LIMIT ${Similarity.NProbe})) AS probe
+         |  FROM q JOIN embeddings emb ON q.query_id = emb.vec_id
+         |)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |       label, adc_dist
+         |FROM (
+         |  SELECT p.query_id, c2.vec_id AS neighbor_id, c2.label,
+         |    round($adc, 6) AS adc_dist,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY round($adc, 6), c2.vec_id) AS rank
+         |  FROM codes2 c2 JOIN probed p
+         |    ON list_contains(p.probe, c2.cluster)
+         |   AND c2.vec_id <> p.query_id
+         |   AND c2.label = p.q_label)
+         |WHERE rank <= ${Similarity.TopK}""".stripMargin
+    })
 }
