@@ -88,8 +88,10 @@ object Bench {
       // notices unreachable RDDs — without the nudge, the async cleanup
       // steals cycles from whichever query runs next (profiled: a
       // 6.5 s isolated PageRank measured 33 s late in the gauntlet,
-      // WARM slower than COLD — pure backlog noise, not plan cost)
-      if (coldRuns(name) > 1.0) { System.gc(); Thread.sleep(200) }
+      // WARM slower than COLD — pure backlog noise, not plan cost).
+      // Unconditional: the round-5 `> 1.0 s` gate missed a 0.999 s
+      // predecessor and its successor measured 24 s warm vs 4 s clean.
+      System.gc(); Thread.sleep(150)
     }
 
     // The query gauntlet above leaves session debris (cached plans, a

@@ -505,11 +505,15 @@ object Dedup {
     * themselves neighbors — the transitive closure semantic
     * production dedup actually wants. */
   def dedupEmbedCluster(spark: SparkSession, dir: String): DataFrame = {
+    // persisted BEFORE components' src/dst union references it twice —
+    // without this the whole KNN-graph derivation (assignment + probe
+    // join + heap cut) materializes once per union branch
     val edges = Similarity.annKnnGraph(spark, dir)
       .where(col("score") >= ClusterTau)
       .select(least(col("query_id"), col("neighbor_id")).as("doc_a"),
         greatest(col("query_id"), col("neighbor_id")).as("doc_b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     components(edges)
       .select(col("doc"), col("component"),
         (col("doc") === col("component")).cast("int").as("is_canonical"))

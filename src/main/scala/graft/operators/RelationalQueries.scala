@@ -159,19 +159,28 @@ object RelationalQueries {
 
   /** The remaining set operations (q_setop covers EXCEPT): INTERSECT,
     * UNION (distinct) and UNION ALL cardinalities of the same two
-    * customer sets, as one row. Each set op is its own
-    * aggregate/dedup lowering; the three 1-row aggregates cross-join. */
+    * customer sets, as one row. NOT the naive three-set-op lowering —
+    * that plan scanned each table three times and paid two dedup
+    * shuffles plus cross-joins (the r4→r5 regression was this shape
+    * losing an exchange reuse). Instead: tag each side, union-all,
+    * ONE hash aggregate by key, then a 1-row rollup — each set-op
+    * cardinality falls out of the same per-key (na, nb) counts
+    * (INTERSECT = keys on both sides, UNION = group count, UNION ALL
+    * = Σ(na+nb)). One scan per table, one data-sized shuffle. */
   def qSetOps2(spark: SparkSession, dir: String): DataFrame = {
-    def a = t(spark, dir, "customer")
+    val a = t(spark, dir, "customer")
       .where(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey"))
-    def b = t(spark, dir, "orders")
+      .select(col("c_custkey"), lit(1L).as("na"), lit(0L).as("nb"))
+    val b = t(spark, dir, "orders")
       .where(col("o_totalprice") > 300000)
-      .select(col("o_custkey").as("c_custkey"))
-    a.intersect(b).agg(count(lit(1)).as("n_intersect"))
-      .crossJoin(a.union(b).distinct()
-        .agg(count(lit(1)).as("n_union")))
-      .crossJoin(a.unionAll(b).agg(count(lit(1)).as("n_union_all")))
+      .select(col("o_custkey").as("c_custkey"),
+        lit(0L).as("na"), lit(1L).as("nb"))
+    a.unionAll(b)
+      .groupBy(col("c_custkey"))
+      .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
+      .agg(count(when(col("na") > 0 && col("nb") > 0, 1)).as("n_intersect"),
+        count(lit(1)).as("n_union"),
+        sum(col("na") + col("nb")).as("n_union_all"))
   }
 
   /** Exact distinct counting (shuffle-dedup aggregate). */
@@ -214,11 +223,13 @@ object RelationalQueries {
         round(covar_samp(col("l_discount"), col("l_tax")), 8)
           .as("cov_disc_tax"))
 
-  /** HLL++ sketch distinct counts — the 100 TB replacement for exact
-    * countDistinct (no dedup shuffle; sketches merge associatively, so
-    * partial aggregation stays map-side). No DuckDB oracle: sketch
-    * estimates are engine-specific (driver records a rows-only check);
-    * OperatorsSpec bounds the error against the exact counts. */
+  /** HLL++ sketch distinct counts, RAW estimates — the 100 TB
+    * replacement for exact countDistinct (no dedup shuffle; sketches
+    * merge associatively, so partial aggregation stays map-side).
+    * Estimates are engine-specific, so the REGISTERED `q_approx_
+    * distinct` query is [[qApproxDistinctBound]] — the same sketch
+    * wrapped in a hash-checkable accuracy witness; this raw form is
+    * the library API, error-bounded by OperatorsSpec. */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -288,12 +299,15 @@ object RelationalQueries {
         sum(col("price")).cast("double").as("total_price"))
   }
 
-  /** Oracle-checkable witness for the sketch above: emits the EXACT
-    * distinct counts plus booleans asserting the HLL++ estimate lands
-    * within ±5% of them. The DuckDB oracle computes the same exact
-    * counts and claims `true` — so the driver's hash compare fails iff
-    * the sketch ever leaves its accuracy envelope (the bound
-    * OperatorsSpec checks, now witnessed by the hard gate too). */
+  /** The REGISTERED `q_approx_distinct`: the HLL++ sketch runs inside
+    * a hash-checkable accuracy witness — EXACT distinct counts plus
+    * booleans asserting the estimate lands within ±5% of them. The
+    * DuckDB oracle computes the same exact counts and claims `true`,
+    * so the driver's hash compare fails iff the sketch ever leaves its
+    * accuracy envelope. (Round-5 verdict item 4: the raw-estimate
+    * variant was the board's one `no_oracle` row; folding the witness
+    * into the registered query closes it without losing the sketch —
+    * the approx aggregates still execute in this plan.) */
   def qApproxDistinctBound(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -554,6 +568,15 @@ object RelationalQueries {
   }
 
   val TriTopM = 8
+  val TriCapDeg = 128
+
+  /** Per-customer supplier-degree cap: keep at most `cap` suppliers per
+    * customer (the [[TriCapDeg]] lowest ids — deterministic, so the
+    * DuckDB oracle replays the identical survivor set). A native
+    * TopKPerKey heap cut, NOT a window: map-side bounded heaps, no
+    * per-key sort. Exposed for the crafted mega-customer spec. */
+  def capCustomerDegree(cs: DataFrame, cap: Int): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(cs, Seq("c"), Seq("s" -> true), cap)
 
   /** TRIANGLE COUNTING — graph workload #3 (after components and
     * PageRank), over the supplier CO-PURCHASE AFFINITY graph: each
@@ -566,20 +589,25 @@ object RelationalQueries {
     * how production graph systems bound dense projections. The
     * per-node cut runs through the native TopKPerKey heaps.
     * Projection fanout is per-customer quadratic in that customer's
-    * supplier degree — the skew point at 100 TB; the `s1 < s2`
-    * orientation halves it and heavy customers would be capped/salted
-    * like [[SkewUtils]]. The (customer, supplier) relation feeds both
+    * supplier degree — the skew point at 100 TB — so heavy customers
+    * are DEGREE-CAPPED at [[TriCapDeg]] before the wedge self-join
+    * ([[capCustomerDegree]]; wedges per customer ≤ cap²/2 no matter
+    * how hot the key), and the `s1 < s2` orientation halves the rest.
+    * The cap never binds at the tested SFs (max degree 102 at sf0.1),
+    * and the oracle mirrors the identical cap rule so parity holds at
+    * the scales where it does bind. The capped relation feeds both
     * self-join arms, and the selected edge list feeds the triangle
     * join's three arms — each materializes once via localCheckpoint.
     * Integer-exact end to end. */
   def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val cs = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(t(spark, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
+    val cs = capCustomerDegree(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(spark, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct(), TriCapDeg)
       .localCheckpoint()
     val a = cs.select(col("c"), col("s").as("sa"))
     val b = cs.select(col("c").as("cb"), col("s").as("sb"))
@@ -690,8 +718,7 @@ object RelationalQueries {
     "q_approx_quantiles_bound" -> qApproxQuantilesBound,
     "q_outer_join" -> qOuterJoin,
     "q_outer_join_full" -> qOuterJoinFull,
-    "q_approx_distinct" -> qApproxDistinct,
-    "q_approx_distinct_bound" -> qApproxDistinctBound,
+    "q_approx_distinct" -> qApproxDistinctBound,
     "q_pivot" -> qPivot,
     "q_cube" -> qCube,
     "q_sample" -> qSample,
@@ -754,9 +781,14 @@ object RelationalQueries {
          |       min(y) AS y_min, max(y) AS y_max
          |FROM z GROUP BY 1""".stripMargin,
     "graph_triangles" ->
-      s"""WITH cs AS (
+      s"""WITH cs0 AS (
          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), cs AS (
+         |  SELECT c, s FROM (
+         |    SELECT c, s, row_number() OVER (PARTITION BY c ORDER BY s) AS rn
+         |    FROM cs0)
+         |  WHERE rn <= $TriCapDeg
          |), w AS (
          |  SELECT a.s AS s1, b.s AS s2, count(*) AS w
          |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
@@ -944,7 +976,7 @@ object RelationalQueries {
         |         ELSE 0.5 END AS rate
         |  FROM lineitem)
         |WHERE u < rate GROUP BY l_returnflag""".stripMargin,
-    "q_approx_distinct_bound" ->
+    "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  count(DISTINCT l_orderkey) AS exact_orders,

@@ -456,47 +456,106 @@ object TextAnalysis {
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
       BpeRounds)
 
+  /** BYTE-LEVEL BPE TRAINING — [[textBpe]] without the self-pair
+    * exclusion, closing the documented divergence from GPT-style
+    * tokenizers on repeated-character runs: pair counting is the full
+    * sliding window (a run "aaaa" contributes (a,a) three times, the
+    * HuggingFace trainer convention) and the merge apply is the
+    * greedy leftmost non-overlapping fold ([[greedyMerge]] — a
+    * codegen string-replace on a delimiter-wrapped symbol string, not
+    * a UDF). On this corpus the per-character seed alphabet IS the
+    * byte alphabet (whitespace-split printable ASCII — asserted by
+    * spec), so the merge table is what a byte-level trainer learns.
+    * Same loop-scaling story as [[textBpe]]: corpus touched once,
+    * rounds run on the vocab-sized relation. */
+  def textBpeBytes(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainBytes(spark,
+      t(spark, dir, "documents")
+        .select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+      BpeRounds)
+
   /** Core of [[textBpe]] over any (tok, cnt) word-frequency relation.
     * Exposed for the crafted-corpus spec. */
   def bpeTrain(spark: SparkSession, wordCounts: DataFrame,
       rounds: Int): DataFrame = bpeLoop(spark, wordCounts, rounds)._1
 
+  /** [[bpeTrain]] with RUN MERGES (GPT-style): self-pairs included.
+    * Exposed for the run-heavy-fixture spec. */
+  def bpeTrainBytes(spark: SparkSession, wordCounts: DataFrame,
+      rounds: Int): DataFrame =
+    bpeLoop(spark, wordCounts, rounds, runMerges = true)._1
+
+  /** GREEDY LEFTMOST non-overlapping merge of pair (l, r) over a
+    * symbol array — the stateful fold GPT-style BPE needs for
+    * repeated-symbol runs ("aaaa" + (a,a) → [aa, aa], which a
+    * position-local transform cannot express). Encoded WITHOUT a UDF
+    * or custom Expression: wrap symbols as `|s1||s2||…|` (symbols are
+    * pipe-free — the corpus is whitespace-split printable ASCII) and
+    * `replace("|l||r|" → "|lr|")` — string replace in Spark AND DuckDB
+    * scans left to right, non-overlapping, continuing AFTER each
+    * replacement, which IS the greedy fold; the pipe anchors stop a
+    * symbol's suffix/prefix from matching across boundaries. Stays
+    * inside whole-stage codegen (StringReplace + split). */
+  private def greedyMerge(bl: String, br: String): Column =
+    split(
+      trim(replace(
+        concat(lit("|"), array_join(col("syms"), "||"), lit("|")),
+        lit("|" + bl + "||" + br + "|"), lit("|" + bl + br + "|")),
+        "|"),
+      "\\|\\|")
+
   /** The shared train loop: returns (merge table, final merged
     * vocabulary relation) so [[textBpe]] reports the merges and
-    * [[textBpeEncode]] the encoded subword stats off ONE run. */
+    * [[textBpeEncode]] the encoded subword stats off ONE run.
+    * `runMerges = true` is the GPT-style variant: self-pairs count
+    * (sliding window) and the merge apply is the greedy leftmost fold
+    * ([[greedyMerge]] — equivalent to the position-local transform for
+    * l ≠ r, and additionally correct on runs). The loop EXITS EARLY
+    * when no mergeable pair remains (single-symbol vocabulary, or
+    * only self-pairs in the self-pair-excluded variant) instead of
+    * crashing on the empty argmax — the merges learned so far are the
+    * complete answer, matching the oracle recursion's natural stop. */
   private def bpeLoop(spark: SparkSession, wordCounts: DataFrame,
-      rounds: Int): (DataFrame, DataFrame) = {
+      rounds: Int, runMerges: Boolean = false): (DataFrame, DataFrame) = {
     var words = wordCounts
       .select(col("tok"), split(col("tok"), "").as("syms"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
-    for (r <- 1 to rounds) {
-      val best = words
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val cand = words
         .where(size(col("syms")) >= 2)
         .select(col("cnt"), col("syms"),
           explode(sequence(lit(0), size(col("syms")) - 2)).as("i"))
         .select(col("cnt"),
           element_at(col("syms"), col("i") + 1).as("l"),
           element_at(col("syms"), col("i") + 2).as("r"))
-        .where(col("l") =!= col("r"))
+      val best = (if (runMerges) cand else cand.where(col("l") =!= col("r")))
         .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("l"), col("r"))
-        .limit(1).collect()(0)
-      val (bl, br, bc) =
-        (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r, bl, br, bl + br, bc))
-      words = words.withColumn("syms",
-        filter(
-          transform(col("syms"), (x, i) =>
-            when(x === lit(bl) &&
-              get(col("syms"), i + 1) === lit(br), lit(bl + br))
-              .when(x === lit(br) &&
-                get(col("syms"), i - 1) === lit(bl),
-                lit(null).cast("string"))
-              .otherwise(x)),
-          y => y.isNotNull))
-        .localCheckpoint()
+        .limit(1).collect().headOption
+      best match {
+        case None => exhausted = true
+        case Some(b) =>
+          val (bl, br, bc) = (b.getString(0), b.getString(1), b.getLong(2))
+          merges += ((r, bl, br, bl + br, bc))
+          words = words.withColumn("syms",
+            if (runMerges) greedyMerge(bl, br)
+            else filter(
+              transform(col("syms"), (x, i) =>
+                when(x === lit(bl) &&
+                  get(col("syms"), i + 1) === lit(br), lit(bl + br))
+                  .when(x === lit(br) &&
+                    get(col("syms"), i - 1) === lit(bl),
+                    lit(null).cast("string"))
+                  .otherwise(x)),
+              y => y.isNotNull))
+            .localCheckpoint()
+          r += 1
+      }
     }
     val spark2 = spark
     import spark2.implicits._
@@ -559,6 +618,7 @@ object TextAnalysis {
     "text_bpe_doc" -> textBpeDoc,
     "text_bpe_encode" -> textBpeEncode,
     "text_bpe" -> textBpe,
+    "text_bpe_bytes" -> textBpeBytes,
     "text_chunk" -> textChunk,
     "text_vocab_stats" -> textVocabStats,
     "text_bigram_rarity" -> textBigramRarity,
@@ -581,11 +641,36 @@ object TextAnalysis {
   /** Replays the full BPE recursion with the PageRank-oracle
     * state-row technique: one recursive row carries the whole
     * (syms, cnt) vocabulary; each LATERAL re-counts pairs, takes the
-    * argmax, and applies the merge via a correlated position
-    * subquery (DuckDB lambdas cannot capture outer columns). Shared
-    * by the `text_bpe` (merge table) and `text_bpe_encode` (final
-    * vocabulary) oracles. */
-  private val bpeCte: String =
+    * argmax, and applies the merge. `runMerges = false` (the
+    * `text_bpe` family) excludes self-pairs and applies via a
+    * correlated position subquery (DuckDB lambdas cannot capture
+    * outer columns); `runMerges = true` (`text_bpe_bytes`) counts the
+    * full sliding window and applies via the SAME delimiter-wrapped
+    * greedy `replace` the Spark side uses ([[greedyMerge]]) — both
+    * engines' string replace is leftmost non-overlapping. */
+  private def bpeCteFor(runMerges: Boolean): String = {
+    val pairFilter = if (runMerges) "" else "\n      WHERE p.pl <> p.pr"
+    val applySyms =
+      if (runMerges)
+        """string_split(trim(replace(
+          |            '|' || array_to_string(c.syms, '||') || '|',
+          |            '|' || b.pl || '||' || b.pr || '|',
+          |            '|' || b.pl || b.pr || '|'), '|'), '||')""".stripMargin
+      else
+        """(
+          |          SELECT list(sym ORDER BY ii) FROM (
+          |            SELECT pos.ii AS ii, CASE
+          |               WHEN c.syms[pos.ii] = b.pl
+          |                    AND c.syms[pos.ii+1] = b.pr
+          |                 THEN b.pl || b.pr
+          |               WHEN c.syms[pos.ii] = b.pr
+          |                    AND c.syms[pos.ii-1] = b.pl
+          |                 THEN NULL
+          |               ELSE c.syms[pos.ii] END AS sym
+          |            FROM (SELECT unnest(generate_series(1,
+          |                    len(c.syms))) AS ii) pos
+          |          ) WHERE sym IS NOT NULL
+          |        )""".stripMargin
     s"""WITH RECURSIVE words AS (
        |  SELECT tok, count(*) AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
@@ -614,43 +699,42 @@ object TextAnalysis {
        |        FROM (SELECT syms, cnt,
        |                     unnest(generate_series(1, len(syms)-1)) AS i
        |              FROM cur) w
-       |      ) p
-       |      WHERE p.pl <> p.pr
+       |      ) p$pairFilter
        |      GROUP BY p.pl, p.pr
        |    ), best AS (
        |      SELECT pl, pr, pc FROM pairs
        |      ORDER BY pc DESC, pl, pr LIMIT 1
        |    )
        |    SELECT b.pl AS bl, b.pr AS br, b.pc AS bc,
-       |      (SELECT list(struct_pack(tok := c.tok, syms := (
-       |          SELECT list(sym ORDER BY ii) FROM (
-       |            SELECT pos.ii AS ii, CASE
-       |               WHEN c.syms[pos.ii] = b.pl
-       |                    AND c.syms[pos.ii+1] = b.pr
-       |                 THEN b.pl || b.pr
-       |               WHEN c.syms[pos.ii] = b.pr
-       |                    AND c.syms[pos.ii-1] = b.pl
-       |                 THEN NULL
-       |               ELSE c.syms[pos.ii] END AS sym
-       |            FROM (SELECT unnest(generate_series(1,
-       |                    len(c.syms))) AS ii) pos
-       |          ) WHERE sym IS NOT NULL
-       |        ), cnt := c.cnt))
+       |      (SELECT list(struct_pack(tok := c.tok,
+       |        syms := $applySyms,
+       |        cnt := c.cnt))
        |       FROM cur c) AS st
        |    FROM best b
        |  ) nxt
        |  WHERE s.r < $BpeRounds
        |)""".stripMargin
+  }
+
+  private lazy val bpeCte: String = bpeCteFor(runMerges = false)
+
+  /** Merge-table SELECT shared by the `text_bpe` / `text_bpe_bytes`
+    * oracles (the CTE differs, the reporting doesn't). */
+  private val bpeMergeTableSql: String =
+    """SELECT CAST(m.i AS INT) AS round, m.u.l AS left_sym,
+      |       m.u.r AS right_sym, m.u.l || m.u.r AS merged,
+      |       m.u.c AS pair_count
+      |FROM (SELECT merges FROM bpe ORDER BY r DESC LIMIT 1) f,
+      |     (SELECT unnest(f.merges, recursive := false) AS u,
+      |             generate_subscripts(f.merges, 1) AS i) m""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_bpe" ->
       s"""$bpeCte
-         |SELECT CAST(m.i AS INT) AS round, m.u.l AS left_sym,
-         |       m.u.r AS right_sym, m.u.l || m.u.r AS merged,
-         |       m.u.c AS pair_count
-         |FROM (SELECT merges FROM bpe ORDER BY r DESC LIMIT 1) f,
-         |     (SELECT unnest(f.merges, recursive := false) AS u,
-         |             generate_subscripts(f.merges, 1) AS i) m""".stripMargin,
+         |$bpeMergeTableSql""".stripMargin,
+    "text_bpe_bytes" ->
+      s"""${bpeCteFor(runMerges = true)}
+         |$bpeMergeTableSql""".stripMargin,
     "text_bpe_encode" ->
       s"""$bpeCte
          |SELECT w.sym AS subword,

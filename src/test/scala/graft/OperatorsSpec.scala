@@ -252,17 +252,47 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(Multimodal.decodePng(junk).count() == 0)
   }
 
-  test("persisted ANN index: search equals ann_ivfpq, scans only the index, builds once") {
+  test("persisted ANN index: base-only search equals ann_ivfpq, scans only the index") {
+    // isolate a FRESH artifact root so no other test's delta segment
+    // leaks into the base-only comparison
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_base").toString
+    spark.conf.set("spark.graft.artifacts.dir", tmp)
+    try {
+      val path = AnnIndex.buildIndex(spark, sf0001)
+      val search = AnnIndex.searchSegments(spark, sf0001, path,
+        labelFiltered = false)
+      val direct = Similarity.annIvfPq(spark, sf0001)
+      assert(search.collect().toSet == direct.collect().toSet)
+      // corpus side reads the codes artifact with partition pruning; the
+      // only raw-embeddings scan is the pushed-down query batch
+      val plan = search.queryExecution.executedPlan.toString
+      // ivfpq2_ is the artifact dir marker (the full /codes suffix can
+      // fall past the FileScan location-string truncation)
+      assert(plan.contains("ivfpq2_"), "corpus side must scan the index artifact")
+      assert(plan.contains("PartitionFilters: [cluster"),
+        "codes scan must prune on the probed cells")
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
+  test("persisted ANN index: append makes delta vectors searchable without compaction") {
+    val nBase = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    // the registered query ensures the delta segment, then searches
+    // base ∪ delta — NO compaction anywhere on this path
     val search = AnnIndex.annIndexSearch(spark, sf0001)
-    val direct = Similarity.annIvfPq(spark, sf0001)
-    assert(search.collect().toSet == direct.collect().toSet)
-    // corpus side reads the codes artifact with partition pruning; the
-    // only raw-embeddings scan is the pushed-down query batch
+    val rows = search.collect()
+    assert(rows.exists(_.getAs[Long]("neighbor_id") >= nBase),
+      "appended (delta-segment) vectors must appear among the neighbors")
+    // both segments are scanned, each with cell partition pruning
     val plan = search.queryExecution.executedPlan.toString
-    assert(plan.contains("/codes"), "corpus side must scan the index artifact")
+    assert(plan.contains("/codes_delta"),
+      "search must scan the committed delta segment")
     assert(plan.contains("PartitionFilters: [cluster"),
-      "codes scan must prune on the probed cells")
-    // build-once: a second search reuses the committed artifact
+      "codes scans must prune on the probed cells")
+    // filtered search honors the segment union under the label rule
+    val filtered = AnnIndex.annIndexSearchFiltered(spark, sf0001).collect()
+    assert(filtered.exists(_.getAs[Long]("neighbor_id") >= nBase),
+      "filtered search must see delta vectors too")
+    // build-once: a second search reuses the committed artifacts
     val success = new java.io.File(
       s"${AnnIndex.indexPath(spark, sf0001)}/codes/_SUCCESS")
     assert(success.exists)
@@ -927,6 +957,75 @@ class OperatorsSpec extends SparkSessionSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(enc2 == Map("abc" -> ((3L, 1L)), "ab" -> ((2L, 1L)),
       "d" -> ((2L, 1L))), s"unexpected round-2 vocab: $enc2")
+  }
+
+  test("byte-level BPE merges repeated-character runs greedily") {
+    val spark2 = spark
+    import spark2.implicits._
+    // round 1: (a,a) counted sliding — 3 per "aaaa" × cnt 2 = 6 — beats
+    // (a,b)=1; greedy leftmost apply: aaaa → [aa, aa] (the fold the
+    // position-local transform cannot express). round 2: (aa,aa)=2.
+    // round 3: only (a,b)=1 remains.
+    val words = Seq(("aaaa", 2L), ("ab", 1L)).toDF("tok", "cnt")
+    val m = TextAnalysis.bpeTrainBytes(spark, words, 3)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toList
+    assert(m == List((1, "a", "a", "aa", 6L), (2, "aa", "aa", "aaaa", 2L),
+      (3, "a", "b", "ab", 1L)), s"unexpected run-merge table: $m")
+    // odd-length run: greedy leftmost leaves the trailing singleton
+    val m2 = TextAnalysis.bpeTrainBytes(spark,
+      Seq(("aaa", 1L)).toDF("tok", "cnt"), 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toList
+    assert(m2 == List((1, "a", "a", "aa", 2L), (2, "aa", "a", "aaa", 1L)),
+      s"unexpected odd-run table: $m2")
+    // byte == char precondition for the corpus-level query: documents
+    // are pipe-free printable ASCII, so the char split IS the byte split
+    // and the '|' delimiter in greedyMerge cannot collide with symbols
+    val bad = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("text").rlike("[^ -~]") || col("text").contains("|"))
+      .count()
+    assert(bad == 0, "documents corpus must be pipe-free printable ASCII")
+  }
+
+  test("BPE train exits cleanly when no mergeable pair remains") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the round-5 ADVICE crash repro: all non-self pairs exhaust before
+    // `rounds`, the argmax goes empty — emit the merges learned so far
+    val m = TextAnalysis.bpeTrain(spark,
+      Seq(("ab", 3L)).toDF("tok", "cnt"), 4)
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(m == List((1, "a", "b", "ab", 3L)))
+    // run-merge variant: "aa" collapses in one round, then no pairs
+    val m2 = TextAnalysis.bpeTrainBytes(spark,
+      Seq(("aa", 2L)).toDF("tok", "cnt"), 5)
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(m2 == List((1, "a", "a", "aa", 2L)))
+  }
+
+  test("triangle skew cap bounds a mega-customer's wedge fanout") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cap = RelationalQueries.TriCapDeg
+    // one mega-customer with 1000 distinct suppliers (≫ cap), one
+    // normal customer with 5 — the crafted 100×-skew shape
+    val cs = ((1 to 1000).map(s => (1L, s.toLong)) ++
+      (1 to 5).map(s => (2L, s.toLong))).toDF("c", "s")
+    val capped = RelationalQueries.capCustomerDegree(cs, cap)
+    val byC = capped.groupBy(col("c")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(byC(1L) == cap, "mega-customer must be capped at TriCapDeg")
+    assert(byC(2L) == 5, "normal customers must pass through untouched")
+    // deterministic survivor rule: the cap lowest supplier ids
+    val kept = capped.where(col("c") === 1L).select("s")
+      .as[Long].collect().toSet
+    assert(kept == (1 to cap).map(_.toLong).toSet)
+    // wedge fanout after the cap is bounded by cap²/2 per customer, no
+    // matter the raw degree (1000² / 2 would be ~500k un-capped)
+    val a = capped.select(col("c"), col("s").as("sa"))
+    val b = capped.select(col("c").as("cb"), col("s").as("sb"))
+    val wedges = a.join(b, col("c") === col("cb") && col("sa") < col("sb"))
+      .count()
+    assert(wedges == cap.toLong * (cap - 1) / 2 + 5L * 4 / 2)
   }
 
   test("anomalyOf flags only the z>3 outlier events") {
