@@ -53,7 +53,7 @@ object AnnIndex {
   /** Assignment + PQ encode of one (vec_id, v) corpus against a given
     * centroid set and codebook — narrow projections over the scan,
     * shared by the base build and the frozen-codebook delta append. */
-  private def encode(corpus: DataFrame, cents: Array[Array[Double]],
+  private[graft] def encode(corpus: DataFrame, cents: Array[Array[Double]],
                      cb: Array[Array[Array[Double]]]): DataFrame =
     Similarity.withBlockDists(
       KMeansOps.assignDyn(corpus, "v", cents), "v", cb, "ds_")
@@ -119,12 +119,12 @@ object AnnIndex {
 
   /** Read the persisted k-row centroid artifact back as the in-plan
     * array form. */
-  private def readCents(spark: SparkSession, path: String): Array[Array[Double]] =
+  private[graft] def readCents(spark: SparkSession, path: String): Array[Array[Double]] =
     spark.read.parquet(s"$path/cents")
       .orderBy(col("cid")).collect().map(_.getSeq[Double](1).toArray)
 
   /** Read the persisted PQ codebook artifact back as [m][j][dim]. */
-  private def readCodebook(spark: SparkSession,
+  private[graft] def readCodebook(spark: SparkSession,
                            path: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(s"$path/codebook").collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
@@ -147,7 +147,7 @@ object AnnIndex {
     * write it as the `codes_delta` segment (overwrite-idempotent);
     * shared by the append report and the compaction. Returns the index
     * path. */
-  private def ensureDelta(spark: SparkSession, dir: String): String = {
+  private[graft] def ensureDelta(spark: SparkSession, dir: String): String = {
     val path = ensureIndex(spark, dir)
     val cents = readCents(spark, path)
     val cb = readCodebook(spark, path)

@@ -385,7 +385,11 @@ object Pipeline {
     * orders in integer CENTS so the sum is order-independent) merges
     * into the customer dimension; matched keys update the balance,
     * unmatched delta keys insert (late-arriving dimension rows,
-    * synthesized at key+5000000), unmatched base keys pass through.
+    * synthesized at key + max(c_custkey) — a broadcast 1-row max, so
+    * the insert key space stays disjoint from real customers at EVERY
+    * scale factor; a fixed +5e6 offset collided from SF ≈ 34 and
+    * silently turned inserts into updates), unmatched base keys pass
+    * through.
     * The join is the only shuffle — at warehouse scale the base side
     * stays partition-local when bucketed by key, and the same plan is
     * what table formats execute under MERGE. Classification and the
@@ -394,9 +398,12 @@ object Pipeline {
     val base = t(spark, dir, "customer")
       .select(col("c_custkey"),
         round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val maxKey = t(spark, dir, "customer")
+      .agg(max(col("c_custkey")).as("max_ck"))
     val delta = t(spark, dir, "orders")
+      .crossJoin(broadcast(maxKey))
       .select(
-        when(col("o_custkey") % 97 === 0, col("o_custkey") + 5000000L)
+        when(col("o_custkey") % 97 === 0, col("o_custkey") + col("max_ck"))
           .otherwise(col("o_custkey")).as("d_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("d_custkey"))
@@ -455,7 +462,8 @@ object Pipeline {
         |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
         |  FROM customer
         |), delta AS (
-        |  SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey + 5000000
+        |  SELECT CASE WHEN o_custkey % 97 = 0
+        |              THEN o_custkey + (SELECT max(c_custkey) FROM customer)
         |              ELSE o_custkey END AS d_custkey,
         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |              AS BIGINT) AS spend_cents,

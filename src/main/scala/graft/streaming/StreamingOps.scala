@@ -316,8 +316,14 @@ object StreamingOps {
       }
   }
 
+  /** Streaming document row. `n_chars` is the TABLE's weight column,
+    * carried through the stream — the sampler must weight by the same
+    * column batch [[graft.operators.Pipeline.pipelineSampleWeighted]]
+    * reads, not re-derive it from `text` (a `length(text)` proxy would
+    * silently break batch/stream parity if a generator ever counted
+    * n_chars differently, e.g. codepoints vs bytes). */
   final case class SDocSrc(ts: java.sql.Timestamp, doc_id: Long,
-                           text: String, source: String)
+                           text: String, source: String, n_chars: Long)
 
   final case class WSampleOut(source: String, doc_id: Long,
                               n_chars: Long, es_key: Double)
@@ -343,9 +349,8 @@ object StreamingOps {
         round(log((conv(substring(md5(concat(lit("wsample:"),
           col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
           + lit(0.5d)) / lit(4294967296.0d))
-          / length(col("text")), 9))
-      .select(col("source"), col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"), col("es_key"))
+          / col("n_chars"), 9))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("es_key"))
       .as[WSampleOut]
     keyed
       .groupByKey(_.source)
@@ -428,6 +433,47 @@ object StreamingOps {
           state.update(s)
           MomOut(userId, s.n, s.mean,
             if (s.n > 1) s.m2 / (s.n - 1) else 0.0)
+      }
+  }
+
+  /** Newly arriving vector for the streaming index ingest — the same
+    * (id, embedding, label) shape as a row of the embeddings table. */
+  final case class SVecIn(vec_id: Long, embedding: Seq[Float], label: Int)
+
+  /** STREAMING ANN INGEST — the persisted index family's streaming
+    * parity pair: new vectors arrive on an unbounded source and are
+    * folded into the index's `codes_delta` segment micro-batch by
+    * micro-batch. `foreachBatch` is the right tool (not a stateful
+    * operator): the encode is a DETERMINISTIC per-row map whose only
+    * "state" is the artifact's FROZEN quantizers (read once, driver
+    * side, k·d + PqM·PqKsub doubles — never re-derived on ingest,
+    * exactly the batch append's rule), so each micro-batch encodes
+    * independently and APPENDS its cell-partitioned codes; the segment
+    * after N micro-batches equals one batch append of the union
+    * (StreamingSpec pins this against [[graft.operators.AnnIndex
+    * .ensureDelta]]'s segment, bit for bit). Append-mode parquet into
+    * the hive-partitioned segment keeps the search path's partition
+    * pruning intact; a real deployment would compact small files with
+    * [[graft.operators.AnnIndex.annIndexCompact]]'s re-layout. */
+  def annIngestStream(vecs: Dataset[SVecIn], indexPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SVecIn] = {
+    val spark = vecs.sparkSession
+    val cents = graft.operators.AnnIndex.readCents(spark, indexPath)
+    val cb = graft.operators.AnnIndex.readCodebook(spark, indexPath)
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SVecIn], _: Long) =>
+        val rows = batch.toDF()
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
+              .as("v"),
+            col("label"))
+        graft.operators.AnnIndex.encode(rows, cents, cb)
+          .repartition(col("cluster"))
+          .sortWithinPartitions(col("cluster"), col("vec_id"))
+          .write.mode("append").partitionBy("cluster")
+          .parquet(s"$indexPath/codes_delta")
+        ()
       }
   }
 }

@@ -28,6 +28,16 @@ class ContractSpec extends SparkSessionSpec {
       "duplicate query name collapsed during module union")
   }
 
+  test("SURVEY §2.3 names every registered query (map cannot drift)") {
+    // the round-5 verdict caught ann_refine registered but unlisted;
+    // this pins SURVEY.md's implementation map ⊇ SparkEntry.queries
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val unlisted = SparkEntry.queries.keySet.filterNot(survey.contains)
+    assert(unlisted.isEmpty,
+      s"queries missing from SURVEY.md §2.3: ${unlisted.toSeq.sorted}")
+  }
+
   test("entry returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

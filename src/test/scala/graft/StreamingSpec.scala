@@ -522,12 +522,14 @@ class StreamingSpec extends SparkSessionSpec {
   test("weightedSampleStream final state equals the batch weighted sample") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingOps.SDocSrc
+    // n_chars comes from the TABLE column (the batch sampler's weight),
+    // not length(text) — the stream must carry the weight, not re-derive
     val docs = graft.Tables.t(spark, sf0001, "documents")
-      .select(col("doc_id"), col("text"), col("source"))
-      .as[(Long, String, String)].collect()
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect()
     val t0 = 1700000000000L
-    val sdocs = docs.map { case (id, tx, src) =>
-      SDocSrc(new Timestamp(t0 + id), id, tx, src) }.toSeq
+    val sdocs = docs.map { case (id, tx, src, nc) =>
+      SDocSrc(new Timestamp(t0 + id), id, tx, src, nc) }.toSeq
     val mem = MemoryStream[SDocSrc]
     val q = StreamingOps
       .weightedSampleStream(mem.toDS(), graft.operators.Pipeline.WSampleK)
@@ -554,6 +556,56 @@ class StreamingSpec extends SparkSessionSpec {
       .as[(String, Long, Long, Double)].collect().toSet
     assert(streamed == batch && streamed.nonEmpty,
       s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
+  test("streaming ANN ingest equals one batch delta append") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AnnIndex
+    import graft.streaming.StreamingOps.SVecIn
+    // TWO fresh artifact roots: A takes the streamed ingest, B the
+    // batch append — both indexes build from the same corpus, so their
+    // frozen quantizers are identical and the segments must match
+    val rootA = java.nio.file.Files.createTempDirectory("graft_ann_sA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft_ann_sB").toString
+    val segCols = Seq("vec_id", "cluster", "packed", "label")
+    def seg(path: String) = spark.read.parquet(s"$path/codes_delta")
+      .select(segCols.map(col): _*)
+      .as[(Long, Int, Long, Int)].collect().toSet
+    try {
+      spark.conf.set("spark.graft.artifacts.dir", rootB)
+      val pathB = AnnIndex.ensureDelta(spark, sf0001) // batch reference
+      spark.conf.set("spark.graft.artifacts.dir", rootA)
+      val pathA = AnnIndex.buildIndex(spark, sf0001)  // base + quantizers only
+      // the same deterministic "newly arrived" vectors the batch append
+      // encodes: each base vector reversed, id offset by the corpus size
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .as[(Long, Seq[Float], Int)].collect()
+      val n = emb.length
+      val arriving = emb.map { case (id, v, l) => SVecIn(id + n, v.reverse, l) }
+      val mem = MemoryStream[SVecIn]
+      val q = StreamingOps.annIngestStream(mem.toDS(), pathA).start()
+      try {
+        // arbitrary micro-batching must not matter: the quantizers are
+        // frozen, each row encodes independently
+        val (b1, rest) = arriving.splitAt(n / 3)
+        val (b2, b3) = rest.splitAt(n / 3)
+        mem.addData(b1.toSeq); q.processAllAvailable()
+        mem.addData(b2.toSeq); q.processAllAvailable()
+        mem.addData(b3.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = seg(pathA)
+      val batch = seg(pathB)
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size}")
+      // the streamed segment is searchable exactly like the batch one:
+      // segment-complete search over index A == over index B
+      val sA = AnnIndex.searchSegments(spark, sf0001, pathA,
+        labelFiltered = false).collect().toSet
+      spark.conf.set("spark.graft.artifacts.dir", rootB)
+      val sB = AnnIndex.searchSegments(spark, sf0001, pathB,
+        labelFiltered = false).collect().toSet
+      assert(sA == sB && sA.nonEmpty)
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
   test("runningUserMoments (Welford) final state equals batch avg/var_samp") {
