@@ -543,27 +543,41 @@ object RelationalQueries {
     val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
     // derive + cache the (src, dst, outdeg) edge relation ONCE — the
     // components pattern: without it every round's lineage re-scans
-    // lineitem×orders (6 full re-derivations for 5 rounds)
+    // lineitem×orders (6 full re-derivations for 5 rounds). Cached
+    // PRE-PARTITIONED on the per-round join key: the in-memory scan's
+    // output partitioning satisfies the join requirement, so each
+    // round shuffles only the node-sized rank relation, never the
+    // edge list — at 100 TB the edge re-shuffle would dominate every
+    // round.
     val withDeg = edges.join(
       edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src")).distinct()
       .select(col("src").as("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // bounded driver action: ONE scalar, like k
     // eager per-round localCheckpoint truncates the lineage (the rank
     // relation alone — O(nodes), tiny next to the edge relation); at
     // cluster scale a reliable-storage checkpoint sits at the same spot
     var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
     for (_ <- 1 to PrIters) {
+      // symmetrized edges ⇒ every node has an in-edge, so the contrib
+      // aggregate is COMPLETE over nodes and each round is exactly one
+      // cached-edge join + one aggregation — no rank-rebuild join (a
+      // per-round nodes left join was ~25% of the round's jobs and can
+      // only matter on a graph with dangling nodes, which this
+      // construction excludes)
       val contribs = withDeg.join(pr, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("outdeg")).as("cb"))
-      pr = nodes.join(contribs, col("node") === col("dst"), "left")
-        .select(col("node"),
-          round(lit((1 - PrDamp) / n) +
-            lit(PrDamp) * coalesce(col("cb"), lit(0.0d)), 12).as("pr"))
+      pr = contribs
+        .select(col("dst").as("node"),
+          round(lit((1 - PrDamp) / n) + lit(PrDamp) * col("cb"), 12)
+            .as("pr"))
         .localCheckpoint(true)
     }
     withDeg.unpersist() // ranks are materialized; drop the edge cache
+    nodes.unpersist()
     pr.select(col("node"), round(col("pr"), 9).as("pagerank"))
   }
 

@@ -579,15 +579,27 @@ object TextAnalysis {
       BpeRounds)
 
   /** Core of [[textBpeEncode]] over any (tok, cnt) relation. Exposed
-    * for the crafted-corpus spec. */
+    * for the crafted-corpus spec. `runMerges` switches to the
+    * GPT-style run-merge tokenizer ([[bpeTrainBytes]]). */
   def bpeEncode(spark: SparkSession, wordCounts: DataFrame,
-      rounds: Int): DataFrame = {
-    val (_, words) = bpeLoop(spark, wordCounts, rounds)
+      rounds: Int, runMerges: Boolean = false): DataFrame = {
+    val (_, words) = bpeLoop(spark, wordCounts, rounds, runMerges)
     words.select(col("cnt"), explode(col("syms")).as("subword"))
       .groupBy(col("subword"))
       .agg(sum(col("cnt")).as("n_occurrences"),
         count(lit(1)).as("n_slots"))
   }
+
+  /** [[textBpeEncode]] under the BYTE-LEVEL (run-merge) tokenizer —
+    * the subword vocabulary the GPT-style trainer actually emits,
+    * where repeated-character runs collapse into run tokens the
+    * self-pair-excluded variant can never learn. */
+  def textBpeBytesEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark,
+      t(spark, dir, "documents")
+        .select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+      BpeRounds, runMerges = true)
 
   /** PER-DOCUMENT token counts under the TRAINED tokenizer — the
     * "how many tokens is my corpus" question every pipeline answers
@@ -598,12 +610,21 @@ object TextAnalysis {
     * AQE broadcasts when the vocab fits, the [[textTfIdf]] rule —
     * and one aggregation folds per-document totals plus the
     * subwords-per-word inflation factor. */
-  def textBpeDoc(spark: SparkSession, dir: String): DataFrame = {
+  def textBpeDoc(spark: SparkSession, dir: String): DataFrame =
+    bpeDocCounts(spark, dir, runMerges = false)
+
+  /** [[textBpeDoc]] under the BYTE-LEVEL (run-merge) tokenizer — the
+    * corpus token budget a GPT-style tokenizer would actually charge. */
+  def textBpeBytesDoc(spark: SparkSession, dir: String): DataFrame =
+    bpeDocCounts(spark, dir, runMerges = true)
+
+  private def bpeDocCounts(spark: SparkSession, dir: String,
+      runMerges: Boolean): DataFrame = {
     val docs = t(spark, dir, "documents")
     val (_, words) = bpeLoop(spark,
       docs.select(explode(toks).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
-      BpeRounds)
+      BpeRounds, runMerges)
     val wordLen = words.select(col("tok"), size(col("syms")).as("n_sub"))
     docs.select(col("doc_id"), explode(toks).as("tok"))
       .join(wordLen, "tok")
@@ -619,6 +640,8 @@ object TextAnalysis {
     "text_bpe_encode" -> textBpeEncode,
     "text_bpe" -> textBpe,
     "text_bpe_bytes" -> textBpeBytes,
+    "text_bpe_bytes_encode" -> textBpeBytesEncode,
+    "text_bpe_bytes_doc" -> textBpeBytesDoc,
     "text_chunk" -> textChunk,
     "text_vocab_stats" -> textVocabStats,
     "text_bigram_rarity" -> textBigramRarity,
@@ -728,6 +751,35 @@ object TextAnalysis {
       |     (SELECT unnest(f.merges, recursive := false) AS u,
       |             generate_subscripts(f.merges, 1) AS i) m""".stripMargin
 
+  /** Final-vocabulary readout shared by both encode oracles. */
+  private val bpeEncodeSql: String =
+    """SELECT w.sym AS subword,
+      |       CAST(sum(w.cnt) AS BIGINT) AS n_occurrences,
+      |       count(*) AS n_slots
+      |FROM (SELECT f2.u.cnt AS cnt, unnest(f2.u.syms) AS sym
+      |      FROM (SELECT unnest(f.st) AS u
+      |            FROM (SELECT st FROM bpe
+      |                  ORDER BY r DESC LIMIT 1) f) f2) w
+      |GROUP BY w.sym""".stripMargin
+
+  /** Per-doc token-count readout (a `wl` CTE tail) shared by both
+    * doc-count oracles. */
+  private val bpeDocSql: String =
+    """wl AS (
+      |  SELECT f2.u.tok AS tok, len(f2.u.syms) AS n_sub
+      |  FROM (SELECT unnest(f.st) AS u
+      |        FROM (SELECT st FROM bpe
+      |              ORDER BY r DESC LIMIT 1) f) f2
+      |)
+      |SELECT d.doc_id, count(*) AS n_words,
+      |       CAST(sum(wl.n_sub) AS BIGINT) AS n_subwords,
+      |       round(CAST(sum(wl.n_sub) AS DOUBLE) / count(*), 6)
+      |         AS subwords_per_word
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |      FROM documents) d
+      |JOIN wl USING (tok)
+      |GROUP BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_bpe" ->
       s"""$bpeCte
@@ -737,29 +789,14 @@ object TextAnalysis {
          |$bpeMergeTableSql""".stripMargin,
     "text_bpe_encode" ->
       s"""$bpeCte
-         |SELECT w.sym AS subword,
-         |       CAST(sum(w.cnt) AS BIGINT) AS n_occurrences,
-         |       count(*) AS n_slots
-         |FROM (SELECT f2.u.cnt AS cnt, unnest(f2.u.syms) AS sym
-         |      FROM (SELECT unnest(f.st) AS u
-         |            FROM (SELECT st FROM bpe
-         |                  ORDER BY r DESC LIMIT 1) f) f2) w
-         |GROUP BY w.sym""".stripMargin,
+         |$bpeEncodeSql""".stripMargin,
+    "text_bpe_bytes_encode" ->
+      s"""${bpeCteFor(runMerges = true)}
+         |$bpeEncodeSql""".stripMargin,
     "text_bpe_doc" ->
-      s"""$bpeCte, wl AS (
-         |  SELECT f2.u.tok AS tok, len(f2.u.syms) AS n_sub
-         |  FROM (SELECT unnest(f.st) AS u
-         |        FROM (SELECT st FROM bpe
-         |              ORDER BY r DESC LIMIT 1) f) f2
-         |)
-         |SELECT d.doc_id, count(*) AS n_words,
-         |       CAST(sum(wl.n_sub) AS BIGINT) AS n_subwords,
-         |       round(CAST(sum(wl.n_sub) AS DOUBLE) / count(*), 6)
-         |         AS subwords_per_word
-         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |      FROM documents) d
-         |JOIN wl USING (tok)
-         |GROUP BY d.doc_id""".stripMargin,
+      s"""$bpeCte, $bpeDocSql""".stripMargin,
+    "text_bpe_bytes_doc" ->
+      s"""${bpeCteFor(runMerges = true)}, $bpeDocSql""".stripMargin,
     "text_chunk" ->
       s"""WITH d AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -379,21 +379,41 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(worst <= 0.5 + 1e-9, s"worst err/step = $worst")
   }
 
-  test("index compaction preserves the segment union exactly") {
-    // per-cell invariants of the compacted artifact == append's
-    // per-(segment, cell) invariants folded over segments
-    val compact = AnnIndex.annIndexCompact(spark, sf0001)
-    val appended = AnnIndex.annIndexAppend(spark, sf0001)
-      .groupBy(col("cluster"))
-      .agg(sum(col("n_vectors")).as("n_vectors"),
-        min(col("min_vec_id")).as("min_vec_id"),
-        max(col("max_vec_id")).as("max_vec_id"),
-        sum(col("sum_packed")).as("sum_packed"))
-    assert(compact.collect().toSet == appended.collect().toSet)
-    // no duplicated or dropped vectors in the rewrite
-    val codes = spark.read.parquet(
-      s"${AnnIndex.indexPath(spark, sf0001)}/codes_compacted")
+  test("index compaction preserves exactly the LIVE segment union") {
+    AnnIndex.annIndexCompact(spark, sf0001).count() // materialize rewrite
+    val path = AnnIndex.indexPath(spark, sf0001)
+    def ids(seg: String) = spark.read.parquet(s"$path/$seg")
+      .select("vec_id").as[Long].collect().toSet
+    val union = ids("codes") ++ ids("codes_delta")
+    val tomb = ids("deletes")
+    val compacted = ids("codes_compacted")
+    assert(tomb.nonEmpty && tomb.forall(
+      _ % AnnIndex.DeleteMod == AnnIndex.DeleteRes))
+    // compaction = union minus tombstones, nothing more or less
+    assert(compacted == union -- tomb)
+    // no duplicated vectors in the rewrite
+    val codes = spark.read.parquet(s"$path/codes_compacted")
     assert(codes.count() == codes.select("vec_id").distinct().count())
+  }
+
+  test("tombstoned vectors are invisible to search without compaction") {
+    val search = AnnIndex.annIndexSearch(spark, sf0001).collect()
+    assert(search.nonEmpty)
+    assert(!search.exists(
+      _.getAs[Long]("neighbor_id") % AnnIndex.DeleteMod == AnnIndex.DeleteRes),
+      "a tombstoned vector surfaced as a neighbor")
+    val filtered = AnnIndex.annIndexSearchFiltered(spark, sf0001).collect()
+    assert(!filtered.exists(
+      _.getAs[Long]("neighbor_id") % AnnIndex.DeleteMod == AnnIndex.DeleteRes))
+    // the tombstone artifact is thin ids, and without it the same
+    // searchSegments plan DOES return those ids (the delete is what
+    // hides them, not the candidate generation)
+    val path = AnnIndex.indexPath(spark, sf0001)
+    val unfiltered = AnnIndex.searchSegments(spark, sf0001, path,
+      labelFiltered = false, applyDeletes = false).collect()
+    assert(unfiltered.exists(
+      _.getAs[Long]("neighbor_id") % AnnIndex.DeleteMod == AnnIndex.DeleteRes),
+      "expected some tombstoned id among the raw candidates")
   }
 
   test("mm_decode emits one decoded row per document") {
