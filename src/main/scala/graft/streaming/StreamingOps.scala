@@ -476,4 +476,22 @@ object StreamingOps {
         ()
       }
   }
+
+  /** STREAMING TOMBSTONE INGEST — the delete side of
+    * [[annIngestStream]]: delete requests arrive as bare vector ids
+    * and each micro-batch APPENDS them to the index's `deletes/`
+    * artifact (Lucene .liv shape — a delete writes ids, never touches
+    * a code segment, so the stream commits in O(batch) regardless of
+    * index size). Readers pick the tombstones up on their next scan
+    * via [[graft.operators.AnnIndex.minusDeletes]]'s committed-marker
+    * check; the next compaction reclaims the space. */
+  def annDeleteStream(ids: Dataset[Long], indexPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Long] =
+    ids.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Long], _: Long) =>
+        batch.toDF("vec_id")
+          .write.mode("append").parquet(s"$indexPath/deletes")
+        ()
+      }
 }

@@ -608,6 +608,37 @@ class StreamingSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("streaming tombstone deletes hide vectors from the next search") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AnnIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+    spark.conf.set("spark.graft.artifacts.dir", root)
+    try {
+      val path = AnnIndex.buildIndex(spark, sf0001)
+      // baseline search on the fresh (delete-free) index: pick real
+      // neighbors to tombstone
+      val before = AnnIndex.searchSegments(spark, sf0001, path,
+        labelFiltered = false).collect()
+      val victims = before.map(_.getAs[Long]("neighbor_id")).distinct.take(5)
+      assert(victims.length == 5)
+      val mem = MemoryStream[Long]
+      val q = StreamingOps.annDeleteStream(mem.toDS(), path).start()
+      try {
+        // two micro-batches; each commits ids only — O(batch), no
+        // segment rewrite
+        mem.addData(victims.take(2).toSeq); q.processAllAvailable()
+        mem.addData(victims.drop(2).toSeq); q.processAllAvailable()
+      } finally q.stop()
+      // the very next read picks the tombstones up — no compaction
+      val after = AnnIndex.searchSegments(spark, sf0001, path,
+        labelFiltered = false).collect()
+      assert(after.nonEmpty)
+      val visible = after.map(_.getAs[Long]("neighbor_id")).toSet
+      assert(victims.forall(v => !visible.contains(v)),
+        s"tombstoned ids still visible: ${victims.filter(visible)}")
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
   test("runningUserMoments (Welford) final state equals batch avg/var_samp") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
