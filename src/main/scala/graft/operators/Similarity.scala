@@ -394,6 +394,29 @@ object Similarity {
         col("exact_dist"))
   }
 
+  /** RECALL@K EVALUATION — the metric every ANN deployment monitors:
+    * per query, the fraction of the exact brute-force top-[[TopK]]
+    * ([[annTopKCosine]]) that the IVF-PQ path ([[annIvfPq]]) actually
+    * returned. The heavy lift is inside the two sub-plans (one exact
+    * corpus stream, one pruned ADC scan — each already scale-shaped);
+    * the comparison itself joins two queries·k-row results, so the
+    * evaluation adds nothing corpus-sized. Keeping it IN the engine
+    * (not a notebook script) is the point: recall regressions from a
+    * re-trained quantizer or a probe-count change surface in the same
+    * oracle-gated board as the searches themselves. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopKCosine(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annIvfPq(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+      .select(col("query_id"), col("n_hits"), col("k"),
+        round(col("n_hits").cast("double") / col("k"), 6).as("recall_at_k"))
+  }
+
   val HybridTopK = 5
 
   /** Hybrid keyword+vector retrieval — the modern RAG-retrieval shape,
@@ -639,6 +662,7 @@ object Similarity {
     "ann_pq" -> annPq,
     "ann_sq8" -> annSq8,
     "ann_refine" -> annRefine,
+    "ann_recall" -> annRecall,
     "ann_ivfpq" -> annIvfPq)
 
   /** Shared replay of [[annKnnGraph]] (requires [[centsCte]] in the
@@ -927,6 +951,51 @@ object Similarity {
          |    ON list_contains(p.probe, c2.cluster)
          |   AND c2.vec_id <> p.query_id)
          |WHERE rank <= $TopK""".stripMargin
+    },
+    // both searches replayed (the exact window rank and the ivfpq ADC
+    // rank, identical to their own oracles), then the per-query overlap
+    // count — a left join of two queries·k-row sets
+    "ann_recall" -> {
+      val adc = "sqrt(" + (0 until PqM).map(m =>
+        s"(SELECT ${sqdSql("p.qv", "s.c", m)} FROM seeds s WHERE s.j = c2.code_$m)")
+        .mkString(" + ") + ")"
+      s"""WITH $centsCte, $pqCodesCte, codes2 AS (
+         |  SELECT cd.*,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster
+         |  FROM codes cd JOIN ev e USING (vec_id)
+         |), probed AS (
+         |  SELECT query_id, qv,
+         |         (SELECT list(cid) FROM (
+         |            SELECT cid FROM cents c
+         |            ORDER BY list_distance(q.qv, c.c), c.cid
+         |            LIMIT $NProbe)) AS probe
+         |  FROM q
+         |), exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+         |                 e.vec_id) AS rank
+         |    FROM ev e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         |  WHERE rank <= $TopK
+         |), approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, c2.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY round($adc, 6), c2.vec_id) AS rank
+         |    FROM codes2 c2 JOIN probed p
+         |      ON list_contains(p.probe, c2.cluster)
+         |     AND c2.vec_id <> p.query_id)
+         |  WHERE rank <= $TopK
+         |)
+         |SELECT e.query_id, count(a.neighbor_id) AS n_hits,
+         |       count(*) AS k,
+         |       round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+         |         AS recall_at_k
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id""".stripMargin
     },
     // two stages replayed: the ADC pool cut at RefineC with the same
     // (rounded adc, id) order, then exact L2 over raw coordinates in

@@ -217,6 +217,60 @@ object TextAnalysis {
           .as("rare_ratio"))
   }
 
+  /** BIGRAM-LM PERPLEXITY SCORE — the real form of the quality filter
+    * [[textBigramRarity]]'s doc promises ("a real perplexity filter
+    * would replace the rarity test with Σ−ln P(w₂|w₁) over the same
+    * join"): an add-1-smoothed bigram language model trained on the
+    * corpus in one shuffle on the bigram key, then every document
+    * scored by its average negative log-likelihood under it (avg_nll =
+    * ln(perplexity)) — the KenLM-style signal pretraining pipelines
+    * rank web text with. Same scale shape as the rarity filter: the
+    * bigram stream is persisted (model build, context counts and
+    * scoring all read it), the model joins are keyed on the
+    * bigram/context token (distributed hash joins, NO broadcast —
+    * vocabulary is unbounded at corpus scale), and the vocabulary size
+    * rides in as a broadcast 1-row aggregate. Float parity follows the
+    * BM25 rule: each bigram's −ln P rounds to integer MICRO-NATS
+    * before the per-doc sum, so the only cross-engine float op is one
+    * ln and one final division — both oracle-safe at 6dp. */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexityOf(t(spark, dir, "documents"))
+
+  /** Core of [[textPerplexity]] over any (doc_id, text) frame. */
+  def perplexityOf(docs: DataFrame): DataFrame = {
+    val withToks = docs.withColumn("toks", toks)
+    val bi = withToks
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // |V| over ALL documents (the unigram vocabulary, not just bigram
+    // contexts) — a 1-row aggregate broadcast into the scoring plan
+    val vocab = withToks.select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).cast("double").as("v_size"))
+    val model = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val ctx = bi.groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
+    bi.join(model, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      // −ln P(w₂|w₁) in integer micro-nats: round BEFORE summing so
+      // the per-doc total is exact-integer in both engines (the BM25
+      // micro-unit rule)
+      .withColumn("nll_micros",
+        round(-log((col("c_bg") + lit(1.0d)) /
+          (col("c_ctx") + col("v_size"))) * lit(1e6d)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll_micros")).as("nll_micros"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micros"),
+        round(col("nll_micros") / (col("n_bigrams") * lit(1e6d)), 6)
+          .as("avg_nll"))
+  }
+
   /** Gopher-style repetition quality signals, per document: the
     * duplicate-token ratio (1 − uniq/total) and the top-bigram fraction
     * (how much of the doc the single most frequent bigram covers) — the
@@ -645,6 +699,7 @@ object TextAnalysis {
     "text_chunk" -> textChunk,
     "text_vocab_stats" -> textVocabStats,
     "text_bigram_rarity" -> textBigramRarity,
+    "text_perplexity" -> textPerplexity,
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
     "text_token_map" -> textTokenMap,
@@ -895,6 +950,39 @@ object TextAnalysis {
          |             AS DOUBLE) / count(*), 6) AS rare_ratio
          |FROM bi JOIN model USING (bg)
          |GROUP BY doc_id""".stripMargin,
+    // the add-1 bigram LM replayed: same bigram stream, context counts,
+    // |V| over all documents, and per-occurrence micro-nat rounding
+    // BEFORE the per-doc sum (integer-exact totals, one ln + one final
+    // division as the only cross-engine float ops)
+    "text_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), bi AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t)-1),
+        |        i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+        |    FROM d WHERE len(t) >= 2)
+        |), vocab AS (
+        |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v_size
+        |  FROM (SELECT unnest(t) AS tok FROM d)
+        |), model AS (
+        |  SELECT w1, w2, count(*) AS c_bg FROM bi GROUP BY w1, w2
+        |), ctx AS (
+        |  SELECT w1, count(*) AS c_ctx FROM bi GROUP BY w1
+        |), scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(-ln((m.c_bg + 1.0) / (x.c_ctx + v.v_size)) * 1e6)
+        |         AS BIGINT) AS nllm
+        |  FROM bi b
+        |  JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |  JOIN ctx x ON b.w1 = x.w1
+        |  CROSS JOIN vocab v
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(nllm) AS BIGINT) AS nll_micros,
+        |  round(CAST(sum(nllm) AS DOUBLE) / (count(*) * 1e6), 6) AS avg_nll
+        |FROM scored GROUP BY doc_id""".stripMargin,
     "text_token_map" ->
       """SELECT doc_id,
         |  len(list_filter(t, x -> x = 'the')) AS n_the,

@@ -491,6 +491,35 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out == Set((1L, 3L, 1L), (2L, 2L, 1L))) // doc 3 has no bigrams
   }
 
+  test("perplexityOf scores docs by the add-1 bigram LM (closed form)") {
+    // corpus bigrams: (a,b)×2, (a,c)×1; context a=3; V={a,b,c}=3
+    // P(b|a)=(2+1)/(3+3)=1/2 → 693147 µnats; P(c|a)=(1+1)/6=1/3 → 1098612
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityOf(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 1L, 693147L, 0.693147),
+      (2L, 1L, 693147L, 0.693147), (3L, 1L, 1098612L, 1.098612)))
+  }
+
+  test("annRecall equals the independently-computed exact∩ivfpq overlap") {
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    val exact = results(Similarity.annTopKCosine(spark, sf0001))
+    val approx = results(Similarity.annIvfPq(spark, sf0001))
+    val got = Similarity.annRecall(spark, sf0001)
+      .select("query_id", "n_hits", "k", "recall_at_k")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == Similarity.NQueries)
+    got.foreach { case (q, hits, k, r) =>
+      val expHits = exact(q).intersect(approx.getOrElse(q, Set.empty)).size
+      assert(k == Similarity.TopK)
+      assert(hits == expHits, s"q=$q: n_hits $hits vs independent $expHits")
+      assert(r == math.round(hits.toDouble / k * 1e6) / 1e6)
+    }
+  }
+
   test("dedup_span_coverage flags only spans shared across docs") {
     val spark2 = spark
     import spark2.implicits._
