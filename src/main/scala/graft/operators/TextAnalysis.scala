@@ -69,17 +69,13 @@ object TextAnalysis {
   val QmLen = 0.6
   val QmTokLen = 0.05
 
-  /** MODEL INFERENCE in-plan: score every document with a linear
-    * quality classifier — the "classifier-filtered" curation step
-    * (GPT-3/CCNet-style), expressed as a narrow codegen projection so
-    * scoring runs at scan speed over 100 TB with zero shuffles, no
-    * model server, no UDF. The logit stays in exact left-to-right
-    * double arithmetic (no transcendentals — a sigmoid would only
-    * monotonically rescale it, so the keep threshold is equivalently a
-    * logit cut at 0). Emits the features, the rounded logit, and the
-    * keep decision. */
-  def textQualityModel(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+  /** The linear quality model's raw feature columns (`ur`, `sr`,
+    * `ln_`, `mtl`) over a (doc_id, text, …) frame — one narrow codegen
+    * projection shared by fixed-weight inference, trained inference
+    * and the GD trainer, so the three stay feature-identical by
+    * construction. */
+  private def qualityFeatureCols(frame: DataFrame): DataFrame =
+    frame
       .withColumn("toks", toks)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("ur",
@@ -92,6 +88,18 @@ object TextAnalysis {
       .withColumn("mtl",
         (length(col("text")) - col("n_tokens") + 1)
           .cast("double") / col("n_tokens"))
+
+  /** MODEL INFERENCE in-plan: score every document with a linear
+    * quality classifier — the "classifier-filtered" curation step
+    * (GPT-3/CCNet-style), expressed as a narrow codegen projection so
+    * scoring runs at scan speed over 100 TB with zero shuffles, no
+    * model server, no UDF. The logit stays in exact left-to-right
+    * double arithmetic (no transcendentals — a sigmoid would only
+    * monotonically rescale it, so the keep threshold is equivalently a
+    * logit cut at 0). Emits the features, the rounded logit, and the
+    * keep decision. */
+  def textQualityModel(spark: SparkSession, dir: String): DataFrame =
+    qualityFeatureCols(t(spark, dir, "documents"))
       .withColumn("logit",
         lit(QmBias) + col("ur") * QmUniq + col("sr") * QmStop +
           col("ln_") * QmLen + col("mtl") * QmTokLen)
@@ -100,6 +108,111 @@ object TextAnalysis {
         round(col("sr"), 6).as("stop_ratio"),
         round(col("logit"), 6).as("model_logit"),
         (col("logit") > 0).cast("int").as("kept"))
+
+  val TrainIters = 10
+  val TrainLr = 4.0
+  private[operators] val TrainFeatureNames =
+    Seq("bias", "uniq_ratio", "stop_ratio", "len_norm", "mean_tok_len_norm")
+
+  /** MODEL TRAINING in-engine — the missing half of
+    * [[textQualityModel]]: learn the linear quality classifier's
+    * weights by batch-gradient-descent logistic regression against a
+    * closed-form label (`lang = 'en'` — "does this read like English
+    * prose", the CCNet/fastText-style quality target), instead of
+    * importing published coefficients. The loop is the k-means shape
+    * exactly: the feature relation (5 bounded-[0,1] doubles per doc, a
+    * narrow codegen projection) is cached once; each iteration is ONE
+    * partial/final aggregate pair producing d+1 gradient sums — k·d
+    * driver state, one 1-row collect per round, nothing corpus-sized
+    * ever moves. At 100 TB each iteration is a scan of the cached
+    * features with map-side combine; 10 iterations ≈ 10 scans, the
+    * textbook distributed-GD cost. Float parity follows the Lloyd-loop
+    * rule: each round's updated weights are quantized to 6dp (HALF_UP,
+    * both engines), so per-row sigmoid ulp noise and float-summation
+    * order cannot compound across rounds; the oracle replays the
+    * recursion with a recursive CTE carrying the weight vector as its
+    * state row. */
+  def textQualityTrain(spark: SparkSession, dir: String): DataFrame =
+    qualityTrainOf(spark, t(spark, dir, "documents"))
+
+  /** Training view of the quality features: label + x0..x4, all
+    * bounded to [0,1] — unbounded features destabilize fixed-step GD
+    * (oscillation, not convergence), so the mean token length is
+    * soft-capped and rescaled. Carries doc_id so the trained-inference
+    * readout scores the exact frame the trainer saw. */
+  private def trainFeatures(docs: DataFrame): DataFrame =
+    qualityFeatureCols(docs)
+      .select(col("doc_id"),
+        (col("lang") === "en").cast("double").as("y"),
+        lit(1.0d).as("x0"),
+        col("ur").as("x1"),
+        col("sr").as("x2"),
+        col("ln_").as("x3"),
+        (least(col("mtl"), lit(10.0d)) / lit(10.0d)).as("x4"))
+
+  /** The GD loop itself; returns the learned 6dp-quantized weights.
+    * Driver state = d+1 doubles; per iteration ONE aggregate job and a
+    * 1-row collect. */
+  private[operators] def trainQualityWeights(docs: DataFrame): Array[Double] = {
+    val d = TrainFeatureNames.length
+    val feats = trainFeatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = Array.fill(d)(0.0d)
+      for (_ <- 0 until TrainIters) {
+        // logit in exact left-to-right order (the oracle mirrors it)
+        val z = (0 until d).map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
+        val p = lit(1.0d) / (lit(1.0d) + exp(-z))
+        val gradCols = (0 until d).map(j =>
+          sum(col(s"x$j") * (col("y") - p)).as(s"g$j"))
+        val row = feats.agg(count(lit(1)).cast("double").as("n"),
+          gradCols: _*).collect()(0)
+        val n = row.getDouble(0)
+        w = Array.tabulate(d)(j => graft.kmeans.KMeansRunner.roundHalfUp(
+          w(j) + TrainLr * row.getDouble(j + 1) / n, 6))
+      }
+      w
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Core of [[textQualityTrain]] over any (doc_id, text, lang)
+    * frame; exposed for the crafted separable-fixture spec. */
+  def qualityTrainOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    trainQualityWeights(docs).toSeq.zipWithIndex
+      .map { case (wt, i) => (i + 1, TrainFeatureNames(i), wt) }
+      .toDF("feature_idx", "feature", "weight")
+  }
+
+  /** TRAINED inference — the train→infer composition end-to-end: run
+    * the GD loop, then score EVERY document with the learned weights
+    * injected as plan literals (the same zero-shuffle scan-speed
+    * inference as [[textQualityModel]], with trained instead of
+    * published coefficients). The logit reads out in integer
+    * MICRO-UNITS, each x·w term rounded to micros BEFORE the exact
+    * integer sum (the BM25 parity rule — integer-plus-half boundary
+    * doubles are dyadic-exact, so both engines round them identically;
+    * a single round(Σ, 6) of the raw float logit sat exactly on a
+    * 7th-digit boundary at sf0.001 and the two engines' rounding paths
+    * disagreed). The keep decision gates on the integer sign. */
+  def textQualityScoreTrained(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreTrainedOf(spark, t(spark, dir, "documents"))
+
+  /** Core of [[textQualityScoreTrained]] over any (doc_id, text, lang)
+    * frame. */
+  def qualityScoreTrainedOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val d = TrainFeatureNames.length
+    val w = trainQualityWeights(docs)
+    val micros = (0 until d).map(j =>
+      round(col(s"x$j") * lit(w(j)) * lit(1e6d)).cast("long")).reduce(_ + _)
+    trainFeatures(docs)
+      .withColumn("logit_micros", micros)
+      .select(col("doc_id"), col("logit_micros"),
+        round(col("logit_micros") / lit(1e6d), 6).as("trained_logit"),
+        (col("logit_micros") > 0).cast("int").as("kept_trained"),
+        col("y").cast("int").as("is_en"))
+  }
 
   /** Language ID: explode tokens, broadcast-join the marker table,
     * majority vote with (count desc, lang asc) tie-break, 'und' when no
@@ -706,6 +819,8 @@ object TextAnalysis {
     "text_normalize" -> textNormalize,
     "text_char_ngrams" -> textCharNgrams,
     "text_quality" -> textQuality,
+    "text_quality_train" -> textQualityTrain,
+    "text_quality_score_trained" -> textQualityScoreTrained,
     "text_quality_model" -> textQualityModel,
     "text_langid" -> textLangId,
     "text_tokens" -> textTokens,
@@ -713,6 +828,48 @@ object TextAnalysis {
     "text_tfidf" -> textTfIdf)
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Shared GD-replay CTE prefix (`WITH RECURSIVE f, iter`): `f` is the
+    * training feature relation (doc_id, y, x0..x4), `iter` carries the
+    * 6dp-quantized weight vector as its recursion state — the
+    * kmeans_full pattern. Consumed by the `text_quality_train` and
+    * `text_quality_score_trained` oracles. */
+  private lazy val trainCteSql: String = {
+    val z = "x0 * s.w[1] + x1 * s.w[2] + x2 * s.w[3] + x3 * s.w[4] + x4 * s.w[5]"
+    val upd = (0 until 5).map(j =>
+      s"round(s.w[${j + 1}] + $TrainLr * sum(x$j * (y - p)) / count(*), 6)")
+      .mkString(",\n       |      ")
+    s"""WITH RECURSIVE f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    1.0 AS x0,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS x1,
+       |    CAST(len(list_filter(t, x -> list_contains($stopList, x)))
+       |         AS DOUBLE) / len(t) AS x2,
+       |    CAST(least(len(t), 100) AS DOUBLE) / 100 AS x3,
+       |    least(CAST(length(text) - len(t) + 1 AS DOUBLE) / len(t), 10.0)
+       |      / 10.0 AS x4
+       |  FROM (SELECT doc_id, text, lang, string_split(text, ' ') AS t
+       |        FROM documents)
+       |), iter AS (
+       |  -- CAST: a bare [0.0, …] literal types as DECIMAL(2,1)[] and
+       |  -- the recursion would coerce every round's weights to it
+       |  SELECT 0 AS r, CAST([0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS w
+       |  UNION ALL
+       |  SELECT s.r + 1, nxt.w
+       |  FROM iter s, LATERAL (
+       |    WITH scored AS (
+       |      SELECT y, x0, x1, x2, x3, x4,
+       |        1.0 / (1.0 + exp(-($z))) AS p
+       |      FROM f
+       |    )
+       |    SELECT [
+       |      $upd] AS w
+       |    FROM scored
+       |  ) nxt
+       |  WHERE s.r < $TrainIters
+       |)""".stripMargin
+  }
   private val markerValues = LangMarkers
     .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
@@ -1047,6 +1204,39 @@ object TextAnalysis {
          |    + CAST(least(len(t), 100) AS DOUBLE) / 100 * 0.2, 6) AS quality
          |FROM (SELECT doc_id, text, string_split(text, ' ') AS t
          |      FROM documents)""".stripMargin,
+    // the GD recursion replayed: a recursive CTE carries the 6dp-quantized
+    // weight vector as its state row (the kmeans_full pattern); per
+    // iteration the LATERAL recomputes every doc's sigmoid under the
+    // current weights and aggregates the d+1 gradient sums
+    "text_quality_train" -> {
+      val featNames = TrainFeatureNames.map(n => s"'$n'")
+        .mkString("[", ", ", "]")
+      s"""$trainCteSql
+         |SELECT CAST(g.i AS INT) AS feature_idx,
+         |       $featNames[g.i] AS feature,
+         |       fw.w[g.i] AS weight
+         |FROM (SELECT w FROM iter ORDER BY r DESC LIMIT 1) fw,
+         |     generate_series(1, 5) g(i)""".stripMargin
+    },
+    // the same GD replay, then every doc scored with the final weights —
+    // per-term micro-unit rounding before the exact integer sum (the
+    // BM25 parity rule; see the operator's scaladoc)
+    "text_quality_score_trained" -> {
+      val zf = (0 until 5).map(j =>
+        s"CAST(round(x$j * fw.w[${j + 1}] * 1e6) AS BIGINT)")
+        .mkString("\n         |         + ")
+      s"""$trainCteSql,
+         |fw AS (SELECT w FROM iter ORDER BY r DESC LIMIT 1),
+         |sc AS (
+         |  SELECT f.doc_id, f.y,
+         |         $zf AS logit_micros
+         |  FROM f CROSS JOIN fw)
+         |SELECT doc_id, logit_micros,
+         |       round(CAST(logit_micros AS DOUBLE) / 1e6, 6) AS trained_logit,
+         |       CAST(logit_micros > 0 AS INT) AS kept_trained,
+         |       CAST(y AS INT) AS is_en
+         |FROM sc""".stripMargin
+    },
     "text_langid" ->
       s"""WITH markers(cand_lang, marker) AS (VALUES $markerValues),
          |votes AS (

@@ -502,6 +502,36 @@ class OperatorsSpec extends SparkSessionSpec {
       (2L, 1L, 693147L, 0.693147), (3L, 1L, 1098612L, 1.098612)))
   }
 
+  test("qualityTrainOf learns to separate a stopword-labeled fixture") {
+    // en docs are all stopwords (stop_ratio 1.0), non-en none (0.0);
+    // every other feature is identical across classes — the trained
+    // model must pick the stopword signal and separate the classes
+    val docs = ((1L to 6L).map(i => (i, "the a the a", "en")) ++
+      (7L to 12L).map(i => (i, "x y x y", "de")))
+      .toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.qualityTrainOf(spark, docs)
+      .select("feature", "weight").as[(String, Double)].collect().toMap
+    assert(w("stop_ratio") > 0, s"stopword weight must be positive: $w")
+    def z(sr: Double) = w("bias") + 0.5 * w("uniq_ratio") +
+      sr * w("stop_ratio") + 0.04 * w("len_norm") +
+      0.1 * w("mean_tok_len_norm")
+    assert(z(1.0) > 0, s"en-class logit must be positive: ${z(1.0)}")
+    assert(z(0.0) < 0, s"non-en logit must be negative: ${z(0.0)}")
+  }
+
+  test("qualityScoreTrainedOf separates the fixture end-to-end") {
+    val docs = ((1L to 6L).map(i => (i, "the a the a", "en")) ++
+      (7L to 12L).map(i => (i, "x y x y", "de")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.qualityScoreTrainedOf(spark, docs)
+      .select("doc_id", "kept_trained", "is_en")
+      .as[(Long, Int, Int)].collect()
+    assert(out.length == 12)
+    out.foreach { case (id, kept, isEn) =>
+      assert(kept == isEn, s"doc $id: kept=$kept is_en=$isEn")
+    }
+  }
+
   test("annRecall equals the independently-computed exact∩ivfpq overlap") {
     def results(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").as[(Long, Long)]
