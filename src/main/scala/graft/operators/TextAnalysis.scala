@@ -199,12 +199,13 @@ object TextAnalysis {
   def textQualityScoreTrained(spark: SparkSession, dir: String): DataFrame =
     qualityScoreTrainedOf(spark, t(spark, dir, "documents"))
 
-  /** Core of [[textQualityScoreTrained]] over any (doc_id, text, lang)
-    * frame. */
-  def qualityScoreTrainedOf(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val d = TrainFeatureNames.length
-    val w = trainQualityWeights(docs)
-    val micros = (0 until d).map(j =>
+  /** Score a (doc_id, text, lang) frame with a given weight vector —
+    * the stateless scoring projection shared by batch trained
+    * inference and the streaming scorer (narrow ops only, so it lifts
+    * to a streaming Dataset unchanged). */
+  private[graft] def scoreWithWeights(docs: DataFrame,
+                                      w: Array[Double]): DataFrame = {
+    val micros = w.indices.map(j =>
       round(col(s"x$j") * lit(w(j)) * lit(1e6d)).cast("long")).reduce(_ + _)
     trainFeatures(docs)
       .withColumn("logit_micros", micros)
@@ -213,6 +214,11 @@ object TextAnalysis {
         (col("logit_micros") > 0).cast("int").as("kept_trained"),
         col("y").cast("int").as("is_en"))
   }
+
+  /** Core of [[textQualityScoreTrained]] over any (doc_id, text, lang)
+    * frame. */
+  def qualityScoreTrainedOf(spark: SparkSession, docs: DataFrame): DataFrame =
+    scoreWithWeights(docs, trainQualityWeights(docs))
 
   /** Language ID: explode tokens, broadcast-join the marker table,
     * majority vote with (count desc, lang asc) tie-break, 'und' when no

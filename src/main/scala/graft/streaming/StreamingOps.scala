@@ -494,4 +494,23 @@ object StreamingOps {
           .write.mode("append").parquet(s"$indexPath/deletes")
         ()
       }
+
+  /** Incoming document for the streaming quality scorer — the
+    * (doc_id, text, lang) shape the trained model's feature
+    * projection reads. */
+  final case class SDocQ(doc_id: Long, text: String, lang: String)
+
+  /** STREAMING MODEL SERVING — score documents arriving on an
+    * unbounded source with a BATCH-TRAINED weight vector (the
+    * train-offline / serve-online split every production quality
+    * filter runs): the weights are plan literals, the scoring is the
+    * exact stateless projection batch inference uses
+    * ([[graft.operators.TextAnalysis.scoreWithWeights]] — narrow ops
+    * only, so the same code lifts to the stream unchanged), and
+    * because no state or watermark is involved, stream output ==
+    * batch output row-for-row regardless of micro-batching
+    * (spec-pinned). */
+  def qualityScoreStream(docs: Dataset[SDocQ],
+                         weights: Array[Double]): DataFrame =
+    graft.operators.TextAnalysis.scoreWithWeights(docs.toDF(), weights)
 }

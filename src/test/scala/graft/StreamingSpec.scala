@@ -639,6 +639,33 @@ class StreamingSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("qualityScoreStream with batch-trained weights equals batch scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    // train offline (batch), serve online (stream) — the weights are
+    // the same learned vector batch inference injects
+    val w = graft.operators.TextAnalysis.qualityTrainOf(spark, docsDf)
+      .orderBy("feature_idx").select("weight").as[Double].collect()
+    val batch = graft.operators.TextAnalysis
+      .qualityScoreTrainedOf(spark, docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val rows = docsDf.as[(Long, String, String)].collect()
+      .map { case (id, t, l) => StreamingOps.SDocQ(id, t, l) }
+    val mem = MemoryStream[StreamingOps.SDocQ]
+    val q = StreamingOps.qualityScoreStream(mem.toDS(), w)
+      .writeStream.format("memory").queryName("qscore")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 3)
+      mem.addData(a.toSeq); q.processAllAvailable()
+      mem.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("qscore")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == batch)
+  }
+
   test("runningUserMoments (Welford) final state equals batch avg/var_samp") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
