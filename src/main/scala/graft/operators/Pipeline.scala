@@ -168,6 +168,75 @@ object Pipeline {
         min(col("score")).as("worst_score"))
   }
 
+  /** TEMPERATURE-SMOOTHED SOURCE MIXING — the Pile/DoReMi-style
+    * re-weighting step: raw per-source shares are flattened through
+    * weight ∝ n^0.5 (temperature 2 in the τ-exponent 1/τ convention),
+    * boosting tail sources against a dominant crawl. One hash
+    * aggregation on `source` produces the per-source counts; the
+    * totals ride back as a broadcast 1-row aggregate. EVERY share
+    * reads out as integer micro-units derived from an
+    * integer-exact chain: n is an exact count, sw_micros =
+    * round(sqrt(n)·1e6) is deterministic cross-engine because IEEE
+    * sqrt is CORRECTLY rounded (unlike exp/ln), the totals are exact
+    * integer sums, and each share division is exact-integer-over-
+    * exact-integer whose half-way cases are dyadic-exact — so the
+    * whole readout is parity-safe with zero float-summation exposure. */
+  val TempShareScale = 1000000L
+
+  def pipelineSourceTemperature(spark: SparkSession, dir: String): DataFrame =
+    sourceTemperatureOf(t(spark, dir, "documents"))
+
+  /** Core of [[pipelineSourceTemperature]] over any (doc_id, source,
+    * n_chars) frame. */
+  def sourceTemperatureOf(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      .withColumn("sw_micros",
+        round(sqrt(col("n_docs").cast("double")) * lit(1e6d)).cast("long"))
+    val tot = per.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("sw_micros")).as("tot_sw"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("raw_share_micros",
+        round(col("n_docs") * lit(TempShareScale) / col("tot_docs"))
+          .cast("long"))
+      .withColumn("temp_share_micros",
+        round(col("sw_micros") * lit(TempShareScale) / col("tot_sw"))
+          .cast("long"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("raw_share_micros"), col("temp_share_micros"),
+        round(col("temp_share_micros") * lit(TempShareScale)
+          / col("raw_share_micros")).cast("long").as("boost_micros"))
+  }
+
+  val DiverseQuota = 25
+
+  /** EMBEDDING-STRATIFIED DIVERSITY SAMPLE — curation that preserves
+    * coverage of the embedding space instead of letting the dominant
+    * mode swamp the sample: every vector routes to its k-means cell
+    * (the engine's own coarse quantizer — the IVF assignment reused as
+    * strata), then each cell keeps [[DiverseQuota]] survivors in
+    * deterministic content-hash order (domain-separated md5 — the
+    * split/wsample pattern, so the pick is replayable and independent
+    * of scan order). The window partitions BY CELL — no global sort —
+    * and at 100 TB this is the assignment projection plus one
+    * partitioned rank: the same cost as one IVF routing pass. */
+  def pipelineDiverseSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val assigned = graft.kmeans.KMeansOps.assignDyn(
+      Similarity.emb(spark, dir), "v", cents)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("skey"), col("vec_id"))
+    assigned
+      .withColumn("skey",
+        conv(substring(md5(concat(lit("diverse:"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= DiverseQuota)
+      .select(col("cluster"), col("rn"), col("vec_id"), col("skey"))
+  }
+
   val NShards = 16
 
   /** Content-addressed shard key: first 7 md5 hex chars (28 bits —
@@ -433,6 +502,8 @@ object Pipeline {
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_decontaminate_bloom" -> pipelineDecontaminateBloom,
     "pipeline_mix" -> pipelineMix,
+    "pipeline_source_temperature" -> pipelineSourceTemperature,
+    "pipeline_diverse_sample" -> pipelineDiverseSample,
     "pipeline_shard" -> pipelineShard,
     "pipeline_pack" -> pipelinePack)
 
@@ -456,6 +527,55 @@ object Pipeline {
       |GROUP BY c.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // integer-exact share chain replayed: exact counts → correctly-
+    // rounded sqrt micros → exact integer totals → integer-ratio
+    // divisions (boost from the already-rounded share columns, exactly
+    // as the plan computes it)
+    "pipeline_source_temperature" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |         CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+         |           AS sw_micros
+         |  FROM documents GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+         |         CAST(sum(sw_micros) AS BIGINT) AS tot_sw
+         |  FROM per
+         |), shares AS (
+         |  SELECT source, n_docs, n_chars,
+         |    CAST(round(n_docs * $TempShareScale / tot_docs) AS BIGINT)
+         |      AS raw_share_micros,
+         |    CAST(round(sw_micros * $TempShareScale / tot_sw) AS BIGINT)
+         |      AS temp_share_micros
+         |  FROM per CROSS JOIN tot
+         |)
+         |SELECT source, n_docs, n_chars, raw_share_micros,
+         |       temp_share_micros,
+         |       CAST(round(temp_share_micros * $TempShareScale
+         |            / raw_share_micros) AS BIGINT) AS boost_micros
+         |FROM shares""".stripMargin,
+    // IVF-cell assignment + the domain-separated content-hash pick,
+    // ranked per cell with the same (skey, vec_id) order
+    "pipeline_diverse_sample" ->
+      s"""WITH ${Similarity.centsCte}, assigned AS (
+         |  SELECT e.vec_id,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid
+         |     LIMIT 1) AS cluster
+         |  FROM embeddings e
+         |), keyed AS (
+         |  SELECT CAST(cluster AS INT) AS cluster, vec_id,
+         |    CAST(concat('0x', substr(md5(concat('diverse:',
+         |      CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) AS skey
+         |  FROM assigned
+         |)
+         |SELECT cluster, CAST(rn AS INT) AS rn, vec_id, skey FROM (
+         |  SELECT cluster, vec_id, skey,
+         |    row_number() OVER (PARTITION BY cluster
+         |                       ORDER BY skey, vec_id) AS rn
+         |  FROM keyed)
+         |WHERE rn <= $DiverseQuota""".stripMargin,
     "pipeline_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey,

@@ -532,6 +532,36 @@ class OperatorsSpec extends SparkSessionSpec {
     }
   }
 
+  test("sourceTemperatureOf flattens shares via sqrt (closed form)") {
+    // sources with 1/4/16 docs: sqrt-weights 1:2:4 → temp shares
+    // 1/7, 2/7, 4/7 vs raw 1/21, 4/21, 16/21
+    val docs = ((1 to 1).map(i => (i.toLong, "a", 10L)) ++
+      (2 to 5).map(i => (i.toLong, "b", 10L)) ++
+      (6 to 21).map(i => (i.toLong, "c", 10L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Pipeline.sourceTemperatureOf(docs)
+      .select("source", "n_docs", "raw_share_micros", "temp_share_micros",
+        "boost_micros")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", 1L, 47619L, 142857L, 3000000L),
+      ("b", 4L, 190476L, 285714L, 1500000L),
+      ("c", 16L, 761905L, 571429L, 750000L)))
+  }
+
+  test("pipelineDiverseSample keeps at most the quota per cell, dense ranks") {
+    val out = Pipeline.pipelineDiverseSample(spark, sf0001)
+      .select("cluster", "rn", "vec_id")
+      .as[(Int, Int, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._3).distinct.length == out.length, "no vec_id repeats")
+    out.groupBy(_._1).values.foreach { rows =>
+      assert(rows.length <= Pipeline.DiverseQuota)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"ranks must be dense 1..n within a cell")
+    }
+  }
+
   test("annRecall equals the independently-computed exact∩ivfpq overlap") {
     def results(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").as[(Long, Long)]
