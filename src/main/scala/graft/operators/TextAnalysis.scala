@@ -245,6 +245,128 @@ object TextAnalysis {
         coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
+  /** TRAINED NAIVE-BAYES LANGUAGE ID (model readout) — the fourth
+    * trained-model family (after k-means, BPE and the logreg quality
+    * classifier): an add-1-smoothed multinomial Naive Bayes trained
+    * in-engine on the corpus's own `lang` labels, upgrading the
+    * marker-list heuristic [[textLangId]] to a learned classifier.
+    * This query reads out the model's per-language normalization
+    * constants: document prior, token mass, and the unseen-token
+    * log-probability floor — each log in integer MICRO-NATS (the
+    * perplexity parity rule: round per term, never sum floats).
+    * Shape: two hash aggregations (per-lang doc and token counts) plus
+    * two broadcast 1-row aggregates (corpus size, |V|) — the model
+    * summary is O(languages) however large the corpus. */
+  def textLangIdTrain(spark: SparkSession, dir: String): DataFrame =
+    langIdTrainOf(t(spark, dir, "documents"))
+
+  /** Core of [[textLangIdTrain]] over any (doc_id, text, lang) frame. */
+  def langIdTrainOf(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("lang"), explode(toks).as("tok"))
+    val vocab = occ.agg(count_distinct(col("tok")).cast("double")
+      .as("v_size"))
+    val tot = docs.agg(count(lit(1)).cast("double").as("tot_docs"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(occ.groupBy(col("lang")).agg(count(lit(1)).as("n_toks")), "lang")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_toks"),
+        round(log(col("n_docs") / col("tot_docs")) * lit(1e6d))
+          .cast("long").as("prior_micros"),
+        round(log(lit(1.0d) / (col("n_toks") + col("v_size"))) * lit(1e6d))
+          .cast("long").as("lp0_micros"),
+        col("v_size").cast("long").as("v_size"))
+  }
+
+  /** TRAINED NAIVE-BAYES LANGUAGE ID (fit + predict) — every document
+    * scored under the [[langIdTrainOf]] model and assigned the argmax
+    * language, with the stored label riding along as an in-engine
+    * accuracy readout (`is_correct` — the ann_recall pattern: the
+    * evaluation lives on the same oracle board as the operator).
+    *
+    * The scoring join is SPARSE: a document's occurrences join the
+    * (token, lang) count model — rows exist only where a language has
+    * seen the token — and every unseen occurrence contributes the
+    * per-language constant floor, folded in arithmetically as
+    * (n_toks_doc − n_seen)·lp0. That keeps the joined stream at
+    * |occurrences|·(langs that know the token) rows instead of
+    * |vocab|·|langs| grid rows, with all per-term logs rounded to
+    * integer micro-nats BEFORE the per-doc-language sum (exact integer
+    * totals; argmax gates on integers, ties broken by language code).
+    * The token stream is persisted (model build and scoring both read
+    * it); the model-stats side is a 5-row broadcast; the only
+    * data-sized shuffles are the (tok, lang) count, the scoring join
+    * keyed on the token, and the per-(doc, lang) aggregation. */
+  def textLangIdNb(spark: SparkSession, dir: String): DataFrame =
+    langIdNbOf(t(spark, dir, "documents"))
+
+  /** Core of [[textLangIdNb]] over any (doc_id, text, lang) frame:
+    * fit the model on the frame, then score the same frame under it. */
+  def langIdNbOf(docs: DataFrame): DataFrame = {
+    val (lp, stats) = nbModelOf(docs)
+    scoreWithNbModel(docs, lp, stats)
+  }
+
+  /** Train the multinomial NB model: returns `(lp, stats)` —
+    * `lp (tok, cand_lang, lp_micros)` is the seen-token conditional
+    * table (rows only where a language has seen the token),
+    * `stats (cand_lang, n_toks, v_size, lp0_micros, prior_micros)` is
+    * the 5-row normalization-constant frame. The token stream is
+    * persisted (token totals and the count model both read it). */
+  def nbModelOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val occ = docs.select(col("lang"), explode(toks).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = occ.agg(count_distinct(col("tok")).cast("double")
+      .as("v_size"))
+    val tot = docs.agg(count(lit(1)).cast("double").as("tot_docs"))
+    val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(occ.groupBy(col("lang")).agg(count(lit(1)).as("n_toks")), "lang")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(tot))
+      .select(col("lang").as("cand_lang"), col("n_toks"), col("v_size"),
+        round(log(lit(1.0d) / (col("n_toks") + col("v_size"))) * lit(1e6d))
+          .cast("long").as("lp0_micros"),
+        round(log(col("n_docs") / col("tot_docs")) * lit(1e6d))
+          .cast("long").as("prior_micros"))
+    val lp = occ.groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("c"))
+      .withColumnRenamed("lang", "cand_lang")
+      .join(broadcast(stats.select(col("cand_lang"), col("n_toks"),
+        col("v_size"))), "cand_lang")
+      .select(col("tok"), col("cand_lang"),
+        round(log((col("c") + lit(1.0d)) / (col("n_toks") + col("v_size")))
+          * lit(1e6d)).cast("long").as("lp_micros"))
+    (lp, stats)
+  }
+
+  /** Stateless NB scoring of a (doc_id, text, lang) frame under a
+    * trained `(lp, stats)` model — shared by batch fit+predict and the
+    * streaming server (each micro-batch is a batch plan inside
+    * foreachBatch, so the same code serves both). The model joins are
+    * stream-safe: `lp` is keyed on the token (distributed hash join —
+    * the model is vocab-sized, never broadcast), `stats` is a 5-row
+    * broadcast. */
+  private[graft] def scoreWithNbModel(docs: DataFrame, lp: DataFrame,
+                                      stats: DataFrame): DataFrame = {
+    val seen = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .join(lp, "tok")
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("n_seen"), sum(col("lp_micros")).as("seen_micros"))
+    val docLen = docs.select(col("doc_id"), col("lang").as("true_lang"),
+      size(toks).cast("long").as("n_toks_doc"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ll_micros").desc, col("cand_lang"))
+    docLen
+      .crossJoin(broadcast(stats.select(col("cand_lang"), col("lp0_micros"),
+        col("prior_micros"))))
+      .join(seen, Seq("doc_id", "cand_lang"), "left")
+      .withColumn("ll_micros", coalesce(col("seen_micros"), lit(0L))
+        + (col("n_toks_doc") - coalesce(col("n_seen"), lit(0L)))
+          * col("lp0_micros")
+        + col("prior_micros"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"),
+        col("ll_micros"), col("true_lang"),
+        (col("cand_lang") === col("true_lang")).as("is_correct"))
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex count
     * (alnum runs — the subword-precursor segmentation). */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
@@ -829,6 +951,8 @@ object TextAnalysis {
     "text_quality_score_trained" -> textQualityScoreTrained,
     "text_quality_model" -> textQualityModel,
     "text_langid" -> textLangId,
+    "text_langid_train" -> textLangIdTrain,
+    "text_langid_nb" -> textLangIdNb,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfIdf)
@@ -1113,6 +1237,84 @@ object TextAnalysis {
          |             AS DOUBLE) / count(*), 6) AS rare_ratio
          |FROM bi JOIN model USING (bg)
          |GROUP BY doc_id""".stripMargin,
+    // the NB model's normalization constants replayed: per-lang doc and
+    // token counts, |V| over all documents, each log rounded to integer
+    // micro-nats independently (the perplexity rule)
+    "text_langid_train" ->
+      """WITH tk AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v_size FROM tk
+        |), tot AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS tot_docs FROM documents
+        |), nd AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        |), nt AS (
+        |  SELECT lang, count(*) AS n_toks FROM tk GROUP BY lang
+        |)
+        |SELECT nd.lang, nd.n_docs, nt.n_toks,
+        |  CAST(round(ln(CAST(nd.n_docs AS DOUBLE) / t.tot_docs) * 1e6)
+        |       AS BIGINT) AS prior_micros,
+        |  CAST(round(ln(1.0 / (nt.n_toks + v.v_size)) * 1e6)
+        |       AS BIGINT) AS lp0_micros,
+        |  CAST(v.v_size AS BIGINT) AS v_size
+        |FROM nd JOIN nt USING (lang)
+        |CROSS JOIN vocab v CROSS JOIN tot t""".stripMargin,
+    // fit + predict replayed: the sparse scoring identity — seen
+    // occurrences sum their per-term micro-nat logs, unseen ones fold
+    // in as (n_toks_doc − n_seen)·lp0 — then the same integer argmax
+    "text_langid_nb" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v_size FROM tk
+        |), tot AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS tot_docs FROM documents
+        |), stats AS (
+        |  SELECT nd.lang AS cand_lang,
+        |    CAST(nt.n_toks AS DOUBLE) AS n_toks, v.v_size,
+        |    CAST(round(ln(1.0 / (nt.n_toks + v.v_size)) * 1e6) AS BIGINT)
+        |      AS lp0_micros,
+        |    CAST(round(ln(CAST(nd.n_docs AS DOUBLE) / t.tot_docs) * 1e6)
+        |         AS BIGINT) AS prior_micros
+        |  FROM (SELECT lang, count(*) AS n_docs FROM documents
+        |        GROUP BY lang) nd
+        |  JOIN (SELECT lang, count(*) AS n_toks FROM tk GROUP BY lang) nt
+        |    USING (lang)
+        |  CROSS JOIN vocab v CROSS JOIN tot t
+        |), lp AS (
+        |  SELECT c.tok, c.lang AS cand_lang,
+        |    CAST(round(ln((c.c + 1.0) / (s.n_toks + s.v_size)) * 1e6)
+        |         AS BIGINT) AS lp_micros
+        |  FROM (SELECT tok, lang, count(*) AS c FROM tk
+        |        GROUP BY tok, lang) c
+        |  JOIN stats s ON s.cand_lang = c.lang
+        |), seen AS (
+        |  SELECT k.doc_id, l.cand_lang, count(*) AS n_seen,
+        |         CAST(sum(l.lp_micros) AS BIGINT) AS seen_micros
+        |  FROM tk k JOIN lp l ON k.tok = l.tok
+        |  GROUP BY k.doc_id, l.cand_lang
+        |), dl AS (
+        |  SELECT doc_id, lang AS true_lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks_doc
+        |  FROM documents
+        |), scored AS (
+        |  SELECT dl.doc_id, s.cand_lang, dl.true_lang,
+        |    coalesce(seen.seen_micros, 0)
+        |      + (dl.n_toks_doc - coalesce(seen.n_seen, 0)) * s.lp0_micros
+        |      + s.prior_micros AS ll_micros
+        |  FROM dl CROSS JOIN stats s
+        |  LEFT JOIN seen ON seen.doc_id = dl.doc_id
+        |                AND seen.cand_lang = s.cand_lang
+        |)
+        |SELECT doc_id, cand_lang AS pred_lang, ll_micros, true_lang,
+        |       (cand_lang = true_lang) AS is_correct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY ll_micros DESC, cand_lang) AS rn
+        |      FROM scored)
+        |WHERE rn = 1""".stripMargin,
     // the add-1 bigram LM replayed: same bigram stream, context counts,
     // |V| over all documents, and per-occurrence micro-nat rounding
     // BEFORE the per-doc sum (integer-exact totals, one ln + one final

@@ -513,4 +513,30 @@ object StreamingOps {
   def qualityScoreStream(docs: Dataset[SDocQ],
                          weights: Array[Double]): DataFrame =
     graft.operators.TextAnalysis.scoreWithWeights(docs.toDF(), weights)
+
+  /** STREAMING NB LANGUAGE-ID SERVING — the trained Naive-Bayes
+    * family's streaming counterpart (train-offline / serve-online,
+    * like [[qualityScoreStream]] for the logreg model): documents
+    * arrive on an unbounded source and each micro-batch is scored
+    * under the BATCH-TRAINED `(lp, stats)` model from
+    * [[graft.operators.TextAnalysis.nbModelOf]]. Unlike the logreg
+    * scorer the NB model is VOCAB-SIZED — not a literal weight vector
+    * — so per-doc scoring needs the model join and a per-doc argmax;
+    * `foreachBatch` is the right tool (the annIngestStream rule):
+    * inside it each micro-batch is a batch plan, so the scoring is
+    * LITERALLY the batch scorer
+    * ([[graft.operators.TextAnalysis.scoreWithNbModel]]) — stream ==
+    * batch row-for-row across arbitrary micro-batch splits
+    * (spec-pinned). Callers should persist `lp`/`stats` so the model
+    * isn't re-derived per micro-batch. */
+  def langIdServeStream(docs: Dataset[SDocQ], lp: DataFrame,
+                        stats: DataFrame)(onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SDocQ] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SDocQ], _: Long) =>
+        onBatch(graft.operators.TextAnalysis
+          .scoreWithNbModel(batch.toDF(), lp, stats))
+        ()
+      }
 }

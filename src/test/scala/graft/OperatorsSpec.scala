@@ -562,6 +562,44 @@ class OperatorsSpec extends SparkSessionSpec {
     }
   }
 
+  test("langIdNb learns a separable fixture (fit + predict + micro-nats)") {
+    // disjoint vocabularies: the NB model must classify every training
+    // doc correctly, and the winning log-likelihood must equal an
+    // independent scala-side replay of the micro-nat arithmetic
+    val docs = Seq(
+      (1L, "foo bar baz foo", "aa"), (2L, "bar baz bar", "aa"),
+      (3L, "qux quux corge qux", "bb"), (4L, "quux corge", "bb"),
+      (5L, "corge qux quux", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdNbOf(docs)
+      .select("doc_id", "pred_lang", "ll_micros", "is_correct")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(out.length == 5 && out.forall(_._4), s"all correct: ${out.toSeq}")
+    // replay doc 2 ("bar baz bar", lang aa) by hand: V = 6,
+    // n_toks(aa) = 7; c(bar|aa) = 3, c(baz|aa) = 2; prior = ln(2/5)
+    def lp(c: Long) = math.round(math.log((c + 1.0) / (7 + 6.0)) * 1e6)
+    val expected = 2 * lp(3) + lp(2) + math.round(math.log(2.0 / 5) * 1e6)
+    assert(out.find(_._1 == 2L).get._3 == expected)
+  }
+
+  test("langIdTrain readout matches a scala-side replay of the constants") {
+    val docs = Seq(
+      (1L, "foo bar", "aa"), (2L, "foo", "aa"), (3L, "baz qux baz", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdTrainOf(docs)
+      .select("lang", "n_docs", "n_toks", "prior_micros", "lp0_micros",
+        "v_size")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // V = 4 distinct tokens overall
+    assert(out("aa") == ("aa", 2L, 3L,
+      math.round(math.log(2.0 / 3) * 1e6),
+      math.round(math.log(1.0 / (3 + 4.0)) * 1e6), 4L))
+    assert(out("bb") == ("bb", 1L, 3L,
+      math.round(math.log(1.0 / 3) * 1e6),
+      math.round(math.log(1.0 / (3 + 4.0)) * 1e6), 4L))
+  }
+
   test("annRecall equals the independently-computed exact∩ivfpq overlap") {
     def results(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").as[(Long, Long)]

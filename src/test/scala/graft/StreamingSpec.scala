@@ -666,6 +666,40 @@ class StreamingSpec extends SparkSessionSpec {
     assert(got == batch)
   }
 
+  test("langIdServeStream with a batch-trained NB model equals batch predict") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    // train offline: the same (lp, stats) model batch fit+predict uses,
+    // persisted so micro-batches don't re-derive it
+    val (lp, stats) = graft.operators.TextAnalysis.nbModelOf(docsDf)
+    lp.persist(); stats.persist()
+    try {
+      val batch = graft.operators.TextAnalysis
+        .scoreWithNbModel(docsDf, lp, stats)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val rows = docsDf.as[(Long, String, String)].collect()
+        .map { case (id, t, l) => StreamingOps.SDocQ(id, t, l) }
+      val got = scala.collection.mutable.Set[(Long, String, Long)]()
+      val mem = MemoryStream[StreamingOps.SDocQ]
+      val q = StreamingOps.langIdServeStream(mem.toDS(), lp, stats) { out =>
+        got ++= out.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      }.start()
+      try {
+        // three arbitrary micro-batch splits: scoring is stateless per
+        // doc, so the union must equal one batch pass
+        val (a, rest) = rows.splitAt(rows.length / 3)
+        val (b, c) = rest.splitAt(rest.length / 3)
+        mem.addData(a.toSeq); q.processAllAvailable()
+        mem.addData(b.toSeq); q.processAllAvailable()
+        mem.addData(c.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      assert(got.toSet == batch)
+    } finally { lp.unpersist(); stats.unpersist() }
+  }
+
   test("runningUserMoments (Welford) final state equals batch avg/var_samp") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
