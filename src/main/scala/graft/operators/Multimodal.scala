@@ -252,10 +252,12 @@ object Multimodal {
       (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
-    def decode(docId: Long, b: Array[Byte]): Option[BmpInfo] = {
+    /** Validated header geometry: (width, height, topDown, dataOffset,
+      * stride). All guards in LONG arithmetic: a hostile 32-bit field
+      * must fail here, not wrap negative and index b(-1). */
+    private def header(b: Array[Byte])
+        : Option[(Int, Int, Boolean, Int, Int)] = {
       if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
-      // header fields validated in LONG arithmetic: a hostile 32-bit
-      // field must fail the guards, not wrap negative and index b(-1)
       val dataOffsetL = u32(b, 10)
       val biSize = u32(b, 14)
       val widthL = u32(b, 18)
@@ -267,25 +269,68 @@ object Multimodal {
       if (dataOffsetL < 54 || dataOffsetL > b.length) return None
       val width = widthL.toInt
       val height = heightL.toInt
-      val dataOffset = dataOffsetL.toInt
       val stride = ((width * 3 + 3) / 4) * 4
       if (dataOffsetL + stride.toLong * height > b.length) return None
-      val sums = new Array[Long](3)
-      var r = 0
-      while (r < height) {
-        val rowStart = dataOffset + r * stride
-        var j = 0
-        while (j < width * 3) {
-          sums(j % 3) += b(rowStart + j) & 0xff
-          j += 1
-        }
-        r += 1
-      }
-      val n = width.toLong * height
-      Some(BmpInfo(docId, width, height, n, b.length.toLong,
-        sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n))
+      Some((width, height, hRaw < 0, dataOffsetL.toInt, stride))
     }
+
+    def decode(docId: Long, b: Array[Byte]): Option[BmpInfo] =
+      header(b).map { case (width, height, _, dataOffset, stride) =>
+        val sums = new Array[Long](3)
+        var r = 0
+        while (r < height) {
+          val rowStart = dataOffset + r * stride
+          var j = 0
+          while (j < width * 3) {
+            sums(j % 3) += b(rowStart + j) & 0xff
+            j += 1
+          }
+          r += 1
+        }
+        val n = width.toLong * height
+        BmpInfo(docId, width, height, n, b.length.toLong,
+          sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
+
+    /** REAL nearest-neighbor downsample run against the decoded image:
+      * output pixel (x, y) reads input pixel (f·x, f·y) in TOP-DOWN
+      * image space — bottom-up storage maps image row y to stored row
+      * h−1−y, so the kernel honors row order and stride padding exactly
+      * like [[decode]]. Emits the resized geometry plus per-channel
+      * means over the RESIZED pixels (a feature a thumbnail pipeline
+      * would index). */
+    def decodeResized(docId: Long, b: Array[Byte],
+                      f: Int): Option[BmpResizeInfo] =
+      header(b).map { case (width, height, topDown, dataOffset, stride) =>
+        val ow = (width + f - 1) / f
+        val oh = (height + f - 1) / f
+        val sums = new Array[Long](3)
+        var y = 0
+        while (y < oh) {
+          val iy = y * f
+          val fr = if (topDown) iy else height - 1 - iy
+          val rowStart = dataOffset + fr * stride
+          var x = 0
+          while (x < ow) {
+            val jBase = x * f * 3
+            var c = 0
+            while (c < 3) {
+              sums(c) += b(rowStart + jBase + c) & 0xff
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val n = ow.toLong * oh
+        BmpResizeInfo(docId, width, height, ow, oh, n,
+          sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
   }
+
+  final case class BmpResizeInfo(doc_id: Long, width: Int, height: Int,
+                                 out_w: Int, out_h: Int, n_pixels_out: Long,
+                                 mean_b: Double, mean_g: Double, mean_r: Double)
 
   /** Decode a BMP binary column per-partition — same one-decoder-per-
     * task shape as [[decodeWav]]; non-BMP blobs are dropped. */
@@ -352,6 +397,37 @@ object Multimodal {
         round(col("mean_b"), 6).as("mean_b"),
         round(col("mean_g"), 6).as("mean_g"),
         round(col("mean_r"), 6).as("mean_r"))
+
+  val ResizeFactor = 2
+
+  /** IMAGE RESIZE over the binary column — the resize step of the
+    * decode / feature-extract / resize / frame-sample multimodal
+    * quartet: each blob decodes through the real [[BmpDecoder]] and a
+    * nearest-neighbor factor-[[ResizeFactor]] downsample kernel runs
+    * against the decoded image ([[BmpDecoder.decodeResized]] — honors
+    * bottom-up row order and stride padding), emitting the resized
+    * geometry and per-channel means over the SAMPLED pixels. Same
+    * mapPartitions shape as every codec: one decoder per task,
+    * embarrassingly parallel, undecodable blobs dropped. The pixel
+    * function is closed-form in (doc_id, row, byte), so the oracle
+    * re-derives the sampled-pixel sums exactly. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    bmpMedia(spark, dir)
+      .mapPartitions(_.flatMap(m =>
+        BmpDecoder.decodeResized(m.doc_id, m.blob, ResizeFactor)))
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("out_w").cast("long").as("out_w"),
+        col("out_h").cast("long").as("out_h"),
+        col("n_pixels_out"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_r"), 6).as("mean_r"))
+  }
 
   // ---------------------------------------------------------------------
   // Real decoder #3: PNG (grayscale 8-bit) — the first COMPRESSED
@@ -581,6 +657,7 @@ object Multimodal {
     "mm_frames" -> mmFrames,
     "mm_wav" -> mmWav,
     "mm_bmp" -> mmBmp,
+    "mm_resize" -> mmResize,
     "mm_png" -> mmPng,
     "mm_decode" -> mmDecode)
 
@@ -629,6 +706,31 @@ object Multimodal {
         |         WHERE g.i < h*w*3 AND (g.i % (w*3)) % 3 = 2) / (w*h*1.0), 6) AS mean_r
         |FROM (SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
         |      FROM documents)""".stripMargin,
+    // the resize kernel replayed: sampled image rows map to stored
+    // rows h-1-2y (bottom-up), sampled pixels sit at byte 6x+c; the
+    // flattened series indexes (y, x) as (i // ow, i % ow)
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(ow AS BIGINT) AS out_w,
+        |  CAST(oh AS BIGINT) AS out_h,
+        |  CAST(ow * oh AS BIGINT) AS n_pixels_out,
+        |  round((SELECT sum((doc_id*7 + (h-1-(g.i // ow)*2)*31
+        |                     + ((g.i % ow)*6 + 0)*13) % 251)
+        |         FROM generate_series(0, 11) g(i)
+        |         WHERE g.i < ow*oh) / (ow*oh*1.0), 6) AS mean_b,
+        |  round((SELECT sum((doc_id*7 + (h-1-(g.i // ow)*2)*31
+        |                     + ((g.i % ow)*6 + 1)*13) % 251)
+        |         FROM generate_series(0, 11) g(i)
+        |         WHERE g.i < ow*oh) / (ow*oh*1.0), 6) AS mean_g,
+        |  round((SELECT sum((doc_id*7 + (h-1-(g.i // ow)*2)*31
+        |                     + ((g.i % ow)*6 + 2)*13) % 251)
+        |         FROM generate_series(0, 11) g(i)
+        |         WHERE g.i < ow*oh) / (ow*oh*1.0), 6) AS mean_r
+        |FROM (SELECT doc_id, w, h, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh
+        |      FROM (SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+        |            FROM documents))""".stripMargin,
     // geometry/depth in closed form; mean_px re-derives the gray8 pixel
     // stream (the mm_bmp function, single channel) — the zlib/filter
     // round-trip must land on exactly these values

@@ -299,6 +299,55 @@ object RelationalQueries {
         sum(col("price")).cast("double").as("total_price"))
   }
 
+  val CmsD = 4
+  val CmsW = 1024L
+  val CmsTopK = 20
+
+  /** COUNT-MIN SKETCH heavy hitters — the frequency-estimation member
+    * of the sketch family (HLL++ = distinct counts, CMS = per-key
+    * counts): a D×W grid of integer cells where every row increments
+    * one bucket per hash row, and a key's estimate is the MIN over its
+    * D cells. The sketch is FIXED-SIZE by construction (D·W = 4096
+    * cells regardless of input rows), so at 100 TB it behaves like a
+    * broadcastable aggregate: one hash aggregation over D·n (key, d,
+    * bucket) increments, then the estimate join probes the 4096-cell
+    * grid broadcast-side. The md5-derived bucket hash is replayable in
+    * the oracle, and every output column is exact-integer arithmetic —
+    * the one-sided error witness cross-multiplies
+    * (est−exact)·W ≤ 2·n instead of dividing, so no float ever
+    * appears. Estimates never undercount (structural CMS property,
+    * also emitted as a witness column). */
+  def qCmsTopK(spark: SparkSession, dir: String): DataFrame =
+    cmsTopKOf(t(spark, dir, "lineitem").select(col("l_suppkey")
+      .cast("long").as("key")))
+
+  /** Core of [[qCmsTopK]] over any single-column `key` frame. */
+  def cmsTopKOf(keys: DataFrame): DataFrame = {
+    def buckets = array((0 until CmsD).map { d =>
+      struct(lit(d).as("d"),
+        pmod(conv(substring(md5(concat(lit(s"cms$d:"),
+          col("key").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(CmsW)).as("bucket"))
+    }: _*)
+    val cms = keys.select(explode(buckets).as("h"))
+      .groupBy(col("h.d").as("d"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val n = keys.agg(count(lit(1)).as("n_total"))
+    val top = keys.groupBy(col("key")).agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col("key")).limit(CmsTopK)
+    top.select(col("key"), col("exact_c"), explode(buckets).as("h"))
+      .select(col("key"), col("exact_c"), col("h.d").as("d"),
+        col("h.bucket").as("bucket"))
+      .join(broadcast(cms), Seq("d", "bucket"))
+      .groupBy(col("key"), col("exact_c"))
+      .agg(min(col("cell")).as("est_c"))
+      .crossJoin(broadcast(n))
+      .select(col("key"), col("exact_c"), col("est_c"),
+        (col("est_c") >= col("exact_c")).as("never_undercounts"),
+        ((col("est_c") - col("exact_c")) * lit(CmsW) <=
+          lit(2L) * col("n_total")).as("within_bound"))
+  }
+
   /** The REGISTERED `q_approx_distinct`: the HLL++ sketch runs inside
     * a hash-checkable accuracy witness — EXACT distinct counts plus
     * booleans asserting the estimate lands within ±5% of them. The
@@ -746,6 +795,7 @@ object RelationalQueries {
     "q_window_top_orders" -> qWindowTopOrders,
     "q_topk" -> qTopK,
     "q_topk_native" -> qTopKNative,
+    "q_cms_topk" -> qCmsTopK,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
     "q_rollup" -> qRollup,
@@ -1056,6 +1106,42 @@ object RelationalQueries {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+    // the CMS replayed cell-for-cell: same md5 bucket hash, same D×W
+    // grid, same min-over-rows estimate; the error witness is the
+    // cross-multiplied integer form, so no float appears anywhere
+    "q_cms_topk" ->
+      s"""WITH keys AS (
+         |  SELECT CAST(l_suppkey AS BIGINT) AS key FROM lineitem
+         |), h AS (
+         |  SELECT key, d,
+         |    CAST(concat('0x', substr(md5(concat('cms', CAST(d AS VARCHAR),
+         |      ':', CAST(key AS VARCHAR))), 1, 8)) AS BIGINT) % $CmsW
+         |      AS bucket
+         |  FROM keys
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${CmsD - 1})) AS d)
+         |), cms AS (
+         |  SELECT d, bucket, count(*) AS cell FROM h GROUP BY d, bucket
+         |), n AS (
+         |  SELECT count(*) AS n_total FROM keys
+         |), top AS (
+         |  SELECT key, count(*) AS exact_c FROM keys GROUP BY key
+         |  ORDER BY exact_c DESC, key LIMIT $CmsTopK
+         |), tb AS (
+         |  SELECT t.key, t.exact_c, d,
+         |    CAST(concat('0x', substr(md5(concat('cms', CAST(d AS VARCHAR),
+         |      ':', CAST(t.key AS VARCHAR))), 1, 8)) AS BIGINT) % $CmsW
+         |      AS bucket
+         |  FROM top t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${CmsD - 1})) AS d)
+         |), est AS (
+         |  SELECT tb.key, tb.exact_c, min(c.cell) AS est_c
+         |  FROM tb JOIN cms c ON c.d = tb.d AND c.bucket = tb.bucket
+         |  GROUP BY tb.key, tb.exact_c
+         |)
+         |SELECT key, exact_c, est_c,
+         |  (est_c >= exact_c) AS never_undercounts,
+         |  ((est_c - exact_c) * $CmsW <= 2 * n.n_total) AS within_bound
+         |FROM est CROSS JOIN n""".stripMargin,
     "q_semi_join" ->
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -562,6 +562,19 @@ class OperatorsSpec extends SparkSessionSpec {
     }
   }
 
+  test("cmsTopKOf never undercounts and is exact on a collision-free fixture") {
+    val keys = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("key")
+    val out = RelationalQueries.cmsTopKOf(keys)
+      .select("key", "exact_c", "est_c", "never_undercounts", "within_bound")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toSet
+    // 3 keys × 4 hash rows in 1024 buckets: no collisions, so the min
+    // cell IS the exact count and both witnesses hold
+    assert(out == Set(
+      (1L, 5L, 5L, true, true),
+      (2L, 3L, 3L, true, true),
+      (3L, 1L, 1L, true, true)))
+  }
+
   test("langIdNb learns a separable fixture (fit + predict + micro-nats)") {
     // disjoint vocabularies: the NB model must classify every training
     // doc correctly, and the winning log-likelihood must equal an
@@ -776,6 +789,36 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(math.abs(info.mean_b - mean(0)) < 1e-12)
     assert(math.abs(info.mean_g - mean(1)) < 1e-12)
     assert(math.abs(info.mean_r - mean(2)) < 1e-12)
+  }
+
+  test("decodeResized: factor-1 equals decode; factor-2 samples image space") {
+    val blobs = operators.Multimodal.bmpMedia(spark, sf0001)
+      .collect().sortBy(_.doc_id).take(10)
+    blobs.foreach { m =>
+      // factor 1 is the identity resize: geometry and means must equal
+      // the plain decoder's
+      val d = operators.Multimodal.BmpDecoder.decode(m.doc_id, m.blob).get
+      val r1 = operators.Multimodal.BmpDecoder
+        .decodeResized(m.doc_id, m.blob, 1).get
+      assert((r1.out_w, r1.out_h) == (d.width, d.height))
+      assert(math.abs(r1.mean_b - d.mean_b) < 1e-12 &&
+        math.abs(r1.mean_g - d.mean_g) < 1e-12 &&
+        math.abs(r1.mean_r - d.mean_r) < 1e-12)
+      // factor 2: ceil geometry, and means re-derived from the pixel fn
+      // sampling stored rows h-1-2y (bottom-up) at bytes 6x+c
+      val r2 = operators.Multimodal.BmpDecoder
+        .decodeResized(m.doc_id, m.blob, 2).get
+      val (w, h) = (d.width, d.height)
+      assert((r2.out_w, r2.out_h) == ((w + 1) / 2, (h + 1) / 2))
+      def mean(ch: Int): Double =
+        (for { y <- 0 until r2.out_h; x <- 0 until r2.out_w }
+          yield (m.doc_id * 7 + (h - 1 - 2 * y) * 31 +
+            (6 * x + ch) * 13) % 251)
+          .sum.toDouble / (r2.out_w * r2.out_h)
+      assert(math.abs(r2.mean_b - mean(0)) < 1e-12)
+      assert(math.abs(r2.mean_g - mean(1)) < 1e-12)
+      assert(math.abs(r2.mean_r - mean(2)) < 1e-12)
+    }
   }
 
   test("urlCanonical collapses tracking variants but keeps real params") {
