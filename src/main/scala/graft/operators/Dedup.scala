@@ -30,6 +30,15 @@ object Dedup {
     transform(sequence(lit(1), size(tokens) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*))
 
+  /** [[shingleCol]] with the 1-based start position carried alongside
+    * each shingle (`struct(i, span)`) — for operators that need to map
+    * a span hit back to the token range it covers. */
+  def shinglePosCol(tokens: Column, n: Int): Column =
+    transform(sequence(lit(1), size(tokens) - (n - 1)),
+      i => struct(i.as("i"),
+        concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*)
+          .as("span")))
+
   /** One 28-bit base hash per shingle (first 7 md5 hex chars). The
     * minhash family is Broder-style: a SINGLE md5 per shingle plus an
     * affine permutation (aᵢ·h + bᵢ) mod p per hash function — 8× less
@@ -98,6 +107,54 @@ object Dedup {
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
           .as("dup_ratio"))
+  }
+
+  /** EXACT-SUBSTRING SCRUB — the REMOVAL form of
+    * [[dedupSpanCoverage]] (the "deduplicating training data" recipe:
+    * don't drop whole near-dup documents, cut the verbatim-repeated
+    * passages out of them): every token covered by ANY [[SpanN]]-token
+    * span that appears verbatim in ≥2 documents is removed, and the
+    * document is rebuilt from the surviving tokens in order. Shape:
+    * span instances carry their 1-based start position; carrier counts
+    * come from the per-doc-distinct span relation (one hash agg);
+    * duplicated instances explode to their covered positions (×SpanN,
+    * a constant factor); the kept tokens anti-join that position set
+    * and re-assemble per doc via a sorted collect (positions are
+    * unique within a doc, so the rebuild is deterministic). Everything
+    * is keyed on span or (doc_id, pos) — linear, no pairwise work. */
+  def dedupSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    spanScrubOf(t(spark, dir, "documents"))
+
+  /** Core of [[dedupSpanScrub]] over any (doc_id, text) frame. */
+  def spanScrubOf(docs: DataFrame): DataFrame = {
+    val toksDf = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= SpanN)
+    val inst = toksDf
+      .select(col("doc_id"),
+        explode(shinglePosCol(col("toks"), SpanN)).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.span").as("span"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val carriers = inst.select(col("doc_id"), col("span")).distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+    val dupPos = inst.join(carriers.where(col("n_docs") >= 2), "span")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (SpanN - 1))).as("pos"))
+      .distinct()
+    val tokens = toksDf
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val keptAgg = tokens.join(dupPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("scrubbed_text"))
+    toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
   }
 
   val MinhashBands = 4
@@ -524,6 +581,7 @@ object Dedup {
     "dedup_url" -> dedupUrl,
     "dedup_exact" -> dedupExact,
     "dedup_span_coverage" -> dedupSpanCoverage,
+    "dedup_span_scrub" -> dedupSpanScrub,
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
@@ -540,6 +598,24 @@ object Dedup {
       val (a1, b1) = hashCoeffs(b * RowsPerBand + 1)
       s"($b, $a0, $b0, $a1, $b1)"
     }.mkString(", ")
+
+  /** Recursive connected-components CTE suffix over [[shCte]]'s
+    * `pairs` relation: `comp` maps every doc that appears in a
+    * candidate pair to its component min. Callers must prepend
+    * [[shCte]] with its `WITH` promoted to `WITH RECURSIVE`. */
+  private[operators] lazy val compCte =
+    s"""edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION
+      |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+      |), reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |), comp AS (
+      |  SELECT src AS doc, least(src, min(dst)) AS component
+      |  FROM reach GROUP BY src
+      |)""".stripMargin
 
   private[operators] lazy val shCte =
     s"""WITH sh AS (
@@ -672,21 +748,57 @@ object Dedup {
          |FROM s JOIN carriers USING (span)
          |GROUP BY doc_id""".stripMargin
     },
+    // the scrub replayed: span instances with 1-based starts, carrier
+    // counts over the per-doc-distinct spans, covered positions
+    // exploded and DISTINCT'd, kept tokens re-assembled in position
+    // order (string_agg ORDER BY = the sorted-collect rebuild)
+    "dedup_span_scrub" -> {
+      val terms = (0 until SpanN).map(j => s"t[i+$j]").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $SpanN
+         |), inst AS (
+         |  SELECT doc_id, u.i AS i, u.span AS span FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(t)-${SpanN - 1}),
+         |        i -> {'i': i, 'span': concat_ws(' ', $terms)})) AS u
+         |    FROM d)
+         |), carriers AS (
+         |  SELECT span, count(*) AS n_docs
+         |  FROM (SELECT DISTINCT doc_id, span FROM inst) GROUP BY span
+         |), dup AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT i.doc_id,
+         |           unnest(generate_series(i.i, i.i + ${SpanN - 1})) AS pos
+         |    FROM inst i JOIN carriers c USING (span)
+         |    WHERE c.n_docs >= 2)
+         |), toks AS (
+         |  SELECT doc_id, u.i AS pos, u.tok AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+         |      i -> {'i': i, 'tok': t[i]})) AS u
+         |    FROM d)
+         |), kept AS (
+         |  SELECT k.doc_id, k.pos, k.tok FROM toks k
+         |  WHERE NOT EXISTS (SELECT 1 FROM dup
+         |                    WHERE dup.doc_id = k.doc_id
+         |                      AND dup.pos = k.pos)
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT d2.doc_id, d2.n_toks,
+         |       d2.n_toks - coalesce(a.n_kept, 0) AS n_removed,
+         |       coalesce(a.scrubbed_text, '') AS scrubbed_text
+         |FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM d) d2
+         |LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
     "dedup_minhash" ->
       s"""$shCte
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
     "dedup_components" ->
-      s"""${shCte.replace("WITH sh AS", "WITH RECURSIVE sh AS")}, edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
-         |), reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         |)
-         |SELECT src AS doc, least(src, min(dst)) AS component
-         |FROM reach GROUP BY src""".stripMargin,
+      s"""${shCte.replace("WITH sh AS", "WITH RECURSIVE sh AS")}, $compCte
+         |SELECT doc, component FROM comp""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$shCte
          |SELECT p.doc_a, p.doc_b,

@@ -326,6 +326,47 @@ object Pipeline {
         sum(when(col("leak_id").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
   }
 
+  /** GROUP-AWARE (leakage-free) SPLIT — the repair
+    * [[pipelineSplit]]'s doc comment promises ("a leakage-free
+    * pipeline splits near-dup CLUSTERS, not docs"): the split hash is
+    * taken over each document's near-dup COMPONENT representative
+    * ([[Dedup.dedupComponents]] — the same LSH pair relation, closed
+    * transitively; singletons represent themselves), so every member
+    * of a duplicate cluster lands in the same split BY CONSTRUCTION
+    * and the same leakage audit that indicts the naive split must
+    * read zero. The component relation is linear (LSH-bucketed pairs,
+    * O(log D) pointer-jump rounds), the representative lookup is one
+    * equi join, and the audit is the identical two-join + hash-agg
+    * report — same scale posture as the naive split, with the
+    * n_leaked column proving the fix rather than the bug. */
+  def pipelineSplitGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.dedupComponents(spark, dir)
+    val withSplit = t(spark, dir, "documents")
+      .join(comp, col("doc_id") === col("doc"), "left")
+      .withColumn("rep", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("gsplit:"), col("rep").cast("string"))),
+          1, 7), 16, 10).cast("long") % SplitBuckets)
+      .withColumn("split",
+        when(col("bucket") < SplitBuckets - 2, "train")
+          .when(col("bucket") === SplitBuckets - 2, "val")
+          .otherwise("test"))
+    val pairs = Dedup.dedupMinhash(spark, dir)
+    val edges = pairs.select(col("doc_a").as("d"), col("doc_b").as("o"))
+      .union(pairs.select(col("doc_b").as("d"), col("doc_a").as("o")))
+    val splits = withSplit.select(col("doc_id"), col("split"))
+    val leaky = edges
+      .join(splits.select(col("doc_id").as("d"), col("split").as("s_d")), "d")
+      .join(splits.select(col("doc_id").as("o"), col("split").as("s_o")), "o")
+      .where(col("s_d") =!= col("s_o"))
+      .select(col("d").as("leak_id")).distinct()
+    withSplit.join(leaky, col("doc_id") === col("leak_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("split_chars"),
+        sum(when(col("leak_id").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+  }
+
   /** Incremental ingest — the daily-batch admission check: a DELTA
     * slice (doc_id % 10 == 0 here; a real run reads yesterday's
     * partition) is screened against the BASE corpus before joining it.
@@ -499,6 +540,7 @@ object Pipeline {
     "pipeline_ingest" -> pipelineIngest,
     "pipeline_filter" -> pipelineFilter,
     "pipeline_split" -> pipelineSplit,
+    "pipeline_split_grouped" -> pipelineSplitGrouped,
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_decontaminate_bloom" -> pipelineDecontaminateBloom,
     "pipeline_mix" -> pipelineMix,
@@ -721,6 +763,35 @@ object Pipeline {
          |            CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT)
          |            % $SplitBuckets AS b
          |        FROM documents)
+         |), leaky AS (
+         |  SELECT DISTINCT e.d FROM (
+         |    SELECT doc_a AS d, doc_b AS o FROM pairs
+         |    UNION ALL SELECT doc_b, doc_a FROM pairs) e
+         |  JOIN ws wa ON e.d = wa.doc_id
+         |  JOIN ws wb ON e.o = wb.doc_id
+         |  WHERE wa.split <> wb.split
+         |)
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS split_chars,
+         |       CAST(sum(CASE WHEN doc_id IN (SELECT d FROM leaky)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+         |FROM ws GROUP BY split""".stripMargin,
+    // the grouped split replayed: component representative from the
+    // recursive-CTE closure of the same pairs, split hash over the
+    // representative, and the identical leakage audit (which must now
+    // count zero)
+    "pipeline_split_grouped" ->
+      s"""${Dedup.shCte.replace("WITH sh AS", "WITH RECURSIVE sh AS")},
+         |${Dedup.compCte}, ws AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN b < ${SplitBuckets - 2} THEN 'train'
+         |         WHEN b = ${SplitBuckets - 2} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT d.doc_id, d.n_chars,
+         |          CAST(concat('0x', substr(md5(concat('gsplit:',
+         |            CAST(coalesce(c.component, d.doc_id) AS VARCHAR))),
+         |            1, 7)) AS BIGINT) % $SplitBuckets AS b
+         |        FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id)
          |), leaky AS (
          |  SELECT DISTINCT e.d FROM (
          |    SELECT doc_a AS d, doc_b AS o FROM pairs

@@ -321,12 +321,14 @@ object RelationalQueries {
     cmsTopKOf(t(spark, dir, "lineitem").select(col("l_suppkey")
       .cast("long").as("key")))
 
-  /** Core of [[qCmsTopK]] over any single-column `key` frame. */
+  /** Core of [[qCmsTopK]] over any single-column `key` frame. ONE md5
+    * per row, sliced into [[CmsD]] disjoint 8-hex-char (32-bit)
+    * windows — the D hash rows cost one hash evaluation, not D. */
   def cmsTopKOf(keys: DataFrame): DataFrame = {
     def buckets = array((0 until CmsD).map { d =>
       struct(lit(d).as("d"),
-        pmod(conv(substring(md5(concat(lit(s"cms$d:"),
-          col("key").cast("string"))), 1, 8), 16, 10).cast("long"),
+        pmod(conv(substring(md5(concat(lit("cms:"),
+          col("key").cast("string"))), 1 + 8 * d, 8), 16, 10).cast("long"),
           lit(CmsW)).as("bucket"))
     }: _*)
     val cms = keys.select(explode(buckets).as("h"))
@@ -1106,17 +1108,18 @@ object RelationalQueries {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
-    // the CMS replayed cell-for-cell: same md5 bucket hash, same D×W
-    // grid, same min-over-rows estimate; the error witness is the
+    // the CMS replayed cell-for-cell: ONE md5 per key sliced into D
+    // 32-bit windows (the plan's hashing-cost trick), same D×W grid,
+    // same min-over-rows estimate; the error witness is the
     // cross-multiplied integer form, so no float appears anywhere
     "q_cms_topk" ->
       s"""WITH keys AS (
          |  SELECT CAST(l_suppkey AS BIGINT) AS key FROM lineitem
          |), h AS (
          |  SELECT key, d,
-         |    CAST(concat('0x', substr(md5(concat('cms', CAST(d AS VARCHAR),
-         |      ':', CAST(key AS VARCHAR))), 1, 8)) AS BIGINT) % $CmsW
-         |      AS bucket
+         |    CAST(concat('0x', substr(md5(concat('cms:',
+         |      CAST(key AS VARCHAR))), CAST(1 + 8 * d AS INT), 8))
+         |      AS BIGINT) % $CmsW AS bucket
          |  FROM keys
          |  CROSS JOIN (SELECT unnest(generate_series(0, ${CmsD - 1})) AS d)
          |), cms AS (
@@ -1128,9 +1131,9 @@ object RelationalQueries {
          |  ORDER BY exact_c DESC, key LIMIT $CmsTopK
          |), tb AS (
          |  SELECT t.key, t.exact_c, d,
-         |    CAST(concat('0x', substr(md5(concat('cms', CAST(d AS VARCHAR),
-         |      ':', CAST(t.key AS VARCHAR))), 1, 8)) AS BIGINT) % $CmsW
-         |      AS bucket
+         |    CAST(concat('0x', substr(md5(concat('cms:',
+         |      CAST(t.key AS VARCHAR))), CAST(1 + 8 * d AS INT), 8))
+         |      AS BIGINT) % $CmsW AS bucket
          |  FROM top t
          |  CROSS JOIN (SELECT unnest(generate_series(0, ${CmsD - 1})) AS d)
          |), est AS (

@@ -562,6 +562,31 @@ class OperatorsSpec extends SparkSessionSpec {
     }
   }
 
+  test("span scrub removes exactly the cross-doc duplicated span tokens") {
+    val s = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 $s z1"),            // span at pos 2..9 → keeps a1 z1
+      (2L, s),                      // fully covered → empty
+      (3L, (1 to 9).map(i => s"b$i").mkString(" "))) // unique → untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.spanScrubOf(docs)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 10L, 8L, "a1 z1"),
+      (2L, 8L, 8L, ""),
+      (3L, 9L, 0L, (1 to 9).map(i => s"b$i").mkString(" "))))
+  }
+
+  test("grouped split has zero leakage by construction") {
+    val out = Pipeline.pipelineSplitGrouped(spark, sf0001)
+      .select("split", "n_docs", "n_leaked")
+      .as[(String, Long, Long)].collect()
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    assert(out.map(_._2).sum == 500L, "every doc lands in some split")
+    assert(out.forall(_._3 == 0L),
+      s"near-dup partners must never straddle splits: ${out.toSeq}")
+  }
+
   test("cmsTopKOf never undercounts and is exact on a collision-free fixture") {
     val keys = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("key")
     val out = RelationalQueries.cmsTopKOf(keys)
