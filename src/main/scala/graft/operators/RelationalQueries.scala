@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -321,16 +321,20 @@ object RelationalQueries {
     cmsTopKOf(t(spark, dir, "lineitem").select(col("l_suppkey")
       .cast("long").as("key")))
 
-  /** Core of [[qCmsTopK]] over any single-column `key` frame. ONE md5
-    * per row, sliced into [[CmsD]] disjoint 8-hex-char (32-bit)
-    * windows — the D hash rows cost one hash evaluation, not D. */
-  def cmsTopKOf(keys: DataFrame): DataFrame = {
-    def buckets = array((0 until CmsD).map { d =>
+  /** The D (d, bucket) probes for one key — ONE md5 per key sliced
+    * into [[CmsD]] disjoint 8-hex-char (32-bit) windows, so the D
+    * hash rows cost one hash evaluation, not D. Shared by the batch
+    * sketch and the streaming maintainer. */
+  private[graft] def cmsBuckets(key: Column): Column =
+    array((0 until CmsD).map { d =>
       struct(lit(d).as("d"),
-        pmod(conv(substring(md5(concat(lit("cms:"),
-          col("key").cast("string"))), 1 + 8 * d, 8), 16, 10).cast("long"),
-          lit(CmsW)).as("bucket"))
+        pmod(conv(substring(md5(concat(lit("cms:"), key.cast("string"))),
+          1 + 8 * d, 8), 16, 10).cast("long"), lit(CmsW)).as("bucket"))
     }: _*)
+
+  /** Core of [[qCmsTopK]] over any single-column `key` frame. */
+  def cmsTopKOf(keys: DataFrame): DataFrame = {
+    def buckets = cmsBuckets(col("key"))
     val cms = keys.select(explode(buckets).as("h"))
       .groupBy(col("h.d").as("d"), col("h.bucket").as("bucket"))
       .agg(count(lit(1)).as("cell"))

@@ -490,6 +490,36 @@ object Similarity {
     * frees the blocks; no session CacheManager mutation). At 100 TB the
     * same relation becomes a build-once artifact exactly like the
     * [[AnnIndex]] parquet index. */
+  /** POSITIONAL PHRASE MATCH — the exact-phrase member of the
+    * retrieval family (BM25 ranks bags of words; a phrase query needs
+    * POSITIONS): the corpus's positional trigram relation
+    * ([[Dedup.shinglePosCol]] — each instance carries its 1-based
+    * start) doubles as a positional inverted index, the most frequent
+    * trigram (count desc, text asc — deterministic) becomes the query
+    * phrase as a broadcast 1-row relation, and matching is an equi
+    * join on the phrase text followed by one per-doc aggregation
+    * (occurrence count + first position — the snippet anchor). One
+    * corpus scan, one hash agg for the argmax, one keyed join: at
+    * 100 TB the phrase probe is index-shaped, never a rescan. */
+  def retrievalPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val inst = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(Dedup.shinglePosCol(col("toks"), 3)).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.span").as("span"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = inst.groupBy(col("span"))
+      .agg(count(lit(1)).as("corpus_occ"))
+      .orderBy(col("corpus_occ").desc, col("span")).limit(1)
+    inst.join(broadcast(top), "span")
+      .groupBy(col("doc_id"), col("span"), col("corpus_occ"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("i")).cast("long").as("first_pos"))
+      .select(col("doc_id"), col("span").as("phrase"), col("corpus_occ"),
+        col("n_matches"), col("first_pos"))
+  }
+
   def retrievalBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -655,6 +685,7 @@ object Similarity {
     "ann_filtered" -> annFiltered,
     "retrieval_hybrid" -> retrievalHybrid,
     "retrieval_bm25" -> retrievalBm25,
+    "retrieval_phrase" -> retrievalPhrase,
     "ann_knn_graph" -> annKnnGraph,
     "ann_topk_cosine" -> annTopKCosine,
     "ann_ivf" -> annIvfCosine,
@@ -834,6 +865,24 @@ object Similarity {
          |)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
          |FROM ranked WHERE rank <= $HybridTopK""".stripMargin,
+    // the positional index replayed: same 1-based trigram instances,
+    // same (count desc, text asc) argmax, same per-doc match rollup
+    "retrieval_phrase" ->
+      """WITH inst AS (
+        |  SELECT doc_id, u.i AS i, u.span AS span FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+        |      i -> {'i': i, 'span': concat_ws(' ', t[i], t[i+1], t[i+2])}))
+        |      AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |    WHERE len(t) >= 3)
+        |), top AS (
+        |  SELECT span, count(*) AS corpus_occ FROM inst GROUP BY span
+        |  ORDER BY corpus_occ DESC, span LIMIT 1
+        |)
+        |SELECT i.doc_id, i.span AS phrase, t.corpus_occ,
+        |       count(*) AS n_matches, CAST(min(i.i) AS BIGINT) AS first_pos
+        |FROM inst i JOIN top t USING (span)
+        |GROUP BY i.doc_id, i.span, t.corpus_occ""".stripMargin,
     "retrieval_bm25" ->
       s"""WITH d AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

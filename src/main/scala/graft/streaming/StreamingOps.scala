@@ -316,6 +316,35 @@ object StreamingOps {
       }
   }
 
+  /** STREAMING CMS MAINTENANCE — the sketch family's streaming pair:
+    * count-min cells update over an unbounded key stream as a
+    * stateful aggregation whose state is BOUNDED BY CONSTRUCTION
+    * (≤ D·W integer cells whatever the key cardinality or stream
+    * length — the point of maintaining a sketch instead of exact
+    * counts online). Cell increments are associative, so the final
+    * cells equal the batch sketch over the union of all micro-batches
+    * (spec-pinned against [[graft.operators.RelationalQueries
+    * .cmsBuckets]]-derived batch cells); heavy-hitter estimates read
+    * min-over-D cells at any point in the stream. */
+  def cmsCellsStream(keys: Dataset[Long]): Dataset[(Int, Long, Long)] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.toDF("key")
+      .select(explode(graft.operators.RelationalQueries
+        .cmsBuckets(col("key"))).as("h"))
+      .select(col("h.d").as("d"), col("h.bucket").as("bucket"))
+      .as[(Int, Long)]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Int, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (cell: (Int, Long), rows: Iterator[(Int, Long)],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (cell._1, cell._2, n)
+      }
+  }
+
   /** Streaming document row. `n_chars` is the TABLE's weight column,
     * carried through the stream — the sampler must weight by the same
     * column batch [[graft.operators.Pipeline.pipelineSampleWeighted]]

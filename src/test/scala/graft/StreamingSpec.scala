@@ -467,6 +467,32 @@ class StreamingSpec extends SparkSessionSpec {
     assert(streamed == batch)
   }
 
+  test("cmsCellsStream final cells equal the batch count-min sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val keys = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_suppkey").cast("long")).as[Long].collect()
+    val mem = MemoryStream[Long]
+    val q = StreamingOps.cmsCellsStream(mem.toDS())
+      .toDF("d", "bucket", "n")
+      .writeStream.format("memory").queryName("cmscells")
+      .outputMode("update").start()
+    try {
+      val (a, b) = keys.splitAt(keys.length / 2)
+      mem.addData(a.toSeq); q.processAllAvailable()
+      mem.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cmscells")
+      .groupBy("d", "bucket").agg(max("n").as("n"))
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = keys.toSeq.toDF("key")
+      .select(explode(operators.RelationalQueries.cmsBuckets(col("key")))
+        .as("h"))
+      .groupBy(col("h.d").as("d"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("cdcLatest final state equals the batch latest-row-per-user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
