@@ -237,6 +237,42 @@ object Pipeline {
       .select(col("cluster"), col("rn"), col("vec_id"), col("skey"))
   }
 
+  /** DATASET CARD — the per-source summary a curation run publishes
+    * with its output (the "data card" convention): document and
+    * character volume, language mix (count, dominant language with
+    * deterministic tie-break, Shannon entropy of the language
+    * distribution — the mix-diversity number dataset cards quote).
+    * One hash aggregation on (source, lang), then source-partitioned
+    * windows (never global) and one rollup to O(sources) rows.
+    * Entropy follows the rarity-filter float rule: per-language
+    * −ln(p) rounds to integer micro-nats, the Σ c·term sum is exact
+    * integer, and ONE final division + round produces the readout. */
+  def pipelineDatacard(spark: SparkSession, dir: String): DataFrame =
+    datacardOf(t(spark, dir, "documents"))
+
+  /** Core of [[pipelineDatacard]] over any (source, lang, n_chars)
+    * frame. */
+  def datacardOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sl = docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("chars"))
+    val wN = Window.partitionBy(col("source"))
+    val wR = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("lang"))
+    sl.withColumn("n", sum(col("c")).over(wN))
+      .withColumn("term",
+        col("c") * round(-log(col("c") / col("n")) * lit(1e6d)).cast("long"))
+      .withColumn("rn", row_number().over(wR))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        sum(col("chars")).cast("long").as("total_chars"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("lang"))).as("dominant_lang"),
+        round(sum(col("term")) / max(col("n"))).cast("long")
+          .as("entropy_micros"))
+  }
+
   val NShards = 16
 
   /** Content-addressed shard key: first 7 md5 hex chars (28 bits —
@@ -547,6 +583,7 @@ object Pipeline {
     "pipeline_source_temperature" -> pipelineSourceTemperature,
     "pipeline_diverse_sample" -> pipelineDiverseSample,
     "pipeline_shard" -> pipelineShard,
+    "pipeline_datacard" -> pipelineDatacard,
     "pipeline_pack" -> pipelinePack)
 
   private val stopList =
@@ -805,6 +842,29 @@ object Pipeline {
          |       CAST(sum(CASE WHEN doc_id IN (SELECT d FROM leaky)
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
          |FROM ws GROUP BY split""".stripMargin,
+    // the card replayed: same (source, lang) agg, source-partitioned
+    // windows, per-lang micro-nat terms, exact integer Σ c·term, one
+    // final division + round
+    "pipeline_datacard" ->
+      """WITH sl AS (
+        |  SELECT source, lang, count(*) AS c,
+        |         CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY source, lang
+        |), e AS (
+        |  SELECT source, lang, c, chars,
+        |         sum(c) OVER (PARTITION BY source) AS n,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY c DESC, lang) AS rn
+        |  FROM sl
+        |)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS total_chars,
+        |  count(*) AS n_langs,
+        |  max(CASE WHEN rn = 1 THEN lang END) AS dominant_lang,
+        |  CAST(round(sum(c * CAST(round(-ln(CAST(c AS DOUBLE) / n) * 1e6)
+        |                          AS BIGINT)) * 1.0 / max(n)) AS BIGINT)
+        |    AS entropy_micros
+        |FROM e GROUP BY source""".stripMargin,
     // hex→int: CAST(concat('0x',…) AS BIGINT) ≡ Spark conv(…,16,10);
     // 7 hex chars = 28 bits, overflow-free in both engines.
     "pipeline_shard" ->

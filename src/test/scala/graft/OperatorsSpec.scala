@@ -577,6 +577,24 @@ class OperatorsSpec extends SparkSessionSpec {
       (3L, 9L, 0L, (1 to 9).map(i => s"b$i").mkString(" "))))
   }
 
+  test("datacard entropy: uniform 2-lang = ln2 micro-nats, single-lang = 0") {
+    val docs = (
+      (1 to 4).map(i => (s"s$i", "src_ab", "aa", 10L)) ++
+      (5 to 8).map(i => (s"s$i", "src_ab", "bb", 20L)) ++
+      (9 to 11).map(i => (s"s$i", "src_mono", "aa", 5L)))
+      .toDF("id", "source", "lang", "n_chars")
+    val out = Pipeline.datacardOf(docs)
+      .select("source", "n_docs", "total_chars", "n_langs",
+        "dominant_lang", "entropy_micros")
+      .as[(String, Long, Long, Long, String, Long)].collect().toSet
+    // uniform 2-lang source: H = ln 2 exactly (the per-lang micro-nat
+    // terms are equal, so the Σ c·term / n readout is the term itself);
+    // tie on counts → lexicographically first lang wins
+    assert(out == Set(
+      ("src_ab", 8L, 120L, 2L, "aa", math.round(math.log(2) * 1e6)),
+      ("src_mono", 3L, 15L, 1L, "aa", 0L)))
+  }
+
   test("grouped split has zero leakage by construction") {
     val out = Pipeline.pipelineSplitGrouped(spark, sf0001)
       .select("split", "n_docs", "n_leaked")

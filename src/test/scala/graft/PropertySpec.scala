@@ -191,6 +191,44 @@ class PropertySpec extends SparkSessionSpec {
     }
   }
 
+  test("decodeResized samples in(f·x, f·y) over random dims/factors/orders") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dimGen = Gen.zip(Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(1, 25)),
+      Gen.zip(Gen.chooseNum(1, 4), Gen.oneOf(true, false)),
+      Gen.chooseNum(0L, 1000000L))
+    samples(dimGen, 30).foreach { case ((w, h), (f, topDown), seed) =>
+      val rb = w * 3; val pad = (4 - rb % 4) % 4; val stride = rb + pad
+      val bb = ByteBuffer.allocate(54 + stride * h)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte)
+      bb.putInt(54 + stride * h); bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(w)
+      bb.putInt(if (topDown) -h else h) // negative height = top-down
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(stride * h)
+      bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(h, rb)(rnd.nextInt(256)) // px(storedRow)(byte)
+      for (fr <- 0 until h) {
+        for (j <- 0 until rb) bb.put(px(fr)(j).toByte)
+        for (_ <- 0 until pad) bb.put(0xEE.toByte)
+      }
+      val r = operators.Multimodal.BmpDecoder
+        .decodeResized(7L, bb.array(), f).get
+      val (ow, oh) = ((w + f - 1) / f, (h + f - 1) / f)
+      assert(r.out_w == ow && r.out_h == oh && r.n_pixels_out == ow.toLong * oh)
+      // brute-force reference: image row y lives at stored row
+      // (topDown ? y : h-1-y); sampled pixel (x, y) = image (f·x, f·y)
+      def mean(ch: Int): Double =
+        (for { y <- 0 until oh; x <- 0 until ow } yield {
+          val fr = if (topDown) y * f else h - 1 - y * f
+          px(fr)(x * f * 3 + ch)
+        }).sum.toDouble / (ow.toLong * oh)
+      assert(math.abs(r.mean_b - mean(0)) < 1e-12, s"b w=$w h=$h f=$f")
+      assert(math.abs(r.mean_g - mean(1)) < 1e-12, s"g w=$w h=$h f=$f")
+      assert(math.abs(r.mean_r - mean(2)) < 1e-12, s"r w=$w h=$h f=$f")
+    }
+  }
+
   test("points sink -> scan round-trips exactly over random data/layout") {
     val caseGen = for {
       n <- Gen.chooseNum(1, 300)
