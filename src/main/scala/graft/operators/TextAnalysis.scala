@@ -512,6 +512,48 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** CCNET-STYLE PERPLEXITY BUCKETS — the head/middle/tail split CCNet
+    * publishes with every language shard: documents ranked per language
+    * by their LM score ([[perplexityOf]]'s avg −ln P in micro-nats) and
+    * cut at the terciles, so downstream mixing can oversample the
+    * "head" (lowest-perplexity, most fluent) third. Ranking is per
+    * LANGUAGE (the window is lang-partitioned, never global — CCNet
+    * buckets within each language shard for exactly this reason), the
+    * rank key is the avg-NLL quotient (ONE IEEE division of two exact
+    * integers, bit-identical in both engines) with doc_id tie-break,
+    * and bucket assignment is pure integer arithmetic (rn·3 ≤ n), so
+    * the split replays exactly. Output is O(langs × 3): per-bucket doc
+    * counts and the min/max integer micro-nat scores (monotone under
+    * the rank, a cheap audit that the cuts are ordered). At extreme
+    * scale the within-language sort would be replaced by sampled
+    * thresholds; the operator's output contract is unchanged. */
+  def textPplBuckets(spark: SparkSession, dir: String): DataFrame =
+    pplBucketsOf(t(spark, dir, "documents"))
+
+  /** Core of [[textPplBuckets]] over any (doc_id, text, lang) frame. */
+  def pplBucketsOf(docs: DataFrame): DataFrame = {
+    val ppl = perplexityOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("avg_nllm",
+        round(col("nll_micros").cast("double") / col("n_bigrams"))
+          .cast("long"))
+    val wR = Window.partitionBy(col("lang"))
+      .orderBy((col("nll_micros").cast("double") / col("n_bigrams")).asc,
+        col("doc_id").asc)
+    val wN = Window.partitionBy(col("lang"))
+    ppl
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), lit("head"))
+          .when(col("rn") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_nllm")).as("min_nllm"),
+        max(col("avg_nllm")).as("max_nllm"))
+  }
+
   /** Gopher-style repetition quality signals, per document: the
     * duplicate-token ratio (1 − uniq/total) and the top-bigram fraction
     * (how much of the doc the single most frequent bigram covers) — the
@@ -941,6 +983,7 @@ object TextAnalysis {
     "text_vocab_stats" -> textVocabStats,
     "text_bigram_rarity" -> textBigramRarity,
     "text_perplexity" -> textPerplexity,
+    "text_ppl_buckets" -> textPplBuckets,
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
     "text_token_map" -> textTokenMap,
@@ -1348,6 +1391,55 @@ object TextAnalysis {
         |  CAST(sum(nllm) AS BIGINT) AS nll_micros,
         |  round(CAST(sum(nllm) AS DOUBLE) / (count(*) * 1e6), 6) AS avg_nll
         |FROM scored GROUP BY doc_id""".stripMargin,
+    // the CCNet tercile split replayed: same bigram-LM per-doc integer
+    // totals, rank key = the one IEEE division (bit-identical) with
+    // doc_id tie-break, bucket cut = integer rn·3 ≤ n arithmetic
+    "text_ppl_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), bi AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t)-1),
+        |        i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+        |    FROM d WHERE len(t) >= 2)
+        |), vocab AS (
+        |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v_size
+        |  FROM (SELECT unnest(t) AS tok FROM d)
+        |), model AS (
+        |  SELECT w1, w2, count(*) AS c_bg FROM bi GROUP BY w1, w2
+        |), ctx AS (
+        |  SELECT w1, count(*) AS c_ctx FROM bi GROUP BY w1
+        |), scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(-ln((m.c_bg + 1.0) / (x.c_ctx + v.v_size)) * 1e6)
+        |         AS BIGINT) AS nllm
+        |  FROM bi b
+        |  JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |  JOIN ctx x ON b.w1 = x.w1
+        |  CROSS JOIN vocab v
+        |), perdoc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(nllm) AS BIGINT) AS nll_micros
+        |  FROM scored GROUP BY doc_id
+        |), ranked AS (
+        |  SELECT p.doc_id, dd.lang,
+        |    CAST(round(CAST(p.nll_micros AS DOUBLE) / p.n_bigrams)
+        |         AS BIGINT) AS avg_nllm,
+        |    row_number() OVER (PARTITION BY dd.lang
+        |      ORDER BY CAST(p.nll_micros AS DOUBLE) / p.n_bigrams ASC,
+        |               p.doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY dd.lang) AS n
+        |  FROM perdoc p JOIN documents dd ON p.doc_id = dd.doc_id
+        |)
+        |SELECT lang,
+        |  CASE WHEN rn * 3 <= n THEN 'head'
+        |       WHEN rn * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(min(avg_nllm) AS BIGINT) AS min_nllm,
+        |  CAST(max(avg_nllm) AS BIGINT) AS max_nllm
+        |FROM ranked GROUP BY 1, 2""".stripMargin,
     "text_token_map" ->
       """SELECT doc_id,
         |  len(list_filter(t, x -> x = 'the')) AS n_the,

@@ -502,6 +502,30 @@ class OperatorsSpec extends SparkSessionSpec {
       (2L, 1L, 693147L, 0.693147), (3L, 1L, 1098612L, 1.098612)))
   }
 
+  test("pplBucketsOf cuts per-lang terciles with doc_id tie-break") {
+    // xx: docs 1-3 "a a a" (common bigram → low nll, identical scores),
+    // docs 4-6 distinct-bigram (high nll, identical scores); yy: one doc.
+    // V = {a,p,q,r,s,t,u,v,w,x,m} = 11.
+    // xx low:  P(a|a) = (6+1)/(6+11) = 7/17 → r1 = round(ln(17/7)·1e6)
+    // xx high: each bigram P = (1+1)/(1+11) = 1/6 → r2 = round(ln6·1e6)
+    // yy:      P(m|m) = (2+1)/(2+11) = 3/13 → r3 = round(ln(13/3)·1e6)
+    // n=6 → head rn∈{1,2} (ties → lowest doc_id), middle {3,4}, tail
+    // {5,6}; yy n=1 → rn·3 > 2n → tail
+    val docs = Seq(
+      (1L, "a a a", "xx"), (2L, "a a a", "xx"), (3L, "a a a", "xx"),
+      (4L, "p q r", "xx"), (5L, "s t u", "xx"), (6L, "v w x", "xx"),
+      (7L, "m m m", "yy")).toDF("doc_id", "text", "lang")
+    val r1 = math.round(math.log(17.0 / 7.0) * 1e6)
+    val r2 = math.round(math.log(6.0) * 1e6)
+    val r3 = math.round(math.log(13.0 / 3.0) * 1e6)
+    val out = TextAnalysis.pplBucketsOf(docs)
+      .select("lang", "bucket", "n_docs", "min_nllm", "max_nllm")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("xx", "head", 2L, r1, r1), ("xx", "middle", 2L, r1, r2),
+      ("xx", "tail", 2L, r2, r2), ("yy", "tail", 1L, r3, r3)))
+  }
+
   test("qualityTrainOf learns to separate a stopword-labeled fixture") {
     // en docs are all stopwords (stop_ratio 1.0), non-en none (0.0);
     // every other feature is identical across classes — the trained
