@@ -237,6 +237,49 @@ object Pipeline {
       .select(col("cluster"), col("rn"), col("vec_id"), col("skey"))
   }
 
+  /** TOKEN-BUDGET SAMPLER — the "fill N tokens from each source" step
+    * a pretraining mixture is actually materialized with (Chinchilla
+    * budgets × DoReMi weights end in exactly this cut): documents are
+    * taken per source in deterministic content-hash order (the
+    * split/wsample domain-separated md5, replayable and scan-order
+    * independent) until the source's token budget is exhausted — the
+    * GREEDY PREFIX rule (first doc whose cumulative count exceeds the
+    * budget stops the source; no knapsack back-fill), so membership is
+    * a pure function of (hash order, token counts). The budget here is
+    * half the source's own token total — it BINDS at every scale, so
+    * the cut path is exercised at sf0.001 and 100 TB alike; a real run
+    * would broadcast absolute per-source budgets instead. Cost shape:
+    * one narrow token-count projection, one O(sources) aggregate
+    * broadcast back, one source-partitioned running sum — no global
+    * sort, output O(sources) with an exact kept-id checksum audit. */
+  def pipelineTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetOf(t(spark, dir, "documents"))
+
+  /** Core of [[pipelineTokenBudget]] over any (doc_id, source, text)
+    * frame. */
+  def tokenBudgetOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      conv(substring(md5(concat(lit("budget:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        .as("skey"))
+    val budgets = d.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("tot_toks"))
+      .withColumn("budget", expr("tot_toks DIV 2"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(budgets), Seq("source"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .where(col("cum") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("cum")).as("tokens_kept"),
+        max(col("budget")).as("budget"),
+        sum(col("doc_id")).as("kept_ids_sum"))
+  }
+
   /** DATASET CARD — the per-source summary a curation run publishes
     * with its output (the "data card" convention): document and
     * character volume, language mix (count, dominant language with
@@ -584,6 +627,7 @@ object Pipeline {
     "pipeline_diverse_sample" -> pipelineDiverseSample,
     "pipeline_shard" -> pipelineShard,
     "pipeline_datacard" -> pipelineDatacard,
+    "pipeline_token_budget" -> pipelineTokenBudget,
     "pipeline_pack" -> pipelinePack)
 
   private val stopList =
@@ -865,6 +909,30 @@ object Pipeline {
         |                          AS BIGINT)) * 1.0 / max(n)) AS BIGINT)
         |    AS entropy_micros
         |FROM e GROUP BY source""".stripMargin,
+    // the greedy prefix fill replayed: same hash order, same running
+    // sum frame, same half-total budget (integer division)
+    "pipeline_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat('budget:',
+        |      CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS skey
+        |  FROM documents
+        |), b AS (
+        |  SELECT source,
+        |    CAST(sum(n_toks) AS BIGINT) // 2 AS budget
+        |  FROM d GROUP BY source
+        |), c AS (
+        |  SELECT d.doc_id, d.source, b.budget,
+        |    sum(d.n_toks) OVER (PARTITION BY d.source
+        |      ORDER BY d.skey, d.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d JOIN b ON d.source = b.source
+        |)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(max(cum) AS BIGINT) AS tokens_kept,
+        |  CAST(max(budget) AS BIGINT) AS budget,
+        |  CAST(sum(doc_id) AS BIGINT) AS kept_ids_sum
+        |FROM c WHERE cum <= budget GROUP BY source""".stripMargin,
     // hex→int: CAST(concat('0x',…) AS BIGINT) ≡ Spark conv(…,16,10);
     // 7 hex chars = 28 bits, overflow-free in both engines.
     "pipeline_shard" ->

@@ -619,6 +619,27 @@ class OperatorsSpec extends SparkSessionSpec {
       ("src_mono", 3L, 15L, 1L, "aa", 0L)))
   }
 
+  test("token budget keeps the greedy hash-order prefix per source") {
+    // source "s": 4 docs × 4 tokens = 16 total, budget 8 → exactly the
+    // first TWO docs in skey order survive; source "solo": 1 doc, budget
+    // floor(6/2) = 3 < 6 → nothing kept, source absent from the output
+    val docs = Seq(
+      (1L, "s", "t t t t"), (2L, "s", "t t t t"),
+      (3L, "s", "t t t t"), (4L, "s", "t t t t"),
+      (9L, "solo", "u u u u u u")).toDF("doc_id", "source", "text")
+    def skey(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"budget:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val expectIds = Seq(1L, 2L, 3L, 4L).sortBy(i => (skey(i), i)).take(2)
+    val out = Pipeline.tokenBudgetOf(docs)
+      .select("source", "n_kept", "tokens_kept", "budget", "kept_ids_sum")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(("s", 2L, 8L, 8L, expectIds.sum)))
+  }
+
   test("grouped split has zero leakage by construction") {
     val out = Pipeline.pipelineSplitGrouped(spark, sf0001)
       .select("split", "n_docs", "n_leaked")
