@@ -663,6 +663,21 @@ class OperatorsSpec extends SparkSessionSpec {
       (3L, 1L, 1L, true, true)))
   }
 
+  test("cmsGrid equals the declarative explode sketch cell-for-cell") {
+    // pins the byte-level bucket math (digest bytes [4d,4d+4) big-
+    // endian) against the hex-slicing definition the oracle replays
+    val keys = (1L to 500L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k))
+      .toDF("key")
+    val grid = RelationalQueries.cmsGrid(keys)
+      .as[(Int, Long, Long)].collect().toSet
+    val decl = keys
+      .select(explode(RelationalQueries.cmsBuckets(col("key"))).as("h"))
+      .groupBy(col("h.d").as("d"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(grid == decl)
+  }
+
   test("langIdNb learns a separable fixture (fit + predict + micro-nats)") {
     // disjoint vocabularies: the NB model must classify every training
     // doc correctly, and the winning log-likelihood must equal an
