@@ -116,12 +116,139 @@ object KMeansQueries {
     }.toSeq.toDF("cluster", "dim", "value")
   }
 
+  /** k-means‖ oversampling factor (Bahmani et al., VLDB'12 use l = 2k)
+    * and round count. */
+  val KmparL = 16L
+  val KmparRounds = 3
+
+  /** K-MEANS‖ SCALABLE INITIALIZATION (Bahmani et al., VLDB 2012) — the
+    * published answer to "k-means++ init doesn't scale": instead of k
+    * sequential passes each picking ONE center, run [[KmparRounds]]
+    * passes that each sample ~[[KmparL]] centers INDEPENDENTLY with
+    * probability min(1, l·d²(x,C)/φ), then weight the oversampled
+    * candidate set by how many points each candidate owns (a driver-side
+    * recluster of the tiny weighted set finishes the job —
+    * [[reclusterWeighted]]). Every round is one scan: distances to the
+    * broadcast candidate set (plan literals, the O5 pattern), a 1-row φ
+    * aggregate joined back broadcast, and an O(l) collect of sampled
+    * rows — driver state is O(l·rounds·d), never data-sized.
+    *
+    * Determinism/parity: d²ₘ = round((min distance)²·1e6) per point
+    * (the distance double is bit-identical to DuckDB's list_distance —
+    * the kmeans_full precedent), φₘ = exact integer Σ d²ₘ, and the
+    * sampling test is the cross-multiplied integer inequality
+    * u₂₀·φₘ < l·d²ₘ·2²⁰ with u₂₀ a 20-bit domain-separated md5 draw —
+    * the weighted-sampler rule, so the whole cascade of sampling
+    * decisions replays exactly. Already-chosen points have d²ₘ = 0 and
+    * can never resample; p ≥ 1 keeps unconditionally (rhs ≥ u·φ for
+    * every u). Output: each candidate with the round that added it and
+    * its owned-point weight. */
+  def kmeansParInit(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed: first point in the runReplayable id-hash order (O11's seed
+    // rule reused, so the oracle replays it with the same expression)
+    val hashOrd = ((col("vec_id") * lit(2654435761L) + lit(42L * 40503L))
+      % lit(2147483647L)).asc
+    val seed = pts.orderBy(hashOrd, col("vec_id").asc).limit(1).collect()(0)
+    var cands = Vector[(Long, Array[Double], Int)](
+      (seed.getLong(0), seed.getSeq[Double](1).toArray, 0))
+    for (r <- 1 to KmparRounds) {
+      val cvecs = typedLit(cands.map(_._2.toSeq))
+      val withD = pts
+        .withColumn("dmin",
+          array_min(transform(cvecs, c => l2Dist(col("v"), c))))
+        .withColumn("d2m",
+          round(col("dmin") * col("dmin") * lit(1e6d)).cast("long"))
+      val phi = withD.agg(sum(col("d2m")).as("phim"))
+      val u20 = conv(substring(md5(concat(lit(s"kmpar:$r:"),
+        col("vec_id").cast("string"))), 1, 5), 16, 10).cast("long")
+      val sampled = withD.crossJoin(broadcast(phi))
+        .where(u20 * col("phim") < lit(KmparL * 1048576L) * col("d2m"))
+        .select(col("vec_id"), col("v"))
+        .orderBy(col("vec_id")).collect()
+      cands ++= sampled.map(row =>
+        (row.getLong(0), row.getSeq[Double](1).toArray, r))
+    }
+    // ownership weights: nearest candidate, ties → first in candidate
+    // order (strict-< argmin, the O4 rule)
+    val dists = transform(typedLit(cands.map(_._2.toSeq)),
+      c => l2Dist(col("v"), c))
+    val owned = pts
+      .withColumn("pos", array_position(dists, array_min(dists)).cast("int"))
+      .groupBy(col("pos")).agg(count(lit(1)).as("weight"))
+    val spark2 = spark
+    import spark2.implicits._
+    val candDf = cands.zipWithIndex
+      .map { case ((vid, _, r), i) => (vid, r, i + 1) }
+      .toDF("vec_id", "r_added", "pos")
+    candDf.join(owned, Seq("pos"), "left")
+      .select(col("vec_id"), col("r_added").cast("int").as("r_added"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+  }
+
+  /** Bahmani step 7: recluster the weighted candidate set down to k on
+    * the driver — the set is O(l·rounds) whatever the corpus size, so
+    * this is k-means++-style seeding (greedy farthest-weighted pick)
+    * plus weighted Lloyd on a handful of rows. Deterministic: seeding
+    * scans candidates in order, Lloyd ties break to the lowest index.
+    * Spec-gated ([[graft.KMeansSpec]]); the distributed product — the
+    * candidate set itself — is what the oracle pins. */
+  def reclusterWeighted(cands: Seq[(Array[Double], Long)], k: Int,
+                        maxIter: Int = 20): Array[Array[Double]] = {
+    require(cands.nonEmpty && cands.exists(_._2 > 0))
+    val d = cands.head._1.length
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // greedy weighted farthest-point seeding (deterministic k-means++)
+    val centers = scala.collection.mutable.ArrayBuffer(
+      cands.maxBy(_._2)._1.clone())
+    while (centers.size < math.min(k, cands.size)) {
+      val next = cands.maxBy { case (v, w) =>
+        w.toDouble * centers.map(sq(v, _)).min
+      }
+      centers += next._1.clone()
+    }
+    // weighted Lloyd
+    var it = 0
+    var moved = true
+    while (moved && it < maxIter) {
+      val sums = Array.fill(centers.size)(Array.ofDim[Double](d))
+      val ws = Array.ofDim[Long](centers.size)
+      cands.foreach { case (v, w) =>
+        var best = 0; var bd = sq(v, centers(0))
+        var j = 1
+        while (j < centers.size) {
+          val dj = sq(v, centers(j))
+          if (dj < bd) { bd = dj; best = j }
+          j += 1
+        }
+        ws(best) += w
+        var i = 0
+        while (i < d) { sums(best)(i) += v(i) * w; i += 1 }
+      }
+      moved = false
+      for (j <- centers.indices if ws(j) > 0) {
+        val nc = sums(j).map(_ / ws(j))
+        if (!java.util.Arrays.equals(nc, centers(j))) {
+          moved = true; centers(j) = nc
+        }
+      }
+      it += 1
+    }
+    centers.map(_.clone()).toArray
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "km_assign" -> kmAssign,
     "km_sizes" -> kmSizes,
     "km_update" -> kmUpdate,
     "km_shift" -> kmShift,
     "km_cost" -> kmCost,
+    "kmeans_par_init" -> kmeansParInit,
     "kmeans_full" -> kmeansFull)
 
   /** Shared oracle CTEs: deterministic centroids + assignment.
@@ -171,6 +298,67 @@ object KMeansQueries {
          |SELECT round(sum(d2), 4) AS inertia FROM (
          |  SELECT (SELECT min(list_distance(a.v, c.c) ** 2) FROM cents c) AS d2
          |  FROM assigned a)""".stripMargin,
+    // k-means‖ replayed: the candidate list accumulates through the
+    // recursion (seed by the same id-hash order), each round re-derives
+    // d²ₘ against the CURRENT list, φₘ as the exact integer sum, and the
+    // cross-multiplied 20-bit md5 sampling test; ownership weights by
+    // the (distance, position) argmin over the final list
+    "kmeans_par_init" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), seed AS (
+         |  SELECT list(struct_pack(vid := vec_id, c := v, r := 0)) AS cands
+         |  FROM (
+         |    SELECT vec_id, v FROM e
+         |    ORDER BY (vec_id * 2654435761 + 42 * 40503) % 2147483647,
+         |             vec_id
+         |    LIMIT 1)
+         |), iter AS (
+         |  SELECT 0 AS r, (SELECT cands FROM seed) AS cands
+         |  UNION ALL
+         |  SELECT s.r + 1,
+         |    CASE WHEN nxt.newc IS NULL THEN s.cands
+         |         ELSE s.cands || nxt.newc END
+         |  FROM iter s, LATERAL (
+         |    WITH d0 AS (
+         |      SELECT e.vec_id, e.v,
+         |        (SELECT min(list_distance(e.v, u.c))
+         |         FROM (SELECT unnest(s.cands) AS u)) AS dmin
+         |      FROM e
+         |    ), dm AS (
+         |      SELECT vec_id, v,
+         |        CAST(round(dmin * dmin * 1e6) AS BIGINT) AS d2m
+         |      FROM d0
+         |    ), phi AS (
+         |      SELECT CAST(sum(d2m) AS BIGINT) AS phim FROM dm
+         |    )
+         |    SELECT list(struct_pack(vid := vec_id, c := v, r := s.r + 1)
+         |                ORDER BY vec_id) AS newc
+         |    FROM dm, phi
+         |    WHERE CAST(concat('0x', substr(md5(concat('kmpar:',
+         |            CAST(s.r + 1 AS VARCHAR), ':',
+         |            CAST(vec_id AS VARCHAR))), 1, 5)) AS BIGINT) * phim
+         |          < ${KmparL * 1048576L} * d2m
+         |  ) nxt
+         |  WHERE s.r < $KmparRounds
+         |), fin AS (
+         |  SELECT cands FROM iter ORDER BY r DESC LIMIT 1
+         |), cl AS (
+         |  SELECT g.i AS pos, fin.cands[g.i].vid AS vid,
+         |         fin.cands[g.i].r AS r_added, fin.cands[g.i].c AS c
+         |  FROM fin, generate_series(1, 100000) g(i)
+         |  WHERE g.i <= len(fin.cands)
+         |), own AS (
+         |  SELECT (SELECT cl.pos FROM cl
+         |          ORDER BY list_distance(e.v, cl.c), cl.pos
+         |          LIMIT 1) AS pos
+         |  FROM e
+         |), w AS (
+         |  SELECT pos, count(*) AS weight FROM own GROUP BY pos
+         |)
+         |SELECT cl.vid AS vec_id, CAST(cl.r_added AS INT) AS r_added,
+         |       CAST(COALESCE(w.weight, 0) AS BIGINT) AS weight
+         |FROM cl LEFT JOIN w ON cl.pos = w.pos""".stripMargin,
     // replays runReplayable's seeded Lloyd recursion exactly: seed set
     // by the same id-hash order, per level a correlated argmin
     // assignment + 6dp-rounded group means carried as a list-of-structs

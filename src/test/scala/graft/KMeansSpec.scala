@@ -208,6 +208,34 @@ class KMeansSpec extends SparkSessionSpec {
     }
   }
 
+  test("kmeansParInit candidates own every point; recluster finds blobs") {
+    val out = operators.KMeansQueries.kmeansParInit(spark, sf0001)
+      .select("vec_id", "r_added", "weight")
+      .as[(Long, Int, Long)].collect()
+    // exactly one seed from round 0; every point owned by some candidate
+    assert(out.count(_._2 == 0) == 1)
+    assert(out.map(_._3).sum == 500L, "ownership weights must sum to n")
+    assert(out.forall(c => c._2 >= 0 && c._2 <= 3))
+    // oversampling delivered: far more candidates than k, far fewer than n
+    assert(out.length > operators.KMeansQueries.K && out.length < 250)
+  }
+
+  test("reclusterWeighted recovers two well-separated weighted blobs") {
+    // two tight blobs; weights make the heavy points dominate the means
+    val cands = Seq(
+      (Array(0.0, 0.0), 10L), (Array(0.2, 0.0), 10L),
+      (Array(10.0, 10.0), 5L), (Array(10.2, 10.0), 15L),
+      (Array(0.1, 0.1), 0L)) // zero-weight candidate must not drag a mean
+    val cs = operators.KMeansQueries.reclusterWeighted(cands, k = 2)
+      .map(_.toSeq).sortBy(_.head)
+    assert(cs.length == 2)
+    // blob 1 weighted mean = (0.1, 0.0); blob 2 = (10.15, 10.0)
+    assert(cs(0).zip(Seq(0.1, 0.0)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-9 })
+    assert(cs(1).zip(Seq(10.15, 10.0)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-9 })
+  }
+
   test("reference text format round-trips through PointsIO") {
     val tmp = java.nio.file.Files.createTempDirectory("pio").toString
     val data = Seq((0, Seq(0.41410840, 1.48714702)),
