@@ -187,6 +187,57 @@ object KMeansQueries {
         coalesce(col("weight"), lit(0L)).as("weight"))
   }
 
+  /** Mini-batch rounds and the deterministic batch selector modulus
+    * (~1/[[MbMod]] of the corpus per round). */
+  val MbRounds = 5
+  val MbMod = 4L
+
+  /** MINI-BATCH K-MEANS (Sculley, WWW 2010) — the web-scale Lloyd
+    * variant: each round touches only a deterministic ~25% hash-sample
+    * of the corpus, and centers blend the batch per-cluster mean with
+    * the accumulated per-center mass, c ← (c·n + Σ_B x)/(n + |B_c|) —
+    * the aggregation-order-free form of Sculley's per-sample rule, so
+    * the update is a pure partial/final aggregate (the O6-O8 shape)
+    * instead of a sequential fold. Batch membership is a domain-
+    * separated 20-bit md5 draw mod [[MbMod]] — replayable, layout-
+    * independent — and each round's blended centers quantize to 6dp
+    * (the kmeans_full parity rule) before becoming the next round's
+    * plan literals. Per round: ONE scan of the batch slice, one k·d
+    * exchange, a k-row collect; driver state k·d doubles. Output:
+    * final (cluster, dim, value, n_seen) scalar rows. */
+  def kmeansMiniBatch(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    var cents = fixedCentroids(spark, dir)
+    val counts = Array.fill(K)(0L)
+    for (t <- 1 to MbRounds) {
+      val inBatch = conv(substring(md5(concat(lit(s"mb:$t:"),
+        col("vec_id").cast("string"))), 1, 5), 16, 10).cast("long")
+        .%(lit(MbMod)) === lit(0L)
+      val sums = KMeansOps.summarize(
+        KMeansOps.assignDyn(pts.where(inBatch), "v", cents), "v", DIM)
+        .collect()
+        .map(r => (r.getInt(0), (r.getSeq[Double](1).toArray, r.getLong(2))))
+        .toMap
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        sums.get(i) match {
+          case Some((s, m)) =>
+            val n = counts(i)
+            c.zipWithIndex.map { case (x, j) =>
+              graft.kmeans.KMeansRunner.roundHalfUp(
+                (x * n + s(j)) / (n + m), 6)
+            }
+          case None => c
+        }
+      }
+      for (i <- 0 until K) counts(i) += sums.get(i).map(_._2).getOrElse(0L)
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    cents.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (x, j) => (i, j + 1, x, counts(i)) }
+    }.toSeq.toDF("cluster", "dim", "value", "n_seen")
+  }
+
   /** Bahmani step 7: recluster the weighted candidate set down to k on
     * the driver — the set is O(l·rounds) whatever the corpus size, so
     * this is k-means++-style seeding (greedy farthest-weighted pick)
@@ -249,6 +300,7 @@ object KMeansQueries {
     "km_shift" -> kmShift,
     "km_cost" -> kmCost,
     "kmeans_par_init" -> kmeansParInit,
+    "kmeans_minibatch" -> kmeansMiniBatch,
     "kmeans_full" -> kmeansFull)
 
   /** Shared oracle CTEs: deterministic centroids + assignment.
@@ -359,6 +411,69 @@ object KMeansQueries {
          |SELECT cl.vid AS vec_id, CAST(cl.r_added AS INT) AS r_added,
          |       CAST(COALESCE(w.weight, 0) AS BIGINT) AS weight
          |FROM cl LEFT JOIN w ON cl.pos = w.pos""".stripMargin,
+    // mini-batch Lloyd replayed: state = list of (cid, c, n) structs;
+    // each level filters the same 20-bit md5 batch slice, blends the
+    // batch per-cluster sums into the accumulated mass with the same
+    // c·n+Σ / n+m formula, and 6dp-quantizes — missed clusters pass
+    // through unchanged (the LEFT JOIN null arm)
+    "kmeans_minibatch" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), seed AS (
+         |  SELECT list(struct_pack(cid := cid, c := c, n := CAST(0 AS BIGINT))
+         |              ORDER BY cid) AS state
+         |  FROM (
+         |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |             AS cid,
+         |           CAST(embedding AS DOUBLE[]) AS c
+         |    FROM (SELECT vec_id, embedding FROM embeddings
+         |          ORDER BY vec_id LIMIT $K))
+         |), iter AS (
+         |  SELECT 0 AS r, (SELECT state FROM seed) AS state
+         |  UNION ALL
+         |  SELECT s.r + 1, nxt.state
+         |  FROM iter s, LATERAL (
+         |    WITH batch AS (
+         |      SELECT vec_id, v FROM e
+         |      WHERE CAST(concat('0x', substr(md5(concat('mb:',
+         |              CAST(s.r + 1 AS VARCHAR), ':',
+         |              CAST(vec_id AS VARCHAR))), 1, 5)) AS BIGINT)
+         |            % $MbMod = 0
+         |    ), asg AS (
+         |      SELECT b.vec_id, b.v,
+         |        (SELECT u.cid FROM (SELECT unnest(s.state) AS u)
+         |         ORDER BY list_distance(b.v, u.c), u.cid LIMIT 1) AS cl
+         |      FROM batch b
+         |    ), agg AS (
+         |      SELECT cl, dim, sum(v[dim]) AS sd, count(*) AS m
+         |      FROM asg CROSS JOIN generate_series(1, $DIM) g(dim)
+         |      GROUP BY cl, dim
+         |    ), base AS (
+         |      SELECT u.cid AS cid, u.c AS c, u.n AS n, g.dim AS dim
+         |      FROM (SELECT unnest(s.state) AS u),
+         |           generate_series(1, $DIM) g(dim)
+         |    ), nd AS (
+         |      SELECT base.cid, base.dim, base.n, COALESCE(a.m, 0) AS m,
+         |        CASE WHEN a.m IS NULL THEN base.c[base.dim]
+         |             ELSE round((base.c[base.dim] * base.n + a.sd)
+         |                        / (base.n + a.m), 6) END AS cv
+         |      FROM base LEFT JOIN agg a
+         |        ON a.cl = base.cid AND a.dim = base.dim
+         |    )
+         |    SELECT list(struct_pack(cid := cid, c := c, n := nn)
+         |                ORDER BY cid) AS state
+         |    FROM (
+         |      SELECT cid, list(cv ORDER BY dim) AS c,
+         |             CAST(max(n) + max(m) AS BIGINT) AS nn
+         |      FROM nd GROUP BY cid)
+         |  ) nxt
+         |  WHERE s.r < $MbRounds
+         |)
+         |SELECT u.cid AS cluster, CAST(g.dim AS INT) AS dim,
+         |       u.c[g.dim] AS value, u.n AS n_seen
+         |FROM (SELECT state FROM iter ORDER BY r DESC LIMIT 1) f,
+         |     (SELECT unnest(f.state) AS u) s2,
+         |     generate_series(1, $DIM) g(dim)""".stripMargin,
     // replays runReplayable's seeded Lloyd recursion exactly: seed set
     // by the same id-hash order, per level a correlated argmin
     // assignment + 6dp-rounded group means carried as a list-of-structs

@@ -236,6 +236,22 @@ class KMeansSpec extends SparkSessionSpec {
       math.abs(a - b) < 1e-9 })
   }
 
+  test("kmeansMiniBatch is layout-independent and 6dp-quantized") {
+    val a = operators.KMeansQueries.kmeansMiniBatch(spark, sf0001)
+      .as[(Int, Int, Double, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(a.length == operators.KMeansQueries.K * operators.KMeansQueries.DIM)
+    // every center component sits on the 6dp grid (the parity rule)
+    a.foreach { case (_, _, v, _) =>
+      assert(KMeansRunner.roundHalfUp(v, 6) == v)
+    }
+    // batches draw ~n/MbMod points per round; accumulated mass reflects
+    // all rounds and every cluster saw data on this corpus
+    val nSeen = a.groupBy(_._1).map(_._2.head._4)
+    assert(nSeen.sum > 500L / operators.KMeansQueries.MbMod *
+      (operators.KMeansQueries.MbRounds - 1))
+    assert(nSeen.forall(_ > 0))
+  }
+
   test("reference text format round-trips through PointsIO") {
     val tmp = java.nio.file.Files.createTempDirectory("pio").toString
     val data = Seq((0, Seq(0.41410840, 1.48714702)),
