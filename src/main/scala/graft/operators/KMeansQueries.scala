@@ -213,29 +213,44 @@ object KMeansQueries {
       val inBatch = conv(substring(md5(concat(lit(s"mb:$t:"),
         col("vec_id").cast("string"))), 1, 5), 16, 10).cast("long")
         .%(lit(MbMod)) === lit(0L)
-      val sums = KMeansOps.summarize(
-        KMeansOps.assignDyn(pts.where(inBatch), "v", cents), "v", DIM)
-        .collect()
-        .map(r => (r.getInt(0), (r.getSeq[Double](1).toArray, r.getLong(2))))
-        .toMap
-      cents = cents.zipWithIndex.map { case (c, i) =>
-        sums.get(i) match {
-          case Some((s, m)) =>
-            val n = counts(i)
-            c.zipWithIndex.map { case (x, j) =>
-              graft.kmeans.KMeansRunner.roundHalfUp(
-                (x * n + s(j)) / (n + m), 6)
-            }
-          case None => c
-        }
-      }
-      for (i <- 0 until K) counts(i) += sums.get(i).map(_._2).getOrElse(0L)
+      cents = miniBatchRound(pts.where(inBatch), cents, counts)
     }
     val spark2 = spark
     import spark2.implicits._
     cents.zipWithIndex.flatMap { case (c, i) =>
       c.zipWithIndex.map { case (x, j) => (i, j + 1, x, counts(i)) }
     }.toSeq.toDF("cluster", "dim", "value", "n_seen")
+  }
+
+  /** One mini-batch blend step, shared by the batch rounds and the
+    * streaming updater ([[graft.streaming.StreamingOps
+    * .kmeansUpdateStream]]): assign `batch` (a (vec_id, v) frame) to
+    * the current centers, aggregate per-cluster (Σx, count) — ONE
+    * partial/final pair, k·d on the wire — and fold into the
+    * accumulated mass with 6dp quantization. Mutates `counts` in
+    * place, returns the blended centers; clusters the batch missed
+    * pass through untouched. */
+  def miniBatchRound(batch: DataFrame, cents: Array[Array[Double]],
+                     counts: Array[Long]): Array[Array[Double]] = {
+    val sums = KMeansOps.summarize(
+      KMeansOps.assignDyn(batch, "v", cents), "v", cents.head.length)
+      .collect()
+      .map(r => (r.getInt(0), (r.getSeq[Double](1).toArray, r.getLong(2))))
+      .toMap
+    val next = cents.zipWithIndex.map { case (c, i) =>
+      sums.get(i) match {
+        case Some((s, m)) =>
+          val n = counts(i)
+          c.zipWithIndex.map { case (x, j) =>
+            graft.kmeans.KMeansRunner.roundHalfUp(
+              (x * n + s(j)) / (n + m), 6)
+          }
+        case None => c
+      }
+    }
+    for (i <- cents.indices)
+      counts(i) += sums.get(i).map(_._2).getOrElse(0L)
+    next
   }
 
   /** Bahmani step 7: recluster the weighted candidate set down to k on

@@ -524,6 +524,39 @@ object StreamingOps {
         ()
       }
 
+  /** Driver-held mini-batch k-means state for [[kmeansUpdateStream]]:
+    * the current centers and the accumulated per-center mass. Updated
+    * only inside foreachBatch (driver-side, serial per micro-batch),
+    * read by the caller after the stream stops. */
+  final class KMeansStreamState(@volatile var cents: Array[Array[Double]],
+                                val counts: Array[Long])
+
+  /** STREAMING MINI-BATCH K-MEANS — the online form of
+    * [[graft.operators.KMeansQueries.kmeansMiniBatch]] (the
+    * StreamingKMeans idea re-expressed over Structured Streaming):
+    * every micro-batch of arriving vectors is one Sculley blend step,
+    * executed by the SAME [[graft.operators.KMeansQueries
+    * .miniBatchRound]] the batch query runs — assignment against the
+    * current centers as plan literals, one k·d partial/final
+    * aggregate, a k-row collect, 6dp quantization. State is the k·d
+    * center matrix + k counts on the DRIVER (foreachBatch runs
+    * serially there), never in executor state stores — the model is
+    * tiny, the data is not. Stream == batch whenever the micro-batch
+    * boundaries equal the batch round slices (spec-pinned). */
+  def kmeansUpdateStream(vecs: Dataset[SVecIn], state: KMeansStreamState)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SVecIn] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SVecIn], _: Long) =>
+        val rows = batch.toDF()
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
+              .as("v"))
+        state.cents = graft.operators.KMeansQueries
+          .miniBatchRound(rows, state.cents, state.counts)
+        ()
+      }
+
   /** Incoming document for the streaming quality scorer — the
     * (doc_id, text, lang) shape the trained model's feature
     * projection reads. */

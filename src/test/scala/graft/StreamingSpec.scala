@@ -818,4 +818,40 @@ class StreamingSpec extends SparkSessionSpec {
         s"seg${e.user_id % 3}")).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("streaming mini-batch k-means equals the batch run on the same slices") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.KMeansQueries
+    import graft.streaming.StreamingOps.SVecIn
+    // the batch query's own micro-batch partitioning: round t takes the
+    // md5("mb:t:id") % MbMod == 0 slice — stream the SAME slices in the
+    // SAME order, so the blends must agree bit for bit
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .as[(Long, Seq[Float], Int)].collect()
+    def slice(t: Int): Seq[SVecIn] = emb.toIndexedSeq.collect {
+      case (id, v, l) if {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"mb:$t:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 5), 16) %
+          KMeansQueries.MbMod == 0L
+      } => SVecIn(id, v, l)
+    }
+    val state = new StreamingOps.KMeansStreamState(
+      KMeansQueries.fixedCentroids(spark, sf0001),
+      Array.fill(KMeansQueries.K)(0L))
+    val mem = MemoryStream[SVecIn]
+    val q = StreamingOps.kmeansUpdateStream(mem.toDS(), state).start()
+    try {
+      (1 to KMeansQueries.MbRounds).foreach { t =>
+        mem.addData(slice(t)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = KMeansQueries.kmeansMiniBatch(spark, sf0001)
+      .as[(Int, Int, Double, Long)].collect()
+    val streamed = state.cents.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (x, j) => (i, j + 1, x, state.counts(i)) }
+    }
+    assert(batch.toSet == streamed.toSet && batch.nonEmpty)
+  }
 }
