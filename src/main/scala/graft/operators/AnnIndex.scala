@@ -387,7 +387,36 @@ object AnnIndex {
         sum(when(col("deleted").isNull, col("packed"))).as("sum_packed_live"))
   }
 
+  /** SEGMENT CATALOG — the `segments_N` readout every segment-model
+    * index ships (Lucene's segment info / FAISS's index stats): one
+    * row per code segment with its vector count, occupied-cell count,
+    * tombstone overlap and live count, and the id range. Drives the
+    * operational questions the lifecycle raises (is compaction due?
+    * how much of a segment is dead?) without touching raw vectors:
+    * the plan is two thin segment scans + the tombstone anti-ish
+    * left join + one O(segments) aggregate. The query materializes
+    * the full lifecycle state first (base, delta, deletes) so the
+    * catalog is deterministic and the oracle replays it closed-form
+    * (assignment replay for cells, the mod-13 rule for tombstones). */
+  def annIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureDeletes(spark, dir)
+    val tomb = spark.read.parquet(s"$path/deletes")
+      .withColumn("deleted", lit(1))
+    def seg(name: String, label: String) =
+      spark.read.parquet(s"$path/$name").withColumn("segment", lit(label))
+    seg("codes", "base").unionByName(seg("codes_delta", "delta"))
+      .join(tomb, Seq("vec_id"), "left")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count_distinct(col("cluster")).as("n_cells"),
+        count(col("deleted")).as("n_tombstoned"),
+        count(when(col("deleted").isNull, 1)).as("n_live"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_index_stats" -> annIndexStats,
     "ann_index_search_filtered" -> annIndexSearchFiltered,
     "ann_index_build" -> annIndexBuild,
     "ann_index_append" -> annIndexAppend,
@@ -396,6 +425,39 @@ object AnnIndex {
     "ann_index_search" -> annIndexSearch)
 
   val oracles: Map[String, String] = Map(
+    // the segment catalog replayed closed-form: assignment replay for
+    // occupied cells, id offset for the delta range, mod-13 tombstones
+    "ann_index_stats" ->
+      s"""WITH ${Similarity.centsCte}, evs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), b AS (
+         |  SELECT e.vec_id,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster
+         |  FROM evs e
+         |), dv AS (
+         |  SELECT vec_id + (SELECT count(*) FROM embeddings) AS vec_id,
+         |         list_reverse(v) AS v
+         |  FROM evs
+         |), d AS (
+         |  SELECT e.vec_id,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster
+         |  FROM dv e
+         |), m AS (
+         |  SELECT 'base' AS segment, vec_id, cluster FROM b
+         |  UNION ALL
+         |  SELECT 'delta' AS segment, vec_id, cluster FROM d
+         |)
+         |SELECT segment, count(*) AS n_vectors,
+         |  count(DISTINCT cluster) AS n_cells,
+         |  count(*) FILTER (WHERE vec_id % $DeleteMod = $DeleteRes)
+         |    AS n_tombstoned,
+         |  count(*) FILTER (WHERE vec_id % $DeleteMod <> $DeleteRes)
+         |    AS n_live,
+         |  CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+         |  CAST(max(vec_id) AS BIGINT) AS max_vec_id
+         |FROM m GROUP BY segment""".stripMargin,
     // recompute the per-cell invariants from the raw embeddings via the
     // same assignment + PQ-encode SQL the ann_* oracles share
     "ann_index_build" -> {

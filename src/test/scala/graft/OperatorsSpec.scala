@@ -274,6 +274,30 @@ class OperatorsSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("annIndexStats reads the segment catalog with lifecycle invariants") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_st").toString
+    spark.conf.set("spark.graft.artifacts.dir", root)
+    try {
+      val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+      val out = AnnIndex.annIndexStats(spark, sf0001)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      val base = out("base"); val delta = out("delta")
+      def tomb(lo: Long, hi: Long) =
+        (lo to hi).count(_ % AnnIndex.DeleteMod == AnnIndex.DeleteRes).toLong
+      // both segments hold the full corpus; delta ids are offset by n
+      assert(base._2 == n && delta._2 == n)
+      assert(base._6 == 0L && base._7 == n - 1)
+      assert(delta._6 == n && delta._7 == 2 * n - 1)
+      // tombstone overlap is the closed-form mod rule; live + dead = all
+      assert(base._4 == tomb(0, n - 1) && delta._4 == tomb(n, 2 * n - 1))
+      assert(base._4 + base._5 == n && delta._4 + delta._5 == n)
+      // occupied cells never exceed the quantizer's k
+      assert(base._3 >= 1 && base._3 <= operators.KMeansQueries.K)
+      assert(delta._3 >= 1 && delta._3 <= operators.KMeansQueries.K)
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
   test("persisted ANN index: append makes delta vectors searchable without compaction") {
     val nBase = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
     // the registered query ensures the delta segment, then searches

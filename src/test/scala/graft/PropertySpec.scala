@@ -31,6 +31,42 @@ class PropertySpec extends SparkSessionSpec {
       .sortBy(_._1).toSeq
   }
 
+  test("tokenBudgetOf equals a brute-force greedy replay on random corpora") {
+    val corpusGen = for {
+      nSrc <- Gen.chooseNum(1, 4)
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, nSrc - 1),
+        Gen.chooseNum(1, 12)))
+    } yield rows.zipWithIndex.map { case ((s, toks), i) =>
+      (i.toLong, s"src$s", Seq.fill(toks)("w").mkString(" "))
+    }
+    def skey(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"budget:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    samples(corpusGen, 12).foreach { rows =>
+      val out = operators.Pipeline.tokenBudgetOf(
+        rows.toDF("doc_id", "source", "text").repartition(5))
+        .select("source", "n_kept", "tokens_kept", "budget", "kept_ids_sum")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      // brute force: per source, hash-order prefix while cum <= floor(T/2)
+      val expect = rows.groupBy(_._2).flatMap { case (src, ds) =>
+        val toks = ds.map { case (id, _, t) => (id, t.split(" ").length.toLong) }
+        val budget = toks.map(_._2).sum / 2
+        val ordered = toks.sortBy { case (id, _) => (skey(id), id) }
+        val kept = ordered
+          .scanLeft((0L, 0L)) { case ((_, cum), (id, t)) => (id, cum + t) }
+          .drop(1).takeWhile(_._2 <= budget)
+        if (kept.isEmpty) None
+        else Some((src, kept.size.toLong, kept.last._2, budget,
+          kept.map(_._1).sum))
+      }.toSet
+      assert(out == expect, s"rows=${rows.take(6)}…")
+    }
+  }
+
   test("lloydRound is invariant to row order and partition count") {
     samples(setGen, 8).foreach { pts =>
       val a = roundOn(pts, 1)
