@@ -142,7 +142,15 @@ object KMeansQueries {
     * decisions replays exactly. Already-chosen points have d²ₘ = 0 and
     * can never resample; p ≥ 1 keeps unconditionally (rhs ≥ u·φ for
     * every u). Output: each candidate with the round that added it and
-    * its owned-point weight. */
+    * its owned-point weight.
+    *
+    * Int64 headroom: u₂₀·φₘ must stay below 2⁶³, i.e. φₘ < 2⁴³ ≈
+    * 8.8e12 — ample for any tested SF (φₘ ≈ n · d²·1e6), but a
+    * trillion-scale corpus would cross it; the knob is the micro-nat
+    * scale (drop 1e6 → 1e3) or the draw width (u₂₀ → u₁₀), both of
+    * which only coarsen sampling granularity, never correctness. The
+    * same headroom rule governs the token-budget and weighted
+    * samplers. */
   def kmeansParInit(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
