@@ -353,6 +353,36 @@ object Dedup {
       bandSignatures(spark, dir).persist(StorageLevel.MEMORY_AND_DISK),
       dedup = false).persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** CANONICAL REPRESENTATIVE SELECTION — the curation step after
+    * clustering: each near-dup component keeps its LONGEST member
+    * (n_chars desc, doc_id tie-break — the SlimPajama-style rule;
+    * ranking by a model score instead is a one-line swap since quality
+    * scoring is a shared narrow projection). One broadcastable join of
+    * the component labels against the documents' length column, a
+    * window PARTITIONED BY COMPONENT (components are LSH-bucket-small,
+    * never corpus-sized), and an O(components) rollup reporting the
+    * representative, its length, the member count, and the volume the
+    * dedup reclaims. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestOf(dedupComponents(spark, dir),
+      t(spark, dir, "documents"))
+
+  /** Core of [[dedupKeepBest]] over any (doc, component) labeling and
+    * (doc_id, n_chars) frame. */
+  def keepBestOf(comp: DataFrame, docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc").asc)
+    comp
+      .join(docs.select(col("doc_id").as("doc"), col("n_chars")), "doc")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc"))).as("rep_doc"),
+        max(when(col("rn") === 1, col("n_chars"))).as("rep_chars"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+  }
+
   /** Connected components over an undirected pair list (doc_a, doc_b):
     * per round, (1) take the min label over direct neighbors, then
     * (2) POINTER-JUMP — adopt the label of one's current label — which
@@ -587,7 +617,8 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_lsh" -> dedupEmbedLsh,
-    "dedup_components" -> dedupComponents)
+    "dedup_components" -> dedupComponents,
+    "dedup_keep_best" -> dedupKeepBest)
 
   /** Shared oracle CTEs: shingles and LSH band signatures — mirrors the
     * Broder-style family above verbatim (same base hash, same affine
@@ -799,6 +830,21 @@ object Dedup {
     "dedup_components" ->
       s"""${shCte.replace("WITH sh AS", "WITH RECURSIVE sh AS")}, $compCte
          |SELECT doc, component FROM comp""".stripMargin,
+    // the longest-member selection replayed over the same components
+    "dedup_keep_best" ->
+      s"""${shCte.replace("WITH sh AS", "WITH RECURSIVE sh AS")}, $compCte,
+         |j AS (
+         |  SELECT c.component, c.doc, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY d.n_chars DESC, c.doc ASC) AS rn
+         |  FROM comp c JOIN documents d ON c.doc = d.doc_id
+         |)
+         |SELECT component, count(*) AS n_members,
+         |  CAST(max(CASE WHEN rn = 1 THEN doc END) AS BIGINT) AS rep_doc,
+         |  CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+         |    AS rep_chars,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM j GROUP BY component""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$shCte
          |SELECT p.doc_a, p.doc_b,

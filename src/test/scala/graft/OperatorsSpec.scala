@@ -674,6 +674,19 @@ class OperatorsSpec extends SparkSessionSpec {
       s"near-dup partners must never straddle splits: ${out.toSeq}")
   }
 
+  test("keepBestOf keeps the longest member with doc_id tie-break") {
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L), (10L, 9L))
+      .toDF("doc", "component")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (9L, 2L), (10L, 7L))
+      .toDF("doc_id", "n_chars")
+    val out = operators.Dedup.keepBestOf(comp, docs)
+      .select("component", "n_members", "rep_doc", "rep_chars",
+        "total_chars")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // component 1: lengths (5, 9, 9) → tie at 9 → doc 2 wins over 3
+    assert(out == Set((1L, 3L, 2L, 9L, 23L), (9L, 2L, 10L, 7L, 9L)))
+  }
+
   test("cmsTopKOf never undercounts and is exact on a collision-free fixture") {
     val keys = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("key")
     val out = RelationalQueries.cmsTopKOf(keys)
