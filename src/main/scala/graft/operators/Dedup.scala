@@ -353,6 +353,75 @@ object Dedup {
       bandSignatures(spark, dir).persist(StorageLevel.MEMORY_AND_DISK),
       dedup = false).persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Exact-similarity-join threshold τ = [[PrefTauNum]]/[[PrefTauDen]]
+    * (Jaccard ≥ 0.6), kept as a ratio so every threshold test is
+    * integer arithmetic. */
+  val PrefTauNum = 3L
+  val PrefTauDen = 5L
+
+  /** EXACT SET-SIMILARITY JOIN via PREFIX FILTERING (the
+    * SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 / Xiao et al.
+    * WWW'08) — the EXACT counterpart to the probabilistic LSH members
+    * of this file: zero false negatives by the prefix lemma, no
+    * banding recall loss. Tokens order globally RAREST-FIRST
+    * (document-frequency asc, token tie-break); a doc's candidate
+    * prefix is its first n − ⌈τ·n⌉ + 1 tokens, and two docs can reach
+    * Jaccard ≥ τ only if their prefixes share a token — so the
+    * candidate join is an equi-join ON PREFIX TOKEN (rare by
+    * construction, so fanout per key is small — the PPJoin argument),
+    * never all-pairs. Verification is exact: the intersection count
+    * joins the full token sets candidate-pair-scoped, and the τ test
+    * cross-multiplies ([[PrefTauDen]]·∩ ≥ [[PrefTauNum]]·∪) — no
+    * float anywhere; the reported jacc_micros is an integer readout.
+    * ⌈τ·n⌉ = (3n+4) div 5 keeps the prefix length integer-exact in
+    * both engines. */
+  def dedupPrefixJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixJoinOf(t(spark, dir, "documents"))
+
+  /** Core of [[dedupPrefixJoin]] over any (doc_id, text) frame. The
+    * set elements are the minhash family's own distinct 3-SHINGLES
+    * (not bare tokens — on a shared-vocabulary corpus token sets are
+    * near-identical across documents and the join degenerates toward
+    * all-pairs; shingles keep sets discriminative, which is also why
+    * the LSH members hash them). */
+  def prefixJoinOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingleCol(col("toks"), 3))).as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wD = Window.partitionBy(col("doc_id"))
+    val ordered = tok.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(
+        wD.orderBy(col("df").asc, col("tok").asc)))
+      .withColumn("n", count(lit(1)).over(wD))
+    // prefix length = n − ⌈τ·n⌉ + 1, integer-exact (DIV, no float)
+    val prefix = ordered.where(col("rn") <= expr(
+      s"n - (n * $PrefTauNum + $PrefTauDen - 1) DIV $PrefTauDen + 1"))
+      .select(col("doc_id"), col("tok"), col("n"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), Seq("tok"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val inter = cands
+      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")),
+        Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * PrefTauDen >= col("uni") * PrefTauNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        round(col("inter") * lit(1e6d) / col("uni")).cast("long")
+          .as("jacc_micros"))
+  }
+
   /** CANONICAL REPRESENTATIVE SELECTION — the curation step after
     * clustering: each near-dup component keeps its LONGEST member
     * (n_chars desc, doc_id tie-break — the SlimPajama-style rule;
@@ -618,7 +687,8 @@ object Dedup {
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_components" -> dedupComponents,
-    "dedup_keep_best" -> dedupKeepBest)
+    "dedup_keep_best" -> dedupKeepBest,
+    "dedup_prefix_join" -> dedupPrefixJoin)
 
   /** Shared oracle CTEs: shingles and LSH band signatures — mirrors the
     * Broder-style family above verbatim (same base hash, same affine
@@ -830,6 +900,45 @@ object Dedup {
     "dedup_components" ->
       s"""${shCte.replace("WITH sh AS", "WITH RECURSIVE sh AS")}, $compCte
          |SELECT doc, component FROM comp""".stripMargin,
+    // the prefix-filtered exact similarity join replayed: same
+    // rarest-first order, integer prefix length, token-keyed candidate
+    // join, exact intersection verify with the cross-multiplied τ test
+    "dedup_prefix_join" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, len(t)-2),
+         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+         |        FROM documents)
+         |  WHERE len(t) >= 3
+         |), dfreq AS (
+         |  SELECT tok, count(*) AS df FROM tok GROUP BY tok
+         |), ordered AS (
+         |  SELECT t.doc_id, t.tok,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY d.df ASC, t.tok ASC) AS rn,
+         |    count(*) OVER (PARTITION BY t.doc_id) AS n
+         |  FROM tok t JOIN dfreq d ON t.tok = d.tok
+         |), prefix AS (
+         |  SELECT doc_id, tok, n FROM ordered
+         |  WHERE rn <= n - (n * $PrefTauNum + $PrefTauDen - 1)
+         |                  // $PrefTauDen + 1
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                  a.n AS na, b.n AS nb
+         |  FROM prefix a JOIN prefix b
+         |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |), inter AS (
+         |  SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS i
+         |  FROM cands c
+         |  JOIN tok ta ON ta.doc_id = c.doc_a
+         |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+         |  GROUP BY c.doc_a, c.doc_b, c.na, c.nb
+         |)
+         |SELECT doc_a, doc_b, i AS inter, na + nb - i AS uni,
+         |  CAST(round(i * 1e6 / (na + nb - i)) AS BIGINT) AS jacc_micros
+         |FROM inter
+         |WHERE i * $PrefTauDen >= (na + nb - i) * $PrefTauNum""".stripMargin,
     // the longest-member selection replayed over the same components
     "dedup_keep_best" ->
       s"""${shCte.replace("WITH sh AS", "WITH RECURSIVE sh AS")}, $compCte,

@@ -674,6 +674,48 @@ class OperatorsSpec extends SparkSessionSpec {
       s"near-dup partners must never straddle splits: ${out.toSeq}")
   }
 
+  test("prefixJoinOf finds exactly the pairs with shingle-Jaccard >= 0.6") {
+    val docs = Seq(
+      (1L, "a b c d e"),     // {abc,bcd,cde}
+      (2L, "a b c d x"),     // vs 1: 2/4 = 0.5 → out
+      (3L, "a b c d e f"),   // vs 1: 3/4 = 0.75 → in
+      (4L, "a b c d e"))     // dup of 1 → 1.0; vs 3: 0.75
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.prefixJoinOf(docs)
+      .select("doc_a", "doc_b", "inter", "uni", "jacc_micros")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 3L, 3L, 4L, 750000L),
+      (1L, 4L, 3L, 3L, 1000000L),
+      (3L, 4L, 3L, 4L, 750000L)))
+  }
+
+  test("prefixJoinOf equals brute-force Jaccard on real data (exactness)") {
+    // the prefix lemma promises ZERO false negatives — verify against
+    // an all-pairs scala replay of distinct-3-shingle Jaccard at sf0.001
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sets = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val brute = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      (ida, a) = sets(i)
+      (idb, b) = sets(j)
+      inter = (a & b).size
+      uni = a.size + b.size - inter
+      if inter * 5L >= uni * 3L
+    } yield (math.min(ida, idb), math.max(ida, idb),
+      inter.toLong, uni.toLong)).toSet
+    val out = operators.Dedup.prefixJoinOf(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+      .select("doc_a", "doc_b", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == brute && out.nonEmpty, s"got ${out.size} vs ${brute.size}")
+  }
+
   test("keepBestOf keeps the longest member with doc_id tie-break") {
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L), (10L, 9L))
       .toDF("doc", "component")
