@@ -295,8 +295,6 @@ object AnnIndex {
                                     path: String,
                                     labelFiltered: Boolean,
                                     applyDeletes: Boolean = true): DataFrame = {
-    val cents = readCents(spark, path)
-    val cb = readCodebook(spark, path)
     val qsBase = Similarity.queriesDf(spark, dir)
       .select(col("query_id"), col("qv"))
     val qs =
@@ -306,6 +304,21 @@ object AnnIndex {
             .select(col("vec_id"), col("label").as("q_label")),
           col("query_id") === col("vec_id"))
         .select(col("query_id"), col("qv"), col("q_label"))
+    searchSegmentsFor(qs, path, labelFiltered, applyDeletes)
+  }
+
+  /** The shared ADC search plan over an ARBITRARY (query_id, qv
+    * [, q_label]) frame — the batch queries and the streaming server
+    * ([[graft.streaming.StreamingOps.annServeStream]]) both express
+    * through this one builder, so serving cannot drift from the
+    * oracle-gated search semantics. */
+  private[graft] def searchSegmentsFor(qs: DataFrame, path: String,
+                                       labelFiltered: Boolean,
+                                       applyDeletes: Boolean = true)
+      : DataFrame = {
+    val spark = qs.sparkSession
+    val cents = readCents(spark, path)
+    val cb = readCodebook(spark, path)
     // static partition filter: probed cells of the (tiny) query batch,
     // computed driver-side with the same argmin/tie-break as the
     // in-plan routing (OperatorsSpec asserts the two agree)

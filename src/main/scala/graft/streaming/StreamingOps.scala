@@ -506,6 +506,34 @@ object StreamingOps {
       }
   }
 
+  /** STREAMING ANN QUERY SERVING — the query side of the index's
+    * streaming story (ingest and deletes already stream): search
+    * requests arrive as vectors on an unbounded source and every
+    * micro-batch runs the SAME segment-complete ADC search plan the
+    * batch queries are oracle-gated on ([[graft.operators.AnnIndex
+    * .searchSegmentsFor]] — probe-cell pruning over base ∪ delta,
+    * live-docs subtraction, broadcast per-query LUTs, native top-k
+    * heap cut), appending per-query rankings to `outPath`. Per batch
+    * the index side reads only the probed cell partitions — the
+    * serving cost scales with the query batch, not the index. Empty
+    * micro-batches write nothing. */
+  def annServeStream(queries: Dataset[SVecIn], indexPath: String,
+                     outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SVecIn] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SVecIn], _: Long) =>
+        val qs = batch.toDF()
+          .select(col("vec_id").as("query_id"),
+            graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
+              .as("qv"))
+        if (!qs.isEmpty)
+          graft.operators.AnnIndex
+            .searchSegmentsFor(qs, indexPath, labelFiltered = false)
+            .write.mode("append").parquet(outPath)
+        ()
+      }
+
   /** STREAMING TOMBSTONE INGEST — the delete side of
     * [[annIngestStream]]: delete requests arrive as bare vector ids
     * and each micro-batch APPENDS them to the index's `deletes/`

@@ -819,6 +819,39 @@ class StreamingSpec extends SparkSessionSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming ANN serving equals the batch segment-complete search") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AnnIndex
+    import graft.streaming.StreamingOps.SVecIn
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_srv").toString
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft_ann_srv_out").toString + "/results"
+    spark.conf.set("spark.graft.artifacts.dir", root)
+    try {
+      val path = AnnIndex.buildIndex(spark, sf0001)
+      val reqs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .as[(Long, Seq[Float], Int)].collect().take(6)
+        .map { case (id, v, l) => SVecIn(id, v, l) }
+      val mem = MemoryStream[SVecIn]
+      val q = StreamingOps.annServeStream(mem.toDS(), path, outPath).start()
+      try {
+        mem.addData(reqs.take(3).toSeq); q.processAllAvailable()
+        mem.addData(reqs.drop(3).toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(outPath)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val qsAll = reqs.toSeq.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id").as("query_id"),
+          graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
+            .as("qv"))
+      val batch = AnnIndex.searchSegmentsFor(qsAll, path,
+        labelFiltered = false)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty,
+        s"streamed ${streamed.size} vs batch ${batch.size}")
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
   test("streaming mini-batch k-means equals the batch run on the same slices") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.KMeansQueries
