@@ -67,6 +67,39 @@ class PropertySpec extends SparkSessionSpec {
     }
   }
 
+  test("prefixJoinOf equals brute force on random corpora (exactness)") {
+    // small vocab + short docs force heavy set overlap, duplicates, and
+    // boundary prefix lengths — the shapes where a wrong prefix bound
+    // would silently drop true pairs
+    val docGen = for {
+      n <- Gen.chooseNum(2, 25)
+      docs <- Gen.listOfN(n, Gen.chooseNum(3, 9).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))))
+    } yield docs.zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.mkString(" "))
+    }
+    samples(docGen, 10).foreach { rows =>
+      val out = operators.Dedup.prefixJoinOf(
+        rows.toDF("doc_id", "text").repartition(3))
+        .select("doc_a", "doc_b", "inter", "uni")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val sets = rows.map { case (id, t) =>
+        id -> t.split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }
+      val brute = (for {
+        i <- sets.indices
+        j <- (i + 1) until sets.length
+        (ida, a) = sets(i)
+        (idb, b) = sets(j)
+        inter = (a & b).size
+        uni = a.size + b.size - inter
+        if inter * 5L >= uni * 3L
+      } yield (ida, idb, inter.toLong, uni.toLong)).toSet
+      assert(out == brute, s"corpus=${rows.take(4)}…")
+    }
+  }
+
   test("lloydRound is invariant to row order and partition count") {
     samples(setGen, 8).foreach { pts =>
       val a = roundOn(pts, 1)
