@@ -628,7 +628,36 @@ object RelationalQueries {
     * float summation order cannot drift across rounds; the final
     * report rounds to 9 (the driver's own compare precision).
     * Dangling nodes cannot arise (symmetrized edges ⇒ outdeg ≥ 1). */
-  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+  def qPageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankCore(spark, dir,
+      init = (n, _) => lit(1.0 / n),
+      teleport = (n, _) => lit((1 - PrDamp) / n))
+      .select(col("node"), round(col("pr"), 9).as("pagerank"))
+
+  /** PERSONALIZED PAGERANK — the graph-similarity form retrieval and
+    * recommendation systems run (random walk with restart): all
+    * restart mass concentrates on ONE seed node instead of spreading
+    * uniformly, so ranks measure proximity TO THE SEED through the
+    * trading graph. Seed = the lexicographically smallest node (a
+    * deterministic 1-row aggregate the oracle replays); the loop,
+    * caching, and per-round quantization are literally [[qPageRank]]'s
+    * ([[pageRankCore]] is shared — the teleport vector is the only
+    * difference, exactly the algebra's difference). */
+  def qPageRankPersonalized(spark: SparkSession, dir: String): DataFrame =
+    pageRankCore(spark, dir,
+      init = (_, seed) =>
+        when(col("node") === lit(seed), lit(1.0)).otherwise(lit(0.0)),
+      teleport = (_, seed) =>
+        when(col("node") === lit(seed), lit(1 - PrDamp)).otherwise(lit(0.0)))
+      .select(col("node"), round(col("pr"), 9).as("ppr"))
+
+  /** Shared power-iteration core over the customer↔supplier trading
+    * graph: `init` seeds the rank vector, `teleport` is the per-node
+    * restart mass — uniform (1−d)/n for PageRank, a seed-node
+    * indicator for the personalized variant. Both receive (n, seed). */
+  private def pageRankCore(spark: SparkSession, dir: String,
+                           init: (Long, String) => Column,
+                           teleport: (Long, String) => Column): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // cs is read THREE times before withDeg's cache exists (both union
     // arms + the degree agg) — materialize it once; it is tiny
@@ -659,10 +688,11 @@ object RelationalQueries {
       .select(col("src").as("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // bounded driver action: ONE scalar, like k
+    val seed = nodes.agg(min(col("node"))).collect()(0).getString(0)
     // eager per-round localCheckpoint truncates the lineage (the rank
     // relation alone — O(nodes), tiny next to the edge relation); at
     // cluster scale a reliable-storage checkpoint sits at the same spot
-    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    var pr = nodes.withColumn("pr", init(n, seed)).localCheckpoint(true)
     for (_ <- 1 to PrIters) {
       // symmetrized edges ⇒ every node has an in-edge, so the contrib
       // aggregate is COMPLETE over nodes and each round is exactly one
@@ -673,14 +703,14 @@ object RelationalQueries {
       val contribs = withDeg.join(pr, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("outdeg")).as("cb"))
       pr = contribs
-        .select(col("dst").as("node"),
-          round(lit((1 - PrDamp) / n) + lit(PrDamp) * col("cb"), 12)
-            .as("pr"))
+        .select(col("dst").as("node"), col("cb"))
+        .select(col("node"),
+          round(teleport(n, seed) + lit(PrDamp) * col("cb"), 12).as("pr"))
         .localCheckpoint(true)
     }
     withDeg.unpersist() // ranks are materialized; drop the edge cache
     nodes.unpersist()
-    pr.select(col("node"), round(col("pr"), 9).as("pagerank"))
+    pr
   }
 
   val TriTopM = 8
@@ -827,6 +857,7 @@ object RelationalQueries {
     "q_zorder_layout" -> qZorderLayout,
     "graph_triangles" -> qTriangles,
     "graph_pagerank" -> qPageRank,
+    "graph_ppr" -> qPageRankPersonalized,
     "q_not_in_anti" -> qNotInAnti,
     "q_freq_items_bound" -> qFreqItemsBound,
     "q_grouping_sets" -> qGroupingSets,
@@ -977,6 +1008,53 @@ object RelationalQueries {
          |  WHERE s.r < $PrIters
          |)
          |SELECT u.node AS node, round(u.pr, 9) AS pagerank
+         |FROM (SELECT prs FROM iter ORDER BY r DESC LIMIT 1) f,
+         |     (SELECT unnest(f.prs) AS u) s2""".stripMargin,
+    // personalized PageRank replayed: the same recursion with all
+    // restart mass on the lexicographically-smallest node
+    "graph_ppr" ->
+      s"""WITH RECURSIVE cs AS (
+         |  SELECT DISTINCT concat('c', o_custkey) AS src,
+         |                  concat('s', l_suppkey) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), edges AS (
+         |  SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs
+         |), deg AS (
+         |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), sd AS (SELECT min(node) AS sn FROM nodes
+         |), iter AS (
+         |  SELECT 0 AS r,
+         |    (SELECT list(struct_pack(node := node,
+         |       pr := CAST(CASE WHEN node = (SELECT sn FROM sd)
+         |                       THEN 1.0 ELSE 0.0 END AS DOUBLE))
+         |            ORDER BY node) FROM nodes) AS prs
+         |  UNION ALL
+         |  SELECT s.r + 1, nxt.prs
+         |  FROM iter s, LATERAL (
+         |    WITH cur AS (
+         |      SELECT u.node AS node, u.pr AS pr
+         |      FROM (SELECT unnest(s.prs) AS u)
+         |    ), contrib AS (
+         |      SELECT e.dst AS node, sum(c.pr / d.outdeg) AS cb
+         |      FROM edges e
+         |      JOIN deg d ON e.src = d.src
+         |      JOIN cur c ON e.src = c.node
+         |      GROUP BY e.dst
+         |    )
+         |    SELECT (SELECT list(struct_pack(node := n.node,
+         |              pr := round(CAST(CASE WHEN n.node = (SELECT sn FROM sd)
+         |                                THEN 1 - $PrDamp ELSE 0.0 END
+         |                           AS DOUBLE)
+         |                    + $PrDamp * coalesce(c.cb, 0.0), 12))
+         |            ORDER BY n.node)
+         |            FROM nodes n LEFT JOIN contrib c ON n.node = c.node)
+         |      AS prs
+         |  ) nxt
+         |  WHERE s.r < $PrIters
+         |)
+         |SELECT u.node AS node, round(u.pr, 9) AS ppr
          |FROM (SELECT prs FROM iter ORDER BY r DESC LIMIT 1) f,
          |     (SELECT unnest(f.prs) AS u) s2""".stripMargin,
     "q_not_in_anti" ->

@@ -742,6 +742,24 @@ class OperatorsSpec extends SparkSessionSpec {
       (3L, 1L, 1L, true, true)))
   }
 
+  test("personalized PageRank concentrates mass around the seed") {
+    val out = RelationalQueries.qPageRankPersonalized(spark, sf0001)
+      .as[(String, Double)].collect()
+    val seed = out.map(_._1).min
+    val byNode = out.toMap
+    // the seed holds the maximum rank (restart mass returns to it),
+    // all ranks are non-negative, and total mass stays ~1 (symmetric
+    // graph — no dangling leak; tolerance covers per-round rounding)
+    assert(byNode(seed) == out.map(_._2).max)
+    assert(out.forall(_._2 >= 0.0))
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-3,
+      s"mass=${out.map(_._2).sum}")
+    // and it differs from uniform PageRank (the teleport matters)
+    val uni = RelationalQueries.qPageRank(spark, sf0001)
+      .as[(String, Double)].collect().toMap
+    assert(byNode(seed) > uni(seed) * 10)
+  }
+
   test("cmsGrid equals the declarative explode sketch cell-for-cell") {
     // pins the byte-level bucket math (digest bytes [4d,4d+4) big-
     // endian) against the hex-slicing definition the oracle replays
