@@ -18,16 +18,49 @@ import graft.Tables.t
   */
 object Events {
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects (PARQUET_TYPE_ILLEGAL). The session must
-    * set the documented escape hatch
-    * `spark.sql.legacy.parquet.nanosAsLong=true` AT BUILD TIME (done in
-    * Verify/Bench/the test harness — a query function must not mutate
-    * session conf as a side effect); `ts` then arrives as a nano-epoch
-    * long and is immediately narrowed to microseconds, matching DuckDB's
-    * `epoch_us(ts)` exactly (both floor toward zero; data is post-1970). */
+  /** The events table's `ts` has shipped under THREE physical parquet
+    * encodings across testdata generations, and the reader must accept
+    * all of them without session-conf coupling (one regeneration to
+    * `timestamp[us]` silently took the whole family off the correctness
+    * board in round 7):
+    *
+    *  - `timestamp[ns]` + `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    (set in Verify/Bench/the test harness — without it Spark's
+    *    reader rejects NANOS outright): arrives as a nano-epoch LONG,
+    *    narrowed here to µs. Both Spark's `DIV` and DuckDB's `epoch_us`
+    *    floor toward zero; data is post-1970, so they agree exactly.
+    *  - `timestamp[us]` naive (isAdjustedToUTC=false) → TIMESTAMP_NTZ:
+    *    the raw µs value IS the wall clock; recover it by casting
+    *    through the session zone and undoing that zone's offset with
+    *    `from_utc_timestamp` — an exact round-trip (and a no-op) under
+    *    the UTC session zone every entry point pins, and exact
+    *    everywhere except inside a DST transition hour otherwise.
+    *  - `timestamp[us]` UTC-adjusted → TIMESTAMP: already an instant;
+    *    `unix_micros` reads it directly.
+    *
+    * All three yield the identical `ts_us` BIGINT (EventsEncodingSpec
+    * pins this on fabricated files of each encoding), and DuckDB's
+    * `epoch_us(ts)` in the oracles is encoding-agnostic on its side. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+    withTsUs(t(spark, dir, "events"))
+
+  /** Derive epoch-µs `ts_us` from whatever physical type `ts` arrived
+    * as (see [[events]]). Pure column logic — usable on any frame with
+    * a `ts` column, batch or fixture. */
+  def withTsUs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsUs = df.schema("ts").dataType match {
+      case LongType => expr("ts DIV 1000") // legacy nanosAsLong path
+      case TimestampType => unix_micros(col("ts"))
+      case TimestampNTZType =>
+        val zone = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+        unix_micros(from_utc_timestamp(col("ts").cast(TimestampType), zone))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other (expected " +
+          "nano-long, TIMESTAMP or TIMESTAMP_NTZ)")
+    }
+    df.withColumn("ts_us", tsUs)
+  }
 
   private val HourUs = 3600L * 1000 * 1000
 
