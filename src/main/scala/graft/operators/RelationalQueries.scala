@@ -632,7 +632,8 @@ object RelationalQueries {
     pageRankCore(spark, dir,
       init = (n, _) => lit(1.0 / n),
       teleport = (n, _) => lit((1 - PrDamp) / n))
-      .select(col("node"), round(col("pr"), 9).as("pagerank"))
+      .select(nodeName(col("node")).as("node"),
+        round(col("pr"), 9).as("pagerank"))
 
   /** PERSONALIZED PAGERANK — the graph-similarity form retrieval and
     * recommendation systems run (random walk with restart): all
@@ -649,15 +650,33 @@ object RelationalQueries {
         when(col("node") === lit(seed), lit(1.0)).otherwise(lit(0.0)),
       teleport = (_, seed) =>
         when(col("node") === lit(seed), lit(1 - PrDamp)).otherwise(lit(0.0)))
-      .select(col("node"), round(col("pr"), 9).as("ppr"))
+      .select(nodeName(col("node")).as("node"),
+        round(col("pr"), 9).as("ppr"))
+
+  /** Reconstruct the public 'c<id>'/'s<id>' node name from the packed
+    * long id the iteration runs on (customers even, suppliers odd). */
+  private def nodeName(node: Column): Column =
+    concat(when(node % 2 === 0, lit("c")).otherwise(lit("s")),
+      (node / 2).cast("long"))
 
   /** Shared power-iteration core over the customer↔supplier trading
     * graph: `init` seeds the rank vector, `teleport` is the per-node
     * restart mass — uniform (1−d)/n for PageRank, a seed-node
-    * indicator for the personalized variant. Both receive (n, seed). */
+    * indicator for the personalized variant. Both receive (n, seed),
+    * the seed as the packed long id.
+    *
+    * The iteration state is keyed by PACKED LONG node ids — customer
+    * 2k, supplier 2k+1 — not the public 'c…'/'s…' strings: every
+    * per-round join, shuffle, hash and sort works 8-byte keys instead
+    * of variable-length strings (at 100 TB the edge relation is the
+    * volume, and string keys tax every one of its exchanges). The
+    * string form exists only at the boundary: the seed pick (the
+    * oracle's rule is the LEXICOGRAPHICALLY smallest name, which the
+    * numeric order does not replicate) and the caller's final
+    * projection via [[nodeName]]. */
   private def pageRankCore(spark: SparkSession, dir: String,
-                           init: (Long, String) => Column,
-                           teleport: (Long, String) => Column): DataFrame = {
+                           init: (Long, Long) => Column,
+                           teleport: (Long, Long) => Column): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // cs is read THREE times before withDeg's cache exists (both union
     // arms + the degree agg) — materialize it once; it is tiny
@@ -667,8 +686,8 @@ object RelationalQueries {
       .join(t(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
       .localCheckpoint()
     val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
@@ -687,26 +706,46 @@ object RelationalQueries {
     val nodes = edges.select(col("src")).distinct()
       .select(col("src").as("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // bounded driver action: ONE scalar, like k
-    val seed = nodes.agg(min(col("node"))).collect()(0).getString(0)
-    // eager per-round localCheckpoint truncates the lineage (the rank
-    // relation alone — O(nodes), tiny next to the edge relation); at
-    // cluster scale a reliable-storage checkpoint sits at the same spot
-    var pr = nodes.withColumn("pr", init(n, seed)).localCheckpoint(true)
-    for (_ <- 1 to PrIters) {
+    // ONE bounded driver action for both loop scalars (n is the k of
+    // this loop; the seed name's lexicographic min can't fold into the
+    // long order, so it rides the same 1-row aggregate as a string)
+    val firstRow = nodes
+      .agg(count(lit(1)), min(nodeName(col("node")))).collect()(0)
+    val n = firstRow.getLong(0)
+    val seedName = firstRow.getString(1)
+    val seed = seedName.tail.toLong * 2 +
+      (if (seedName.head == 's') 1L else 0L)
+    var pr = nodes.withColumn("pr", init(n, seed))
+    for (i <- 1 to PrIters) {
       // symmetrized edges ⇒ every node has an in-edge, so the contrib
       // aggregate is COMPLETE over nodes and each round is exactly one
       // cached-edge join + one aggregation — no rank-rebuild join (a
       // per-round nodes left join was ~25% of the round's jobs and can
       // only matter on a graph with dangling nodes, which this
       // construction excludes)
-      val contribs = withDeg.join(pr, col("src") === col("node"))
+      // SHUFFLE_HASH on the rank side: the default sort-merge join
+      // would RE-SORT the (cached, already src-partitioned) edge
+      // relation every round — the edge side is the big side at every
+      // scale, so a hash build of the node-sized rank partition beats
+      // an edge-sized sort per round, and the cached partitioning keeps
+      // the edge side exchange-free either way
+      val contribs = withDeg.join(pr.hint("SHUFFLE_HASH"),
+          col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("outdeg")).as("cb"))
       pr = contribs
         .select(col("dst").as("node"), col("cb"))
         .select(col("node"),
           round(teleport(n, seed) + lit(PrDamp) * col("cb"), 12).as("pr"))
-        .localCheckpoint(true)
+      // lineage cut every 3rd round + at the end — NOT per round: each
+      // eager localCheckpoint is a full job over the rank relation, and
+      // six of them were the board's top cost for two rounds (9.4 s
+      // warm). Between cuts the lineage is ≤ 3 cached-edge joins deep —
+      // trivially replannable — and the per-round 12dp quantization
+      // stays IN the plan, so oracle parity is untouched. The final
+      // round is always eager: the caller must be able to consume `pr`
+      // after the edge/node caches are dropped below. At cluster scale
+      // a reliable-storage checkpoint sits at the same cadence.
+      if (i % 3 == 0 || i == PrIters) pr = pr.localCheckpoint(true)
     }
     withDeg.unpersist() // ranks are materialized; drop the edge cache
     nodes.unpersist()
