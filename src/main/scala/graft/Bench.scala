@@ -73,8 +73,25 @@ object Bench {
     // are reported separately.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val coldRuns = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // drain debris BEFORE every timed run, outside the timed section:
+    // the checkpoint-heavy driver-loop queries (components, PageRank,
+    // BPE, Lloyd, the ann index writers) leave blocks that only free
+    // once the ContextCleaner notices unreachable RDDs — without the
+    // nudge, the async cleanup steals cycles from whichever run comes
+    // next (profiled: a 6.5 s isolated PageRank measured 33 s late in
+    // the gauntlet, WARM slower than COLD — pure backlog noise, not
+    // plan cost). Round 7 showed a per-QUERY drain is not enough: a
+    // heavy query's own cold run polluted its warm runs (ann_index_
+    // append warm 10.6 s > cold 8.6 s on identical code), so the drain
+    // now runs before EACH of the four timed runs. Two GC passes: the
+    // first enqueues the weak refs the cleaner listens on, the second
+    // collects what the first's processing unpinned.
+    def drain(): Unit = {
+      System.gc(); Thread.sleep(80); System.gc(); Thread.sleep(80)
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Double = {
+        drain()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
@@ -82,16 +99,6 @@ object Bench {
       coldRuns(name) = once()
       val runs = Seq.fill(3)(once()).sorted
       results(name) = runs(runs.length / 2)
-      // drain debris BETWEEN queries, outside the timed sections: the
-      // checkpoint-heavy driver-loop queries (components, PageRank,
-      // BPE, Lloyd) leave blocks that only free once the ContextCleaner
-      // notices unreachable RDDs — without the nudge, the async cleanup
-      // steals cycles from whichever query runs next (profiled: a
-      // 6.5 s isolated PageRank measured 33 s late in the gauntlet,
-      // WARM slower than COLD — pure backlog noise, not plan cost).
-      // Unconditional: the round-5 `> 1.0 s` gate missed a 0.999 s
-      // predecessor and its successor measured 24 s warm vs 4 s clean.
-      System.gc(); Thread.sleep(150)
     }
 
     // The query gauntlet above leaves session debris (cached plans, a

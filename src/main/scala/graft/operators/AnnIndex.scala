@@ -149,6 +149,16 @@ object AnnIndex {
     * path. */
   private[graft] def ensureDelta(spark: SparkSession, dir: String): String = {
     val path = ensureIndex(spark, dir)
+    // refuse to clobber a STREAM-PRODUCED delta: the batch re-encode
+    // below overwrites the segment root, which would silently discard
+    // every streamed micro-batch (the round-7 advice's asymmetry). A
+    // mixed segment is never valid — compact the index or point
+    // spark.graft.artifacts.dir at a fresh root.
+    if (streamProduced(spark, path, "codes_delta"))
+      throw new IllegalStateException(
+        s"codes_delta under $path was written by annIngestStream " +
+          "(batch_id=* layout); a batch append would overwrite the " +
+          "streamed rows — compact first or use a fresh artifacts root")
     val cents = readCents(spark, path)
     val cb = readCodebook(spark, path)
     val encoded = encode(deltaCorpus(spark, dir), cents, cb)
@@ -164,7 +174,7 @@ object AnnIndex {
     * the segments already exist.) */
   private def ensureDeltaOnce(spark: SparkSession, dir: String): String = {
     val path = ensureIndex(spark, dir)
-    if (committed(spark, path, "codes_delta")) path
+    if (segmentAvailable(spark, path, "codes_delta")) path
     else ensureDelta(spark, dir)
   }
 
@@ -182,7 +192,12 @@ object AnnIndex {
     * physically. */
   private def ensureDeletes(spark: SparkSession, dir: String): String = {
     val path = ensureDeltaOnce(spark, dir)
-    if (!committed(spark, path, "deletes"))
+    // gate on EITHER layout: a stream-produced tombstone set is
+    // already a valid deletes segment and is kept as-is — the batch
+    // overwrite would silently resurrect every annDeleteStream delete
+    // (before round 8 this check keyed on the root _SUCCESS marker
+    // only, which the streamed batch_id=* layout does not have)
+    if (!segmentAvailable(spark, path, "deletes"))
       committedSegments(spark, path)
         .where(col("vec_id") % DeleteMod === DeleteRes)
         .select(col("vec_id"))
@@ -246,6 +261,35 @@ object AnnIndex {
         sum(col("packed")).as("sum_packed"))
   }
 
+  /** DESTRUCTIVE segment merge — the Lucene merge semantic the gated
+    * [[annIndexCompact]] report deliberately avoids (that query must
+    * leave the lifecycle state intact for the queries after it): fold
+    * base ∪ delta minus tombstones into a NEW base segment, then drop
+    * the delta and tombstone artifacts. This is how a STREAM-grown
+    * index (batch_id=* delta/deletes from
+    * [[graft.streaming.StreamingOps.annIngestStream]] /
+    * `annDeleteStream`) returns to a state the batch append/delete
+    * paths accept — [[ensureDelta]]/[[ensureDeletes]] refuse to touch
+    * streamed segments precisely because overwriting them loses rows;
+    * compaction is the sanctioned exit. The merged segment writes to a
+    * sibling tmp dir FIRST (reading the old segments), and only then
+    * do the swap renames run — a crash mid-write leaves the original
+    * index fully intact. */
+  def compactInPlace(spark: SparkSession, path: String): Unit = {
+    val merged = minusDeletes(spark, path, committedSegments(spark, path))
+    ParquetSink.writePartitioned(merged, s"$path/codes_merge_tmp",
+      partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    fs.delete(p("codes"), true)
+    fs.rename(p("codes_merge_tmp"), p("codes"))
+    Seq("codes_delta", "deletes", "codes_compacted")
+      .foreach(s => fs.delete(p(s), true))
+    ()
+  }
+
   /** Every COMMITTED code segment at `path`: the base segment plus the
     * `codes_delta` segment when its `_SUCCESS` marker exists — the
     * Lucene/FAISS segment rule that a reader sees base ∪ deltas, never
@@ -255,8 +299,9 @@ object AnnIndex {
   private[graft] def committedSegments(spark: SparkSession,
                                        path: String): DataFrame = {
     val base = spark.read.parquet(s"$path/codes")
-    if (committed(spark, path, "codes_delta"))
-      base.unionByName(spark.read.parquet(s"$path/codes_delta"))
+    if (segmentAvailable(spark, path, "codes_delta"))
+      base.unionByName(readSegment(spark, path, "codes_delta")
+        .select(base.columns.map(col): _*))
     else base
   }
 
@@ -265,6 +310,37 @@ object AnnIndex {
     val marker = new org.apache.hadoop.fs.Path(s"$path/$seg/_SUCCESS")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(marker)
+  }
+
+  /** A segment exists in the STREAM-PRODUCED layout: micro-batches
+    * wrote `batch_id=<id>/` subtrees (each an overwrite-idempotent
+    * per-batch write — the replay-safety device), so the commit
+    * markers live inside the batch dirs, not at the segment root. */
+  private[graft] def streamProduced(spark: SparkSession, path: String,
+                                    seg: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/$seg")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(root) && fs.listStatus(root)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+  }
+
+  /** Segment readable under EITHER physical layout: batch-written at
+    * the segment root (root `_SUCCESS`), or stream-written as
+    * `batch_id=*` subtrees. */
+  private[graft] def segmentAvailable(spark: SparkSession, path: String,
+                                      seg: String): Boolean =
+    committed(spark, path, seg) || streamProduced(spark, path, seg)
+
+  /** Read a segment regardless of which layout produced it. The
+    * streamed layout surfaces `batch_id` as a discovered partition
+    * column — an ingest bookkeeping detail, not segment data — so it
+    * is dropped here; `cluster` stays a partition column in BOTH
+    * layouts, so cell pruning reaches the directory level either
+    * way. */
+  private[graft] def readSegment(spark: SparkSession, path: String,
+                                 seg: String): DataFrame = {
+    val df = spark.read.parquet(s"$path/$seg")
+    if (df.columns.contains("batch_id")) df.drop("batch_id") else df
   }
 
   /** Apply the committed tombstone set (when one exists) to a code
@@ -276,10 +352,22 @@ object AnnIndex {
     * shuffles once it is not — both correct at 100 TB. */
   private[graft] def minusDeletes(spark: SparkSession, path: String,
                                   codes: DataFrame): DataFrame =
-    if (committed(spark, path, "deletes"))
-      codes.join(spark.read.parquet(s"$path/deletes"),
+    if (segmentAvailable(spark, path, "deletes"))
+      codes.join(readSegment(spark, path, "deletes").select(col("vec_id")),
         Seq("vec_id"), "left_anti")
     else codes
+
+  /** The tombstone set as a JOINABLE unit relation: deduplicated on
+    * vec_id, because the streamed layout can legitimately carry the
+    * same id twice (a delete replayed in two micro-batches, or two
+    * clients deleting the same vector) and a duplicated tombstone in a
+    * LEFT join would fan out segment rows and corrupt every count
+    * downstream. The anti join in [[minusDeletes]] is set-semantic
+    * already and skips the distinct's exchange. */
+  private def tombstones(spark: SparkSession, path: String): DataFrame =
+    readSegment(spark, path, "deletes")
+      .select(col("vec_id")).distinct()
+      .withColumn("deleted", lit(1))
 
   /** Shared ADC search plan over the committed segments at `path`
     * (base ∪ delta): centroids + codebook load from their k-row
@@ -390,8 +478,7 @@ object AnnIndex {
     * shows up as a value mismatch. */
   def annIndexDelete(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureDeletes(spark, dir)
-    val tomb = spark.read.parquet(s"$path/deletes")
-      .withColumn("deleted", lit(1))
+    val tomb = tombstones(spark, path)
     committedSegments(spark, path)
       .join(tomb, Seq("vec_id"), "left")
       .groupBy(col("cluster").cast("int").as("cluster"))
@@ -413,10 +500,9 @@ object AnnIndex {
     * (assignment replay for cells, the mod-13 rule for tombstones). */
   def annIndexStats(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureDeletes(spark, dir)
-    val tomb = spark.read.parquet(s"$path/deletes")
-      .withColumn("deleted", lit(1))
+    val tomb = tombstones(spark, path)
     def seg(name: String, label: String) =
-      spark.read.parquet(s"$path/$name").withColumn("segment", lit(label))
+      readSegment(spark, path, name).withColumn("segment", lit(label))
     seg("codes", "base").unionByName(seg("codes_delta", "delta"))
       .join(tomb, Seq("vec_id"), "left")
       .groupBy(col("segment"))

@@ -491,17 +491,24 @@ object StreamingOps {
     val cb = graft.operators.AnnIndex.readCodebook(spark, indexPath)
     vecs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[SVecIn], _: Long) =>
+      .foreachBatch { (batch: Dataset[SVecIn], batchId: Long) =>
         val rows = batch.toDF()
           .select(col("vec_id"),
             graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
               .as("v"),
             col("label"))
+        // batchId-keyed OVERWRITE, not a segment-root append: foreachBatch
+        // is at-least-once, so a recovered micro-batch REPLAYS with the
+        // same batchId — rewriting its own batch_id=<id> subtree is a
+        // no-op the second time, where a blind append would duplicate
+        // every code row (round-7 advice). Readers treat batch_id as
+        // ingest bookkeeping (AnnIndex.readSegment drops it); cluster
+        // stays a partition dir under the batch, so cell pruning holds.
         graft.operators.AnnIndex.encode(rows, cents, cb)
           .repartition(col("cluster"))
           .sortWithinPartitions(col("cluster"), col("vec_id"))
-          .write.mode("append").partitionBy("cluster")
-          .parquet(s"$indexPath/codes_delta")
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$indexPath/codes_delta/batch_id=$batchId")
         ()
       }
   }
@@ -522,15 +529,18 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[SVecIn] =
     queries.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[SVecIn], _: Long) =>
+      .foreachBatch { (batch: Dataset[SVecIn], batchId: Long) =>
         val qs = batch.toDF()
           .select(col("vec_id").as("query_id"),
             graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
               .as("qv"))
+        // batchId-keyed overwrite (the annIngestStream replay rule): a
+        // recovered batch re-serves into its own subtree instead of
+        // appending duplicate result rows
         if (!qs.isEmpty)
           graft.operators.AnnIndex
             .searchSegmentsFor(qs, indexPath, labelFiltered = false)
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         ()
       }
 
@@ -546,9 +556,15 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[Long] =
     ids.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Long], _: Long) =>
-        batch.toDF("vec_id")
-          .write.mode("append").parquet(s"$indexPath/deletes")
+      .foreachBatch { (batch: Dataset[Long], batchId: Long) =>
+        // batchId-keyed overwrite — same replay-idempotence rule as
+        // annIngestStream; a replayed delete batch rewrites itself
+        // instead of doubling its tombstones (readers additionally
+        // dedup on vec_id, so even cross-batch repeats can't fan out
+        // the stats joins)
+        batch.toDF("vec_id").coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$indexPath/deletes/batch_id=$batchId")
         ()
       }
 

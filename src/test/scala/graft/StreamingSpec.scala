@@ -665,6 +665,97 @@ class StreamingSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("replayed ANN ingest/delete micro-batches leave the index unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AnnIndex
+    import graft.streaming.StreamingOps.SVecIn
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_rp").toString
+    spark.conf.set("spark.graft.artifacts.dir", root)
+    try {
+      val path = AnnIndex.buildIndex(spark, sf0001)
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .as[(Long, Seq[Float], Int)].collect()
+      val n = emb.length
+      val arriving = emb.take(40)
+        .map { case (id, v, l) => SVecIn(id + n, v.reverse, l) }
+      // a recovered foreachBatch REPLAYS a batch with the SAME batchId;
+      // a restarted checkpoint-less query reproduces that exactly —
+      // batch 0 runs again with identical rows. The batchId-keyed
+      // overwrite must make the second delivery a no-op where the old
+      // blind append doubled every row.
+      def ingestOnce(): Unit = {
+        val mem = MemoryStream[SVecIn]
+        val q = StreamingOps.annIngestStream(mem.toDS(), path).start()
+        try { mem.addData(arriving.toSeq); q.processAllAvailable() }
+        finally q.stop()
+      }
+      def segRows() = spark.read.parquet(s"$path/codes_delta")
+        .select("vec_id", "cluster", "packed", "label")
+        .as[(Long, Int, Long, Int)].collect().toList.sorted
+      ingestOnce()
+      val afterFirst = segRows()
+      ingestOnce() // the replay
+      assert(afterFirst.nonEmpty && segRows() === afterFirst,
+        "replayed ingest batch changed the delta segment")
+      // same rule for the tombstone stream, plus a cross-batch repeat
+      // of an id (two clients deleting the same vector) — the readers'
+      // vec_id dedup keeps the stats join from fanning out
+      val victims = arriving.take(4).map(_.vec_id)
+      def deleteOnce(batches: Seq[Seq[Long]]): Unit = {
+        val mem = MemoryStream[Long]
+        val q = StreamingOps.annDeleteStream(mem.toDS(), path).start()
+        try batches.foreach { b =>
+          mem.addData(b); q.processAllAvailable()
+        } finally q.stop()
+      }
+      deleteOnce(Seq(victims.take(2).toSeq))
+      def search() = AnnIndex.searchSegments(spark, sf0001, path,
+        labelFiltered = false).collect().toList
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      def liveCount() = AnnIndex.minusDeletes(spark, path,
+        AnnIndex.committedSegments(spark, path)).count()
+      val (s1, l1) = (search(), liveCount())
+      // replay batch 0 AND deliver the same ids again in a later batch
+      deleteOnce(Seq(victims.take(2).toSeq, victims.take(2).toSeq))
+      assert(search() === s1, "replayed delete batch changed search")
+      assert(liveCount() === l1, "replayed delete batch changed live set")
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
+  test("batch append refuses a stream-grown delta; compactInPlace heals it") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AnnIndex
+    import graft.streaming.StreamingOps.SVecIn
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_mix").toString
+    spark.conf.set("spark.graft.artifacts.dir", root)
+    try {
+      val path = AnnIndex.buildIndex(spark, sf0001)
+      val baseCount = spark.read.parquet(s"$path/codes").count()
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .as[(Long, Seq[Float], Int)].collect()
+      val n = emb.length
+      val arriving = emb.take(25)
+        .map { case (id, v, l) => SVecIn(id + n, v.reverse, l) }
+      val mem = MemoryStream[SVecIn]
+      val q = StreamingOps.annIngestStream(mem.toDS(), path).start()
+      try { mem.addData(arriving.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      // the batch re-encode would overwrite the streamed subtree —
+      // it must refuse, not silently discard rows (round-7 advice)
+      val e = intercept[IllegalStateException](
+        AnnIndex.ensureDelta(spark, sf0001))
+      assert(e.getMessage.contains("annIngestStream"))
+      // compaction is the sanctioned exit: fold the streamed delta
+      // into the base segment, after which the batch lifecycle works
+      AnnIndex.compactInPlace(spark, path)
+      assert(spark.read.parquet(s"$path/codes").count()
+        === baseCount + arriving.length)
+      val path2 = AnnIndex.ensureDelta(spark, sf0001) // no throw now
+      assert(path2 === path)
+      assert(spark.read.parquet(s"$path/codes_delta").count() > 0)
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
   test("qualityScoreStream with batch-trained weights equals batch scoring") {
     implicit val sqlCtx = spark.sqlContext
     val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
@@ -838,7 +929,10 @@ class StreamingSpec extends SparkSessionSpec {
         mem.addData(reqs.take(3).toSeq); q.processAllAvailable()
         mem.addData(reqs.drop(3).toSeq); q.processAllAvailable()
       } finally q.stop()
+      // select the result columns explicitly: the replay-idempotent
+      // sink adds a batch_id partition dir per micro-batch
       val streamed = spark.read.parquet(outPath)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
         .as[(Long, Long, Int, Double)].collect().toSet
       val qsAll = reqs.toSeq.toDF("vec_id", "embedding", "label")
         .select(col("vec_id").as("query_id"),
