@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -121,6 +121,22 @@ object KMeansQueries {
   val KmparL = 16L
   val KmparRounds = 3
 
+  /** Int64 headroom ceiling for the cross-multiplied integer samplers:
+    * u₂₀·φ must stay below 2⁶³ with u₂₀ < 2²⁰, so φ < 2⁴³. */
+  private[graft] val SamplerHeadroomMax = 1L << 43
+
+  /** In-plan guard for the sampler headroom: errors the JOB the moment
+    * a φ aggregate crosses [[SamplerHeadroomMax]] instead of letting
+    * u₂₀·φ wrap Int64 and silently corrupt every sampling decision
+    * downstream. `assert_true` is NULL on pass, so `guard.isNull`
+    * composes into a WHERE clause without changing its value — the
+    * check rides the existing scan, costing no extra job or collect. */
+  private[graft] def samplerHeadroomGuard(phi: Column): Column =
+    assert_true(phi < lit(SamplerHeadroomMax),
+      lit(s"sampler headroom exhausted: phi >= 2^43 would wrap the " +
+        s"Int64 cross-multiplied inequality; coarsen the micro-nat " +
+        s"scale (1e6 -> 1e3) or the draw width (u20 -> u10)")).isNull
+
   /** K-MEANS‖ SCALABLE INITIALIZATION (Bahmani et al., VLDB 2012) — the
     * published answer to "k-means++ init doesn't scale": instead of k
     * sequential passes each picking ONE center, run [[KmparRounds]]
@@ -172,7 +188,8 @@ object KMeansQueries {
       val u20 = conv(substring(md5(concat(lit(s"kmpar:$r:"),
         col("vec_id").cast("string"))), 1, 5), 16, 10).cast("long")
       val sampled = withD.crossJoin(broadcast(phi))
-        .where(u20 * col("phim") < lit(KmparL * 1048576L) * col("d2m"))
+        .where(samplerHeadroomGuard(col("phim")) &&
+          u20 * col("phim") < lit(KmparL * 1048576L) * col("d2m"))
         .select(col("vec_id"), col("v"))
         .orderBy(col("vec_id")).collect()
       cands ++= sampled.map(row =>

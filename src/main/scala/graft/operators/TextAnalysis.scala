@@ -163,13 +163,21 @@ object TextAnalysis {
         // logit in exact left-to-right order (the oracle mirrors it)
         val z = (0 until d).map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
         val p = lit(1.0d) / (lit(1.0d) + exp(-z))
+        // per-ROW gradient terms round to integer micro-units BEFORE
+        // the sum (the scoreWithWeights/BM25 parity rule): the sum is
+        // then exact integer arithmetic in any order, so aggregation
+        // order — Spark's partial/final tree vs DuckDB's serial fold —
+        // cannot produce a float sum that lands on opposite sides of
+        // the 6dp weight quantization boundary (the last float-sum
+        // hash-gate exposure, per the round-7 advice)
         val gradCols = (0 until d).map(j =>
-          sum(col(s"x$j") * (col("y") - p)).as(s"g$j"))
+          sum(round(col(s"x$j") * (col("y") - p) * lit(1e6d)).cast("long"))
+            .as(s"g$j"))
         val row = feats.agg(count(lit(1)).cast("double").as("n"),
           gradCols: _*).collect()(0)
         val n = row.getDouble(0)
         w = Array.tabulate(d)(j => graft.kmeans.KMeansRunner.roundHalfUp(
-          w(j) + TrainLr * row.getDouble(j + 1) / n, 6))
+          w(j) + TrainLr * (row.getLong(j + 1).toDouble / 1e6) / n, 6))
       }
       w
     } finally { feats.unpersist(); () }
@@ -1009,8 +1017,13 @@ object TextAnalysis {
     * `text_quality_score_trained` oracles. */
   private lazy val trainCteSql: String = {
     val z = "x0 * s.w[1] + x1 * s.w[2] + x2 * s.w[3] + x3 * s.w[4] + x4 * s.w[5]"
+    // per-row micro-unit rounding before the (now exact integer)
+    // gradient sum — mirrors trainQualityWeights term for term,
+    // including the operation order of the weight update
     val upd = (0 until 5).map(j =>
-      s"round(s.w[${j + 1}] + $TrainLr * sum(x$j * (y - p)) / count(*), 6)")
+      s"round(s.w[${j + 1}] + $TrainLr * (CAST(sum(CAST(round(" +
+        s"x$j * (y - p) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6) " +
+        s"/ count(*), 6)")
       .mkString(",\n       |      ")
     s"""WITH RECURSIVE f AS (
        |  SELECT doc_id,

@@ -252,6 +252,26 @@ class KMeansSpec extends SparkSessionSpec {
     assert(nSeen.forall(_ > 0))
   }
 
+  test("sampler headroom guard errors at phi = 2^43, passes just below") {
+    import graft.operators.KMeansQueries
+    // φ one below the ceiling: the guard must be a transparent TRUE
+    val ok = Seq((KMeansQueries.SamplerHeadroomMax - 1, 7L))
+      .toDF("phim", "x")
+      .where(KMeansQueries.samplerHeadroomGuard(col("phim")) &&
+        col("x") > 0)
+      .collect()
+    assert(ok.length == 1)
+    // φ AT the ceiling: the job must ERROR (loud exhaustion), never
+    // silently wrap u20·φ and corrupt the sampling decisions
+    val e = intercept[Exception] {
+      Seq((KMeansQueries.SamplerHeadroomMax, 7L)).toDF("phim", "x")
+        .where(KMeansQueries.samplerHeadroomGuard(col("phim")) &&
+          col("x") > 0)
+        .collect()
+    }
+    assert(e.getMessage.contains("headroom"))
+  }
+
   test("reference text format round-trips through PointsIO") {
     val tmp = java.nio.file.Files.createTempDirectory("pio").toString
     val data = Seq((0, Seq(0.41410840, 1.48714702)),
