@@ -271,10 +271,13 @@ object AnnIndex {
     * `annDeleteStream`) returns to a state the batch append/delete
     * paths accept — [[ensureDelta]]/[[ensureDeletes]] refuse to touch
     * streamed segments precisely because overwriting them loses rows;
-    * compaction is the sanctioned exit. The merged segment writes to a
-    * sibling tmp dir FIRST (reading the old segments), and only then
-    * do the swap renames run — a crash mid-write leaves the original
-    * index fully intact. */
+    * compaction is the sanctioned exit. Crash posture: the merged
+    * segment writes to a sibling tmp dir FIRST (reading the old
+    * segments), then the swap runs as rename-aside → rename-in →
+    * deletes, so at EVERY intermediate point the full pre- or
+    * post-compaction data exists on disk under a discoverable name
+    * (a crash never leaves the index without a recoverable base;
+    * renames are atomic per-dir on HDFS/local FS). */
   def compactInPlace(spark: SparkSession, path: String): Unit = {
     val merged = minusDeletes(spark, path, committedSegments(spark, path))
     ParquetSink.writePartitioned(merged, s"$path/codes_merge_tmp",
@@ -283,9 +286,10 @@ object AnnIndex {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
-    fs.delete(p("codes"), true)
+    fs.delete(p("codes_old"), true) // debris from an earlier crash
+    fs.rename(p("codes"), p("codes_old"))
     fs.rename(p("codes_merge_tmp"), p("codes"))
-    Seq("codes_delta", "deletes", "codes_compacted")
+    Seq("codes_old", "codes_delta", "deletes", "codes_compacted")
       .foreach(s => fs.delete(p(s), true))
     ()
   }
