@@ -333,7 +333,29 @@ object Events {
         count(lit(1)).over(w).as("n_1h"))
   }
 
+  /** Per-type distinct-user cardinality, exact AND sketched — the
+    * BATCH MIRROR of [[graft.streaming.StreamingOps
+    * .runningDistinctUsers]] (whose final state equals exactly this
+    * aggregate), previously spec-gated only; the q_approx_distinct
+    * witness pattern puts it on the oracle board: estimates are
+    * engine-specific, so the row carries the EXACT count plus a
+    * boolean asserting the HLL++ estimate landed within ±5% — the
+    * driver's hash compare fails iff the sketch leaves its envelope.
+    * Why the sketch matters at scale: the exact count shuffles every
+    * distinct (type, user) pair; the sketch is a few KB per group
+    * forever and merges associatively — the same reason the streaming
+    * side can never be exact. */
+  def evDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("au") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("users_within_5pct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_distinct_users" -> evDistinctUsers,
     "ev_range_frame" -> evRangeFrame,
     "ev_gap_fill" -> evGapFill,
     "ev_anomaly" -> evAnomaly,
@@ -349,6 +371,11 @@ object Events {
     "ev_recent_clicks" -> evRecentClicks)
 
   val oracles: Map[String, String] = Map(
+    "ev_distinct_users" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS users_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
     "ev_range_frame" ->
       """SELECT user_id, event_id, ts_us,
         |  round(sum(value) OVER w, 4) AS sum_1h,

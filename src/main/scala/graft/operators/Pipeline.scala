@@ -612,7 +612,47 @@ object Pipeline {
         coalesce(col("n_orders"), lit(0L)).as("n_orders"))
   }
 
+  /** Deterministic "next snapshot" mutation rule shared with the
+    * oracle: doc_id ≡ 3 (mod 17) dropped, doc_id ≡ 5 (mod 11)
+    * revised, doc_id ≡ 2 (mod 13) re-ingested under a fresh id
+    * offset by the corpus size (the deltaCorpus closed-form trick). */
+  private def datasetV2(v1: DataFrame): DataFrame = {
+    val revised = v1.where(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 5,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+          .as("text"))
+    val additions = v1
+      .crossJoin(broadcast(v1.agg(count(lit(1)).as("n_v1"))))
+      .where(col("doc_id") % 13 === 2)
+      .select((col("doc_id") + col("n_v1")).as("doc_id"), col("text"))
+    revised.unionByName(additions)
+  }
+
+  /** DATASET DIFF — the snapshot changelog every versioned training
+    * corpus needs (the Delta/Iceberg table-history question asked of
+    * plain parquet): classify every doc_id across two dataset versions
+    * as added / removed / changed / unchanged by CONTENT HASH, never
+    * by row position. The second version is derived in-plan by the
+    * deterministic [[datasetV2]] rule so the oracle replays it
+    * closed-form. Shape at 100 TB: both sides reduce to thin
+    * (doc_id, md5) projections at the scan — the full outer join
+    * hash-partitions on doc_id and moves 2 columns per row, never
+    * document bodies; the status CASE is a codegen projection. */
+  def pipelineDatasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val h1 = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val h2 = datasetV2(v1).select(col("doc_id"), md5(col("text")).as("h2"))
+    h1.join(h2, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dataset_diff" -> pipelineDatasetDiff,
     "pipeline_upsert" -> pipelineUpsert,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
@@ -650,6 +690,26 @@ object Pipeline {
       |GROUP BY c.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dataset_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [rev2]'
+        |         ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT count(*) FROM v1) AS doc_id, text
+        |  FROM v1 WHERE doc_id % 13 = 2
+        |), h1 AS (SELECT doc_id, md5(text) AS h FROM v1
+        |), h2 AS (SELECT doc_id, md5(text) AS h FROM v2
+        |)
+        |SELECT coalesce(h1.doc_id, h2.doc_id) AS doc_id,
+        |  CASE WHEN h1.h IS NULL THEN 'added'
+        |       WHEN h2.h IS NULL THEN 'removed'
+        |       WHEN h1.h <> h2.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id""".stripMargin,
     // integer-exact share chain replayed: exact counts → correctly-
     // rounded sqrt micros → exact integer totals → integer-ratio
     // divisions (boost from the already-rounded share columns, exactly

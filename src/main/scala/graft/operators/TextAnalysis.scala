@@ -980,7 +980,37 @@ object TextAnalysis {
           .as("subwords_per_word"))
   }
 
+  /** Hashing-trick bucket width (Weinberger et al., ICML'09 feature
+    * hashing): fixed regardless of vocabulary size. */
+  val HashVecDim = 64L
+
+  /** FEATURE HASHING (the hashing trick) — the fixed-width
+    * featurization web-scale linear models train on: each token maps
+    * to `bucket = h(tok) mod D` with a SECOND independent hash
+    * choosing a ±1 sign, and a document's feature vector is the per-
+    * bucket signed sum — the sign makes colliding tokens cancel in
+    * expectation instead of biasing the bucket upward, which is the
+    * whole trick. Versus [[textTfIdf]]: NO vocabulary exists anywhere
+    * — no dictionary build, no vocab join, no fit step, so the
+    * featurizer is a stateless narrow projection that never shuffles
+    * anything but the final (doc, bucket) aggregate and works
+    * identically on a stream. Hashes are the repo's standard
+    * domain-separated md5 windows, replayed verbatim by the oracle. */
+  def textHashingVec(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("hv:"), col("tok"))), 1, 5), 16, 10)
+          .cast("long") % HashVecDim).as("bucket"),
+        when(conv(substring(md5(concat(lit("hvs:"), col("tok"))), 1, 1),
+          16, 10).cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+          .as("sg"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("sg")).as("signed_sum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hashing_vec" -> textHashingVec,
     "text_bpe_doc" -> textBpeDoc,
     "text_bpe_encode" -> textBpeEncode,
     "text_bpe" -> textBpe,
@@ -1179,6 +1209,22 @@ object TextAnalysis {
       |GROUP BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // hex→int: CAST(concat('0x',…) AS BIGINT) ≡ Spark conv(…,16,10)
+    "text_hashing_vec" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5('hv:' || tok), 1, 5)) AS BIGINT)
+         |      % $HashVecDim AS bucket,
+         |    CASE WHEN CAST(concat('0x', substr(md5('hvs:' || tok), 1, 1))
+         |              AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sg
+         |  FROM tk WHERE len(tok) > 0
+         |)
+         |SELECT doc_id, bucket, count(*) AS n_tokens,
+         |       CAST(sum(sg) AS BIGINT) AS signed_sum
+         |FROM h GROUP BY doc_id, bucket""".stripMargin,
     "text_bpe" ->
       s"""$bpeCte
          |$bpeMergeTableSql""".stripMargin,
