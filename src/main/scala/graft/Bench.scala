@@ -73,6 +73,11 @@ object Bench {
     // are reported separately.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val coldRuns = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // a query that THROWS must be visible as a failure, not as a
+    // fast row: round 7's 13 broken ev_* queries benched as ~0.06 s
+    // fail-fast stubs and read as improvements until the judge
+    // cross-checked the correctness board
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     // drain debris BEFORE every timed run, outside the timed section:
     // the checkpoint-heavy driver-loop queries (components, PageRank,
     // BPE, Lloyd, the ann index writers) leave blocks that only free
@@ -93,7 +98,10 @@ object Bench {
       def once(): Double = {
         drain()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          if (failed.add(name))
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       coldRuns(name) = once()
@@ -137,8 +145,10 @@ object Bench {
     def j(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{", ",", "}")
+    def jFailed: String =
+      failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","queries":${j(results)}%s,"queries_cold":${j(coldRuns)}%s,"sf":"$sfDir%s"}"""
+      f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","queries":${j(results)}%s,"queries_cold":${j(coldRuns)}%s,"failed":$jFailed%s,"sf":"$sfDir%s"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -151,7 +161,7 @@ object Bench {
         println(f"""{"q":"$n%s","warm":$v%.3f,"cold":${coldRuns(n)}%.3f}""")
       }
     val compact = results.filter { case (n, _) => headline(n) }
-    println(f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","queries":${j(compact)}%s,"sf":"$sfDir%s"}""")
+    println(f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","queries":${j(compact)}%s,"failed":$jFailed%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

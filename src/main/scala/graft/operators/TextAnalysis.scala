@@ -997,7 +997,16 @@ object TextAnalysis {
     * identically on a stream. Hashes are the repo's standard
     * domain-separated md5 windows, replayed verbatim by the oracle. */
   def textHashingVec(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    hashingVecOf(t(spark, dir, "documents"))
+
+  /** Core of [[textHashingVec]] over any (doc_id, text) frame — shared
+    * verbatim by batch and the streaming featurizer
+    * ([[graft.streaming.StreamingOps.hashingVecStream]]): the hashes
+    * are stateless per-token expressions and each document's buckets
+    * aggregate within its own row's tokens, so micro-batch boundaries
+    * cannot change any output row. */
+  def hashingVecOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .where(length(col("tok")) > 0)
       .select(col("doc_id"),

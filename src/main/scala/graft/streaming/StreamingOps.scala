@@ -620,6 +620,25 @@ object StreamingOps {
                          weights: Array[Double]): DataFrame =
     graft.operators.TextAnalysis.scoreWithWeights(docs.toDF(), weights)
 
+  /** STREAMING FEATURE HASHING — the hashing trick's defining virtue
+    * made concrete: because NO vocabulary/fit step exists, the
+    * featurizer needs no model join, no state store and no watermark —
+    * each arriving document's fixed-width bucket vector is a pure
+    * function of its own tokens, computed by the VERBATIM batch core
+    * ([[graft.operators.TextAnalysis.hashingVecOf]]) inside
+    * foreachBatch. Stream == batch row-for-row across arbitrary
+    * micro-batch splits (spec-pinned) — the property a dictionary-
+    * based featurizer (tf-idf) structurally cannot have, since its
+    * vocabulary depends on the whole corpus. */
+  def hashingVecStream(docs: Dataset[SDocQ])(onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SDocQ] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SDocQ], _: Long) =>
+        onBatch(graft.operators.TextAnalysis.hashingVecOf(batch.toDF()))
+        ()
+      }
+
   /** STREAMING NB LANGUAGE-ID SERVING — the trained Naive-Bayes
     * family's streaming counterpart (train-offline / serve-online,
     * like [[qualityScoreStream]] for the logreg model): documents

@@ -756,6 +756,31 @@ class StreamingSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("hashingVecStream equals the batch featurizer across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val batch = graft.operators.TextAnalysis.hashingVecOf(docsDf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val rows = docsDf.as[(Long, String, String)].collect()
+      .map { case (id, t, l) => StreamingOps.SDocQ(id, t, l) }
+    val mem = MemoryStream[StreamingOps.SDocQ]
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    val q = StreamingOps.hashingVecStream(mem.toDS()) { out =>
+      got ++= out.as[(Long, Long, Long, Long)].collect(); ()
+    }.start()
+    try {
+      // three arbitrary splits: no vocabulary exists, so boundaries
+      // cannot change any row
+      val (a, rest) = rows.splitAt(rows.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 3)
+      mem.addData(a.toSeq); q.processAllAvailable()
+      mem.addData(b.toSeq); q.processAllAvailable()
+      mem.addData(c.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == batch && batch.nonEmpty)
+  }
+
   test("qualityScoreStream with batch-trained weights equals batch scoring") {
     implicit val sqlCtx = spark.sqlContext
     val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
