@@ -675,7 +675,43 @@ object Dedup {
         (col("doc") === col("component")).cast("int").as("is_canonical"))
   }
 
+  /** CONTAINMENT scoring over the LSH candidates — the ASYMMETRIC
+    * overlap measure Jaccard structurally misses: a short document
+    * fully quoted inside a long one scores |A∩B|/|A∪B| ≈ |A|/|B| → 0
+    * under Jaccard (the union is dominated by the long side) but
+    * containment(A in B) = |A∩B|/|A| = 1 — exactly the doc-in-doc
+    * duplication case (quoted articles, boilerplate wrappers,
+    * concatenated dumps) a training-corpus dedup pass must catch
+    * (Broder's resemblance-vs-containment distinction). Candidate
+    * generation, shingles and signatures are shared VERBATIM with
+    * [[dedupNgramJaccard]] (same cached relations, same banded
+    * equi-join — still never all-pairs); only the verify arithmetic
+    * differs: both directed containments plus the max. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentOf(docsWithShingles(spark, dir))
+
+  /** Core of [[dedupContainment]] over any (doc_id, shingles) frame;
+    * exposed for the quoted-document asymmetry fixture spec. */
+  def containmentOf(shingled: DataFrame): DataFrame = {
+    val sh = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairs(
+      bandSignaturesFrom(sh).persist(StorageLevel.MEMORY_AND_DISK))
+    val dsh = sh.select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    pairs
+      .join(dsh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(dsh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") / size(col("sh_a")), 6)
+          .as("containment_a"),
+        round(col("ni").cast("double") / size(col("sh_b")), 6)
+          .as("containment_b"))
+      .withColumn("max_containment",
+        greatest(col("containment_a"), col("containment_b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> dedupContainment,
     "dedup_embed_cluster" -> dedupEmbedCluster,
     "dedup_url" -> dedupUrl,
     "dedup_exact" -> dedupExact,
@@ -954,6 +990,25 @@ object Dedup {
          |    AS rep_chars,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM j GROUP BY component""".stripMargin,
+    "dedup_containment" ->
+      s"""$shCte
+         |SELECT p.doc_a, p.doc_b,
+         |  round(CAST(len(list_intersect(list_distinct(a.shingles),
+         |                                list_distinct(b.shingles))) AS DOUBLE)
+         |        / len(list_distinct(a.shingles)), 6) AS containment_a,
+         |  round(CAST(len(list_intersect(list_distinct(a.shingles),
+         |                                list_distinct(b.shingles))) AS DOUBLE)
+         |        / len(list_distinct(b.shingles)), 6) AS containment_b,
+         |  greatest(
+         |    round(CAST(len(list_intersect(list_distinct(a.shingles),
+         |                                  list_distinct(b.shingles))) AS DOUBLE)
+         |          / len(list_distinct(a.shingles)), 6),
+         |    round(CAST(len(list_intersect(list_distinct(a.shingles),
+         |                                  list_distinct(b.shingles))) AS DOUBLE)
+         |          / len(list_distinct(b.shingles)), 6)) AS max_containment
+         |FROM pairs p
+         |JOIN sh a ON a.doc_id = p.doc_a
+         |JOIN sh b ON b.doc_id = p.doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$shCte
          |SELECT p.doc_a, p.doc_b,

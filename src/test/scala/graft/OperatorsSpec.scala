@@ -847,6 +847,38 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out == Set((1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
   }
 
+  test("containment catches the quoted-document case Jaccard dilutes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 1 appears VERBATIM inside doc 2, which carries a tail of its
+    // own — the doc-in-doc duplication shape: when A ⊆ B, Jaccard =
+    // |A|/|B| (dilutes with the tail) while containment(A in B) stays
+    // exactly 1.0. The tail is sized so the pair still survives the
+    // resemblance-LSH banding (deep containment escaping minhash
+    // candidates entirely is the measure's documented recall limit —
+    // candidate generation is shared with the Jaccard query).
+    val quoted = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, quoted), (2L, s"$quoted extra1"),
+      (3L, "wholly unrelated content sits here alone")).toDF("doc_id", "text")
+    val shingled = docs
+      .select(col("doc_id"),
+        Dedup.shingleCol(split(col("text"), " "), 3).as("shingles"))
+    val out = Dedup.containmentOf(shingled)
+      .select("doc_a", "doc_b", "containment_a", "containment_b",
+        "max_containment")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // the pair must survive banding (doc 1's 4 shingles all live in
+    // doc 2, so every minhash of doc 1 bounds doc 2's from above)
+    assert(out.contains((1L, 2L)), s"candidate pair missing: $out")
+    val (ca, cb, mx) = out((1L, 2L))
+    assert(ca == 1.0, s"containment(1 in 2) = $ca, want 1.0")
+    // A ⊆ B ⇒ Jaccard = |A|/|B| = containment_b = 4/5 — the dilution
+    // the asymmetric measure corrects
+    assert(cb == 0.8 && mx == 1.0, s"containment_b = $cb")
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("packOf chops a shard's token stream at ContextLen boundaries") {
     val spark2 = spark
     import spark2.implicits._
