@@ -305,7 +305,7 @@ object AnnIndex {
     val base = spark.read.parquet(s"$path/codes")
     if (segmentAvailable(spark, path, "codes_delta"))
       base.unionByName(readSegment(spark, path, "codes_delta")
-        .select(base.columns.map(col): _*))
+        .select(base.columns.toIndexedSeq.map(col): _*))
     else base
   }
 
@@ -424,7 +424,7 @@ object AnnIndex {
     // test proves the delete is what hides a vector, not candidate
     // generation)
     val pruned = committedSegments(spark, path)
-      .where(col("cluster").isin(probedAll.map(Int.box): _*))
+      .where(col("cluster").isin(probedAll.toIndexedSeq.map(Int.box): _*))
     val codes =
       if (applyDeletes) minusDeletes(spark, path, pruned) else pruned
     val probedLuts = Similarity.withBlockDists(qs, "qv", cb, "lut_")
