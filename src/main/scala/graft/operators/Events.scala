@@ -258,6 +258,45 @@ object Events {
         count(when(col("last_qclick_us").isNotNull, 1)).as("n_converted"))
   }
 
+  /** TIME-BOUNDED funnel — [[evFunnel]] with CONVERSION WINDOWS, the
+    * form product analytics actually ships (an unbounded funnel counts
+    * a view from last year as qualifying today's purchase): each stage
+    * must follow its predecessor within [[DayUs]] (one hour converts
+    * nothing on this data's inter-event gaps; one day splits the
+    * unbounded funnel's conversions ~1:6 — a discriminating gate). Same single-sort
+    * cascaded-window lowering — the recency bound composes cleanly
+    * because the carried value is the LATEST qualifying predecessor,
+    * which is always the CLOSEST one: "most recent view within W of
+    * this click" ⟺ "∃ view within W", and qualified-click timestamps
+    * form their own carried sequence for the purchase test. Still one
+    * shuffle + one sort per user partition, no stage self-joins, no
+    * range join — the bound is a filter on the carried column. */
+  def evFunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).as("stage"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("stage"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev
+      .withColumn("last_view_us",
+        last(when(col("stage") === 0, col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .withColumn("last_qclick_us",
+        last(when(col("stage") === 1 && col("last_view_us").isNotNull &&
+          col("ts_us") - col("last_view_us") <= DayUs,
+          col("ts_us")), ignoreNulls = true).over(w))
+      .where(col("stage") === 2)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(when(col("last_qclick_us").isNotNull &&
+          col("ts_us") - col("last_qclick_us") <= DayUs, 1))
+          .as("n_converted_1d"))
+  }
+
   /** Per-user anomaly detection — z-score outliers against each user's
     * own value distribution, the standard telemetry/abuse screen.
     * Moments ride a window over the user partition (see [[anomalyOf]]
@@ -356,6 +395,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_distinct_users" -> evDistinctUsers,
+    "ev_funnel_windowed" -> evFunnelWindowed,
     "ev_range_frame" -> evRangeFrame,
     "ev_gap_fill" -> evGapFill,
     "ev_anomaly" -> evAnomaly,
@@ -445,6 +485,30 @@ object Events {
         |    WHERE qc.user_id = p.user_id AND qc.ts_us <= p.ts_us)
         |    THEN 1 END) AS n_converted
         |FROM p GROUP BY p.user_id""".stripMargin,
+    "ev_funnel_windowed" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+         |  FROM events
+         |), v AS (
+         |  SELECT user_id, ts_us FROM e WHERE event_type = 'view'
+         |), c AS (
+         |  SELECT user_id, ts_us FROM e WHERE event_type = 'click'
+         |), qc AS (
+         |  SELECT c.user_id, c.ts_us FROM c
+         |  WHERE EXISTS (SELECT 1 FROM v
+         |                WHERE v.user_id = c.user_id AND v.ts_us <= c.ts_us
+         |                  AND c.ts_us - v.ts_us <= $DayUs)
+         |), p AS (
+         |  SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'
+         |)
+         |SELECT p.user_id, count(*) AS n_purchases,
+         |  count(CASE WHEN EXISTS (
+         |    SELECT 1 FROM qc
+         |    WHERE qc.user_id = p.user_id AND qc.ts_us <= p.ts_us
+         |      AND p.ts_us - qc.ts_us <= $DayUs)
+         |    THEN 1 END) AS n_converted_1d
+         |FROM p GROUP BY p.user_id""".stripMargin,
     "ev_retention" ->
       """WITH ev AS (
         |  SELECT user_id,
