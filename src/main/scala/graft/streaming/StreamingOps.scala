@@ -251,6 +251,49 @@ object StreamingOps {
       }
   }
 
+  val FunnelWindowUs: Long = 86400L * 1000 * 1000 // 1 day
+
+  /** Streaming TIME-BOUNDED funnel — the streaming form of
+    * Events.evFunnelWindowed: identical two-timestamp state as
+    * [[funnel]], with the [[FunnelWindowUs]] recency bound applied at
+    * each stage transition (a click only refreshes the qualified-click
+    * carry when the last view is ≤ 1 day old; a purchase only converts
+    * when the carried qualified click is). The bound needs NO extra
+    * state — staleness is checked against the event being processed,
+    * exactly as the batch window pass does — so state stays O(users)
+    * over any history. */
+  def funnelWindowed(events: Dataset[SEvent]): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageOf = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .filter(e => stageOf.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toArray
+            .sortBy(e => (e.ts_us, stageOf(e.event_type), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+          val out = Seq.newBuilder[FunnelOut]
+          sorted.foreach { e =>
+            e.event_type match {
+              case "view" => st = st.copy(lastViewUs = e.ts_us)
+              case "click" =>
+                if (st.lastViewUs >= 0 &&
+                  e.ts_us - st.lastViewUs <= FunnelWindowUs)
+                  st = st.copy(lastQClickUs = e.ts_us)
+              case _ =>
+                out += FunnelOut(userId, e.event_id, e.ts_us,
+                  st.lastQClickUs >= 0 &&
+                    e.ts_us - st.lastQClickUs <= FunnelWindowUs)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class SDoc(ts: java.sql.Timestamp, doc_id: Long, text: String,
                         lang: String)
 

@@ -252,6 +252,34 @@ class StreamingSpec extends SparkSessionSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streaming windowed funnel equals batch evFunnelWindowed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.funnelWindowed(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_w")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = batchEvents.sortBy(e => (e.ts_us, e.event_id))
+        .splitAt(batchEvents.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("funnel_w")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count(when(col("converted"), 1)).as("n_converted_1d"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Events.evFunnelWindowed(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && streamed == batch)
+    // the bound must BIND on this data: strictly fewer conversions
+    // than the unbounded funnel
+    val unb = Events.evFunnel(spark, sf0001)
+      .agg(sum(col("n_converted"))).as[Long].collect()(0)
+    val bnd = streamed.toSeq.map(_._3).sum
+    assert(bnd < unb, s"bound did not bind: $bnd vs $unb")
+  }
+
   // ---- late-data semantics: watermark behavior asserted by OBSERVATION
   // (an event older than the advanced watermark must be dropped, not
   // merged), not just by construction ----
