@@ -71,7 +71,7 @@ object AnnIndex {
     * routes rows to their cell directory (one file per cell). */
   def buildIndex(spark: SparkSession, dir: String): String = {
     val path = indexPath(spark, dir)
-    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val cents = KMeansQueries.coarseCentroids(spark, dir)
     val cb = Similarity.pqCodebook(spark, dir)
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"),
@@ -149,6 +149,10 @@ object AnnIndex {
     * path. */
   private[graft] def ensureDelta(spark: SparkSession, dir: String): String = {
     val path = ensureIndex(spark, dir)
+    // writer rule: finish any crashed compaction BEFORE creating a new
+    // delta — writing into (or next to) flagged debris and then
+    // clearing the flag would resurrect the dead rows
+    recoverCompaction(spark, path)
     // refuse to clobber a STREAM-PRODUCED delta: the batch re-encode
     // below overwrites the segment root, which would silently discard
     // every streamed micro-batch (the round-7 advice's asymmetry). A
@@ -192,6 +196,7 @@ object AnnIndex {
     * physically. */
   private def ensureDeletes(spark: SparkSession, dir: String): String = {
     val path = ensureDeltaOnce(spark, dir)
+    recoverCompaction(spark, path) // writer rule, as in ensureDelta
     // gate on EITHER layout: a stream-produced tombstone set is
     // already a valid deletes segment and is kept as-is — the batch
     // overwrite would silently resurrect every annDeleteStream delete
@@ -273,12 +278,23 @@ object AnnIndex {
     * streamed segments precisely because overwriting them loses rows;
     * compaction is the sanctioned exit. Crash posture: the merged
     * segment writes to a sibling tmp dir FIRST (reading the old
-    * segments), then the swap runs as rename-aside → rename-in →
-    * deletes, so at EVERY intermediate point the full pre- or
-    * post-compaction data exists on disk under a discoverable name
-    * (a crash never leaves the index without a recoverable base;
-    * renames are atomic per-dir on HDFS/local FS). */
+    * segments), with the [[CompactedFlag]] inside it, then the swap
+    * runs as rename-aside → rename-in → deletes. The atomic rename-in
+    * publishes the merged data and its "delta is folded in" flag
+    * TOGETHER, so a crash after the swap but before the trailing
+    * deletes cannot double-count: readers see the flag and ignore the
+    * leftover `codes_delta`/`deletes` debris ([[segmentAvailable]]);
+    * the next writer finishes the cleanup ([[recoverCompaction]]).
+    * Every rename's return value is CHECKED — a silently failed
+    * rename aborting before the destructive deletes is the difference
+    * between a retryable error and data loss. At every intermediate
+    * point the full pre- or post-compaction data exists on disk under
+    * a discoverable name (renames are atomic per-dir on HDFS/local
+    * FS); the one window with no `codes` dir (between the two
+    * renames) is healed by [[recoverCompaction]] publishing the
+    * flagged tmp segment. */
   def compactInPlace(spark: SparkSession, path: String): Unit = {
+    recoverCompaction(spark, path) // debris from an earlier crash
     val merged = minusDeletes(spark, path, committedSegments(spark, path))
     ParquetSink.writePartitioned(merged, s"$path/codes_merge_tmp",
       partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
@@ -286,12 +302,68 @@ object AnnIndex {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
-    fs.delete(p("codes_old"), true) // debris from an earlier crash
-    fs.rename(p("codes"), p("codes_old"))
-    fs.rename(p("codes_merge_tmp"), p("codes"))
+    def renameOrAbort(src: String, dst: String): Unit =
+      if (!fs.rename(p(src), p(dst)))
+        throw new java.io.IOException(
+          s"compaction swap aborted: rename $src -> $dst failed under " +
+            s"$path; the index is unchanged and the merge can be retried")
+    // the flag rides the tmp dir so the rename-in below publishes
+    // data + flag in one atomic step ("_"-prefixed: parquet readers
+    // skip it)
+    fs.create(p(s"codes_merge_tmp/$CompactedFlag"), true).close()
+    fs.delete(p("codes_old"), true)
+    renameOrAbort("codes", "codes_old")
+    renameOrAbort("codes_merge_tmp", "codes")
     Seq("codes_old", "codes_delta", "deletes", "codes_compacted")
       .foreach(s => fs.delete(p(s), true))
+    fs.delete(p(s"codes/$CompactedFlag"), false)
     ()
+  }
+
+  /** Flag file living INSIDE the base segment while a
+    * [[compactInPlace]] swap's trailing deletes are incomplete: its
+    * presence means the base ALREADY contains the folded
+    * delta/tombstones, so any `codes_delta`/`deletes` still on disk
+    * are dead debris — a reader honoring them would double-count
+    * every delta row and resurrect every tombstone. */
+  private[graft] val CompactedFlag = "_COMPACTED"
+
+  /** A compaction swap committed but its debris deletes did not all
+    * finish (crash window between rename-in and the trailing
+    * deletes). */
+  private[graft] def compactionPending(spark: SparkSession,
+                                       path: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/codes/$CompactedFlag")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(marker)
+  }
+
+  /** Finish a crashed [[compactInPlace]]: publish the flagged merged
+    * segment if the crash hit the no-`codes` window, then physically
+    * drop the dead delta/tombstone debris the flag neutralizes, then
+    * the flag itself — in that order, because clearing the flag while
+    * debris is still present would resurrect it. Writers call this
+    * before creating a NEW delta/tombstone segment; pure readers
+    * don't need to (the flag check in [[segmentAvailable]] already
+    * excludes the debris from every read). */
+  private[graft] def recoverCompaction(spark: SparkSession,
+                                       path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    val fs = p("codes").getFileSystem(conf)
+    if (!fs.exists(p("codes")) &&
+        fs.exists(p(s"codes_merge_tmp/$CompactedFlag")) &&
+        !fs.rename(p("codes_merge_tmp"), p("codes")))
+      throw new java.io.IOException(
+        s"compaction recovery failed: cannot publish codes_merge_tmp " +
+          s"under $path")
+    if (compactionPending(spark, path)) {
+      Seq("codes_old", "codes_delta", "deletes", "codes_compacted")
+        .foreach(s => fs.delete(p(s), true))
+      fs.delete(p(s"codes/$CompactedFlag"), false)
+      ()
+    }
   }
 
   /** Every COMMITTED code segment at `path`: the base segment plus the
@@ -330,10 +402,16 @@ object AnnIndex {
 
   /** Segment readable under EITHER physical layout: batch-written at
     * the segment root (root `_SUCCESS`), or stream-written as
-    * `batch_id=*` subtrees. */
+    * `batch_id=*` subtrees. Delta/tombstone segments are additionally
+    * gated on [[compactionPending]]: while the base carries the
+    * [[CompactedFlag]], any such segment on disk is dead debris from
+    * a crashed swap's unfinished deletes, and reading it would
+    * double-count the folded rows. */
   private[graft] def segmentAvailable(spark: SparkSession, path: String,
                                       seg: String): Boolean =
-    committed(spark, path, seg) || streamProduced(spark, path, seg)
+    (committed(spark, path, seg) || streamProduced(spark, path, seg)) &&
+      !(Set("codes_delta", "deletes")(seg) &&
+        compactionPending(spark, path))
 
   /** Read a segment regardless of which layout produced it. The
     * streamed layout surfaces `batch_id` as a discovered partition

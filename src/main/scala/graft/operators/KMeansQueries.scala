@@ -38,6 +38,47 @@ object KMeansQueries {
   def fixedCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     firstKCentroids(spark, dir, K)
 
+  /** Target within-cell population for the IVF coarse quantizer (the
+    * [[graft.operators.Dedup.TargetCellSize]] rule, shared so the two
+    * blocking families agree): coarse cells hold ~256 vectors each
+    * whatever the corpus size. */
+  val CoarseCellTarget = 256L
+
+  /** n-scaled coarse cell count: k = max([[K]], ⌈n/[[CoarseCellTarget]]⌉).
+    * A FIXED k makes every IVF candidate set Θ(n²/k) — quadratic once n
+    * outgrows k·cellSize — and caps both the prune ratio (NProbe/k) and
+    * the partition fan-out of a cell-partitioned index layout at k
+    * forever. Growing k with n keeps per-cell population constant, so
+    * candidate volume is O(n·NProbe·CellTarget) — linear — and the
+    * index layout gains partitions (and thus write/search parallelism)
+    * as the corpus grows. At the test SFs (n ≤ 2000) this evaluates to
+    * exactly [[K]], so the seeded oracle replay is unchanged; at 100 TB
+    * it is what makes the plan survive. */
+  def coarseK(n: Long): Int =
+    math.max(K.toLong, (n + CoarseCellTarget - 1) / CoarseCellTarget).toInt
+
+  /** Deterministic n-scaled coarse centroid set for the IVF family
+    * ([[Similarity.annIvfCosine]], [[Similarity.annKnnGraph]],
+    * [[AnnIndex.buildIndex]], [[Pipeline.pipelineDiverseSample]]):
+    * first [[coarseK]](n) embeddings by vec_id. The count() pre-pass is
+    * a parquet-metadata read (no column scan); the seed collect is
+    * O(k·d) driver doubles = O(n·d/256) — at extreme corpus sizes
+    * (k ≳ 10⁶ cells) the centroid set should travel as a broadcast
+    * DataFrame join instead of plan literals, the pattern
+    * [[Dedup.dedupEmbedCosine]] already implements end-to-end in-plan;
+    * the literal path here keeps the generated code compact for every
+    * k the seeded-oracle harness can reach. */
+  def coarseCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val n = Tables.t(spark, dir, "embeddings").count()
+    firstKCentroids(spark, dir, coarseK(n))
+  }
+
+  /** DuckDB replay of [[coarseK]]: a LIMIT subquery deriving the cell
+    * count from the same corpus count, so the oracle's centroid set
+    * tracks the engine's at any SF. */
+  val coarseKSql: String =
+    s"(SELECT greatest($K, CAST(ceil(count(*) / $CoarseCellTarget.0) AS BIGINT)) FROM embeddings)"
+
   private def points(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))

@@ -223,7 +223,7 @@ object Pipeline {
     * partitioned rank: the same cost as one IVF routing pass. */
   def pipelineDiverseSample(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val cents = KMeansQueries.coarseCentroids(spark, dir)
     val assigned = graft.kmeans.KMeansOps.assignDyn(
       Similarity.emb(spark, dir), "v", cents)
     val w = Window.partitionBy(col("cluster"))

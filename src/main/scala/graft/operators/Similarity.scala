@@ -111,7 +111,7 @@ object Similarity {
     * (corpus × query) pair. Probed cells are distinct per query ⇒ no
     * duplicate scoring. */
   def annIvfCosine(spark: SparkSession, dir: String): DataFrame = {
-    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val cents = KMeansQueries.coarseCentroids(spark, dir)
     val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
     val probed = queriesDf(spark, dir)
       .withColumn("probe_cell",
@@ -136,12 +136,16 @@ object Similarity {
     * vector probes its [[NProbe]] nearest cells (in-plan, exploded to
     * (vector, cell) rows) and candidates materialize via the EQUI
     * join probe_cell = cluster — candidate count is Σ cell_size ×
-    * probers-per-cell, never n². Per-vector ranking cuts through the
-    * native TopKPerKey heaps before the survivor window. Same
-    * deterministic seeded cells as [[annIvfCosine]], so the DuckDB
-    * oracle replays the identical approximation. */
+    * probers-per-cell. The "never n²" claim holds BECAUSE the cell
+    * count scales with the corpus ([[KMeansQueries.coarseK]] =
+    * ⌈n/256⌉): per-cell population stays ~constant, so candidates are
+    * O(n·NProbe·256) — linear in n. (With a fixed k this same plan is
+    * Θ(n²·NProbe/k), the classic IVF scale trap.) Per-vector ranking
+    * cuts through the native TopKPerKey heaps before the survivor
+    * window. Same deterministic seeded cells as [[annIvfCosine]], so
+    * the DuckDB oracle replays the identical approximation. */
   def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val cents = KMeansQueries.coarseCentroids(spark, dir)
     val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
     val probed = emb(spark, dir)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -257,7 +261,7 @@ object Similarity {
     * and the PQ compression, which is why this layout is the scale
     * default. Survivors cut through the native heaps as usual. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val cents = KMeansQueries.coarseCentroids(spark, dir)
     val cb = pqCodebook(spark, dir)
     val encoded = withBlockDists(
       KMeansOps.assignDyn(emb(spark, dir), "v", cents), "v", cb, "ds_")
@@ -353,7 +357,7 @@ object Similarity {
     * generate_series replay), ranked with the usual rounded-score +
     * id tie-break through the native heaps. */
   def annRefine(spark: SparkSession, dir: String): DataFrame = {
-    val cents = KMeansQueries.fixedCentroids(spark, dir)
+    val cents = KMeansQueries.coarseCentroids(spark, dir)
     val cb = pqCodebook(spark, dir)
     val encoded = withBlockDists(
       KMeansOps.assignDyn(emb(spark, dir), "v", cents), "v", cb, "ds_")
@@ -733,7 +737,7 @@ object Similarity {
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
        |         CAST(embedding AS DOUBLE[]) AS c
        |  FROM (SELECT vec_id, embedding FROM embeddings
-       |        ORDER BY vec_id LIMIT ${KMeansQueries.K})
+       |        ORDER BY vec_id LIMIT ${KMeansQueries.coarseKSql})
        |), q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
        |  FROM embeddings WHERE vec_id < $NQueries

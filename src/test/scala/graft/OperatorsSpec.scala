@@ -190,6 +190,29 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(comp.size == 104)
   }
 
+  test("coarseK scales cell count with corpus size, floor K") {
+    import operators.KMeansQueries.{coarseK, CoarseCellTarget, K}
+    // small corpora floor at K (the seeded-oracle regime: every test SF)
+    assert(coarseK(0) == K && coarseK(500) == K && coarseK(2000) == K)
+    assert(coarseK(K * CoarseCellTarget) == K)
+    // beyond the floor, per-cell population is pinned at CoarseCellTarget:
+    // candidate volume O(n·NProbe·CellTarget) stays linear in n
+    assert(coarseK(1L << 20) == (1L << 20) / CoarseCellTarget)
+    assert(coarseK((1L << 20) + 1) == (1L << 20) / CoarseCellTarget + 1)
+    val n100tb = 200_000_000_000L // ~100 TB of 512 B vectors
+    assert(coarseK(n100tb).toLong == n100tb / CoarseCellTarget)
+    // monotone: more data never reduces parallelism
+    val probes = Seq(1L, 1000L, 100_000L, 10_000_000L, n100tb)
+    assert(probes.map(coarseK(_).toLong) == probes.map(coarseK(_).toLong).sorted)
+    // at the test SFs the n-scaled set IS the seeded K-set, so every
+    // existing oracle replay is unchanged by the parameterization
+    val viaCoarse = operators.KMeansQueries.coarseCentroids(spark, sf0001)
+    val viaFixed = operators.KMeansQueries.fixedCentroids(spark, sf0001)
+    assert(viaCoarse.length == viaFixed.length &&
+      viaCoarse.zip(viaFixed).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b) })
+  }
+
   test("in-plan IVF probe routing equals the driver-side reference") {
     val cents = operators.KMeansQueries.fixedCentroids(spark, sf0001)
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")

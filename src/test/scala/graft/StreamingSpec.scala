@@ -784,6 +784,52 @@ class StreamingSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("compaction flag neutralizes debris from a crashed swap") {
+    import graft.operators.AnnIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_crash")
+      .toString
+    spark.conf.set("spark.graft.artifacts.dir", root)
+    try {
+      val path = AnnIndex.buildIndex(spark, sf0001)
+      val baseCount = spark.read.parquet(s"$path/codes").count()
+      AnnIndex.ensureDelta(spark, sf0001)
+      val withDelta = AnnIndex.committedSegments(spark, path).count()
+      assert(withDelta > baseCount)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+      // crash window: swap committed (flag rode the rename-in) but the
+      // trailing deletes never ran — codes_delta is still on disk. In
+      // this simulation `codes` is the old base, so the correct read
+      // is baseCount: the flag must make readers ignore the delta.
+      fs.create(p(s"codes/${AnnIndex.CompactedFlag}"), true).close()
+      assert(AnnIndex.compactionPending(spark, path))
+      assert(!AnnIndex.segmentAvailable(spark, path, "codes_delta"),
+        "flagged debris delta still read as a live segment")
+      assert(AnnIndex.committedSegments(spark, path).count() === baseCount,
+        "flagged debris delta was double-counted")
+      // writer-side recovery: debris dropped FIRST, then the flag
+      AnnIndex.recoverCompaction(spark, path)
+      assert(!fs.exists(p("codes_delta")) &&
+        !AnnIndex.compactionPending(spark, path))
+      // a fresh delta written after recovery is visible again
+      AnnIndex.ensureDelta(spark, sf0001)
+      assert(AnnIndex.committedSegments(spark, path).count() === withDelta)
+      AnnIndex.recoverCompaction(spark, path) // no flag → must not touch
+      assert(AnnIndex.committedSegments(spark, path).count() === withDelta)
+      // the no-`codes` window between rename-aside and rename-in: the
+      // merged segment sits at the tmp name with the flag inside;
+      // recovery must publish it, then clean up
+      fs.delete(p("codes_delta"), true)
+      assert(fs.rename(p("codes"), p("codes_merge_tmp")))
+      fs.create(p(s"codes_merge_tmp/${AnnIndex.CompactedFlag}"), true).close()
+      AnnIndex.recoverCompaction(spark, path)
+      assert(fs.exists(p("codes")) && !fs.exists(p("codes_merge_tmp")) &&
+        !AnnIndex.compactionPending(spark, path))
+      assert(spark.read.parquet(s"$path/codes").count() === baseCount)
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
   test("hashingVecStream equals the batch featurizer across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
