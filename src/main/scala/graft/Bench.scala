@@ -107,6 +107,12 @@ object Bench {
       coldRuns(name) = once()
       val runs = Seq.fill(3)(once()).sorted
       results(name) = runs(runs.length / 2)
+      // a failed query's ~0.06s fail-fast timings must NOT enter the
+      // timing maps: a consumer diffing warm/cold against last round
+      // without cross-checking "failed" would read the failure as a
+      // speedup (the round-7 failure mode) — failures live ONLY in
+      // the failed array
+      if (failed.contains(name)) { results.remove(name); coldRuns.remove(name) }
     }
 
     // The query gauntlet above leaves session debris (cached plans, a

@@ -381,8 +381,11 @@ object AnnIndex {
     else base
   }
 
-  private def committed(spark: SparkSession, path: String,
-                        seg: String): Boolean = {
+  /** A segment exists in the BATCH layout (root `_SUCCESS` marker) —
+    * also the guard the streaming writers consult before growing a
+    * `batch_id=*` subtree under a root the batch paths own. */
+  private[graft] def committed(spark: SparkSession, path: String,
+                               seg: String): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/$seg/_SUCCESS")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(marker)

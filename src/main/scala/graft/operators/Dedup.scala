@@ -401,12 +401,35 @@ object Dedup {
     // prefix length = n − ⌈τ·n⌉ + 1, integer-exact (DIV, no float)
     val prefix = ordered.where(col("rn") <= expr(
       s"n - (n * $PrefTauNum + $PrefTauDen - 1) DIV $PrefTauDen + 1"))
-      .select(col("doc_id"), col("tok"), col("n"))
+      .select(col("doc_id"), col("tok"), col("n"), col("rn"))
+    // PPJoin candidate pruning (Xiao et al. WWW'08), both filters
+    // exactness-preserving so verification alone decides membership:
+    // (1) LENGTH: J ≥ τ forces τ·max(na,nb) ≤ min(na,nb) (|∩| is at
+    //     most the smaller set, at least τ·|∪| ≥ τ·max) — cross-
+    //     multiplied, no float;
+    // (2) POSITIONAL: a shared token at ranks (ra, rb) of the global
+    //     rarest-first orders bounds the overlap by
+    //     min(ra,rb)−1 + 1 + min(na−ra, nb−rb) (commons before the
+    //     shared token ≤ min of the rank prefixes since both docs
+    //     order tokens identically; commons after ≤ min of the
+    //     suffixes), and J ≥ τ ⟺ overlap ≥ ⌈τ/(1+τ)·(na+nb)⌉ = α.
+    //     Every shared-token row of a TRUE pair satisfies its own
+    //     bound, so keeping pairs with ANY surviving row loses
+    //     nothing; rows whose bound cannot reach α never reach the
+    //     pair-dedup exchange or the verify joins.
+    val alpha = expr(s"(($PrefTauNum * (na + nb)) + " +
+      s"${PrefTauNum + PrefTauDen} - 1) DIV ${PrefTauNum + PrefTauDen}")
     val cands = prefix.as("a")
       .join(prefix.as("b"), Seq("tok"))
-      .where(col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * PrefTauNum <= col("b.n") * PrefTauDen &&
+        col("b.n") * PrefTauNum <= col("a.n") * PrefTauDen)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.rn").as("ra"), col("b.rn").as("rb"))
+      .where(least(col("ra"), col("rb")) - 1 + lit(1) +
+        least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .distinct()
     val inter = cands
       .join(tok.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))

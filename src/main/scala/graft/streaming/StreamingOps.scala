@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -526,14 +526,35 @@ object StreamingOps {
     * .ensureDelta]]'s segment, bit for bit). Append-mode parquet into
     * the hive-partitioned segment keeps the search path's partition
     * pruning intact; a real deployment would compact small files with
-    * [[graft.operators.AnnIndex.annIndexCompact]]'s re-layout. */
+    * [[graft.operators.AnnIndex.annIndexCompact]]'s re-layout.
+    *
+    * Layout guard (the mirror of [[graft.operators.AnnIndex
+    * .ensureDelta]]'s stream-layout refusal): if `codes_delta` already
+    * exists in the BATCH layout (root `_SUCCESS`), this writer throws
+    * instead of growing `batch_id=*` subtrees under it — the mixed
+    * directory either breaks Spark partition discovery ("conflicting
+    * directory structures") or silently mis-reads; compaction is the
+    * sanctioned transition between the two layouts.
+    *
+    * Replay/restart contract: the writer pins its checkpoint to a
+    * DURABLE per-index location ([[annCheckpoint]]), so the batchId
+    * numbering that keys the overwrite-idempotent subtrees survives
+    * restarts — a second ingest session against the same index RESUMES
+    * the lineage instead of restarting at batchId 0 and clobbering the
+    * first session's `batch_id=0` subtree. Overriding the checkpoint
+    * (`.option("checkpointLocation", …)` after this returns, as the
+    * replay-simulation specs do) abandons that protection: a fresh
+    * lineage restarts numbering at 0 and its overwrites DESTROY the
+    * earlier session's same-numbered batches. */
   def annIngestStream(vecs: Dataset[SVecIn], indexPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[SVecIn] = {
     val spark = vecs.sparkSession
+    requireStreamableSegment(spark, indexPath, "codes_delta")
     val cents = graft.operators.AnnIndex.readCents(spark, indexPath)
     val cb = graft.operators.AnnIndex.readCodebook(spark, indexPath)
     vecs.writeStream
       .outputMode("append")
+      .option("checkpointLocation", annCheckpoint(indexPath, "ingest"))
       .foreachBatch { (batch: Dataset[SVecIn], batchId: Long) =>
         val rows = batch.toDF()
           .select(col("vec_id"),
@@ -556,6 +577,32 @@ object StreamingOps {
       }
   }
 
+  /** Durable per-index checkpoint root for the streaming index
+    * writers: keyed by the artifact path itself, so every session
+    * against the same index shares one query lineage (and thus one
+    * batchId sequence — the premise the batchId-keyed
+    * overwrite-idempotence rests on). "_"-prefixed like the segment
+    * markers, so parquet/partition discovery under the index root
+    * skips it. */
+  private[graft] def annCheckpoint(indexPath: String, kind: String): String =
+    s"$indexPath/_checkpoints/$kind"
+
+  /** Throw unless `seg` is absent or already stream-produced: growing
+    * `batch_id=*` subtrees under a BATCH-written segment root (root
+    * `_SUCCESS` + `cluster=*`/files at the root) makes a directory
+    * neither reader layout parses — the one-directional round-8 guard
+    * ([[graft.operators.AnnIndex.ensureDelta]] refusing stream-grown
+    * segments) mirrored to the stream side. */
+  private def requireStreamableSegment(spark: SparkSession,
+                                       indexPath: String,
+                                       seg: String): Unit =
+    if (graft.operators.AnnIndex.committed(spark, indexPath, seg))
+      throw new IllegalStateException(
+        s"$seg under $indexPath was written by the batch path (root " +
+          "_SUCCESS layout); streaming batch_id=* subtrees into it " +
+          "would produce a mixed directory neither layout reads — " +
+          "compactInPlace first or use a fresh artifacts root")
+
   /** STREAMING ANN QUERY SERVING — the query side of the index's
     * streaming story (ingest and deletes already stream): search
     * requests arrive as vectors on an unbounded source and every
@@ -572,6 +619,9 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[SVecIn] =
     queries.writeStream
       .outputMode("append")
+      // durable lineage keyed by the RESULT path (one serving run per
+      // output dir), same restart contract as annIngestStream
+      .option("checkpointLocation", annCheckpoint(outPath, "serve"))
       .foreachBatch { (batch: Dataset[SVecIn], batchId: Long) =>
         val qs = batch.toDF()
           .select(col("vec_id").as("query_id"),
@@ -594,11 +644,14 @@ object StreamingOps {
     * a code segment, so the stream commits in O(batch) regardless of
     * index size). Readers pick the tombstones up on their next scan
     * via [[graft.operators.AnnIndex.minusDeletes]]'s committed-marker
-    * check; the next compaction reclaims the space. */
+    * check; the next compaction reclaims the space. Same layout guard
+    * and durable-checkpoint contract as [[annIngestStream]]. */
   def annDeleteStream(ids: Dataset[Long], indexPath: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[Long] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[Long] = {
+    requireStreamableSegment(ids.sparkSession, indexPath, "deletes")
     ids.writeStream
       .outputMode("append")
+      .option("checkpointLocation", annCheckpoint(indexPath, "delete"))
       .foreachBatch { (batch: Dataset[Long], batchId: Long) =>
         // batchId-keyed overwrite — same replay-idempotence rule as
         // annIngestStream; a replayed delete batch rewrites itself
@@ -610,6 +663,7 @@ object StreamingOps {
           .parquet(s"$indexPath/deletes/batch_id=$batchId")
         ()
       }
+  }
 
   /** Driver-held mini-batch k-means state for [[kmeansUpdateStream]]:
     * the current centers and the accumulated per-center mass. Updated

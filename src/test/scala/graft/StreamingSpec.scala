@@ -707,13 +707,19 @@ class StreamingSpec extends SparkSessionSpec {
       val arriving = emb.take(40)
         .map { case (id, v, l) => SVecIn(id + n, v.reverse, l) }
       // a recovered foreachBatch REPLAYS a batch with the SAME batchId;
-      // a restarted checkpoint-less query reproduces that exactly —
-      // batch 0 runs again with identical rows. The batchId-keyed
-      // overwrite must make the second delivery a no-op where the old
-      // blind append doubled every row.
+      // a fresh-checkpoint query reproduces that exactly — batch 0
+      // runs again with identical rows. The batchId-keyed overwrite
+      // must make the second delivery a no-op where the old blind
+      // append doubled every row. The explicit checkpoint override
+      // opts OUT of the writer's durable per-index lineage — this is
+      // the documented lost-checkpoint scenario, survivable here only
+      // because the replayed rows are identical.
+      def freshCkpt() = java.nio.file.Files
+        .createTempDirectory("graft_ann_rp_ck").toString
       def ingestOnce(): Unit = {
         val mem = MemoryStream[SVecIn]
-        val q = StreamingOps.annIngestStream(mem.toDS(), path).start()
+        val q = StreamingOps.annIngestStream(mem.toDS(), path)
+          .option("checkpointLocation", freshCkpt()).start()
         try { mem.addData(arriving.toSeq); q.processAllAvailable() }
         finally q.stop()
       }
@@ -731,7 +737,8 @@ class StreamingSpec extends SparkSessionSpec {
       val victims = arriving.take(4).map(_.vec_id)
       def deleteOnce(batches: Seq[Seq[Long]]): Unit = {
         val mem = MemoryStream[Long]
-        val q = StreamingOps.annDeleteStream(mem.toDS(), path).start()
+        val q = StreamingOps.annDeleteStream(mem.toDS(), path)
+          .option("checkpointLocation", freshCkpt()).start()
         try batches.foreach { b =>
           mem.addData(b); q.processAllAvailable()
         } finally q.stop()
@@ -827,6 +834,72 @@ class StreamingSpec extends SparkSessionSpec {
       assert(fs.exists(p("codes")) && !fs.exists(p("codes_merge_tmp")) &&
         !AnnIndex.compactionPending(spark, path))
       assert(spark.read.parquet(s"$path/codes").count() === baseCount)
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
+  test("streaming writers refuse batch segment roots; durable checkpoint resumes lineage") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AnnIndex
+    import graft.streaming.StreamingOps.SVecIn
+    val rootA = java.nio.file.Files.createTempDirectory("graft_ann_gA")
+      .toString
+    spark.conf.set("spark.graft.artifacts.dir", rootA)
+    try {
+      // (a) the mirrored layout guard: batch-written codes_delta and
+      // deletes roots must refuse batch_id=* subtrees at writer
+      // CONSTRUCTION, before any checkpoint or micro-batch exists
+      AnnIndex.annIndexDelete(spark, sf0001).collect() // batch delta+deletes
+      val path = AnnIndex.indexPath(spark, sf0001)
+      val memV = MemoryStream[SVecIn]
+      val eIn = intercept[IllegalStateException](
+        StreamingOps.annIngestStream(memV.toDS(), path))
+      assert(eIn.getMessage.contains("compactInPlace"))
+      val memD = MemoryStream[Long]
+      val eDel = intercept[IllegalStateException](
+        StreamingOps.annDeleteStream(memD.toDS(), path))
+      assert(eDel.getMessage.contains("compactInPlace"))
+
+      // (b) the durable per-index checkpoint: two SEPARATE ingest
+      // sessions (new writer, new recoverable source) against the same
+      // index resume one lineage — session 2 continues the batchId
+      // numbering instead of restarting at 0 and clobbering session
+      // 1's batch_id=0 subtree (a file source, unlike MemoryStream,
+      // survives checkpoint recovery)
+      val rootB = java.nio.file.Files.createTempDirectory("graft_ann_gB")
+        .toString
+      spark.conf.set("spark.graft.artifacts.dir", rootB)
+      val path2 = AnnIndex.buildIndex(spark, sf0001)
+      val inDir = java.nio.file.Files.createTempDirectory("graft_ann_in")
+        .toString
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .as[(Long, Seq[Float], Int)].collect()
+      val n = emb.length
+      def writeInput(slice: Array[(Long, Seq[Float], Int)], off: Int): Unit =
+        slice.map { case (id, v, l) => SVecIn(id + n + off, v.reverse, l) }
+          .toSeq.toDF().coalesce(1).write.mode("append").parquet(inDir)
+      def ingestSession(): Unit = {
+        val src = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[SVecIn]].schema)
+          .parquet(inDir).as[SVecIn]
+        val q = StreamingOps.annIngestStream(src, path2).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeInput(emb.take(20), 0)
+      ingestSession()
+      val fs = new org.apache.hadoop.fs.Path(path2)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path2/_checkpoints/ingest")), "derived checkpoint missing")
+      def deltaIds() = spark.read.parquet(s"$path2/codes_delta")
+        .select("vec_id").as[Long].collect().toSet
+      val afterS1 = deltaIds()
+      assert(afterS1.size === 20)
+      writeInput(emb.slice(20, 35), 1000000)
+      ingestSession() // second session: same index, fresh writer+source
+      val afterS2 = deltaIds()
+      assert(afterS2.size === 35, s"expected 35 ids, got ${afterS2.size}")
+      assert(afterS1.subsetOf(afterS2),
+        "second ingest session clobbered the first session's batches")
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 

@@ -27,11 +27,18 @@ class TablesSpec extends SparkSessionSpec {
     case _: StringType => true
     case _ => false
   }
-  // the three physical encodings Events.withTsUs dispatches on;
-  // date-valued columns (o_orderdate, l_shipdate) ride the same rule
-  private val TimeLike: DataType => Boolean = {
+  // the three physical encodings Events.withTsUs dispatches on —
+  // ONLY events.ts has the long-decoding path, so LongType is legal
+  // here and nowhere else in the time family
+  private val TsLike: DataType => Boolean = {
     case _: TimestampType | _: TimestampNTZType | _: LongType => true
-    case _: DateType => true
+    case _ => false
+  }
+  // date-valued columns (o_orderdate, l_shipdate): no reader decodes
+  // an int64 date, so a regenerated long column must FAIL here
+  // instead of silently breaking every date-consuming query
+  private val DateLike: DataType => Boolean = {
+    case _: DateType | _: TimestampType | _: TimestampNTZType => true
     case _ => false
   }
   private val FloatVec: DataType => Boolean = {
@@ -53,14 +60,14 @@ class TablesSpec extends SparkSessionSpec {
       "p_size" -> IntLike, "p_retailprice" -> DoubleLike),
     "orders" -> Map("o_orderkey" -> IntLike, "o_custkey" -> IntLike,
       "o_orderstatus" -> StringLike, "o_totalprice" -> DoubleLike,
-      "o_orderdate" -> TimeLike, "o_orderpriority" -> StringLike),
+      "o_orderdate" -> DateLike, "o_orderpriority" -> StringLike),
     "lineitem" -> Map("l_orderkey" -> IntLike, "l_partkey" -> IntLike,
       "l_suppkey" -> IntLike, "l_linenumber" -> IntLike,
       "l_quantity" -> DoubleLike, "l_extendedprice" -> DoubleLike,
       "l_discount" -> DoubleLike, "l_tax" -> DoubleLike,
       "l_returnflag" -> StringLike, "l_linestatus" -> StringLike,
-      "l_shipdate" -> TimeLike),
-    "events" -> Map("event_id" -> IntLike, "ts" -> TimeLike,
+      "l_shipdate" -> DateLike),
+    "events" -> Map("event_id" -> IntLike, "ts" -> TsLike,
       "user_id" -> IntLike, "event_type" -> StringLike,
       "value" -> DoubleLike, "props" -> StringLike),
     "documents" -> Map("doc_id" -> IntLike, "text" -> StringLike,
