@@ -219,6 +219,54 @@ object Dedup {
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** CROSS-CORPUS MINHASH DEDUP — the A-vs-B form every production
+    * ingest actually runs (a NEW CRAWL screened against the CURATED
+    * BASE before anything enters training), where the self-join
+    * members of this file answer the within-corpus question only. The
+    * two corpora derive deterministically from the documents table
+    * (odd doc_ids = the arriving crawl, even = the curated base — the
+    * split/wsample parity device, so the oracle replays membership
+    * closed-form); signatures compute ONCE over the union (one
+    * shingle→minhash pass) and split by membership, and candidates
+    * come from the banded equi-join ACROSS the corpora — no a<b
+    * self-pair constraint, no within-corpus pairs (internal crawl dups
+    * are [[dedupMinhash]]'s job), still never all-pairs. Exact shingle
+    * Jaccard verifies each candidate ([[dedupNgramJaccard]]'s verify
+    * arithmetic). At 100 TB the base side's signatures are the
+    * artifact you PERSIST (the ann-index pattern — base >> crawl and
+    * changes slowly); each snapshot then pays signature compute on
+    * the crawl alone and one banded join against the stored base
+    * signatures. */
+  def dedupCrossCorpus(spark: SparkSession, dir: String): DataFrame =
+    crossCorpusOf(docsWithShingles(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Core of [[dedupCrossCorpus]] over any (doc_id, shingles) frame
+    * (caller persists — signatures and verify both read it); exposed
+    * for the planted-duplicate fixture spec. */
+  def crossCorpusOf(sh: DataFrame): DataFrame = {
+    val sig = bandSignaturesFrom(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val crawl = sig.where(col("doc_id") % 2 === 1)
+      .select(col("band"), col("sig"), col("doc_id").as("new_doc"))
+    val base = sig.where(col("doc_id") % 2 === 0)
+      .select(col("band").as("band_b"), col("sig").as("sig_b"),
+        col("doc_id").as("base_doc"))
+    val pairs = crawl.join(base,
+        col("band") === col("band_b") && col("sig") === col("sig_b"))
+      .select(col("new_doc"), col("base_doc")).distinct()
+    val dsh = sh.select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    pairs
+      .join(dsh.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")),
+        "new_doc")
+      .join(dsh.select(col("doc_id").as("base_doc"), col("sh").as("sh_b")),
+        "base_doc")
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("new_doc"), col("base_doc"),
+        round(col("ni").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("ni")), 6)
+          .as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity, evaluated only on the LSH
     * candidate pairs (verify stage of the classic two-phase near-dup
     * pipeline). Shingles are persisted once and feed BOTH the signature
@@ -741,6 +789,7 @@ object Dedup {
     "dedup_span_coverage" -> dedupSpanCoverage,
     "dedup_span_scrub" -> dedupSpanScrub,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_cross_corpus" -> dedupCrossCorpus,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed_cosine" -> dedupEmbedCosine,
@@ -956,6 +1005,24 @@ object Dedup {
     "dedup_minhash" ->
       s"""$shCte
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    // the A-vs-B form: signatures from the shared CTE, candidates
+    // restricted to crawl(odd) × base(even), exact-Jaccard verified
+    "dedup_cross_corpus" ->
+      s"""$shCte, xp AS (
+         |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS base_doc
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.sig = b.sig
+         |   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |)
+         |SELECT p.new_doc, p.base_doc,
+         |  round(CAST(len(list_intersect(list_distinct(a.shingles),
+         |                                list_distinct(b.shingles))) AS DOUBLE)
+         |        / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+         |           - len(list_intersect(list_distinct(a.shingles),
+         |                                list_distinct(b.shingles)))), 6) AS jaccard
+         |FROM xp p
+         |JOIN sh a ON a.doc_id = p.new_doc
+         |JOIN sh b ON b.doc_id = p.base_doc""".stripMargin,
     "dedup_components" ->
       s"""${shCte.replace("WITH sh AS", "WITH RECURSIVE sh AS")}, $compCte
          |SELECT doc, component FROM comp""".stripMargin,

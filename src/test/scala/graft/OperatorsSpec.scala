@@ -713,6 +713,37 @@ class OperatorsSpec extends SparkSessionSpec {
       (3L, 4L, 3L, 4L, 750000L)))
   }
 
+  test("crossCorpusOf finds the planted crawl-vs-base duplicate, never within-corpus pairs") {
+    import operators.Dedup
+    // base = even ids, crawl = odd ids. Planted: 101 (crawl) is a
+    // near-verbatim copy of 100 (base) → MUST surface; 102/104 are
+    // identical WITHIN the base and 103/105 identical WITHIN the
+    // crawl → must NOT surface (that's the self-join's job); 107 is
+    // unrelated text → no pair.
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (100L, body),
+      (101L, body + " tail"),
+      (102L, "x y z " + body.take(40)),
+      (104L, "x y z " + body.take(40)),
+      (103L, "p q r s t u v w p q r s t u v w"),
+      (105L, "p q r s t u v w p q r s t u v w"),
+      (107L, (1 to 30).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), Dedup.shingleCol(col("toks"), 3).as("shingles"))
+    val out = Dedup.crossCorpusOf(sh)
+      .as[(Long, Long, Double)].collect()
+    assert(out.exists { case (n, b, j) => n == 101L && b == 100L && j > 0.9 },
+      s"planted cross-corpus duplicate missed: ${out.toSeq}")
+    assert(out.forall { case (n, b, _) => n % 2 == 1 && b % 2 == 0 },
+      s"within-corpus pair leaked into the cross screen: ${out.toSeq}")
+    assert(!out.exists { case (n, b, _) =>
+      Set(n, b).subsetOf(Set(102L, 104L)) || Set(n, b).subsetOf(Set(103L, 105L)) })
+  }
+
   test("prefixJoinOf equals brute-force Jaccard on real data (exactness)") {
     // the prefix lemma promises ZERO false negatives — verify against
     // an all-pairs scala replay of distinct-3-shingle Jaccard at sf0.001
