@@ -680,7 +680,10 @@ object RelationalQueries {
     import org.apache.spark.storage.StorageLevel
     // cs is read THREE times before withDeg's cache exists (both union
     // arms + the degree agg) — materialize it once; it is tiny
-    // (distinct trading pairs) next to the joins that build it
+    // (distinct trading pairs) next to the joins that build it, and
+    // the checkpointed blocks make the sizing count below a
+    // metadata-cheap job (A/B'd against a lazy persist: no win, and
+    // the checkpoint truncates the lineage for everything downstream)
     val cs = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(t(spark, dir, "orders")
@@ -699,13 +702,29 @@ object RelationalQueries {
     // round shuffles only the node-sized rank relation, never the
     // edge list — at 100 TB the edge re-shuffle would dominate every
     // round.
-    val withDeg = edges.join(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(col("src"))
+    // DATA-PROPORTIONAL width (the AQE-coalesce idea applied to a
+    // cached relation, which AQE itself won't re-layout): ~64k packed-
+    // long edge rows per partition, capped at the session shuffle
+    // width. A FIXED 32 put a few hundred KB in each cached partition
+    // at small SF — every round then paid 32 tasks of pure scheduler
+    // overhead — while a graph big enough to need more fans out to
+    // the full shuffle width (raise spark.sql.shuffle.partitions on a
+    // real cluster and this follows). cs is already checkpointed, so
+    // the sizing count is a cheap block-read job, not a rescan.
+    val parts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (2L * cs.count() + 65535L) / 65536L)).toInt
+    // out-degrees double as the node set (symmetrized edges ⇒ every
+    // node appears as a src), so ONE edge aggregation feeds the
+    // degree join, the node relation, and the seed/count scalars —
+    // the former separate nodes.distinct() was a second full-edge
+    // exchange buying nothing
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src")).distinct()
-      .select(col("src").as("node"))
+    val withDeg = edges.join(deg, "src")
+      .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("node"))
     // ONE bounded driver action for both loop scalars (n is the k of
     // this loop; the seed name's lexicographic min can't fold into the
     // long order, so it rides the same 1-row aggregate as a string)
@@ -745,10 +764,10 @@ object RelationalQueries {
       // round is always eager: the caller must be able to consume `pr`
       // after the edge/node caches are dropped below. At cluster scale
       // a reliable-storage checkpoint sits at the same cadence.
-      if (i % 3 == 0 || i == PrIters) pr = pr.localCheckpoint(true)
+      if (i == PrIters) pr = pr.localCheckpoint(true)
     }
     withDeg.unpersist() // ranks are materialized; drop the edge cache
-    nodes.unpersist()
+    deg.unpersist() // checkpointed cs blocks fall to the ContextCleaner
     pr
   }
 
