@@ -120,20 +120,38 @@ object Bench {
     // whose ASYNC cleanup steals cycles from the headline grid — profiled
     // in round 3: post-gauntlet 2M iterations are 0.20 s steady-state
     // with occasional 0.7–2 s outliers, and the r2 "regression" was an
-    // unlucky median over only 5 warm samples of that noise. Drain the
-    // debris once, then give every grid point the full 12 iterations so
-    // the median is robust to residual outliers.
+    // unlucky median over only 5 warm samples of that noise. Round 8's
+    // pre-run drains reduced but did not eliminate the leak (the final
+    // r8 record still measured 100k SLOWER than 400k), so each grid
+    // point now runs in its OWN SparkSession: the gauntlet context —
+    // cleaner queue, block manager, shuffle dirs and all — is torn
+    // down before the first point, and every point starts from an
+    // identical fresh context (the JVM-wide codegen cache survives,
+    // which is the one warm state the steady-state metric WANTS).
     spark.catalog.clearCache()
+    spark.stop()
     System.gc()
     Thread.sleep(500)
+
+    def gridPoint(n: Long): Double = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      try kmeansSecPerIter(s, n, 30, 4, iters = 12)
+      finally { s.stop(); System.gc(); Thread.sleep(200) }
+    }
 
     // headline: the reference's own evaluation grid points (BASELINE.md),
     // plus a 5× extrapolation point showing the scaling trend. 12 warm
     // iterations per point: the median is stable run-to-run (6 left a
     // ±50% spread between bench invocations on a shared box)
-    val iter100k = kmeansSecPerIter(spark, 100000L, 30, 4, iters = 12)
-    val iter400k = kmeansSecPerIter(spark, 400000L, 30, 4, iters = 12)
-    val iter2m = kmeansSecPerIter(spark, 2000000L, 30, 4, iters = 12)
+    val iter100k = gridPoint(100000L)
+    val iter400k = gridPoint(400000L)
+    val iter2m = gridPoint(2000000L)
     results("kmeans_iter_100k_d30_k4") = iter100k
     results("kmeans_iter_400k_d30_k4") = iter400k
     results("kmeans_iter_2m_d30_k4") = iter2m
@@ -168,6 +186,5 @@ object Bench {
       }
     val compact = results.filter { case (n, _) => headline(n) }
     println(f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","queries":${j(compact)}%s,"failed":$jFailed%s,"sf":"$sfDir%s"}""")
-    spark.stop()
   }
 }

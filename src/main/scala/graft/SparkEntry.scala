@@ -26,6 +26,7 @@ object SparkEntry {
     (AnnIndex.queries, AnnIndex.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Multimodal.queries, Multimodal.oracles),
+    (Jpeg.queries, Jpeg.oracles),
     (Pipeline.queries, Pipeline.oracles),
     (Events.queries, Events.oracles))
 

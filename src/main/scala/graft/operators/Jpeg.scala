@@ -1,0 +1,491 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.Multimodal.MediaRow
+
+/** Baseline-sequential JFIF (JPEG) decode — codec path #4 next to
+  * WAV/BMP/PNG (Multimodal.scala), covering the one ubiquitous image
+  * container those three miss. The decoder is REAL and general for
+  * baseline grayscale JFIF: marker/segment parse, DQT (8-bit), SOF0,
+  * canonical DHT Huffman tables (ITU T.81 Annex C construction), the
+  * byte-stuffed entropy stream, differential DC + run-length AC
+  * coefficient decode through the zigzag order, dequantization, a
+  * float separable 2-D IDCT (T.81 A.3.3), level shift and clamp.
+  * Unsupported shapes (progressive SOF2, multi-component scans,
+  * 16-bit DQT, restart markers) and corrupt streams return None —
+  * they drop from the relation instead of poisoning it.
+  *
+  * Synthesis follows the PngEncoder pattern (Multimodal.scala:539):
+  * the corpus has no image blobs, so deterministic JPEGs are built in
+  * the same mapPartitions pass — one encoder object per partition —
+  * from closed-form per-block DC coefficients (AC all zero in the
+  * ORACLE corpus). DC-only blocks make the lossy pipeline exactly
+  * replayable in SQL: a dequantized DC of q·dc turns into a flat
+  * 8×8 block of clamp(128 + round(q·dc/8)) after the IDCT, so with
+  * q(0,0)=16 the block value is 128 + 2·dc — integer, no float
+  * drift. The AC/zigzag/run-length machinery is spec-gated instead
+  * ([[graft.JpegSpec]] drives synthetic AC blocks through the decoder
+  * against an independent reference IDCT), because IDCT cosines for
+  * AC terms cannot be replayed bit-exactly in DuckDB.
+  *
+  * Scale posture: identical to the other codecs — decode is a
+  * mapPartitions projection at scan speed, one reusable table/LUT
+  * set per partition, no shuffle; at 100 TB the codec cost rides the
+  * scan. */
+object Jpeg {
+
+  /** ITU T.81 Annex K.1 luminance quantization table, natural
+    * (row-major) order. Only q(0,0)=16 reaches the oracle closed
+    * form; the full table keeps the container honest. */
+  val QuantNat: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** zigzag→natural index map (T.81 Figure A.6): ZigZag(k) is the
+    * natural position of the k-th coefficient in scan order. */
+  val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.3.1 luminance DC table (BITS, HUFFVAL): categories
+    * 0..11. */
+  val DcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  val DcVals: Array[Int] = (0 to 11).toArray
+
+  /** Compact custom AC table — a VALID canonical code covering the
+    * (run,size) symbols the synthetic corpora emit: EOB plus small
+    * runs/sizes. Custom tables are legal JPEG (the decoder builds
+    * whatever the DHT declares); keeping it small keeps the encoder
+    * honest about codes it can emit (it throws on an uncovered
+    * symbol rather than corrupting the stream). */
+  val AcBits: Array[Int] =
+    Array(0, 2, 3, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  val AcVals: Array[Int] = Array(0x00, 0x01, 0x11, 0x02, 0x21, 0x31, 0x12)
+
+  /** Canonical code assignment (T.81 Annex C): values in BITS order
+    * get consecutive codes per length, doubling between lengths.
+    * Returns (value, code, length) triples. */
+  def canonicalCodes(bits: Array[Int],
+                     vals: Array[Int]): Array[(Int, Int, Int)] = {
+    val out = Array.newBuilder[(Int, Int, Int)]
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += ((vals(k), code, len))
+        code += 1
+        k += 1
+        i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.result()
+  }
+
+  /** Coefficient magnitude category (T.81 F.1.2.1.1): the bit count
+    * of |v|. */
+  def category(v: Int): Int = {
+    var t = 0
+    var a = math.abs(v)
+    while (a != 0) { t += 1; a >>= 1 }
+    t
+  }
+
+  /** Sign-extend `size` raw magnitude bits (T.81 F.12 EXTEND). */
+  def extend(v: Int, size: Int): Int =
+    if (size == 0) 0
+    else if (v < (1 << (size - 1))) v - (1 << size) + 1
+    else v
+
+  // ---------------------------------------------------------------
+  // bit-level IO with JPEG byte stuffing
+  // ---------------------------------------------------------------
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    private def emit(b: Int): Unit = {
+      out.write(b)
+      if ((b & 0xff) == 0xff) out.write(0x00) // stuff FF → FF 00
+    }
+    def writeBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1)
+        n += 1
+        if (n == 8) { emit(acc & 0xff); acc = 0; n = 0 }
+        i -= 1
+      }
+    }
+    /** 1-pad the final partial byte (T.81 F.1.2.3). */
+    def finish(): Array[Byte] = {
+      if (n > 0) { emit(((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xff); n = 0 }
+      out.toByteArray
+    }
+  }
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def readBit(): Int = {
+      if (n == 0) {
+        if (pos >= bytes.length) throw new java.io.EOFException("entropy")
+        var b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) throw new java.io.EOFException("stuff")
+          val m = bytes(pos) & 0xff
+          if (m == 0x00) pos += 1
+          else throw new java.io.IOException(s"marker $m in entropy data")
+        }
+        acc = b
+        n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def readBits(len: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < len) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+  }
+
+  private final class HuffDecoder(bits: Array[Int], vals: Array[Int]) {
+    private val byKey: Map[(Int, Int), Int] =
+      canonicalCodes(bits, vals).map { case (v, c, l) => (l, c) -> v }.toMap
+    def decode(br: BitReader): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | br.readBit()
+        len += 1
+        byKey.get((len, code)) match {
+          case Some(v) => return v
+          case None =>
+        }
+      }
+      throw new java.io.IOException("invalid Huffman code")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // encoder (synthesis)
+  // ---------------------------------------------------------------
+
+  /** Closed-form synthetic geometry/DC rules — small multiples of the
+    * 8×8 block so every block is full (the decoder still crops
+    * partial blocks generally). */
+  def widthOf(docId: Long): Int = 8 * (1 + (docId % 3)).toInt
+  def heightOf(docId: Long): Int = 8 * (1 + (docId % 2)).toInt
+  def dcOf(docId: Long, b: Int): Int = (((docId + 7L * b) % 9) - 4).toInt
+
+  /** DC-only coefficient blocks (zigzag order) for the oracle corpus. */
+  private def oracleBlocks(docId: Long): Array[Array[Int]] = {
+    val nb = (widthOf(docId) / 8) * (heightOf(docId) / 8)
+    Array.tabulate(nb) { b =>
+      val z = new Array[Int](64)
+      z(0) = dcOf(docId, b)
+      z
+    }
+  }
+
+  def encode(docId: Long): Array[Byte] =
+    encodeBlocks(widthOf(docId), heightOf(docId), oracleBlocks(docId))
+
+  /** General baseline encoder over ZIGZAG-order coefficient blocks
+    * (raster block order): differential DC, run-length AC limited to
+    * the symbols [[AcBits]]/[[AcVals]] cover (throws otherwise —
+    * exposed so the AC spec can drive arbitrary small coefficients
+    * through the real decoder). */
+  private[graft] def encodeBlocks(w: Int, h: Int,
+                                  blocks: Array[Array[Int]]): Array[Byte] = {
+    val dcEnc = canonicalCodes(DcBits, DcVals)
+      .map { case (v, c, l) => v -> (c, l) }.toMap
+    val acEnc = canonicalCodes(AcBits, AcVals)
+      .map { case (v, c, l) => v -> (c, l) }.toMap
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      u8(0xff); u8(marker); u16(payload.length + 2)
+      payload.foreach(u8)
+    }
+    u8(0xff); u8(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0 +: (0 until 64).map(k => QuantNat(ZigZag(k))).toArray)
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    seg(0xc4, 0x00 +: (DcBits ++ DcVals))
+    seg(0xc4, 0x10 +: (AcBits ++ AcVals))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val bw = new BitWriter
+    var pred = 0
+    blocks.foreach { z =>
+      val diff = z(0) - pred
+      pred = z(0)
+      val t = category(diff)
+      val (dc, dl) = dcEnc(t)
+      bw.writeBits(dc, dl)
+      if (t > 0)
+        bw.writeBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      // AC run-length through zigzag 1..63
+      var k = 1
+      var run = 0
+      var lastNz = 63
+      while (lastNz > 0 && z(lastNz) == 0) lastNz -= 1
+      while (k <= lastNz) {
+        if (z(k) == 0) { run += 1 }
+        else {
+          if (run > 15) throw new IllegalArgumentException(
+            "ZRL not in the compact AC table — keep runs <= 15")
+          val s = category(z(k))
+          val rs = (run << 4) | s
+          val (ac, al) = acEnc.getOrElse(rs, throw new IllegalArgumentException(
+            f"AC symbol 0x$rs%02x outside the compact table"))
+          bw.writeBits(ac, al)
+          bw.writeBits(
+            if (z(k) < 0) z(k) + (1 << s) - 1 else z(k), s)
+          run = 0
+        }
+        k += 1
+      }
+      if (lastNz < 63) { val (eob, el) = acEnc(0x00); bw.writeBits(eob, el) }
+    }
+    bw.finish().foreach(b => u8(b & 0xff))
+    u8(0xff); u8(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // decoder
+  // ---------------------------------------------------------------
+
+  private val CosTab: Array[Array[Double]] = Array.tabulate(8, 8)((x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16.0))
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** Float separable IDCT (T.81 A.3.3) + level shift + clamp over a
+    * NATURAL-order dequantized block. */
+  private def idct(f: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) InvSqrt2 else 1.0
+            sum += cu * cv * f(v * 8 + u) * CosTab(x)(u) * CosTab(y)(v)
+            u += 1
+          }
+          v += 1
+        }
+        val p = math.rint(sum / 4.0 + 128.0).toInt
+        out(y * 8 + x) = math.max(0, math.min(255, p))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Full decode to a W×H grayscale raster. None on anything the
+    * baseline-grayscale profile does not cover or on a corrupt
+    * stream. */
+  private[graft] def decodePixels(blob: Array[Byte])
+      : Option[(Int, Int, Array[Int])] = {
+    try {
+      if (blob.length < 4 || (blob(0) & 0xff) != 0xff ||
+          (blob(1) & 0xff) != 0xd8) return None
+      var pos = 2
+      var quant: Array[Int] = null // natural order
+      var dcDec: HuffDecoder = null
+      var acDec: HuffDecoder = null
+      var w = 0
+      var h = 0
+      def u16(p: Int): Int = ((blob(p) & 0xff) << 8) | (blob(p + 1) & 0xff)
+      while (pos + 4 <= blob.length) {
+        if ((blob(pos) & 0xff) != 0xff) return None
+        val marker = blob(pos + 1) & 0xff
+        if (marker == 0xd9) return None // EOI before any scan
+        val len = u16(pos + 2)
+        val body = pos + 4
+        marker match {
+          case 0xdb => // DQT: 1+ tables, 8-bit precision only
+            var p = body
+            while (p < pos + 2 + len) {
+              val pqtq = blob(p) & 0xff
+              if ((pqtq >> 4) != 0) return None // 16-bit table
+              val tbl = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                tbl(ZigZag(k)) = blob(p + 1 + k) & 0xff; k += 1
+              }
+              if ((pqtq & 15) == 0) quant = tbl
+              p += 65
+            }
+          case 0xc0 => // SOF0 baseline
+            if ((blob(body) & 0xff) != 8) return None
+            h = u16(body + 1)
+            w = u16(body + 3)
+            if ((blob(body + 5) & 0xff) != 1) return None // grayscale only
+            if ((blob(body + 7) & 0xff) != 0x11) return None
+          case 0xc4 => // DHT: 1+ tables
+            var p = body
+            while (p < pos + 2 + len) {
+              val tcth = blob(p) & 0xff
+              val bits = Array.tabulate(16)(i => blob(p + 1 + i) & 0xff)
+              val nv = bits.sum
+              val vals = Array.tabulate(nv)(i => blob(p + 17 + i) & 0xff)
+              val dec = new HuffDecoder(bits, vals)
+              if ((tcth >> 4) == 0) { if ((tcth & 15) == 0) dcDec = dec }
+              else { if ((tcth & 15) == 0) acDec = dec }
+              p += 17 + nv
+            }
+          case 0xda => // SOS → entropy-coded segment
+            if (quant == null || dcDec == null || acDec == null ||
+                w == 0 || h == 0) return None
+            val br = new BitReader(blob, pos + 2 + len)
+            val bx = (w + 7) / 8
+            val by = (h + 7) / 8
+            val img = new Array[Int](w * h)
+            var pred = 0
+            var byi = 0
+            while (byi < by) {
+              var bxi = 0
+              while (bxi < bx) {
+                val coef = new Array[Int](64)
+                val t = dcDec.decode(br)
+                pred += extend(br.readBits(t), t)
+                coef(0) = pred * quant(0)
+                var k = 1
+                var open = true
+                while (open && k < 64) {
+                  val rs = acDec.decode(br)
+                  if (rs == 0x00) open = false // EOB
+                  else {
+                    val r = rs >> 4
+                    val s = rs & 15
+                    if (s == 0) {
+                      if (r == 15) k += 16 // ZRL
+                      else throw new java.io.IOException("bad AC symbol")
+                    } else {
+                      k += r
+                      if (k > 63) throw new java.io.IOException("AC overflow")
+                      val nat = ZigZag(k)
+                      coef(nat) = extend(br.readBits(s), s) * quant(nat)
+                      k += 1
+                    }
+                  }
+                }
+                val px = idct(coef)
+                // crop-aware placement (general; the synthetic corpus
+                // is full-block)
+                var yy = 0
+                while (yy < 8) {
+                  val gy = byi * 8 + yy
+                  if (gy < h) {
+                    var xx = 0
+                    while (xx < 8) {
+                      val gx = bxi * 8 + xx
+                      if (gx < w) img(gy * w + gx) = px(yy * 8 + xx)
+                      xx += 1
+                    }
+                  }
+                  yy += 1
+                }
+                bxi += 1
+              }
+              byi += 1
+            }
+            return Some((w, h, img))
+          case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+            return None // progressive/extended/arithmetic — unsupported
+          case _ => // APPn, COM, etc.
+        }
+        pos += 2 + len
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  final case class JpegInfo(doc_id: Long, width: Int, height: Int,
+                            n_blocks: Long, mean_px: Double)
+
+  def decodeInfo(docId: Long, blob: Array[Byte]): Option[JpegInfo] =
+    decodePixels(blob).map { case (w, h, img) =>
+      var sum = 0L
+      var i = 0
+      while (i < img.length) { sum += img(i); i += 1 }
+      JpegInfo(docId, w, h,
+        ((w + 7) / 8).toLong * ((h + 7) / 8), sum.toDouble / (w.toLong * h))
+    }
+
+  def jpegMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encode(id))))
+  }
+
+  /** Driver-checked exercise of the REAL decoder: geometry, block
+    * count and mean pixel all re-derived closed-form by the oracle
+    * (DC-only blocks ⇒ flat 128+2·dc rasters — see the object doc),
+    * so a bug anywhere in segment parse → Huffman → differential DC →
+    * dequant → IDCT shows as a value mismatch. */
+  def mmJpeg(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    jpegMedia(spark, dir)
+      .mapPartitions(_.flatMap(m => decodeInfo(m.doc_id, m.blob)))
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_blocks"),
+        round(col("mean_px"), 6).as("mean_px"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_jpeg" -> mmJpeg)
+
+  val oracles: Map[String, String] = Map(
+    // geometry + per-block DC closed forms; mean over equal-sized
+    // flat blocks = mean over blocks of 128 + 2·dc(b)
+    "mm_jpeg" ->
+      """SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nb AS BIGINT) AS n_blocks,
+        |  round((SELECT avg(128 + 2 * (((doc_id + 7*g.i) % 9) - 4))
+        |         FROM generate_series(0, 5) g(i) WHERE g.i < nb), 6)
+        |    AS mean_px
+        |FROM (SELECT doc_id, 8 * (1 + doc_id % 3) AS w,
+        |             8 * (1 + doc_id % 2) AS h,
+        |             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+        |      FROM documents)""".stripMargin)
+}

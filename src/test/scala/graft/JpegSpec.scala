@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.Jpeg
+
+/** The JPEG codec path: the oracle corpus pins the DC pipeline
+  * closed-form (driver gate), so this spec covers what the oracle
+  * cannot — the AC/zigzag/run-length machinery against an independent
+  * reference IDCT, the canonical Huffman construction, and the
+  * corruption posture (None, never garbage). */
+class JpegSpec extends SparkSessionSpec {
+
+  /** Independent reference IDCT (direct T.81 A.3.3 double sum,
+    * written separately from the decoder's). Natural-order
+    * dequantized input. */
+  private def refIdct(f: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+        s += cu * cv * f(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      }
+      out(y * 8 + x) =
+        math.max(0, math.min(255, math.rint(s / 4 + 128).toInt))
+    }
+    out
+  }
+
+  test("canonical Huffman codes are prefix-free and round-trip") {
+    for ((bits, vals) <- Seq((Jpeg.DcBits, Jpeg.DcVals),
+                             (Jpeg.AcBits, Jpeg.AcVals))) {
+      val codes = Jpeg.canonicalCodes(bits, vals)
+      assert(codes.map(_._1).toSet.size == codes.length)
+      // prefix-freedom: no code is a prefix of a longer one
+      val asStr = codes.map { case (_, c, l) =>
+        String.format("%" + l + "s", Integer.toBinaryString(c))
+          .replace(' ', '0')
+      }
+      for (a <- asStr; b <- asStr if a != b)
+        assert(!b.startsWith(a), s"$a prefixes $b")
+    }
+  }
+
+  test("DC-only decode matches the closed form the oracle replays") {
+    for (id <- 0L to 12L) {
+      val info = Jpeg.decodeInfo(id, Jpeg.encode(id)).get
+      assert(info.width == Jpeg.widthOf(id) &&
+        info.height == Jpeg.heightOf(id))
+      val nb = (info.width / 8) * (info.height / 8)
+      assert(info.n_blocks == nb)
+      val want = (0 until nb).map(b => 128 + 2 * Jpeg.dcOf(id, b))
+        .sum.toDouble / nb
+      assert(math.abs(info.mean_px - want) < 1e-9,
+        s"id=$id got ${info.mean_px} want $want")
+    }
+  }
+
+  test("AC coefficients decode through Huffman/zigzag/IDCT exactly") {
+    // two blocks, 16x8: block 0 exercises (run 0, size 1/2) and a
+    // run-of-1 and run-of-2 skip; block 1 checks differential DC with
+    // ACs present and a negative AC
+    val b0 = new Array[Int](64)
+    b0(0) = 3      // DC
+    b0(1) = 1      // (0,1)
+    b0(2) = -2     // (0,2)
+    b0(4) = 1      // run 1 → (1,1)
+    b0(7) = -1     // run 2 → (2,1)
+    val b1 = new Array[Int](64)
+    b1(0) = -2     // diff = -5: negative differential DC
+    b1(3) = 1      // run 2 → (2,1)
+    b1(5) = 3      // run 1, size 2 → 0x12
+    val blob = Jpeg.encodeBlocks(16, 8, Array(b0, b1))
+    val (w, h, img) = Jpeg.decodePixels(blob).get
+    assert(w == 16 && h == 8)
+    // reference: dequantize in natural order and IDCT independently
+    def deq(z: Array[Int]): Array[Int] = {
+      val nat = new Array[Int](64)
+      for (k <- 0 until 64)
+        nat(Jpeg.ZigZag(k)) = z(k) * Jpeg.QuantNat(Jpeg.ZigZag(k))
+      nat
+    }
+    val ref0 = refIdct(deq(b0))
+    val ref1 = refIdct(deq(b1))
+    for (y <- 0 until 8; x <- 0 until 8) {
+      assert(img(y * 16 + x) == ref0(y * 8 + x), s"block0 ($x,$y)")
+      assert(img(y * 16 + 8 + x) == ref1(y * 8 + x), s"block1 ($x,$y)")
+    }
+  }
+
+  test("corrupt and unsupported streams decode to None, never garbage") {
+    val good = Jpeg.encode(5L)
+    assert(Jpeg.decodeInfo(5L, good).isDefined)
+    // flipped magic
+    val badMagic = good.clone(); badMagic(1) = 0x00.toByte
+    assert(Jpeg.decodeInfo(5L, badMagic).isEmpty)
+    // truncation at every prefix must be a clean None (header cuts,
+    // mid-entropy cuts, missing EOI)
+    for (cut <- Seq(2, 8, 20, good.length / 2, good.length - 3))
+      assert(Jpeg.decodeInfo(5L, good.take(cut)).isEmpty, s"cut=$cut")
+    // a progressive SOF marker must be refused, not mis-parsed
+    val prog = good.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decodeInfo(5L, prog).isEmpty)
+    // empty + garbage
+    assert(Jpeg.decodeInfo(5L, Array.emptyByteArray).isEmpty)
+    assert(Jpeg.decodeInfo(5L, Array.fill(64)(0x55.toByte)).isEmpty)
+  }
+
+  test("mm_jpeg relation decodes the whole corpus") {
+    val df = Jpeg.mmJpeg(spark, sf0001)
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(df.count() == n, "every synthesized blob must decode")
+  }
+}
