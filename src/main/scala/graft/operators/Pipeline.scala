@@ -651,8 +651,51 @@ object Pipeline {
           .otherwise("unchanged").as("status"))
   }
 
+  /** SNAPSHOT TIME-TRAVEL READ — the versioned write path
+    * ([[graft.sources.SnapshotTable]]: immutable file sets + manifest
+    * published by atomic rename) exercised end-to-end: build a
+    * 3-commit history deterministically (v1 = even doc_ids, v2
+    * appends the odd ones, v3 appends the re-ingested additions —
+    * the [[pipelineUpsert]]/deltaCorpus id-offset trick), then read
+    * EVERY version AFTER all commits through its manifest and report
+    * per-version stats the oracle re-derives closed-form. A manifest
+    * that leaked a later commit's files, double-listed a carried
+    * file set, or resolved "latest" instead of the pinned version
+    * shows as a count/sum mismatch on the EARLIER versions. The
+    * build is gated on the final version being published (commits
+    * are atomic, so a crashed partial build rebuilds from scratch);
+    * the path embeds the corpus size so a changed corpus never
+    * reuses stale history. */
+  def pipelineSnapshotRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = t(spark, dir, "documents").count()
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${graft.sources.Artifacts.root(spark)}/snap_${key}_n$n"
+    if (!SnapshotTable.latestVersion(spark, root).contains(3)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      SnapshotTable.commit(spark, root,
+        docs.where(col("doc_id") % 2 === 0))
+      SnapshotTable.commit(spark, root,
+        docs.where(col("doc_id") % 2 === 1))
+      SnapshotTable.commit(spark, root,
+        docs.where(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + lit(n)).as("doc_id"), col("text")))
+    }
+    (1 to 3).map { v =>
+      SnapshotTable.read(spark, root, v)
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("sum_len"))
+        .select(lit(v).as("version"), col("n_docs"), col("sum_id"),
+          col("sum_len"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_dataset_diff" -> pipelineDatasetDiff,
+    "pipeline_snapshot_read" -> pipelineSnapshotRead,
     "pipeline_upsert" -> pipelineUpsert,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
@@ -710,6 +753,26 @@ object Pipeline {
         |       WHEN h1.h <> h2.h THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id""".stripMargin,
+    // the three committed file-set unions re-derived closed-form:
+    // v1 = evens, v2 = all, v3 = all + offset re-ingests
+    "pipeline_snapshot_read" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
+        |n AS (SELECT count(*) AS c FROM d)
+        |SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |       CAST(sum(len) AS BIGINT) AS sum_len
+        |FROM d WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS INT), count(*), CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(len) AS BIGINT)
+        |FROM d
+        |UNION ALL
+        |SELECT CAST(3 AS INT),
+        |       (SELECT count(*) FROM d) + count(*),
+        |       CAST((SELECT sum(doc_id) FROM d)
+        |            + sum(doc_id + (SELECT c FROM n)) AS BIGINT),
+        |       CAST((SELECT sum(len) FROM d) + sum(len) AS BIGINT)
+        |FROM d WHERE doc_id % 13 = 2""".stripMargin,
     // integer-exact share chain replayed: exact counts → correctly-
     // rounded sqrt micros → exact integer totals → integer-ratio
     // divisions (boost from the already-rounded share columns, exactly

@@ -1,0 +1,95 @@
+package graft
+
+import graft.sources.SnapshotTable
+
+/** The Iceberg-lite snapshot store's transactional guarantees —
+  * isolation, atomic publish, commit conflicts, time travel — none of
+  * which the closed-form oracle can see (it replays the VALUES, not
+  * the concurrency posture). */
+class SnapshotSpec extends SparkSessionSpec {
+
+  import spark.implicits._
+
+  private def tmpRoot() = java.nio.file.Files
+    .createTempDirectory("graft_snap").toString + "/tbl"
+
+  test("commits version linearly; time travel pins every version") {
+    val root = tmpRoot()
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val d2 = Seq((3L, "c")).toDF("doc_id", "text")
+    assert(SnapshotTable.commit(spark, root, d1) == 1)
+    assert(SnapshotTable.commit(spark, root, d2) == 2)
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+    assert(SnapshotTable.read(spark, root, 1)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(SnapshotTable.read(spark, root, 2)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // overwrite commit: v3 references ONLY its own file set, v1/v2
+    // stay readable (time travel is never destructive)
+    assert(SnapshotTable.commit(spark, root,
+      Seq((9L, "z")).toDF("doc_id", "text"), append = false) == 3)
+    assert(SnapshotTable.read(spark, root, 3)
+      .as[(Long, String)].collect().toSet == Set((9L, "z")))
+    assert(SnapshotTable.read(spark, root, 1).count() == 2)
+    assert(SnapshotTable.readLatest(spark, root).count() == 1)
+  }
+
+  test("snapshot isolation: an in-flight reader never sees later commits") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a")).toDF("doc_id", "text"))
+    // reader resolves the manifest NOW — its scan set is fixed
+    val pinned = SnapshotTable.read(spark, root, 1)
+    SnapshotTable.commit(spark, root,
+      Seq((2L, "b")).toDF("doc_id", "text"))
+    SnapshotTable.commit(spark, root,
+      Seq((3L, "c")).toDF("doc_id", "text"))
+    assert(pinned.as[(Long, String)].collect().toSet == Set((1L, "a")),
+      "later commits leaked into a resolved reader")
+    assert(SnapshotTable.readLatest(spark, root).count() == 3)
+  }
+
+  test("commit conflict surfaces as a clean retryable error") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a")).toDF("doc_id", "text"))
+    // the real race: writers A and B both resolve latest = v1; B
+    // publishes v2 first; A's rename to the same target must fail
+    // WITHOUT corrupting published state
+    val base = SnapshotTable.latestVersion(spark, root)
+    SnapshotTable.commitAs(spark, root,
+      Seq((2L, "b")).toDF("doc_id", "text"), base, append = true) // B wins
+    val e = intercept[IllegalStateException](
+      SnapshotTable.commitAs(spark, root,
+        Seq((2L, "x")).toDF("doc_id", "text"), base, append = true))
+    assert(e.getMessage.contains("commit conflict"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // B's version is intact, v1 still reads, the loser left no
+    // published manifest — a retry from the NEW latest succeeds
+    assert(SnapshotTable.read(spark, root, 2)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(SnapshotTable.read(spark, root, 1).count() == 1)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/manifests/_tmp_v2")))
+    assert(SnapshotTable.commit(spark, root,
+      Seq((3L, "y")).toDF("doc_id", "text")) == 3)
+  }
+
+  test("a crashed commit (tmp manifest, no rename) is invisible") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a")).toDF("doc_id", "text"))
+    // simulate the crash window: data files + tmp manifest written,
+    // rename never ran
+    Seq((99L, "x")).toDF("doc_id", "text")
+      .write.parquet(s"$root/data/s99")
+    Seq(("data/s99", 99, 1L)).toDF("dir", "added_in", "n_rows")
+      .coalesce(1).write.parquet(s"$root/manifests/_tmp_v99")
+    assert(SnapshotTable.versions(spark, root) == Seq(1),
+      "unpublished debris surfaced as a version")
+    assert(SnapshotTable.readLatest(spark, root)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+}
