@@ -173,8 +173,10 @@ object Similarity {
   val PqKsub = 16   // codes per block → 8 × 4-bit codes per vector
 
   /** Sub-codebooks `[m][j][dim]`: the m-th 8-dim block of the first
-    * [[PqKsub]] corpus vectors (deterministic seeding, exactly like
-    * [[KMeansQueries.fixedCentroids]] for IVF — a production run would
+    * [[PqKsub]] corpus vectors (deterministic seeding, the
+    * [[KMeansQueries.firstKCentroids]] device; PQ code counts are a
+    * fixed constant by design, unlike the n-scaled IVF cells of
+    * [[KMeansQueries.coarseCentroids]] — a production run would
     * k-means each block with the engine's own kernel; seeding keeps the
     * DuckDB oracle exact). k·d = 16×64 doubles on the driver. */
   private[operators] def pqCodebook(spark: SparkSession,

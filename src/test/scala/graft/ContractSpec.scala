@@ -22,6 +22,7 @@ class ContractSpec extends SparkSessionSpec {
       operators.AnnIndex.queries.size,
       operators.TextAnalysis.queries.size,
       operators.Multimodal.queries.size,
+      operators.Jpeg.queries.size,
       operators.Pipeline.queries.size,
       operators.Events.queries.size)
     assert(SparkEntry.queries.size == sizes.sum,
