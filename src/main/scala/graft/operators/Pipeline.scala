@@ -693,9 +693,130 @@ object Pipeline {
     }.reduce(_ unionByName _)
   }
 
+  /** SCHEMA EVOLUTION across snapshot versions — the Iceberg
+    * add-column semantic on [[graft.sources.SnapshotTable]]: v1
+    * commits (doc_id, text) for even ids; v2 APPENDS the odd ids
+    * carrying a NEW column `q_len` (deterministically length(text),
+    * so the oracle replays it). Reading v1 after the evolution still
+    * yields the ORIGINAL two-column schema (evolution is
+    * per-version, not retroactive); reading v2 resolves the union
+    * schema with q_len null-filled for the pre-evolution file set.
+    * The per-version aggregate makes both facts hash-checkable: a
+    * retroactive or leaked column shows as a nonzero v1 `n_with_q`,
+    * a wrong null-fill as a v2 count/sum mismatch. Reruns reuse the
+    * published history (commits are atomic; the n-keyed root ties it
+    * to the corpus). */
+  def pipelineSnapshotEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = t(spark, dir, "documents").count()
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${graft.sources.Artifacts.root(spark)}/snapevo_${key}_n$n"
+    if (!SnapshotTable.latestVersion(spark, root).contains(2)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      SnapshotTable.commit(spark, root, docs.where(col("doc_id") % 2 === 0))
+      SnapshotTable.commit(spark, root,
+        docs.where(col("doc_id") % 2 === 1)
+          .withColumn("q_len", length(col("text")).cast("long")))
+    }
+    (1 to 2).map { v =>
+      val df = SnapshotTable.read(spark, root, v)
+      val (withQ, sumQ) =
+        if (df.columns.contains("q_len"))
+          (count(col("q_len")), coalesce(sum(col("q_len")), lit(0L)))
+        else (lit(0L), lit(0L))
+      df.agg(count(lit(1)).as("n_docs"), withQ.as("n_with_q"),
+          sumQ.as("sum_q"))
+        .select(lit(v).as("version"), col("n_docs"),
+          col("n_with_q").cast("long").as("n_with_q"),
+          col("sum_q").cast("long").as("sum_q"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** SNAPSHOT EXPIRY — the explicitly destructive retention path
+    * time travel defers to, exercised end-to-end: build a 3-commit
+    * history where v3 is a full OVERWRITE (so v1/v2's file sets
+    * become unreferenced the moment they expire), expire everything
+    * below v3, and report what retention did plus an aggregate over
+    * the SURVIVING version read AFTER the expiry — so the query
+    * fails loudly if expire ever deletes a dir the live manifest
+    * still references. The history is rebuilt from scratch every run
+    * (expiry is destructive; a rebuilt root is the only
+    * deterministic rerun), which also makes this the commit-path
+    * end-to-end exercise at bench time. Closed-form: v1=s1, v2=s1+s2
+    * (append), v3=s3 (overwrite) → 2 versions expired, dirs s1+s2
+    * removed, s3 kept. */
+  def pipelineSnapshotExpire(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = t(spark, dir, "documents").count()
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${graft.sources.Artifacts.root(spark)}/snapexp_${key}_n$n"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    SnapshotTable.commit(spark, root, docs.where(col("doc_id") % 2 === 0))
+    SnapshotTable.commit(spark, root, docs.where(col("doc_id") % 2 === 1))
+    SnapshotTable.commit(spark, root,
+      docs.where(col("doc_id") % 13 === 2)
+        .select((col("doc_id") + lit(n)).as("doc_id"), col("text")),
+      append = false)
+    val rep = SnapshotTable.expire(spark, root, keepFrom = 3)
+    SnapshotTable.read(spark, root, 3)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_id"))
+      .select(lit(rep.versionsExpired).as("versions_expired"),
+        lit(rep.versionsKept).as("versions_kept"),
+        lit(rep.dirsRemoved).as("dirs_removed"),
+        lit(rep.dirsKept).as("dirs_kept"),
+        col("n_docs"), col("sum_id"))
+  }
+
+  /** TRANSACTIONAL MERGE (COW upsert) — [[graft.sources.SnapshotTable.merge]]
+    * end-to-end: v1 commits the full corpus; one merge applies a
+    * deterministic update batch (doc_id ≡ 5 mod 11 revised with a
+    * ` [rev2]` suffix — matched keys REPLACED, not duplicated — and
+    * the ≡ 2 mod 13 re-ingests under id+n — new keys INSERTED).
+    * Reading both versions afterwards pins the two transactional
+    * facts: v1 is byte-identical to before the merge (copy-on-write,
+    * never in-place), and v2 is exactly old∖matched ∪ updates. A
+    * duplicated matched key, a lost carry-row, or a mutated v1 all
+    * surface as count/sum mismatches. */
+  def pipelineSnapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = t(spark, dir, "documents").count()
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${graft.sources.Artifacts.root(spark)}/snapmrg_${key}_n$n"
+    if (!SnapshotTable.latestVersion(spark, root).contains(2)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      SnapshotTable.commit(spark, root, docs)
+      val updates = docs.where(col("doc_id") % 11 === 5)
+        .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + lit(n)).as("doc_id"), col("text")))
+      SnapshotTable.merge(spark, root, updates, "doc_id")
+    }
+    (1 to 2).map { v =>
+      SnapshotTable.read(spark, root, v)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_id"),
+          sum(length(col("text"))).cast("long").as("sum_len"))
+        .select(lit(v).as("version"), col("n_docs"), col("sum_id"),
+          col("sum_len"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_dataset_diff" -> pipelineDatasetDiff,
     "pipeline_snapshot_read" -> pipelineSnapshotRead,
+    "pipeline_snapshot_evolve" -> pipelineSnapshotEvolve,
+    "pipeline_snapshot_expire" -> pipelineSnapshotExpire,
+    "pipeline_snapshot_merge" -> pipelineSnapshotMerge,
     "pipeline_upsert" -> pipelineUpsert,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
@@ -773,6 +894,53 @@ object Pipeline {
         |            + sum(doc_id + (SELECT c FROM n)) AS BIGINT),
         |       CAST((SELECT sum(len) FROM d) + sum(len) AS BIGINT)
         |FROM d WHERE doc_id % 13 = 2""".stripMargin,
+    // v1 = evens without the evolved column (n_with_q must be 0);
+    // v2 = evens null-filled + odds carrying q_len = length(text)
+    "pipeline_snapshot_evolve" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents)
+        |SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
+        |       CAST(0 AS BIGINT) AS n_with_q, CAST(0 AS BIGINT) AS sum_q
+        |FROM d WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS INT), count(*),
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN len ELSE 0 END)
+        |            AS BIGINT)
+        |FROM d""".stripMargin,
+    // v1=s1, v2=s1+s2 (append), v3=s3 (overwrite) → expiring <3 drops
+    // 2 versions and GCs exactly the s1,s2 file sets; v3 = the mod-13
+    // re-ingest set under id+n
+    "pipeline_snapshot_expire" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |n AS (SELECT count(*) AS c FROM d)
+        |SELECT CAST(2 AS INT) AS versions_expired,
+        |       CAST(1 AS INT) AS versions_kept,
+        |       CAST(2 AS INT) AS dirs_removed,
+        |       CAST(1 AS INT) AS dirs_kept,
+        |       count(*) AS n_docs,
+        |       CAST(sum(doc_id + (SELECT c FROM n)) AS BIGINT) AS sum_id
+        |FROM d WHERE doc_id % 13 = 2""".stripMargin,
+    // v2 = v1 minus matched keys (mod-11 revisions, +7 chars each)
+    // plus inserted re-ingests (mod-13, id+n)
+    "pipeline_snapshot_merge" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
+        |n AS (SELECT count(*) AS c FROM d)
+        |SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |       CAST(sum(len) AS BIGINT) AS sum_len
+        |FROM d
+        |UNION ALL
+        |SELECT CAST(2 AS INT),
+        |       (SELECT count(*) FROM d)
+        |         + (SELECT count(*) FROM d WHERE doc_id % 13 = 2),
+        |       CAST((SELECT sum(doc_id) FROM d)
+        |            + (SELECT sum(doc_id + (SELECT c FROM n)) FROM d
+        |               WHERE doc_id % 13 = 2) AS BIGINT),
+        |       CAST((SELECT sum(len) FROM d)
+        |            + 7 * (SELECT count(*) FROM d WHERE doc_id % 11 = 5)
+        |            + (SELECT sum(len) FROM d WHERE doc_id % 13 = 2)
+        |            AS BIGINT)""".stripMargin,
     // integer-exact share chain replayed: exact counts → correctly-
     // rounded sqrt micros → exact integer totals → integer-ratio
     // divisions (boost from the already-rounded share columns, exactly

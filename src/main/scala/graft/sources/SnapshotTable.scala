@@ -30,9 +30,15 @@ import org.apache.spark.sql.functions._
   *    id, so two writers racing to commit the same version cannot
   *    both succeed — the loser's rename fails and surfaces as a
   *    retryable conflict, the Iceberg commit-conflict semantic.
-  *  - TIME TRAVEL: any published version remains readable forever
-  *    (no vacuum here — retention would be a separate, explicitly
-  *    destructive operation).
+  *  - TIME TRAVEL: any published version remains readable until the
+  *    user explicitly runs [[expire]] (retention is a separate,
+  *    explicitly destructive operation — never implicit).
+  *  - SCHEMA EVOLUTION (additive): a commit may carry MORE columns
+  *    than the versions before it; [[read]] resolves the union
+  *    schema across the file sets a manifest lists, null-filling
+  *    columns a file set predates (the Iceberg add-column semantic).
+  *    Versions committed before the new column keep their original
+  *    schema — evolution is per-version, not retroactive.
   *
   * Scale posture: a commit writes data once plus a manifest of
   * O(commits) rows; reads open only the dirs the chosen manifest
@@ -89,11 +95,18 @@ object SnapshotTable {
     val dataRel = s"data/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$dataRel")
     val nRows = spark.read.parquet(s"$root/$dataRel").count()
-    val spark2 = spark
-    import spark2.implicits._
     val carried = if (append) prev.toSeq.flatMap(manifestEntries(spark, root, _))
                   else Seq.empty
-    val entries = carried :+ ((dataRel, next, nRows))
+    publish(spark, root, next, carried :+ ((dataRel, next, nRows)))
+    next
+  }
+
+  /** Write + atomically publish the manifest for version `next` —
+    * the shared commit point of [[commitAs]] and [[commitBatch]]. */
+  private def publish(spark: SparkSession, root: String, next: Int,
+                      entries: Seq[(String, Int, Long)]): Unit = {
+    val spark2 = spark
+    import spark2.implicits._
     entries.toDF("dir", "added_in", "n_rows")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/manifests/_tmp_v$next")
@@ -118,7 +131,42 @@ object SnapshotTable {
               "a concurrent writer; re-read the latest version and retry")
         else throw e
     }
-    next
+  }
+
+  /** EXACTLY-ONCE micro-batch commit — the streaming sink primitive
+    * ([[graft.streaming.StreamingOps.snapshotSinkStream]]): append
+    * `df` as the next version, keyed by the stream's `batchId` so an
+    * at-least-once REPLAY of the same micro-batch is a detected
+    * no-op instead of a duplicate version. The batch's identity
+    * rides in its data-dir NAME (`data/b<batchId>`), which the
+    * published manifest references — so "did this batch commit?" is
+    * answered by the same atomically-published metadata readers use,
+    * with no sidecar marker that could decouple from the commit
+    * point. Crash windows: after the data write but before the
+    * manifest rename → the dir is unreferenced debris, the replay
+    * REWRITES it (overwrite) and publishes; after the rename → the
+    * replay sees `data/b<batchId>` in the latest manifest and skips.
+    * Returns the version committed, or None for a detected replay.
+    * Contract: the streaming lineage must be the table's only
+    * APPEND writer — an interleaved `append = false` overwrite drops
+    * the manifest references replay detection reads (expire-style
+    * retention of old VERSIONS is fine; the latest manifest keeps
+    * every live batch dir). */
+  def commitBatch(spark: SparkSession, root: String, df: DataFrame,
+                  batchId: Long): Option[Int] = {
+    val prev = latestVersion(spark, root)
+    val dataRel = s"data/b$batchId"
+    val replayed = prev.exists(v =>
+      manifestEntries(spark, root, v).exists(_._1 == dataRel))
+    if (replayed) None
+    else {
+      val next = prev.getOrElse(0) + 1
+      df.write.mode("overwrite").parquet(s"$root/$dataRel")
+      val nRows = spark.read.parquet(s"$root/$dataRel").count()
+      val carried = prev.toSeq.flatMap(manifestEntries(spark, root, _))
+      publish(spark, root, next, carried :+ ((dataRel, next, nRows)))
+      Some(next)
+    }
   }
 
   private def manifestEntries(spark: SparkSession, root: String,
@@ -132,15 +180,88 @@ object SnapshotTable {
   /** Time-travel read of a PUBLISHED version: the union of exactly
     * the file sets its manifest lists. The manifest is resolved HERE,
     * once — the returned DataFrame's scan set is fixed, so later
-    * commits (or a changed "latest") cannot leak in mid-query. */
+    * commits (or a changed "latest") cannot leak in mid-query.
+    * File sets are unioned BY NAME with null-fill for columns a set
+    * predates (additive schema evolution): the resolved schema is
+    * the oldest set's columns followed by later additions in
+    * added_in order — deterministic for a given manifest. */
   def read(spark: SparkSession, root: String, version: Int): DataFrame = {
     val dirs = manifestEntries(spark, root, version)
     require(dirs.nonEmpty, s"version $version not published at $root")
     dirs.map { case (d, _, _) => spark.read.parquet(s"$root/$d") }
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   def readLatest(spark: SparkSession, root: String): DataFrame =
     read(spark, root, latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no versions at $root")))
+
+  /** Retention report from [[expire]]. Counts are data DIRS (file
+    * sets), not files — the manifest's unit of reference. */
+  final case class ExpireReport(versionsExpired: Int, versionsKept: Int,
+                                dirsRemoved: Int, dirsKept: Int)
+
+  /** EXPIRE SNAPSHOTS — the explicitly destructive retention
+    * operation time travel defers to: drop every published version
+    * `< keepFrom`, then garbage-collect data file sets no surviving
+    * manifest references (which also sweeps the unreferenced debris
+    * of crashed or conflict-losing commits). Order is the safety
+    * argument: dead MANIFESTS are deleted first, so a crash mid-way
+    * leaves either (a) a still-fully-readable dead version or (b) a
+    * version that is cleanly "not published" — never a published
+    * manifest pointing at deleted data. Readers of surviving
+    * versions are untouched: their manifests and every dir those
+    * manifests list survive by construction. Scale: O(versions)
+    * driver-side manifest reads + O(file sets) namespace ops; no
+    * data is read or moved. */
+  def expire(spark: SparkSession, root: String, keepFrom: Int): ExpireReport = {
+    val vs = versions(spark, root)
+    val (dead, live) = vs.partition(_ < keepFrom)
+    require(live.nonEmpty,
+      s"expire would drop every published version at $root (keepFrom=$keepFrom)")
+    val liveDirs = live.flatMap(manifestEntries(spark, root, _))
+      .map(_._1).toSet
+    val fs = fsOf(spark, root)
+    dead.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/manifests/v$v"), true)
+    }
+    // crashed-commit manifest debris is never readable; sweep it too
+    val mDir = new org.apache.hadoop.fs.Path(s"$root/manifests")
+    if (fs.exists(mDir)) fs.listStatus(mDir).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("_tmp_"))
+      .foreach(fs.delete(_, true))
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    val all = if (fs.exists(dataDir))
+      fs.listStatus(dataDir).toSeq.map(_.getPath.getName) else Seq.empty
+    val (kept, removed) = all.partition(d => liveDirs.contains(s"data/$d"))
+    removed.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/$d"), true)
+    }
+    ExpireReport(dead.size, live.size, removed.size, kept.size)
+  }
+
+  /** MERGE (upsert) as a transactional commit — copy-on-write, the
+    * Delta/Iceberg COW baseline: rows of the CURRENT version whose
+    * `key` appears in `updates` are replaced, all other current rows
+    * carried, new keys inserted; the result is committed as a full
+    * overwrite version (old versions stay readable — the merge is
+    * visible atomically or not at all). The anti-join's build side
+    * is `updates`' key projection — broadcastable whenever the
+    * update batch is small, the common MERGE shape; the carried rows
+    * stream through without a wide shuffle when AQE picks the
+    * broadcast. At 100 TB the refinement is partition-scoped COW
+    * (rewrite only partitions holding matched keys, carry the rest
+    * as manifest references); this engine's manifests already
+    * reference whole file sets, so that refinement is a manifest
+    * split away — documented, not needed at the current surface.
+    * Returns the committed version id; conflicts surface exactly as
+    * [[commit]]'s. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+            key: String): Int = {
+    val cur = readLatest(spark, root)
+    val merged = cur
+      .join(updates.select(updates(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+    commit(spark, root, merged, append = false)
+  }
 }

@@ -761,4 +761,34 @@ object StreamingOps {
           .scoreWithNbModel(batch.toDF(), lp, stats))
         ()
       }
+
+  /** STREAMING SNAPSHOT INGEST — exactly-once transactional append
+    * into an Iceberg-lite [[graft.sources.SnapshotTable]]: each
+    * micro-batch becomes ONE atomically-published table version via
+    * [[graft.sources.SnapshotTable.commitBatch]], whose batchId-keyed
+    * data-dir naming turns foreachBatch's at-least-once replay into a
+    * detected no-op (the replay check reads the same
+    * atomically-renamed manifest readers use — no sidecar state to
+    * drift). Downstream batch readers get snapshot isolation over the
+    * live stream for free: `readLatest` pins a manifest, so a query
+    * running while the stream commits never sees a torn batch.
+    * The checkpoint is pinned DURABLY under the table root
+    * ([[annIngestStream]]'s rule): a second ingest session resumes
+    * the batchId lineage, keeping replay detection sound across
+    * restarts. Overriding it starts a fresh lineage whose batchIds
+    * RESTART at 0 — commitBatch then REFUSES those as replays rather
+    * than duplicating rows (data loss for the new session's first
+    * batches, surfaced by the None return, never silent duplication).
+    * Contract: this lineage must be the table's only append writer
+    * (see commitBatch). */
+  def snapshotSinkStream(docs: Dataset[SDocQ], root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SDocQ] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/_checkpoints/ingest")
+      .foreachBatch { (batch: Dataset[SDocQ], batchId: Long) =>
+        graft.sources.SnapshotTable
+          .commitBatch(batch.sparkSession, root, batch.toDF(), batchId)
+        ()
+      }
 }

@@ -77,6 +77,68 @@ class SnapshotSpec extends SparkSessionSpec {
       Seq((3L, "y")).toDF("doc_id", "text")) == 3)
   }
 
+  test("additive schema evolution: per-version schema, null-fill on read") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    SnapshotTable.commit(spark, root,
+      Seq((3L, "c", 10L)).toDF("doc_id", "text", "q_len"))
+    // v1 keeps its ORIGINAL schema — evolution is not retroactive
+    assert(SnapshotTable.read(spark, root, 1).columns.toSeq ==
+      Seq("doc_id", "text"))
+    // v2 resolves the union schema; the pre-evolution set null-fills
+    val v2 = SnapshotTable.read(spark, root, 2)
+    assert(v2.columns.toSeq == Seq("doc_id", "text", "q_len"))
+    assert(v2.as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(10L))))
+  }
+
+  test("expire drops old versions and GCs exactly the unreferenced file sets") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("doc_id", "text"))
+    SnapshotTable.commit(spark, root, Seq((2L, "b")).toDF("doc_id", "text"))
+    SnapshotTable.commit(spark, root,
+      Seq((9L, "z")).toDF("doc_id", "text"), append = false)
+    // crashed-commit debris in both namespaces must be swept too
+    Seq((99L, "x")).toDF("doc_id", "text").write.parquet(s"$root/data/s99-dead")
+    Seq(("data/s99-dead", 99, 1L)).toDF("dir", "added_in", "n_rows")
+      .coalesce(1).write.parquet(s"$root/manifests/_tmp_v99")
+    val rep = SnapshotTable.expire(spark, root, keepFrom = 3)
+    assert(rep == SnapshotTable.ExpireReport(
+      versionsExpired = 2, versionsKept = 1, dirsRemoved = 3, dirsKept = 1))
+    assert(SnapshotTable.versions(spark, root) == Seq(3))
+    // the surviving version still reads — its file set was never a
+    // GC candidate
+    assert(SnapshotTable.read(spark, root, 3)
+      .as[(Long, String)].collect().toSet == Set((9L, "z")))
+    intercept[Exception](SnapshotTable.read(spark, root, 1).collect())
+    // expiring everything is refused — the table must stay readable
+    intercept[IllegalArgumentException](
+      SnapshotTable.expire(spark, root, keepFrom = 99))
+    // append commits resume from the surviving lineage
+    assert(SnapshotTable.commit(spark, root,
+      Seq((10L, "w")).toDF("doc_id", "text")) == 4)
+    assert(SnapshotTable.readLatest(spark, root).count() == 2)
+  }
+
+  test("merge replaces matched keys, inserts new ones, copy-on-write") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text"))
+    val v = SnapshotTable.merge(spark, root,
+      Seq((2L, "B!"), (4L, "d")).toDF("doc_id", "text"), "doc_id")
+    assert(v == 2)
+    // matched key REPLACED (not duplicated), new key inserted,
+    // unmatched rows carried
+    assert(SnapshotTable.read(spark, root, 2)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B!"), (3L, "c"), (4L, "d")))
+    // copy-on-write: the pre-merge version is untouched
+    assert(SnapshotTable.read(spark, root, 1)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("a crashed commit (tmp manifest, no rename) is invisible") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,

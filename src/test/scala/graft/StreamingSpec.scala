@@ -903,6 +903,52 @@ class StreamingSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("snapshot sink: a version per micro-batch, exactly-once, resumed lineage") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotTable
+    import graft.streaming.StreamingOps.SDocQ
+    val root = java.nio.file.Files.createTempDirectory("graft_snapsink")
+      .toString + "/tbl"
+    val inDir = java.nio.file.Files.createTempDirectory("graft_snapsink_in")
+      .toString
+    def writeInput(docs: Seq[SDocQ]): Unit =
+      docs.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    def session(): Unit = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[SDocQ]].schema)
+        .parquet(inDir).as[SDocQ]
+      val q = StreamingOps.snapshotSinkStream(src, root).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def liveIds() = SnapshotTable.readLatest(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    writeInput(Seq(SDocQ(1L, "a", "en"), SDocQ(2L, "b", "en")))
+    session()
+    assert(SnapshotTable.versions(spark, root) == Seq(1))
+    assert(liveIds() == Set(1L, 2L))
+    // a SECOND session (fresh writer + source) resumes the durable
+    // lineage: next micro-batch publishes version 2, clobbers nothing
+    writeInput(Seq(SDocQ(3L, "c", "de")))
+    session()
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+    assert(liveIds() == Set(1L, 2L, 3L))
+    // at-least-once replay at the primitive: re-committing a batchId
+    // the manifest already references is a detected no-op — session 2
+    // ran batchId 1, so replaying it must change nothing
+    assert(SnapshotTable.commitBatch(spark, root,
+      Seq(SDocQ(9L, "x", "en")).toDF(), batchId = 1L).isEmpty)
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+    assert(liveIds() == Set(1L, 2L, 3L))
+    // the other crash window: data dir written, manifest never
+    // published → the dir is unreferenced debris and the replay
+    // REWRITES it (its content, not the debris, is what commits)
+    Seq(SDocQ(98L, "dead", "en")).toDF()
+      .write.parquet(s"$root/data/b2")
+    assert(SnapshotTable.commitBatch(spark, root,
+      Seq(SDocQ(4L, "d", "en")).toDF(), batchId = 2L).contains(3))
+    assert(liveIds() == Set(1L, 2L, 3L, 4L))
+  }
+
   test("hashingVecStream equals the batch featurizer across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
