@@ -668,6 +668,26 @@ object Pipeline {
     * reuses stale history. */
   def pipelineSnapshotRead(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
+    val (root, _) = ensureSnapHistory(spark, dir)
+    (1 to 3).map { v =>
+      SnapshotTable.read(spark, root, v)
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("sum_len"))
+        .select(lit(v).as("version"), col("n_docs"), col("sum_id"),
+          col("sum_len"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Build (idempotently) the canonical 3-commit append history the
+    * snapshot read/changes queries share: v1 = even doc_ids, v2
+    * appends the odds, v3 appends the mod-13 re-ingests under id+n.
+    * Returns (table root, corpus size). Gated on the final version
+    * being published — commits are atomic, so a crashed partial
+    * build rebuilds from scratch; the n-keyed root never reuses
+    * stale history for a changed corpus. */
+  private def ensureSnapHistory(spark: SparkSession, dir: String)
+      : (String, Long) = {
+    import graft.sources.SnapshotTable
     val n = t(spark, dir, "documents").count()
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${graft.sources.Artifacts.root(spark)}/snap_${key}_n$n"
@@ -684,13 +704,61 @@ object Pipeline {
         docs.where(col("doc_id") % 13 === 2)
           .select((col("doc_id") + lit(n)).as("doc_id"), col("text")))
     }
-    (1 to 3).map { v =>
-      SnapshotTable.read(spark, root, v)
-        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"),
-          sum(length(col("text"))).as("sum_len"))
-        .select(lit(v).as("version"), col("n_docs"), col("sum_id"),
-          col("sum_len"))
-    }.reduce(_ unionByName _)
+    (root, n)
+  }
+
+  /** INCREMENTAL CHANGES SCAN — [[graft.sources.SnapshotTable.changes]]
+    * over the shared 3-commit history: exactly the rows commits 2..3
+    * added (the odds + the re-ingests), resolved from v3's manifest
+    * `added_in` column without touching v1's file set. This is the
+    * consume-only-the-delta pattern every incremental pipeline stage
+    * needs at 100 TB (aggregate refresh, index ingest, feature
+    * backfill); a leaked v1 row or a missed v3 set shows as a
+    * count/sum mismatch against the closed-form oracle. */
+  def pipelineSnapshotChanges(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val (root, _) = ensureSnapHistory(spark, dir)
+    SnapshotTable.changes(spark, root, 1, 3)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_id"),
+        sum(length(col("text"))).cast("long").as("sum_len"))
+      .select(lit(1).as("from_version"), lit(3).as("to_version"),
+        col("n_docs"), col("sum_id"), col("sum_len"))
+  }
+
+  /** MANIFEST DATA SKIPPING — [[graft.sources.SnapshotTable.readPruned]]
+    * end-to-end: two commits range-partitioned on doc_id (ids below
+    * the median, then ids at-or-above, both committed with
+    * `statsKey = doc_id` so the manifest records each file set's
+    * min/max), then a key-ranged read that must open ONLY the upper
+    * set — dirs_read = 1 of 2, decided from O(file sets) manifest
+    * rows with no data IO. The residual predicate is still applied
+    * to the pruned frame (skipping is a conservative superset), so a
+    * wrong prune that dropped live rows OR leaked low rows both
+    * break the count/sum columns; a prune that stopped skipping
+    * breaks dirs_read. */
+  def pipelineSnapshotSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = t(spark, dir, "documents").count()
+    val half = n / 2
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${graft.sources.Artifacts.root(spark)}/snapskip_${key}_n$n"
+    if (!SnapshotTable.latestVersion(spark, root).contains(2)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      SnapshotTable.commit(spark, root, docs.where(col("doc_id") < half),
+        statsKey = Some("doc_id"))
+      SnapshotTable.commit(spark, root, docs.where(col("doc_id") >= half),
+        statsKey = Some("doc_id"))
+    }
+    val pr = SnapshotTable.readPruned(spark, root, 2, half, Long.MaxValue)
+    pr.df.where(col("doc_id") >= half)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_id"))
+      .select(lit(pr.dirsTotal).as("dirs_total"),
+        lit(pr.dirsRead).as("dirs_read"), col("n_docs"), col("sum_id"))
   }
 
   /** SCHEMA EVOLUTION across snapshot versions — the Iceberg
@@ -817,6 +885,8 @@ object Pipeline {
     "pipeline_snapshot_evolve" -> pipelineSnapshotEvolve,
     "pipeline_snapshot_expire" -> pipelineSnapshotExpire,
     "pipeline_snapshot_merge" -> pipelineSnapshotMerge,
+    "pipeline_snapshot_changes" -> pipelineSnapshotChanges,
+    "pipeline_snapshot_skip" -> pipelineSnapshotSkip,
     "pipeline_upsert" -> pipelineUpsert,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
@@ -894,6 +964,29 @@ object Pipeline {
         |            + sum(doc_id + (SELECT c FROM n)) AS BIGINT),
         |       CAST((SELECT sum(len) FROM d) + sum(len) AS BIGINT)
         |FROM d WHERE doc_id % 13 = 2""".stripMargin,
+    // rows added by commits 2..3 of the shared history: the odds
+    // plus the mod-13 re-ingests under id+n — never the v1 evens
+    "pipeline_snapshot_changes" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
+        |n AS (SELECT count(*) AS c FROM d)
+        |SELECT CAST(1 AS INT) AS from_version, CAST(3 AS INT) AS to_version,
+        |       (SELECT count(*) FROM d WHERE doc_id % 2 = 1)
+        |         + (SELECT count(*) FROM d WHERE doc_id % 13 = 2) AS n_docs,
+        |       CAST((SELECT sum(doc_id) FROM d WHERE doc_id % 2 = 1)
+        |            + (SELECT sum(doc_id + (SELECT c FROM n)) FROM d
+        |               WHERE doc_id % 13 = 2) AS BIGINT) AS sum_id,
+        |       CAST((SELECT sum(len) FROM d WHERE doc_id % 2 = 1)
+        |            + (SELECT sum(len) FROM d WHERE doc_id % 13 = 2)
+        |            AS BIGINT) AS sum_len""".stripMargin,
+    // two range-committed file sets; the >= median read must open
+    // only the upper one (dirs_read = 1 of 2)
+    "pipeline_snapshot_skip" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |h AS (SELECT CAST(floor(count(*) / 2) AS BIGINT) AS half FROM d)
+        |SELECT CAST(2 AS INT) AS dirs_total, CAST(1 AS INT) AS dirs_read,
+        |       count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM d WHERE doc_id >= (SELECT half FROM h)""".stripMargin,
     // v1 = evens without the evolved column (n_with_q must be 0);
     // v2 = evens null-filled + odds carrying q_len = length(text)
     "pipeline_snapshot_evolve" ->

@@ -77,15 +77,39 @@ object SnapshotTable {
     * published the same version id first); data-file debris from the
     * losing commit is unreferenced and harmless. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-             append: Boolean = true): Int =
-    commitAs(spark, root, df, latestVersion(spark, root), append)
+             append: Boolean = true, statsKey: Option[String] = None): Int =
+    commitAs(spark, root, df, latestVersion(spark, root), append, statsKey)
+
+  /** A manifest row: one immutable file set of a version, with the
+    * commit that added it, its row count, and (when the committer
+    * passed `statsKey`) the file set's min/max of that key — the
+    * data-skipping statistic [[readPruned]] consumes. */
+  final case class Entry(dir: String, addedIn: Int, nRows: Long,
+                         minKey: Option[Long], maxKey: Option[Long])
+
+  /** One tiny job over the just-written file set: row count plus the
+    * optional min/max of the stats key. */
+  private def statsOf(spark: SparkSession, path: String,
+                      statsKey: Option[String]): (Long, Option[Long], Option[Long]) = {
+    val df = spark.read.parquet(path)
+    statsKey match {
+      case Some(k) =>
+        val r = df.agg(count(lit(1)), min(col(k)).cast("long"),
+          max(col(k)).cast("long")).collect()(0)
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      case None => (df.count(), None, None)
+    }
+  }
 
   /** Commit with the base version PINNED — the optimistic-concurrency
     * primitive: two writers that both resolved the same `prev` race
     * for the same target id, and exactly one rename wins. */
   private[graft] def commitAs(spark: SparkSession, root: String,
                               df: DataFrame, prev: Option[Int],
-                              append: Boolean): Int = {
+                              append: Boolean,
+                              statsKey: Option[String] = None): Int = {
     val next = prev.getOrElse(0) + 1
     // ATTEMPT-unique data dir (the Iceberg unique-filename rule):
     // two racers for the same version id must not write the same
@@ -94,20 +118,24 @@ object SnapshotTable {
     // manifest, so the name only needs uniqueness, not meaning
     val dataRel = s"data/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$dataRel")
-    val nRows = spark.read.parquet(s"$root/$dataRel").count()
+    val (nRows, minK, maxK) = statsOf(spark, s"$root/$dataRel", statsKey)
     val carried = if (append) prev.toSeq.flatMap(manifestEntries(spark, root, _))
                   else Seq.empty
-    publish(spark, root, next, carried :+ ((dataRel, next, nRows)))
+    publish(spark, root, next,
+      carried :+ Entry(dataRel, next, nRows, minK, maxK))
     next
   }
 
   /** Write + atomically publish the manifest for version `next` —
     * the shared commit point of [[commitAs]] and [[commitBatch]]. */
   private def publish(spark: SparkSession, root: String, next: Int,
-                      entries: Seq[(String, Int, Long)]): Unit = {
+                      entries: Seq[Entry]): Unit = {
     val spark2 = spark
     import spark2.implicits._
-    entries.toDF("dir", "added_in", "n_rows")
+    entries.map(e => (e.dir, e.addedIn, e.nRows,
+        e.minKey.map(java.lang.Long.valueOf).orNull,
+        e.maxKey.map(java.lang.Long.valueOf).orNull))
+      .toDF("dir", "added_in", "n_rows", "min_key", "max_key")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/manifests/_tmp_v$next")
     val src = new org.apache.hadoop.fs.Path(s"$root/manifests/_tmp_v$next")
@@ -153,29 +181,44 @@ object SnapshotTable {
     * retention of old VERSIONS is fine; the latest manifest keeps
     * every live batch dir). */
   def commitBatch(spark: SparkSession, root: String, df: DataFrame,
-                  batchId: Long): Option[Int] = {
+                  batchId: Long, statsKey: Option[String] = None)
+      : Option[Int] = {
     val prev = latestVersion(spark, root)
     val dataRel = s"data/b$batchId"
     val replayed = prev.exists(v =>
-      manifestEntries(spark, root, v).exists(_._1 == dataRel))
+      manifestEntries(spark, root, v).exists(_.dir == dataRel))
     if (replayed) None
     else {
       val next = prev.getOrElse(0) + 1
       df.write.mode("overwrite").parquet(s"$root/$dataRel")
-      val nRows = spark.read.parquet(s"$root/$dataRel").count()
+      val (nRows, minK, maxK) = statsOf(spark, s"$root/$dataRel", statsKey)
       val carried = prev.toSeq.flatMap(manifestEntries(spark, root, _))
-      publish(spark, root, next, carried :+ ((dataRel, next, nRows)))
+      publish(spark, root, next,
+        carried :+ Entry(dataRel, next, nRows, minK, maxK))
       Some(next)
     }
   }
 
+  /** Manifest rows of a published version, oldest file set first.
+    * Tolerates manifests written before the stats columns existed
+    * (min/max read as unknown — skipping degrades to reading, never
+    * to wrong pruning). */
   private def manifestEntries(spark: SparkSession, root: String,
-                              version: Int): Seq[(String, Int, Long)] =
-    spark.read.parquet(s"$root/manifests/v$version")
-      .select(col("dir"), col("added_in"), col("n_rows"))
-      .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-      .toSeq.sortBy(_._2)
+                              version: Int): Seq[Entry] = {
+    val df = spark.read.parquet(s"$root/manifests/v$version")
+    val hasStats = df.columns.contains("min_key")
+    val proj =
+      if (hasStats) df.select(col("dir"), col("added_in"), col("n_rows"),
+        col("min_key"), col("max_key"))
+      else df.select(col("dir"), col("added_in"), col("n_rows"),
+        lit(null).cast("long").as("min_key"),
+        lit(null).cast("long").as("max_key"))
+    proj.collect()
+      .map(r => Entry(r.getString(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toSeq.sortBy(_.addedIn)
+  }
 
   /** Time-travel read of a PUBLISHED version: the union of exactly
     * the file sets its manifest lists. The manifest is resolved HERE,
@@ -188,8 +231,62 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String, version: Int): DataFrame = {
     val dirs = manifestEntries(spark, root, version)
     require(dirs.nonEmpty, s"version $version not published at $root")
-    dirs.map { case (d, _, _) => spark.read.parquet(s"$root/$d") }
+    unionSets(spark, root, dirs)
+  }
+
+  private def unionSets(spark: SparkSession, root: String,
+                        dirs: Seq[Entry]): DataFrame =
+    dirs.map(e => spark.read.parquet(s"$root/${e.dir}"))
       .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** INCREMENTAL (CHANGES) SCAN — the Iceberg incremental-read
+    * semantic: exactly the rows ADDED by commits in (fromVersion,
+    * toVersion], resolved from `toVersion`'s manifest alone (its
+    * `added_in` column records which commit contributed each file
+    * set). This is what lets a downstream consumer — an aggregate
+    * refresh, a feature backfill, an index ingest — process a 100 TB
+    * table's NEW data only, instead of re-scanning the corpus per
+    * version. Defined for append lineages: an overwrite commit
+    * inside the window drops earlier file sets from the manifest, so
+    * its "changes" are its own additions (the rewrite is a new
+    * dataset, not a delta — same as Iceberg's replace snapshots). */
+  def changes(spark: SparkSession, root: String, fromVersion: Int,
+              toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes window must be ascending: ($fromVersion, $toVersion]")
+    val added = manifestEntries(spark, root, toVersion)
+      .filter(_.addedIn > fromVersion)
+    require(added.nonEmpty,
+      s"no file sets added in ($fromVersion, $toVersion] at $root")
+    unionSets(spark, root, added)
+  }
+
+  /** A data-skipping read: the rows, plus how much of the manifest
+    * the key range let us skip. */
+  final case class PrunedRead(df: DataFrame, dirsRead: Int, dirsTotal: Int)
+
+  /** MIN/MAX DATA SKIPPING — manifest-level pruning, the Iceberg
+    * file-skipping semantic: a file set whose recorded [min,max] of
+    * the stats key cannot intersect [lo,hi] is never opened. The
+    * decision uses O(file sets) driver-side manifest rows — no data
+    * IO — and is CONSERVATIVE: sets with unknown stats (committed
+    * without `statsKey`, or pre-stats manifests) are always read, so
+    * skipping can only cut work, never rows. Callers still apply the
+    * exact predicate to the returned frame: the skip is a file-set
+    * superset, parquet row-group pruning and the residual filter
+    * finish the job — at 100 TB this turns a key-ranged query over a
+    * range-committed table from a corpus scan into a few file sets. */
+  def readPruned(spark: SparkSession, root: String, version: Int,
+                 lo: Long, hi: Long): PrunedRead = {
+    val dirs = manifestEntries(spark, root, version)
+    require(dirs.nonEmpty, s"version $version not published at $root")
+    val hit = dirs.filter(e => (e.minKey, e.maxKey) match {
+      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _ => true // unknown stats: must read
+    })
+    val df = if (hit.isEmpty) unionSets(spark, root, dirs).limit(0)
+             else unionSets(spark, root, hit)
+    PrunedRead(df, hit.size, dirs.size)
   }
 
   def readLatest(spark: SparkSession, root: String): DataFrame =
@@ -220,7 +317,7 @@ object SnapshotTable {
     require(live.nonEmpty,
       s"expire would drop every published version at $root (keepFrom=$keepFrom)")
     val liveDirs = live.flatMap(manifestEntries(spark, root, _))
-      .map(_._1).toSet
+      .map(_.dir).toSet
     val fs = fsOf(spark, root)
     dead.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/manifests/v$v"), true)

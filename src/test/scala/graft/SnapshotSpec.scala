@@ -121,6 +121,49 @@ class SnapshotSpec extends SparkSessionSpec {
     assert(SnapshotTable.readLatest(spark, root).count() == 2)
   }
 
+  test("changes scan returns exactly the rows added in the window") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    SnapshotTable.commit(spark, root, Seq((3L, "c")).toDF("doc_id", "text"))
+    SnapshotTable.commit(spark, root, Seq((4L, "d")).toDF("doc_id", "text"))
+    def ids(from: Int, to: Int) = SnapshotTable.changes(spark, root, from, to)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids(1, 3) == Set(3L, 4L), "window (1,3] must skip v1's set")
+    assert(ids(2, 3) == Set(4L))
+    assert(ids(1, 2) == Set(3L),
+      "resolved from v2's manifest — v3's set must not leak")
+    intercept[IllegalArgumentException](
+      SnapshotTable.changes(spark, root, 3, 3))
+  }
+
+  test("min/max skipping prunes file sets; unknown stats always read") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (5L, "b")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    SnapshotTable.commit(spark, root,
+      Seq((10L, "c"), (20L, "d")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    // range hits only the second set
+    val hi = SnapshotTable.readPruned(spark, root, 2, 8L, 99L)
+    assert((hi.dirsRead, hi.dirsTotal) == (1, 2))
+    assert(hi.df.select("doc_id").as[Long].collect().toSet == Set(10L, 20L))
+    // boundary overlap: [5,10] touches both sets
+    val mid = SnapshotTable.readPruned(spark, root, 2, 5L, 10L)
+    assert(mid.dirsRead == 2)
+    // range missing every set yields an empty frame with the schema
+    val none = SnapshotTable.readPruned(spark, root, 2, 50L, 60L)
+    assert(none.dirsRead == 0 && none.df.count() == 0)
+    assert(none.df.columns.toSeq == Seq("doc_id", "text"))
+    // a set committed WITHOUT stats is conservatively always read
+    SnapshotTable.commit(spark, root, Seq((100L, "e")).toDF("doc_id", "text"))
+    val cons = SnapshotTable.readPruned(spark, root, 3, 8L, 11L)
+    assert(cons.dirsRead == 2, "unknown-stats set must be read")
+    assert(cons.df.where($"doc_id" >= 8L && $"doc_id" <= 11L)
+      .select("doc_id").as[Long].collect().toSet == Set(10L))
+  }
+
   test("merge replaces matched keys, inserts new ones, copy-on-write") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
