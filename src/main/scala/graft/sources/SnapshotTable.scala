@@ -351,14 +351,30 @@ object SnapshotTable {
     * as manifest references); this engine's manifests already
     * reference whole file sets, so that refinement is a manifest
     * split away — documented, not needed at the current surface.
-    * Returns the committed version id; conflicts surface exactly as
-    * [[commit]]'s. */
+    * Returns the committed version id.
+    *
+    * Concurrency: the base version is resolved ONCE and pinned
+    * through to the commit — if another writer publishes between the
+    * merge's read and its rename, the rename targets an
+    * already-taken version id and fails as a clean conflict
+    * (re-merge from the new latest and retry). Re-resolving "latest"
+    * at commit time instead would let the overwrite silently DROP
+    * the concurrent commit's rows — the lost-update anomaly MERGE
+    * exists to prevent. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-            key: String): Int = {
-    val cur = readLatest(spark, root)
+            key: String): Int =
+    mergeAs(spark, root, updates, key, latestVersion(spark, root))
+
+  /** Merge with the base version PINNED — the race-window primitive
+    * ([[commitAs]]'s pattern), exposed for the conflict spec. */
+  private[graft] def mergeAs(spark: SparkSession, root: String,
+                             updates: DataFrame, key: String,
+                             base: Option[Int]): Int = {
+    val cur = read(spark, root, base.getOrElse(
+      throw new IllegalStateException(s"no versions at $root")))
     val merged = cur
       .join(updates.select(updates(key)).distinct(), Seq(key), "left_anti")
       .unionByName(updates, allowMissingColumns = true)
-    commit(spark, root, merged, append = false)
+    commitAs(spark, root, merged, base, append = false)
   }
 }

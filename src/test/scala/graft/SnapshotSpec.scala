@@ -182,6 +182,29 @@ class SnapshotSpec extends SparkSessionSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("merge racing a concurrent commit conflicts instead of losing the update") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a")).toDF("doc_id", "text"))
+    // merge resolves base = v1 … then another writer publishes v2
+    val base = SnapshotTable.latestVersion(spark, root)
+    SnapshotTable.commit(spark, root, Seq((2L, "b")).toDF("doc_id", "text"))
+    // … the stale-based merge must FAIL as a conflict, not overwrite
+    // v2 away (the lost-update anomaly)
+    val e = intercept[IllegalStateException](
+      SnapshotTable.mergeAs(spark, root,
+        Seq((1L, "A!")).toDF("doc_id", "text"), "doc_id", base))
+    assert(e.getMessage.contains("commit conflict"))
+    assert(SnapshotTable.readLatest(spark, root)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")),
+      "concurrent commit's rows were lost")
+    // a re-merge from the NEW latest succeeds and keeps both lineages
+    assert(SnapshotTable.merge(spark, root,
+      Seq((1L, "A!")).toDF("doc_id", "text"), "doc_id") == 3)
+    assert(SnapshotTable.readLatest(spark, root)
+      .as[(Long, String)].collect().toSet == Set((1L, "A!"), (2L, "b")))
+  }
+
   test("a crashed commit (tmp manifest, no rename) is invisible") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
