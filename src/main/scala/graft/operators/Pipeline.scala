@@ -761,6 +761,42 @@ object Pipeline {
         lit(pr.dirsRead).as("dirs_read"), col("n_docs"), col("sum_id"))
   }
 
+  /** SNAPSHOT COMPACTION — [[graft.sources.SnapshotTable.compact]]
+    * end-to-end: a 3-commit append lineage (each commit one file
+    * set) compacted into a single-set version 4. The oracle pins the
+    * maintenance invariants: the set count drops 3 → 1, the ROWS are
+    * exactly version 3's (compaction rewrites layout, never data),
+    * and v3 itself stays readable (history is preserved; reclaiming
+    * the old sets is [[graft.sources.SnapshotTable.expire]]'s job,
+    * kept separate exactly as Iceberg separates rewrite_data_files
+    * from expire_snapshots). Own root — the shared history root must
+    * stay 3-version for the read/changes queries' rerun guards. */
+  def pipelineSnapshotCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = t(spark, dir, "documents").count()
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${graft.sources.Artifacts.root(spark)}/snapcmp_${key}_n$n"
+    if (!SnapshotTable.latestVersion(spark, root).contains(4)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      SnapshotTable.commit(spark, root, docs.where(col("doc_id") % 2 === 0))
+      SnapshotTable.commit(spark, root, docs.where(col("doc_id") % 2 === 1))
+      SnapshotTable.commit(spark, root,
+        docs.where(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + lit(n)).as("doc_id"), col("text")))
+      SnapshotTable.compact(spark, root)
+    }
+    val before = SnapshotTable.numFileSets(spark, root, 3)
+    val after = SnapshotTable.numFileSets(spark, root, 4)
+    SnapshotTable.read(spark, root, 4)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_id"))
+      .select(lit(before).as("sets_before"), lit(after).as("sets_after"),
+        col("n_docs"), col("sum_id"))
+  }
+
   /** SCHEMA EVOLUTION across snapshot versions — the Iceberg
     * add-column semantic on [[graft.sources.SnapshotTable]]: v1
     * commits (doc_id, text) for even ids; v2 APPENDS the odd ids
@@ -887,6 +923,7 @@ object Pipeline {
     "pipeline_snapshot_merge" -> pipelineSnapshotMerge,
     "pipeline_snapshot_changes" -> pipelineSnapshotChanges,
     "pipeline_snapshot_skip" -> pipelineSnapshotSkip,
+    "pipeline_snapshot_compact" -> pipelineSnapshotCompact,
     "pipeline_upsert" -> pipelineUpsert,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
@@ -964,6 +1001,17 @@ object Pipeline {
         |            + sum(doc_id + (SELECT c FROM n)) AS BIGINT),
         |       CAST((SELECT sum(len) FROM d) + sum(len) AS BIGINT)
         |FROM d WHERE doc_id % 13 = 2""".stripMargin,
+    // compaction rewrites layout (3 sets -> 1), never data: v4's
+    // rows = v3's = all docs + the mod-13 re-ingests under id+n
+    "pipeline_snapshot_compact" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |n AS (SELECT count(*) AS c FROM d)
+        |SELECT CAST(3 AS INT) AS sets_before, CAST(1 AS INT) AS sets_after,
+        |       (SELECT count(*) FROM d)
+        |         + (SELECT count(*) FROM d WHERE doc_id % 13 = 2) AS n_docs,
+        |       CAST((SELECT sum(doc_id) FROM d)
+        |            + (SELECT sum(doc_id + (SELECT c FROM n)) FROM d
+        |               WHERE doc_id % 13 = 2) AS BIGINT) AS sum_id""".stripMargin,
     // rows added by commits 2..3 of the shared history: the odds
     // plus the mod-13 re-ingests under id+n — never the v1 evens
     "pipeline_snapshot_changes" ->

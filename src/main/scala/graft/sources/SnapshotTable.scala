@@ -365,6 +365,32 @@ object SnapshotTable {
             key: String): Int =
     mergeAs(spark, root, updates, key, latestVersion(spark, root))
 
+  /** Published file-set count of a version — the small-file health
+    * metric [[compact]] exists to fix. */
+  def numFileSets(spark: SparkSession, root: String, version: Int): Int =
+    manifestEntries(spark, root, version).size
+
+  /** COMPACT — rewrite the latest version's file sets into ONE set,
+    * published as a new version (history stays readable; reclaim the
+    * old sets later with [[expire]]). This is the maintenance answer
+    * to append/streaming lineages accumulating a file set per commit:
+    * a manifest of thousands of sets costs a driver-side read per
+    * query and defeats set-level skipping (each tiny set has a wide
+    * key range). Stats are recomputed over the rewrite when
+    * `statsKey` is given. The base is PINNED ([[merge]]'s rule): a
+    * commit racing the compaction surfaces as a conflict, never as
+    * lost rows. Like merge it is copy-on-write over the full live
+    * data — the 100 TB refinement is compacting only the smallest
+    * sets (bin-packing), a manifest split this layout already
+    * permits; documented, not needed at the current surface. */
+  def compact(spark: SparkSession, root: String,
+              statsKey: Option[String] = None): Int = {
+    val base = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    commitAs(spark, root, read(spark, root, base), Some(base),
+      append = false, statsKey)
+  }
+
   /** Merge with the base version PINNED — the race-window primitive
     * ([[commitAs]]'s pattern), exposed for the conflict spec. */
   private[graft] def mergeAs(spark: SparkSession, root: String,

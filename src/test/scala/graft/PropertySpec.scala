@@ -333,4 +333,66 @@ class PropertySpec extends SparkSessionSpec {
       out.zip(p).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
     }
   }
+
+  test("snapshot table tracks a sequential model under random op sequences") {
+    import graft.sources.SnapshotTable
+    // model-based testing: every op applies to the real table AND a
+    // pure in-memory model (live versions -> row bags); after each op
+    // the version list and the latest version's multiset must agree,
+    // and at the end every surviving version must. Catches cross-op
+    // interactions no single-op spec sees (merge-after-expire,
+    // compact-after-overwrite, carried-manifest corruption, …).
+    sealed trait Op
+    case class App(rows: List[(Long, String)]) extends Op
+    case class Over(rows: List[(Long, String)]) extends Op
+    case class Mrg(rows: List[(Long, String)]) extends Op
+    case object Cmp extends Op
+    case object Exp extends Op
+    val rowsGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 9L), Gen.oneOf("x", "y", "z"))))
+    val opGen: Gen[Op] = Gen.frequency(
+      4 -> rowsGen.map(App(_)), 1 -> rowsGen.map(Over(_)),
+      2 -> rowsGen.map(Mrg(_)), 1 -> Gen.const(Cmp), 1 -> Gen.const(Exp))
+    def bag(rows: Seq[(Long, String)]) = rows.sorted
+    for (ops <- samples(Gen.listOfN(7, opGen), 3)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_prop").toString + "/tbl"
+      var model = Vector((1, List((0L, "seed"))))
+      SnapshotTable.commit(spark, root, Seq((0L, "seed")).toDF("doc_id", "text"))
+      for (op <- ops) {
+        op match {
+          case App(rows) =>
+            val v = SnapshotTable.commit(spark, root,
+              rows.toDF("doc_id", "text"))
+            model :+= ((v, model.last._2 ++ rows))
+          case Over(rows) =>
+            val v = SnapshotTable.commit(spark, root,
+              rows.toDF("doc_id", "text"), append = false)
+            model :+= ((v, rows))
+          case Mrg(rows) =>
+            val v = SnapshotTable.merge(spark, root,
+              rows.toDF("doc_id", "text"), "doc_id")
+            val keys = rows.map(_._1).toSet
+            model :+= ((v, model.last._2.filterNot(r => keys(r._1)) ++ rows))
+          case Cmp =>
+            val v = SnapshotTable.compact(spark, root)
+            model :+= ((v, model.last._2))
+            assert(SnapshotTable.numFileSets(spark, root, v) == 1)
+          case Exp =>
+            SnapshotTable.expire(spark, root, keepFrom = model.last._1)
+            model = model.filter(_._1 >= model.last._1)
+        }
+        assert(SnapshotTable.versions(spark, root) == model.map(_._1),
+          s"version list diverged after $op")
+        val (v, rows) = model.last
+        assert(bag(SnapshotTable.read(spark, root, v)
+          .as[(Long, String)].collect().toList) == bag(rows),
+          s"latest version $v content diverged after $op")
+      }
+      for ((v, rows) <- model)
+        assert(bag(SnapshotTable.read(spark, root, v)
+          .as[(Long, String)].collect().toList) == bag(rows),
+          s"surviving version $v diverged at end of sequence")
+    }
+  }
 }
