@@ -761,6 +761,40 @@ object Pipeline {
         lit(pr.dirsRead).as("dirs_read"), col("n_docs"), col("sum_id"))
   }
 
+  /** BLOOM POINT-LOOKUP SKIPPING — [[graft.sources.SnapshotTable.readPoint]]
+    * exercised where min/max ranges are USELESS by construction: the
+    * evens and the odds each span essentially the whole doc_id range,
+    * so a range-only pruner must read both file sets; the per-set key
+    * bloom still cuts the odd probe key to the odd set alone —
+    * dirs_read = 1 of 2, decided from manifest rows with zero data
+    * IO. The probe (an odd id derived from n) and the returned row
+    * are closed-form; a bloom that went lossy the WRONG way (false
+    * negative) would zero the count columns, a pruner that stopped
+    * working breaks dirs_read. */
+  def pipelineSnapshotPoint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = t(spark, dir, "documents").count()
+    val probe = 2L * (n / 4) + 1 // an odd id strictly inside [0, n)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${graft.sources.Artifacts.root(spark)}/snappt_${key}_n$n"
+    if (!SnapshotTable.latestVersion(spark, root).contains(2)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      SnapshotTable.commit(spark, root, docs.where(col("doc_id") % 2 === 0),
+        statsKey = Some("doc_id"))
+      SnapshotTable.commit(spark, root, docs.where(col("doc_id") % 2 === 1),
+        statsKey = Some("doc_id"))
+    }
+    val pr = SnapshotTable.readPoint(spark, root, 2, probe)
+    pr.df.where(col("doc_id") === probe)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("text_len"))
+      .select(lit(pr.dirsTotal).as("dirs_total"),
+        lit(pr.dirsRead).as("dirs_read"), col("n_docs"), col("text_len"))
+  }
+
   /** SNAPSHOT COMPACTION — [[graft.sources.SnapshotTable.compact]]
     * end-to-end: a 3-commit append lineage (each commit one file
     * set) compacted into a single-set version 4. The oracle pins the
@@ -924,6 +958,7 @@ object Pipeline {
     "pipeline_snapshot_changes" -> pipelineSnapshotChanges,
     "pipeline_snapshot_skip" -> pipelineSnapshotSkip,
     "pipeline_snapshot_compact" -> pipelineSnapshotCompact,
+    "pipeline_snapshot_point" -> pipelineSnapshotPoint,
     "pipeline_upsert" -> pipelineUpsert,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
@@ -1001,6 +1036,15 @@ object Pipeline {
         |            + sum(doc_id + (SELECT c FROM n)) AS BIGINT),
         |       CAST((SELECT sum(len) FROM d) + sum(len) AS BIGINT)
         |FROM d WHERE doc_id % 13 = 2""".stripMargin,
+    // evens/odds both span the id range (ranges can't prune); the
+    // key bloom cuts the odd probe to the odd set: 1 of 2 dirs
+    "pipeline_snapshot_point" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
+        |p AS (SELECT 2 * CAST(floor(count(*) / 4) AS BIGINT) + 1 AS probe
+        |      FROM d)
+        |SELECT CAST(2 AS INT) AS dirs_total, CAST(1 AS INT) AS dirs_read,
+        |       count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS text_len
+        |FROM d WHERE doc_id = (SELECT probe FROM p)""".stripMargin,
     // compaction rewrites layout (3 sets -> 1), never data: v4's
     // rows = v3's = all docs + the mod-13 re-ingests under id+n
     "pipeline_snapshot_compact" ->

@@ -82,24 +82,45 @@ object SnapshotTable {
 
   /** A manifest row: one immutable file set of a version, with the
     * commit that added it, its row count, and (when the committer
-    * passed `statsKey`) the file set's min/max of that key — the
-    * data-skipping statistic [[readPruned]] consumes. */
+    * passed `statsKey`) the file set's min/max of that key plus a
+    * serialized key bloom filter — the data-skipping statistics
+    * [[readPruned]] (ranges) and [[readPoint]] (blooms) consume. */
   final case class Entry(dir: String, addedIn: Int, nRows: Long,
-                         minKey: Option[Long], maxKey: Option[Long])
+                         minKey: Option[Long], maxKey: Option[Long],
+                         keyBloom: Option[Array[Byte]])
 
-  /** One tiny job over the just-written file set: row count plus the
-    * optional min/max of the stats key. */
+  /** False-positive rate of the per-file-set key blooms: ~29
+    * bits/key, small enough to ride the manifest, tight enough that
+    * a point lookup's expected false-positive file sets are ~0 even
+    * over thousands of sets. */
+  val BloomFpp = 1e-6
+
+  /** Tiny jobs over the just-written file set: row count plus the
+    * optional min/max and key bloom of the stats key. The bloom is
+    * deterministic for a given key set (fixed sketch seed), so
+    * manifest bytes — and every skipping decision — replay across
+    * runs. */
   private def statsOf(spark: SparkSession, path: String,
-                      statsKey: Option[String]): (Long, Option[Long], Option[Long]) = {
+                      statsKey: Option[String])
+      : (Long, Option[Long], Option[Long], Option[Array[Byte]]) = {
     val df = spark.read.parquet(path)
     statsKey match {
       case Some(k) =>
         val r = df.agg(count(lit(1)), min(col(k)).cast("long"),
           max(col(k)).cast("long")).collect()(0)
-        (r.getLong(0),
+        val n = r.getLong(0)
+        val bloom = if (n == 0 || r.isNullAt(1)) None else {
+          val bf = df.select(col(k).cast("long").as(k))
+            .stat.bloomFilter(k, n, BloomFpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Some(bos.toByteArray)
+        }
+        (n,
           if (r.isNullAt(1)) None else Some(r.getLong(1)),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)))
-      case None => (df.count(), None, None)
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          bloom)
+      case None => (df.count(), None, None, None)
     }
   }
 
@@ -118,11 +139,11 @@ object SnapshotTable {
     // manifest, so the name only needs uniqueness, not meaning
     val dataRel = s"data/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$dataRel")
-    val (nRows, minK, maxK) = statsOf(spark, s"$root/$dataRel", statsKey)
+    val (nRows, minK, maxK, bloom) = statsOf(spark, s"$root/$dataRel", statsKey)
     val carried = if (append) prev.toSeq.flatMap(manifestEntries(spark, root, _))
                   else Seq.empty
     publish(spark, root, next,
-      carried :+ Entry(dataRel, next, nRows, minK, maxK))
+      carried :+ Entry(dataRel, next, nRows, minK, maxK, bloom))
     next
   }
 
@@ -134,8 +155,9 @@ object SnapshotTable {
     import spark2.implicits._
     entries.map(e => (e.dir, e.addedIn, e.nRows,
         e.minKey.map(java.lang.Long.valueOf).orNull,
-        e.maxKey.map(java.lang.Long.valueOf).orNull))
-      .toDF("dir", "added_in", "n_rows", "min_key", "max_key")
+        e.maxKey.map(java.lang.Long.valueOf).orNull,
+        e.keyBloom.orNull))
+      .toDF("dir", "added_in", "n_rows", "min_key", "max_key", "key_bloom")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/manifests/_tmp_v$next")
     val src = new org.apache.hadoop.fs.Path(s"$root/manifests/_tmp_v$next")
@@ -191,10 +213,10 @@ object SnapshotTable {
     else {
       val next = prev.getOrElse(0) + 1
       df.write.mode("overwrite").parquet(s"$root/$dataRel")
-      val (nRows, minK, maxK) = statsOf(spark, s"$root/$dataRel", statsKey)
+      val (nRows, minK, maxK, bloom) = statsOf(spark, s"$root/$dataRel", statsKey)
       val carried = prev.toSeq.flatMap(manifestEntries(spark, root, _))
       publish(spark, root, next,
-        carried :+ Entry(dataRel, next, nRows, minK, maxK))
+        carried :+ Entry(dataRel, next, nRows, minK, maxK, bloom))
       Some(next)
     }
   }
@@ -206,17 +228,17 @@ object SnapshotTable {
   private def manifestEntries(spark: SparkSession, root: String,
                               version: Int): Seq[Entry] = {
     val df = spark.read.parquet(s"$root/manifests/v$version")
-    val hasStats = df.columns.contains("min_key")
-    val proj =
-      if (hasStats) df.select(col("dir"), col("added_in"), col("n_rows"),
-        col("min_key"), col("max_key"))
-      else df.select(col("dir"), col("added_in"), col("n_rows"),
-        lit(null).cast("long").as("min_key"),
-        lit(null).cast("long").as("max_key"))
-    proj.collect()
+    def opt(name: String, tpe: String) =
+      if (df.columns.contains(name)) col(name)
+      else lit(null).cast(tpe).as(name)
+    df.select(col("dir"), col("added_in"), col("n_rows"),
+        opt("min_key", "long"), opt("max_key", "long"),
+        opt("key_bloom", "binary"))
+      .collect()
       .map(r => Entry(r.getString(0), r.getInt(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
-        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getAs[Array[Byte]](5))))
       .toSeq.sortBy(_.addedIn)
   }
 
@@ -284,6 +306,36 @@ object SnapshotTable {
       case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
       case _ => true // unknown stats: must read
     })
+    val df = if (hit.isEmpty) unionSets(spark, root, dirs).limit(0)
+             else unionSets(spark, root, hit)
+    PrunedRead(df, hit.size, dirs.size)
+  }
+
+  /** BLOOM POINT-LOOKUP SKIPPING — the pruning min/max ranges cannot
+    * do: when commits interleave keys (round-robin ingest, hash
+    * routing), every file set spans nearly the full key range and
+    * [[readPruned]] keeps them all; the per-set KEY BLOOM still
+    * prunes a point lookup to the sets that might hold the key.
+    * Both filters compose: range first (free), then bloom. The
+    * decision stays a driver-side walk over manifest rows — no data
+    * IO — and is conservative the same way: no bloom → read the set.
+    * A bloom can only produce false POSITIVES (extra sets read,
+    * never rows missed), at [[BloomFpp]] per set; the caller applies
+    * the exact `key` predicate to the returned frame as usual. */
+  def readPoint(spark: SparkSession, root: String, version: Int,
+                key: Long): PrunedRead = {
+    val dirs = manifestEntries(spark, root, version)
+    require(dirs.nonEmpty, s"version $version not published at $root")
+    val hit = dirs.filter { e =>
+      val inRange = (e.minKey, e.maxKey) match {
+        case (Some(mn), Some(mx)) => key >= mn && key <= mx
+        case _ => true
+      }
+      inRange && e.keyBloom.forall(b =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b))
+          .mightContainLong(key))
+    }
     val df = if (hit.isEmpty) unionSets(spark, root, dirs).limit(0)
              else unionSets(spark, root, hit)
     PrunedRead(df, hit.size, dirs.size)

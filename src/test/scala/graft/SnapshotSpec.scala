@@ -164,6 +164,33 @@ class SnapshotSpec extends SparkSessionSpec {
       .select("doc_id").as[Long].collect().toSet == Set(10L))
   }
 
+  test("bloom point skipping prunes interleaved sets; never a false negative") {
+    val root = tmpRoot()
+    // interleaved keys: both sets span [1,10] — ranges prune nothing
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (3L, "b"), (9L, "c")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    SnapshotTable.commit(spark, root,
+      Seq((2L, "d"), (4L, "e"), (10L, "f")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    // range-only pruning must keep both…
+    assert(SnapshotTable.readPruned(spark, root, 2, 3L, 3L).dirsRead == 2)
+    // …the bloom cuts the point lookup to the owning set
+    val p = SnapshotTable.readPoint(spark, root, 2, 3L)
+    assert((p.dirsRead, p.dirsTotal) == (1, 2))
+    assert(p.df.where($"doc_id" === 3L).count() == 1)
+    // no false negatives: every committed key finds its row
+    for (k <- Seq(1L, 2L, 3L, 4L, 9L, 10L))
+      assert(SnapshotTable.readPoint(spark, root, 2, k)
+        .df.where($"doc_id" === k).count() == 1, s"key $k lost by bloom")
+    // a key outside every range prunes to zero sets
+    assert(SnapshotTable.readPoint(spark, root, 2, 77L).dirsRead == 0)
+    // a statsless set is conservatively read
+    SnapshotTable.commit(spark, root, Seq((50L, "g")).toDF("doc_id", "text"))
+    val cons = SnapshotTable.readPoint(spark, root, 3, 3L)
+    assert(cons.dirsRead == 2, "unknown-stats set must be read")
+  }
+
   test("merge replaces matched keys, inserts new ones, copy-on-write") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
