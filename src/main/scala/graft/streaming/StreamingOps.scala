@@ -762,6 +762,32 @@ object StreamingOps {
         ()
       }
 
+  /** STREAMING CROSS-CORPUS DEDUP SCREEN — the production ingest
+    * shape of [[graft.operators.Dedup.dedupCrossCorpus]]: the curated
+    * base's banded signatures + shingle sets are PRECOMPUTED
+    * artifacts ([[graft.operators.Dedup.baseScreenArtifacts]],
+    * persisted by the caller — the base is read zero times per
+    * batch), and each arriving micro-batch of crawl documents pays
+    * crawl-side compute only: its own shingles + signatures, the
+    * (band, sig) candidate equi-join against the static base, exact
+    * Jaccard on candidates. foreachBatch is the right tool (the
+    * annIngestStream rule): inside it the screen is LITERALLY the
+    * batch screen, so stream == batch pair-for-pair across arbitrary
+    * micro-batch splits (spec-pinned against `dedup_cross_corpus`
+    * on the same corpus split). Stateless per batch — a crawl doc is
+    * screened in the batch it arrives with; no watermark or state
+    * store involved, so throughput is the batch join's. */
+  def crossCorpusScreenStream(docs: Dataset[SDocQ], baseSig: DataFrame,
+                              baseSh: DataFrame)(onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SDocQ] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SDocQ], _: Long) =>
+        onBatch(graft.operators.Dedup
+          .screenAgainstBase(batch.toDF(), baseSig, baseSh))
+        ()
+      }
+
   /** STREAMING SNAPSHOT INGEST — exactly-once transactional append
     * into an Iceberg-lite [[graft.sources.SnapshotTable]]: each
     * micro-batch becomes ONE atomically-published table version via

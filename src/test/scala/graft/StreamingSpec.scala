@@ -903,6 +903,42 @@ class StreamingSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("streaming cross-corpus screen equals the batch screen across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.StreamingOps.SDocQ
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // the same corpus split dedup_cross_corpus uses: even = curated
+    // base, odd = arriving crawl
+    val (baseSig, baseSh) = Dedup.baseScreenArtifacts(
+      docs.where(col("doc_id") % 2 === 0))
+    val bs = baseSig.persist(); val bh = baseSh.persist()
+    try {
+      val crawl = docs.where(col("doc_id") % 2 === 1)
+        .as[(Long, String, String)].collect()
+        .map { case (id, t, l) => SDocQ(id, t, l) }
+      val mem = MemoryStream[SDocQ]
+      val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+      val q = StreamingOps.crossCorpusScreenStream(mem.toDS(), bs, bh) { out =>
+        got ++= out.as[(Long, Long, Double)].collect()
+      }.start()
+      try {
+        // three uneven micro-batches — split must not matter
+        val (a, rest) = crawl.splitAt(crawl.length / 5)
+        val (b, c) = rest.splitAt(rest.length / 2)
+        for (chunk <- Seq(a, b, c)) {
+          mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val batch = Dedup.dedupCrossCorpus(spark, sf0001)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.toSet == batch,
+        s"stream screen diverged: ${got.size} streamed vs ${batch.size} batch")
+      assert(batch.nonEmpty, "fixture must produce at least one candidate")
+    } finally { bs.unpersist(); bh.unpersist() }
+  }
+
   test("snapshot sink: a version per micro-batch, exactly-once, resumed lineage") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.SnapshotTable
