@@ -806,13 +806,15 @@ object StreamingOps {
     * than duplicating rows (data loss for the new session's first
     * batches, surfaced by the None return, never silent duplication).
     * Contract: this lineage must be the table's only append writer
-    * (see commitBatch). */
-  def snapshotSinkStream(docs: Dataset[SDocQ], root: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[SDocQ] =
+    * (see commitBatch). Generic in the row type so any curated
+    * stream — including the [[curateDocs]] gate's output — lands in
+    * a versioned table. */
+  def snapshotSinkStream[T](docs: Dataset[T], root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[T] =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$root/_checkpoints/ingest")
-      .foreachBatch { (batch: Dataset[SDocQ], batchId: Long) =>
+      .foreachBatch { (batch: Dataset[T], batchId: Long) =>
         graft.sources.SnapshotTable
           .commitBatch(batch.sparkSession, root, batch.toDF(), batchId)
         ()

@@ -903,6 +903,42 @@ class StreamingSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("curation gate composed into the snapshot sink: table equals batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotTable
+    import graft.streaming.StreamingOps.SDoc
+    // the full streaming ingest story end-to-end: arriving docs →
+    // quality/language gate + content dedup → one published table
+    // version per micro-batch; the final table must hold exactly the
+    // batch gate's survivor set, whatever the micro-batch split
+    val root = java.nio.file.Files.createTempDirectory("graft_curate_snap")
+      .toString + "/tbl"
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    val t0 = 1700000000000L
+    val sdocs = docs.map { case (id, tx, lg) =>
+      SDoc(new Timestamp(t0 + id), id, tx, lg) }.toSeq
+    val mem = MemoryStream[SDoc]
+    val q = StreamingOps.snapshotSinkStream(
+      StreamingOps.curateDocs(mem.toDS())
+        .as[(Long, Int)], root).start()
+    try {
+      val (a, b) = sdocs.splitAt(sdocs.length / 3)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val tableIds = SnapshotTable.readLatest(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    val batchIds = graft.operators.Pipeline.gate(
+        graft.Tables.t(spark, sf0001, "documents"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(tableIds == batchIds,
+      s"curated table (${tableIds.size}) != batch gate (${batchIds.size})")
+    // one version per non-empty micro-batch, each readable history
+    assert(SnapshotTable.versions(spark, root).nonEmpty)
+  }
+
   test("streaming cross-corpus screen equals the batch screen across splits") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
