@@ -168,6 +168,60 @@ object Similarity {
         col("score"))
   }
 
+  /** Every 5th vector is the unlabeled holdout for [[annLabelTransfer]];
+    * the other 80% are the curated labeled base. */
+  val LabelHoldout = 5L
+  val LabelK = 5
+
+  /** KNN LABEL TRANSFER — the semi-supervised labeling step of a
+    * training-data pipeline: propagate labels from a curated LABELED
+    * base (vec_id % [[LabelHoldout]] ≠ 0) to the unlabeled holdout by
+    * majority vote over each target's top-[[LabelK]] cosine
+    * neighbors, then report per-label transfer accuracy against the
+    * held-out true labels. Candidates route through the same
+    * n-scaled IVF cells as [[annKnnGraph]] (targets probe [[NProbe]]
+    * cells, equi-join on the cell id), so the candidate set is
+    * linear in n — label transfer over a 100 TB corpus pays the
+    * probe fan-out, never corpus × holdout. Votes are deterministic
+    * end-to-end: neighbors rank on (rounded score desc, vec_id), the
+    * vote picks (count desc, label asc); a target whose probed cells
+    * hold no labeled vector simply drops out (both engines replay
+    * the identical candidate set). The vote/argmax runs on the
+    * ≤ holdout·[[LabelK]] survivor rows — epsilon after the TopKPerKey
+    * cut. */
+  def annLabelTransfer(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeansQueries.coarseCentroids(spark, dir)
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"),
+        col("label"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val labeled = KMeansOps.assignDyn(
+      e.where(col("vec_id") % LabelHoldout =!= 0), "v", cents)
+    val targets = e.where(col("vec_id") % LabelHoldout === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label").as("true_label"))
+      .withColumn("probe_cell",
+        explode(probeCellsCol(col("qv"), cents, NProbe)))
+    val scored = labeled
+      .join(targets, col("probe_cell") === col("cluster"))
+      .select(col("query_id"), col("true_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("nb_label"),
+        cosineScore.as("score"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("score" -> false, "neighbor_id" -> true), LabelK)
+    val votes = cut
+      .groupBy(col("query_id"), col("true_label"), col("nb_label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n").desc, col("nb_label").asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    pred.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_targets"),
+        sum(when(col("nb_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+  }
+
   val PqM = 8       // sub-blocks
   val PqSubDim = 8  // dims per block (PqM * PqSubDim = 64 = d)
   val PqKsub = 16   // codes per block → 8 × 4-bit codes per vector
@@ -693,6 +747,7 @@ object Similarity {
     "retrieval_bm25" -> retrievalBm25,
     "retrieval_phrase" -> retrievalPhrase,
     "ann_knn_graph" -> annKnnGraph,
+    "ann_label_transfer" -> annLabelTransfer,
     "ann_topk_cosine" -> annTopKCosine,
     "ann_ivf" -> annIvfCosine,
     "ann_pq_codes" -> annPqCodes,
@@ -1109,6 +1164,48 @@ object Similarity {
     "ann_knn_graph" ->
       s"""WITH $centsCte, $knnGraphCte
          |SELECT query_id, rank, neighbor_id, score FROM knn""".stripMargin,
+    // labeled base = vec_id % 5 <> 0, targets probe the same seeded
+    // cells; majority vote (count desc, label asc) over the top-5
+    // ranked (rounded score desc, vec_id) labeled neighbors
+    "ann_label_transfer" ->
+      s"""WITH $centsCte, lab AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, e.label,
+         |         (SELECT c.cid FROM cents c
+         |          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c),
+         |                   c.cid
+         |          LIMIT 1) AS cluster
+         |  FROM embeddings e WHERE e.vec_id % $LabelHoldout <> 0
+         |), tgt AS (
+         |  SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+         |         e.label AS true_label,
+         |         (SELECT list(cid) FROM (
+         |            SELECT cid FROM cents c
+         |            ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c),
+         |                     c.cid
+         |            LIMIT $NProbe)) AS probe
+         |  FROM embeddings e WHERE e.vec_id % $LabelHoldout = 0
+         |), knn AS (
+         |  SELECT query_id, true_label, nb_label FROM (
+         |    SELECT t.query_id, t.true_label, l.label AS nb_label,
+         |      row_number() OVER (
+         |        PARTITION BY t.query_id
+         |        ORDER BY round(list_cosine_similarity(t.qv, l.v), 6) DESC,
+         |                 l.vec_id) AS rank
+         |    FROM lab l JOIN tgt t ON list_contains(t.probe, l.cluster))
+         |  WHERE rank <= $LabelK
+         |), votes AS (
+         |  SELECT query_id, true_label, nb_label, count(*) AS n
+         |  FROM knn GROUP BY 1, 2, 3
+         |), pred AS (
+         |  SELECT query_id, true_label, nb_label AS pred_label FROM (
+         |    SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY n DESC, nb_label) AS rn
+         |    FROM votes) WHERE rn = 1
+         |)
+         |SELECT true_label AS label, count(*) AS n_targets,
+         |       CAST(sum(CASE WHEN pred_label = true_label
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM pred GROUP BY 1""".stripMargin,
     "ann_ivf" ->
       s"""WITH $centsCte, assigned AS (
          |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
