@@ -112,6 +112,29 @@ object Events {
 
   }
 
+  /** EVENT TRANSITION MATRIX — per-user next-event Markov counts,
+    * the path-analysis primitive under funnels and journey mining:
+    * each user's event sequence (total order: ts_us, event_id)
+    * yields (previous type → type) pairs via one lag window inside
+    * the user partition; the global matrix is then a tiny
+    * (from, to)-keyed aggregate. Cost at any scale: ONE user-keyed
+    * shuffle for the window (the sessionize exchange), partial
+    * map-side counts into a #types²-row result — the matrix itself
+    * never grows with the corpus. */
+  def evTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .select(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Sessionization through Spark's NATIVE session_window operator
     * (MergingSessions physical aggregation) — cross-checking the
     * hand-rolled lag/sum lowering in [[evSessionize]]. Boundary
@@ -404,6 +427,7 @@ object Events {
     "ev_hourly" -> evHourly,
     "ev_hourly_sliding" -> evHourlySliding,
     "ev_sessionize" -> evSessionize,
+    "ev_transitions" -> evTransitions,
     "ev_sessionize_native" -> evSessionizeNative,
     "ev_json" -> evJson,
     "ev_top_users" -> evTopUsers,
@@ -539,6 +563,21 @@ object Events {
         |FROM w
         |WHERE t >= win_start_us AND t < win_start_us + 3600000000
         |GROUP BY win_start_us, event_type""".stripMargin,
+    "ev_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e
+        |)
+        |SELECT prev_type AS from_type, event_type AS to_type,
+        |       count(*) AS n
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "ev_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id,

@@ -168,6 +168,39 @@ object Similarity {
         col("score"))
   }
 
+  /** EMBEDDING DISTRIBUTION DRIFT — the monitoring op a production
+    * corpus runs between snapshots: quantize BOTH corpus versions
+    * onto the SAME frozen coarse cells (the deployed quantizer — a
+    * drift monitor that re-fits its cells per snapshot measures its
+    * own refit, not the data), compare per-cell populations as
+    * integer-micro shares, and report per-cell drift plus each
+    * side's share. Σ|Δshare|/2 over the output is total variation
+    * distance, computable by the consumer from these rows. The two
+    * "versions" are the deterministic even/odd corpus halves (the
+    * cross-corpus convention). One scan per side → one k-row
+    * aggregate each → a k-row join: linear in n, k rows on the
+    * driver-side output, nothing corpus-sized anywhere. */
+  def annCellDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeansQueries.coarseCentroids(spark, dir)
+    val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
+      .select(col("vec_id"), col("cluster"))
+    def shares(side: DataFrame, n: String, s: String) = side
+      .groupBy(col("cluster")).agg(count(lit(1)).as(n))
+      .crossJoin(broadcast(side.agg(count(lit(1)).as("tot"))))
+      .select(col("cluster"), col(n),
+        round(col(n) * lit(1000000L) / col("tot")).cast("long").as(s))
+    val base = shares(assigned.where(col("vec_id") % 2 === 0),
+      "n_base", "share_base")
+    val fresh = shares(assigned.where(col("vec_id") % 2 === 1),
+      "n_new", "share_new")
+    base.join(fresh, Seq("cluster"), "full")
+      .select(col("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("share_new"), lit(0L))
+          - coalesce(col("share_base"), lit(0L))).as("drift_micros"))
+  }
+
   /** Every 5th vector is the unlabeled holdout for [[annLabelTransfer]];
     * the other 80% are the curated labeled base. */
   val LabelHoldout = 5L
@@ -746,6 +779,7 @@ object Similarity {
     "retrieval_hybrid" -> retrievalHybrid,
     "retrieval_bm25" -> retrievalBm25,
     "retrieval_phrase" -> retrievalPhrase,
+    "ann_cell_drift" -> annCellDrift,
     "ann_knn_graph" -> annKnnGraph,
     "ann_label_transfer" -> annLabelTransfer,
     "ann_topk_cosine" -> annTopKCosine,
@@ -1164,6 +1198,33 @@ object Similarity {
     "ann_knn_graph" ->
       s"""WITH $centsCte, $knnGraphCte
          |SELECT query_id, rank, neighbor_id, score FROM knn""".stripMargin,
+    // both halves quantized on the SAME frozen cells; shares in
+    // integer micros (round(n·1e6/tot), the temperature-mixing rule)
+    "ann_cell_drift" ->
+      s"""WITH $centsCte, assigned AS (
+         |  SELECT e.vec_id,
+         |         (SELECT c.cid FROM cents c
+         |          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c),
+         |                   c.cid
+         |          LIMIT 1) AS cluster
+         |  FROM embeddings e
+         |), b AS (
+         |  SELECT cluster, count(*) AS n_base,
+         |    CAST(round(count(*) * 1000000 / (SELECT count(*) FROM assigned
+         |         WHERE vec_id % 2 = 0)) AS BIGINT) AS share_base
+         |  FROM assigned WHERE vec_id % 2 = 0 GROUP BY cluster
+         |), f AS (
+         |  SELECT cluster, count(*) AS n_new,
+         |    CAST(round(count(*) * 1000000 / (SELECT count(*) FROM assigned
+         |         WHERE vec_id % 2 = 1)) AS BIGINT) AS share_new
+         |  FROM assigned WHERE vec_id % 2 = 1 GROUP BY cluster
+         |)
+         |SELECT coalesce(b.cluster, f.cluster) AS cluster,
+         |       CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+         |       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+         |       CAST(coalesce(share_new, 0) - coalesce(share_base, 0)
+         |            AS BIGINT) AS drift_micros
+         |FROM b FULL OUTER JOIN f ON b.cluster = f.cluster""".stripMargin,
     // labeled base = vec_id % 5 <> 0, targets probe the same seeded
     // cells; majority vote (count desc, label asc) over the top-5
     // ranked (rounded score desc, vec_id) labeled neighbors
