@@ -761,6 +761,39 @@ object Pipeline {
         lit(pr.dirsRead).as("dirs_read"), col("n_docs"), col("sum_id"))
   }
 
+  /** ROLLBACK — [[graft.sources.SnapshotTable.rollback]] end-to-end:
+    * a 3-commit history whose v3 is a (bad) overwrite, rolled back to
+    * v1 as a metadata-only v4. The oracle pins the semantics: v4's
+    * rows are EXACTLY v1's (the evens), v3 stays readable (nothing
+    * deleted), and the republished manifest carries v1's single file
+    * set (sets = 1, no rewrite happened). */
+  def pipelineSnapshotRollback(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = t(spark, dir, "documents").count()
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${graft.sources.Artifacts.root(spark)}/snaprb_${key}_n$n"
+    if (!SnapshotTable.latestVersion(spark, root).contains(4)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      SnapshotTable.commit(spark, root, docs.where(col("doc_id") % 2 === 0))
+      SnapshotTable.commit(spark, root, docs.where(col("doc_id") % 2 === 1))
+      SnapshotTable.commit(spark, root,
+        docs.where(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + lit(n)).as("doc_id"), col("text")),
+        append = false)
+      SnapshotTable.rollback(spark, root, toVersion = 1)
+    }
+    val sets = SnapshotTable.numFileSets(spark, root, 4)
+    val v3count = SnapshotTable.read(spark, root, 3).count()
+    SnapshotTable.read(spark, root, 4)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_id"))
+      .select(lit(4).as("version"), lit(sets).as("n_sets"),
+        lit(v3count).as("n_docs_v3"), col("n_docs"), col("sum_id"))
+  }
+
   /** BLOOM POINT-LOOKUP SKIPPING — [[graft.sources.SnapshotTable.readPoint]]
     * exercised where min/max ranges are USELESS by construction: the
     * evens and the odds each span essentially the whole doc_id range,
@@ -959,6 +992,7 @@ object Pipeline {
     "pipeline_snapshot_skip" -> pipelineSnapshotSkip,
     "pipeline_snapshot_compact" -> pipelineSnapshotCompact,
     "pipeline_snapshot_point" -> pipelineSnapshotPoint,
+    "pipeline_snapshot_rollback" -> pipelineSnapshotRollback,
     "pipeline_upsert" -> pipelineUpsert,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
@@ -1036,6 +1070,15 @@ object Pipeline {
         |            + sum(doc_id + (SELECT c FROM n)) AS BIGINT),
         |       CAST((SELECT sum(len) FROM d) + sum(len) AS BIGINT)
         |FROM d WHERE doc_id % 13 = 2""".stripMargin,
+    // v4 = metadata rollback to v1 (the evens, one carried file
+    // set); v3 (the overwrite) stays readable with its re-ingest rows
+    "pipeline_snapshot_rollback" ->
+      """WITH d AS (SELECT doc_id FROM documents)
+        |SELECT CAST(4 AS INT) AS version, CAST(1 AS INT) AS n_sets,
+        |       (SELECT count(*) FROM d WHERE doc_id % 13 = 2) AS n_docs_v3,
+        |       count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM d WHERE doc_id % 2 = 0""".stripMargin,
     // evens/odds both span the id range (ranges can't prune); the
     // key bloom cuts the odd probe to the odd set: 1 of 2 dirs
     "pipeline_snapshot_point" ->

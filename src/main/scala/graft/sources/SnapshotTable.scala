@@ -417,6 +417,29 @@ object SnapshotTable {
             key: String): Int =
     mergeAs(spark, root, updates, key, latestVersion(spark, root))
 
+  /** ROLLBACK — republish an older version's exact file sets as the
+    * new latest (the Iceberg rollback semantic): METADATA-ONLY — no
+    * data is read, copied or rewritten; the new manifest lists the
+    * old version's entries verbatim (original `added_in` and stats
+    * preserved), so the bad versions after `toVersion` simply stop
+    * being latest while staying readable for forensics until
+    * [[expire]]d. Because the rollback manifest references the old
+    * file sets, a later expire keeps them live — rolling back then
+    * expiring the bad era is safe by construction. Note for
+    * [[changes]] consumers: a rollback ADDS no rows, so a changes
+    * window ending at the rollback version contains only file sets
+    * added inside the window (possibly none). Conflict-safe via the
+    * version-id rename, like every commit. */
+  def rollback(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val base = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    val entries = manifestEntries(spark, root, toVersion)
+    require(entries.nonEmpty, s"version $toVersion not published at $root")
+    val next = base + 1
+    publish(spark, root, next, entries)
+    next
+  }
+
   /** Published file-set count of a version — the small-file health
     * metric [[compact]] exists to fix. */
   def numFileSets(spark: SparkSession, root: String, version: Int): Int =

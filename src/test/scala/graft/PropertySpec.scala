@@ -348,11 +348,13 @@ class PropertySpec extends SparkSessionSpec {
     case class Mrg(rows: List[(Long, String)]) extends Op
     case object Cmp extends Op
     case object Exp extends Op
+    case class Rb(sel: Int) extends Op
     val rowsGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(0L, 9L), Gen.oneOf("x", "y", "z"))))
     val opGen: Gen[Op] = Gen.frequency(
       4 -> rowsGen.map(App(_)), 1 -> rowsGen.map(Over(_)),
-      2 -> rowsGen.map(Mrg(_)), 1 -> Gen.const(Cmp), 1 -> Gen.const(Exp))
+      2 -> rowsGen.map(Mrg(_)), 1 -> Gen.const(Cmp), 1 -> Gen.const(Exp),
+      1 -> Gen.chooseNum(0, 99).map(Rb(_)))
     def bag(rows: Seq[(Long, String)]) = rows.sorted
     for (ops <- samples(Gen.listOfN(7, opGen), 3)) {
       val root = java.nio.file.Files
@@ -381,6 +383,10 @@ class PropertySpec extends SparkSessionSpec {
           case Exp =>
             SnapshotTable.expire(spark, root, keepFrom = model.last._1)
             model = model.filter(_._1 >= model.last._1)
+          case Rb(sel) =>
+            val (tv, rows) = model(sel % model.size)
+            val v = SnapshotTable.rollback(spark, root, tv)
+            model :+= ((v, rows))
         }
         assert(SnapshotTable.versions(spark, root) == model.map(_._1),
           s"version list diverged after $op")
