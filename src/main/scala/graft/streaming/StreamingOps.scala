@@ -762,6 +762,29 @@ object StreamingOps {
         ()
       }
 
+  /** STREAMING EMBEDDING DRIFT MONITOR — the live side of
+    * [[graft.operators.Similarity.annCellDrift]]: arriving vectors
+    * quantize onto the FROZEN deployed cells (plan literals, the O5
+    * pattern — the monitor never refits, so it measures the data,
+    * not itself) and a stateful streaming aggregation maintains the
+    * running per-cell counts. State is ≤ k rows — independent of
+    * stream length, the smallest state any running histogram can
+    * carry — and each micro-batch's update emits only the cells it
+    * touched (update mode). Comparing the emitted counts against the
+    * frozen base's shares is a k-row batch join the consumer does at
+    * read time; StreamingSpec pins the running counts equal to the
+    * batch monitor's on the same corpus slice across arbitrary
+    * micro-batch splits. */
+  def cellDriftStream(vecs: Dataset[SVecIn],
+                      cents: Array[Array[Double]]): DataFrame =
+    graft.kmeans.KMeansOps.assignDyn(
+      vecs.toDF().select(
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
+          .as("v")),
+      "v", cents)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_new"))
+
   /** STREAMING CROSS-CORPUS DEDUP SCREEN — the production ingest
     * shape of [[graft.operators.Dedup.dedupCrossCorpus]]: the curated
     * base's banded signatures + shingle sets are PRECOMPUTED

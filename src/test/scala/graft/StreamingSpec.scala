@@ -903,6 +903,35 @@ class StreamingSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("streaming cell-drift counts equal the batch monitor across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.SVecIn
+    val cents = graft.operators.KMeansQueries.coarseCentroids(spark, sf0001)
+    val odds = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .where(col("vec_id") % 2 === 1)
+      .as[(Long, Seq[Float], Int)].collect()
+      .map { case (id, v, l) => SVecIn(id, v, l) }
+    val mem = MemoryStream[SVecIn]
+    val q = StreamingOps.cellDriftStream(mem.toDS(), cents)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = odds.splitAt(odds.length / 3)
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("drift")
+      .as[(Int, Long)].collect().toMap
+    // the batch monitor's "new" side is the same odd half on the
+    // same frozen cells
+    val batch = graft.operators.Similarity.annCellDrift(spark, sf0001)
+      .where(col("n_new") > 0)
+      .select(col("cluster"), col("n_new"))
+      .as[(Int, Long)].collect().toMap
+    assert(streamed == batch,
+      s"running counts diverged: $streamed vs $batch")
+  }
+
   test("curation gate composed into the snapshot sink: table equals batch gate") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.SnapshotTable
