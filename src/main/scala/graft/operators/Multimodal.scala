@@ -112,6 +112,58 @@ object Multimodal {
     media.mapPartitions(_.flatMap(m => WavDecoder.decode(m.doc_id, m.blob)))
   }
 
+  final case class WavResampled(doc_id: Long, rate_out: Long,
+                                n_frames_out: Long, sum_out: Long)
+
+  /** DECIMATE-BY-2 RESAMPLE over the real PCM16 payload — the audio
+    * counterpart of the image resize kernel: per channel, each output
+    * frame is the floor-averaged pair of consecutive input frames
+    * ((s₂ⱼ₋₁ + s₂ⱼ) floordiv 2 — FLOOR, not truncate-toward-zero, so
+    * the signed integer arithmetic replays exactly in SQL), the
+    * nominal rate halves, a trailing odd frame drops. The exact
+    * integer SUM of the resampled signal rides out as the oracle
+    * witness: any drift in the pairing, sign extension, channel
+    * interleave, or rounding moves it. Header validation is
+    * [[WavDecoder]]'s — a blob the decoder rejects resamples to
+    * None, never garbage. */
+  object WavResampler {
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def resample2(docId: Long, b: Array[Byte]): Option[WavResampled] =
+      WavDecoder.decode(docId, b).map { info =>
+        val nCh = info.n_channels
+        val nOut = info.n_samples / 2
+        var sum = 0L
+        var j = 0L
+        while (j < nOut) {
+          var c = 0
+          while (c < nCh) {
+            val pa = (2 * j * nCh + c).toInt
+            val pb = ((2 * j + 1) * nCh + c).toInt
+            val sa = (u16(b, 44 + pa * 2) << 16) >> 16
+            val sb = (u16(b, 44 + pb * 2) << 16) >> 16
+            sum += Math.floorDiv(sa + sb, 2)
+            c += 1
+          }
+          j += 1
+        }
+        WavResampled(docId, info.sample_rate / 2L, nOut, sum)
+      }
+  }
+
+  /** Driver-gated resample over the in-plan WAV corpus: real parse,
+    * real payload walk, closed-form replay (the synthesized sample
+    * stream is pure arithmetic in (doc_id, i)). */
+  def mmResample(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    wavMedia(spark, dir)
+      .mapPartitions(_.flatMap(m => WavResampler.resample2(m.doc_id, m.blob)))
+      .toDF()
+      .select(col("doc_id"), col("rate_out"), col("n_frames_out"),
+        col("sum_out"))
+  }
+
   /** Generic decode: a MIXED media column (even doc_ids carry a real
     * PCM16 WAV, odd a real 24-bit BMP, both synthesized in-plan exactly
     * like [[wavMedia]]/[[bmpMedia]]) decoded in ONE mapPartitions pass
@@ -656,6 +708,7 @@ object Multimodal {
     "mm_meta" -> mmMeta,
     "mm_frames" -> mmFrames,
     "mm_wav" -> mmWav,
+    "mm_resample" -> mmResample,
     "mm_bmp" -> mmBmp,
     "mm_resize" -> mmResize,
     "mm_png" -> mmPng,
@@ -752,6 +805,29 @@ object Multimodal {
         |  round((n_chars % 50 + 1) * 1000.0 / (8000 + (doc_id % 4) * 4000), 6)
         |    AS duration_ms
         |FROM documents""".stripMargin,
+    // payload replay: sample i = (doc_id*31 + i*7) mod 65536, signed;
+    // frame/channel bounds are the synthesis constants (<=25 output
+    // frames, <=2 channels), correlated via WHERE because DuckDB's
+    // generate_series cannot take lateral bounds
+    "mm_resample" ->
+      """SELECT doc_id, CAST(rate_out AS BIGINT) AS rate_out,
+        |  CAST(nfo AS BIGINT) AS n_frames_out,
+        |  CAST(coalesce((
+        |    SELECT sum((CASE WHEN ua >= 32768 THEN ua - 65536 ELSE ua END
+        |               + CASE WHEN ub >= 32768 THEN ub - 65536 ELSE ub END)
+        |               // 2)
+        |    FROM (
+        |      SELECT (doc_id * 31 + ((2 * j.g - 2) * nch + c.g) * 7) % 65536
+        |               AS ua,
+        |             (doc_id * 31 + ((2 * j.g - 1) * nch + c.g) * 7) % 65536
+        |               AS ub
+        |      FROM generate_series(1, 25) j(g), generate_series(1, 2) c(g)
+        |      WHERE j.g <= nfo AND c.g <= nch)
+        |  ), 0) AS BIGINT) AS sum_out
+        |FROM (SELECT doc_id, 1 + doc_id % 2 AS nch,
+        |             (n_chars % 50 + 1) // 2 AS nfo,
+        |             (8000 + (doc_id % 4) * 4000) // 2 AS rate_out
+        |      FROM documents)""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  CAST((octet_length(encode(text)) + 99) // 100 AS BIGINT)
