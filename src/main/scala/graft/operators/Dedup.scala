@@ -381,6 +381,49 @@ object Dedup {
     * empty. Threshold 0.4 is calibrated to this synthetic data (real
     * near-dup corpora would use ≥0.95). */
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = embedAssigned(spark, dir)
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cluster").as("cluster_b"),
+      col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    a.join(b, col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .where(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** CROSS-CORPUS embedding near-dup — the A-vs-B production shape
+    * ([[dedupCrossCorpus]]'s MinHash screen, semantic edition): the
+    * arriving crawl (odd vec_ids) is screened against the curated base
+    * (even vec_ids). The two-level quantizer ([[embedAssigned]]) is
+    * fit over the UNION — one routing pass, shared with
+    * [[dedupEmbedCosine]] — and only CROSS-corpus pairs inside a fine
+    * cell are ever scored, so candidates stay O(n · TargetCellSize)
+    * and a within-corpus near-dup can never surface. Output keys are
+    * (base_id, crawl_id): the parity split makes each pair unique
+    * without an id ordering constraint. */
+  def dedupCrossEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = embedAssigned(spark, dir)
+    val base = assigned.where(col("vec_id") % 2 === 0)
+      .select(col("cluster"), col("vec_id").as("base_id"),
+        col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val crawl = assigned.where(col("vec_id") % 2 === 1)
+      .select(col("cluster").as("cluster_b"), col("vec_id").as("crawl_id"),
+        col("v").as("v_b"), col("nrm").as("nrm_b"))
+    base.join(crawl, col("cluster") === col("cluster_b"))
+      .withColumn("cos",
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .where(col("cos") >= 0.4)
+      .select(col("base_id"), col("crawl_id"), col("cos"))
+  }
+
+  /** The shared two-level-quantizer assignment feeding
+    * [[dedupEmbedCosine]] and [[dedupCrossEmbed]]: every embedding
+    * routed to its fine cell, with the L2 norm materialized ONCE
+    * (before any pair join reads it n² times) and the result persisted
+    * — both sides of either pair join read this cache. */
+  private def embedAssigned(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val params = emb.agg(count(lit(1)).as("n"))
@@ -412,26 +455,17 @@ object Dedup {
       .select(col("coid"), col("rid").as("fid"), col("rv").as("c"))
     val pc = routeToCoarse(emb, col("vec_id"), col("v"))
       .select(col("rid").as("vec_id"), col("rv").as("v"), col("coid"))
-    val assigned = pc.join(fr, "coid")
+    pc.join(fr, "coid")
       .select(col("vec_id"), col("v"),
         struct(sqDist(col("v"), col("c")).as("d"), col("fid")).as("df"))
       .groupBy(col("vec_id"))
       .agg(min(col("df")).as("m"), first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("m.fid").as("cluster"))
-      // norm materialized BEFORE the self-join: computed n times, not n²
+      // norm materialized BEFORE the pair join: computed n times, not n²
       .withColumn("nrm", l2Norm(col("v")))
-      // persisted: the scoring self-join reads BOTH sides from this
+      // persisted: the scoring pair join reads BOTH sides from this
       // cache — without it the whole two-level assignment runs twice
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
-      col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val b = assigned.select(col("cluster").as("cluster_b"),
-      col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
-    a.join(b, col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
-      .withColumn("cos",
-        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
-      .where(col("cos") >= 0.4)
-      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Near-dup CLUSTERS from the pair list: connected components over
@@ -841,6 +875,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed_cosine" -> dedupEmbedCosine,
+    "dedup_cross_embed" -> dedupCrossEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_components" -> dedupComponents,
     "dedup_keep_best" -> dedupKeepBest,
@@ -1174,6 +1209,25 @@ object Dedup {
         |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
     "dedup_embed_cosine" ->
+      s"""$embedAssignedCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |FROM assigned a JOIN assigned b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
+    // the same routing CTE, cross-corpus pairing: base even, crawl odd
+    "dedup_cross_embed" ->
+      s"""$embedAssignedCte
+         |SELECT a.vec_id AS base_id, b.vec_id AS crawl_id,
+         |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |FROM assigned a JOIN assigned b
+         |  ON a.cluster = b.cluster
+         | AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin)
+
+  /** DuckDB replay of [[embedAssigned]] — the shared WITH prefix of the
+    * embedding-dedup oracles. */
+  private def embedAssignedCte: String =
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |), params AS (
@@ -1206,10 +1260,5 @@ object Dedup {
          |         (SELECT fr.fid FROM fr WHERE fr.coid = pc.coid
          |          ORDER BY list_distance(pc.v, fr.c), fr.fid LIMIT 1) AS cluster
          |  FROM pc
-         |)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
-         |FROM assigned a JOIN assigned b
-         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin)
+         |)""".stripMargin
 }

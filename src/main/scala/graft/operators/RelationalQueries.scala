@@ -674,6 +674,74 @@ object RelationalQueries {
     * oracle's rule is the LEXICOGRAPHICALLY smallest name, which the
     * numeric order does not replicate) and the caller's final
     * projection via [[nodeName]]. */
+  /** Distinct (customer, supplier) trading pairs as PACKED LONG node
+    * ids (customer 2k, supplier 2k+1) — the shared edge seed for every
+    * graph workload here ([[qPageRank]], [[qPageRankPersonalized]],
+    * [[qCommunities]]). Checkpointed: it is read several times by each
+    * consumer (both symmetrize arms + a sizing count) and is tiny next
+    * to the lineitem×orders join that builds it. */
+  private def tradeCs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+      .localCheckpoint()
+
+  val LpaRounds = 3
+
+  /** COMMUNITY DETECTION over the trading graph — graph workload #4
+    * (after components, PageRank, triangles): synchronous label
+    * propagation, [[LpaRounds]] fixed rounds. Every node starts as its
+    * own community; each round it adopts the label held by the MOST of
+    * its neighbors (ties → the smallest label — fully deterministic,
+    * so the DuckDB oracle replays the identical labeling; a fixed
+    * round budget is also how LPA runs in production — like the fixed-
+    * iteration [[qPageRank]], never "until stable", which sync updates
+    * on a bipartite graph cannot promise anyway).
+    *
+    * Scale shape = the PageRank loop's: the edge relation is cached
+    * pre-partitioned on the join key once, each round joins it to the
+    * node-sized label relation (SHUFFLE_HASH — never re-sort the big
+    * cached side) and runs two hash aggregations whose map-side
+    * combine collapses the edge-sized vote stream to ≤ distinct
+    * (node, label) pairs before the exchange. The driver holds only
+    * the loop counter; no rank/label vector ever leaves the cluster. */
+  def qCommunities(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cs = tradeCs(spark, dir)
+    val parts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (2L * cs.count() + 65535L) / 65536L)).toInt
+    val edges = cs
+      .union(cs.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // symmetrized edges ⇒ every node appears as a src, so the initial
+    // label relation needs no separate node scan
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (i <- 1 to LpaRounds) {
+      val votes = edges.join(labels.hint("SHUFFLE_HASH"),
+          col("src") === col("node"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
+      // deterministic argmax: highest vote count, ties → smallest label
+      labels = votes.groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("lab")))
+          .as("m"))
+        .select(col("dst").as("node"), col("m.lab").as("lab"))
+      // final round eager: the caller consumes labels after the edge
+      // cache is dropped (the pageRankCore discipline)
+      if (i == LpaRounds) labels = labels.localCheckpoint(true)
+    }
+    edges.unpersist()
+    labels.select(nodeName(col("node")).as("node"),
+      nodeName(col("lab")).as("community"))
+  }
+
   private def pageRankCore(spark: SparkSession, dir: String,
                            init: (Long, Long) => Column,
                            teleport: (Long, Long) => Column): DataFrame = {
@@ -684,15 +752,7 @@ object RelationalQueries {
     // the checkpointed blocks make the sizing count below a
     // metadata-cheap job (A/B'd against a lazy persist: no win, and
     // the checkpoint truncates the lineage for everything downstream)
-    val cs = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(t(spark, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-      .localCheckpoint()
+    val cs = tradeCs(spark, dir)
     val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
     // derive + cache the (src, dst, outdeg) edge relation ONCE — the
     // components pattern: without it every round's lineage re-scans
@@ -916,6 +976,7 @@ object RelationalQueries {
     "graph_triangles" -> qTriangles,
     "graph_pagerank" -> qPageRank,
     "graph_ppr" -> qPageRankPersonalized,
+    "graph_communities" -> qCommunities,
     "q_not_in_anti" -> qNotInAnti,
     "q_freq_items_bound" -> qFreqItemsBound,
     "q_grouping_sets" -> qGroupingSets,
@@ -1115,6 +1176,38 @@ object RelationalQueries {
          |SELECT u.node AS node, round(u.pr, 9) AS ppr
          |FROM (SELECT prs FROM iter ORDER BY r DESC LIMIT 1) f,
          |     (SELECT unnest(f.prs) AS u) s2""".stripMargin,
+    // sync LPA replayed round by round (LpaRounds is small and fixed,
+    // so the rounds unroll into chained CTEs — no recursion needed);
+    // the vote argmax is the same deterministic (count DESC, label)
+    // rule both engines apply
+    "graph_communities" -> {
+      val rounds = (1 to LpaRounds).map { i =>
+        s"""v$i AS (
+           |  SELECT e.dst AS node, l.lab, count(*) AS cnt
+           |  FROM edges e JOIN l${i - 1} l ON l.node = e.src
+           |  GROUP BY 1, 2
+           |), l$i AS (
+           |  SELECT node, lab FROM (
+           |    SELECT node, lab, row_number() OVER (
+           |      PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+           |    FROM v$i)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), edges AS (
+         |  SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs
+         |), l0 AS (
+         |  SELECT DISTINCT src AS node, src AS lab FROM edges
+         |), $rounds
+         |SELECT (CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END
+         |        || CAST(node // 2 AS BIGINT)) AS node,
+         |       (CASE WHEN lab % 2 = 0 THEN 'c' ELSE 's' END
+         |        || CAST(lab // 2 AS BIGINT)) AS community
+         |FROM l$LpaRounds""".stripMargin
+    },
     "q_not_in_anti" ->
       """WITH early AS (
         |  SELECT l_partkey FROM lineitem

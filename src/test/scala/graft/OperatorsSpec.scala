@@ -408,6 +408,43 @@ class OperatorsSpec extends SparkSessionSpec {
       cust.map(_.getDouble(1)).sum / cust.length)
   }
 
+  test("cross-corpus embed dedup = exactly the mixed-parity cosine pairs") {
+    // the cross screen and the self-dedup share one quantizer, so the
+    // cross output must be EXACTLY the parity-mixed subset of the
+    // self-dedup pairs, re-keyed (base=even, crawl=odd) — no pair
+    // gained, none lost, and never a within-corpus pair
+    val self = Dedup.dedupEmbedCosine(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cross = Dedup.dedupCrossEmbed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cross.nonEmpty)
+    assert(cross.forall { case (b, c) => b % 2 == 0 && c % 2 == 1 })
+    val expected = self.collect {
+      case (a, b) if a % 2 != b % 2 =>
+        if (a % 2 == 0) (a, b) else (b, a)
+    }.toSet
+    assert(cross.toSet === expected)
+  }
+
+  test("label propagation assigns every node a neighbor-held community") {
+    val out = RelationalQueries.qCommunities(spark, sf0001).collect()
+    val nodes = out.map(_.getString(0)).toSet
+    val comms = out.map(_.getString(1)).toSet
+    // one row per graph node, no dangling labels: every community id
+    // is itself a node of the graph (labels only ever propagate)
+    assert(out.length === nodes.size)
+    assert(comms.subsetOf(nodes))
+    // propagation actually merged: strictly fewer communities than
+    // nodes, and at least one community holds several members
+    assert(comms.size < nodes.size)
+    val sizes = out.groupBy(_.getString(1)).map(_._2.length)
+    assert(sizes.max >= 2)
+    // deterministic: a second run replays the identical labeling
+    val again = RelationalQueries.qCommunities(spark, sf0001).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).sorted.sameElements(
+      again.map(r => (r.getString(0), r.getString(1))).sorted))
+  }
+
   test("sq8 reconstruction error is bounded by half a quantization step") {
     // |x − dq(x)| ≤ step/2 per coordinate, by the floor + mid-interval
     // construction — THE invariant that makes SQ8 near-exact
