@@ -326,6 +326,10 @@ object Multimodal {
       Some((width, height, hRaw < 0, dataOffsetL.toInt, stride))
     }
 
+    /** [[header]] for sibling decoders ([[Multimodal.decodeAHash]]). */
+    private[operators] def headerOf(b: Array[Byte])
+        : Option[(Int, Int, Boolean, Int, Int)] = header(b)
+
     def decode(docId: Long, b: Array[Byte]): Option[BmpInfo] =
       header(b).map { case (width, height, _, dataOffset, stride) =>
         val sums = new Array[Long](3)
@@ -479,6 +483,92 @@ object Multimodal {
         round(col("mean_b"), 6).as("mean_b"),
         round(col("mean_g"), 6).as("mean_g"),
         round(col("mean_r"), 6).as("mean_r"))
+  }
+
+  final case class BmpAHash(doc_id: Long, width: Int, height: Int,
+                            hash_w: Int, hash_h: Int, n_bits: Long,
+                            ahash: Long)
+
+  /** AVERAGE-HASH (aHash) over the decoded image — the perceptual
+    * fingerprint image-dedup pipelines bucket on: sample the image at
+    * factor `f` (the [[BmpDecoder.decodeResized]] kernel), take each
+    * sampled pixel's integer luminance (B+G+R — no /3, so the whole
+    * hash is INTEGER-EXACT and the DuckDB oracle replays it to the
+    * bit), and set bit p = y·hash_w + x (top-down row-major) iff that
+    * pixel is strictly brighter than the image mean
+    * (lum·n > Σlum, cross-multiplied to stay integral). ≤ 64 sampled
+    * pixels fit the Long. */
+  def decodeAHash(docId: Long, b: Array[Byte], f: Int): Option[BmpAHash] =
+    BmpDecoder.headerOf(b).filter {
+      case (width, height, _, _, _) =>
+        (((width + f - 1) / f).toLong * ((height + f - 1) / f)) <= 64
+    }.map {
+      case (width, height, topDown, dataOffset, stride) =>
+        val ow = (width + f - 1) / f
+        val oh = (height + f - 1) / f
+        val lum = new Array[Long](ow * oh)
+        var total = 0L
+        var y = 0
+        while (y < oh) {
+          val iy = y * f
+          val fr = if (topDown) iy else height - 1 - iy
+          val rowStart = dataOffset + fr * stride
+          var x = 0
+          while (x < ow) {
+            val jBase = x * f * 3
+            val l = (b(rowStart + jBase) & 0xff) +
+              (b(rowStart + jBase + 1) & 0xff) +
+              (b(rowStart + jBase + 2) & 0xff)
+            lum(y * ow + x) = l
+            total += l
+            x += 1
+          }
+          y += 1
+        }
+        val n = ow.toLong * oh
+        var hash = 0L
+        var p = 0
+        while (p < lum.length) {
+          if (lum(p) * n > total) hash |= 1L << p
+          p += 1
+        }
+        BmpAHash(docId, width, height, ow, oh, n, hash)
+    }
+
+  /** Per-image full-resolution aHash (factor 1) — every output field
+    * oracle-checked: the pixel function is closed-form in
+    * (doc_id, row, byte), so DuckDB re-derives the exact hash bits. */
+  def mmAHash(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    bmpMedia(spark, dir)
+      .mapPartitions(_.flatMap(m => decodeAHash(m.doc_id, m.blob, 1)))
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_bits"), col("ahash"))
+  }
+
+  val AHashFactor = 2
+
+  /** IMAGE NEAR-DUP by exact aHash bucket — the scalable production
+    * pattern (factor-[[AHashFactor]] downsample coarsens the hash so
+    * perceptually-close images collide): decode + hash per partition,
+    * then ONE hash-partitioned aggregation on (geometry, hash) — no
+    * pair join anywhere, linear at any corpus size; a bucket of b
+    * near-dup images costs one row, not b². Emits buckets holding ≥ 2
+    * images with the canonical survivor (lowest doc_id). */
+  def dedupImage(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    bmpMedia(spark, dir)
+      .mapPartitions(_.flatMap(m => decodeAHash(m.doc_id, m.blob, AHashFactor)))
+      .toDF()
+      .groupBy(col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("ahash"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("canonical_id"))
+      .where(col("n_images") >= 2)
   }
 
   // ---------------------------------------------------------------------
@@ -711,6 +801,8 @@ object Multimodal {
     "mm_resample" -> mmResample,
     "mm_bmp" -> mmBmp,
     "mm_resize" -> mmResize,
+    "mm_ahash" -> mmAHash,
+    "dedup_image" -> dedupImage,
     "mm_png" -> mmPng,
     "mm_decode" -> mmDecode)
 
@@ -742,6 +834,67 @@ object Multimodal {
         |    AS mean_signal
         |FROM (SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
         |      FROM documents WHERE doc_id % 2 = 1)""".stripMargin,
+    // full-res aHash replayed bit-exactly: per-pixel integer luminance
+    // (B+G+R of the closed-form pixel bytes), strict cross-multiplied
+    // mean test, bit p = y*w + x in top-down image space (storage is
+    // bottom-up ⇒ storage row = h-1-y)
+    "mm_ahash" ->
+      """WITH g AS (
+        |  SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT g.doc_id, g.w, g.h, ys.y, xs.x,
+        |         ((g.doc_id*7 + (g.h-1-ys.y)*31 + (xs.x*3+0)*13) % 251
+        |        + (g.doc_id*7 + (g.h-1-ys.y)*31 + (xs.x*3+1)*13) % 251
+        |        + (g.doc_id*7 + (g.h-1-ys.y)*31 + (xs.x*3+2)*13) % 251) AS lum
+        |  FROM g
+        |  JOIN (SELECT unnest(generate_series(0, 4)) AS y) ys ON ys.y < g.h
+        |  JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs ON xs.x < g.w
+        |), tot AS (
+        |  SELECT doc_id, sum(lum) AS total, count(*) AS n
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT p.doc_id,
+        |       CAST(max(p.w) AS BIGINT) AS width,
+        |       CAST(max(p.h) AS BIGINT) AS height,
+        |       CAST(max(t.n) AS BIGINT) AS n_bits,
+        |       CAST(coalesce(sum(CASE WHEN p.lum * t.n > t.total
+        |              THEN CAST(1 AS BIGINT) << (p.y * p.w + p.x) END), 0)
+        |            AS BIGINT) AS ahash
+        |FROM px p JOIN tot t ON p.doc_id = t.doc_id
+        |GROUP BY p.doc_id""".stripMargin,
+    // factor-2 coarse aHash, bucketed: same arithmetic at sampled
+    // pixels (storage row h-1-2y, bytes x*6+c), grouped on
+    // (geometry, hash) with the >=2 near-dup cut
+    "dedup_image" ->
+      """WITH g AS (
+        |  SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT g.doc_id, g.w, g.h, (g.w+1)//2 AS ow, ys.y, xs.x,
+        |         ((g.doc_id*7 + (g.h-1-ys.y*2)*31 + (xs.x*6+0)*13) % 251
+        |        + (g.doc_id*7 + (g.h-1-ys.y*2)*31 + (xs.x*6+1)*13) % 251
+        |        + (g.doc_id*7 + (g.h-1-ys.y*2)*31 + (xs.x*6+2)*13) % 251) AS lum
+        |  FROM g
+        |  JOIN (SELECT unnest(generate_series(0, 2)) AS y) ys
+        |    ON ys.y < (g.h+1)//2
+        |  JOIN (SELECT unnest(generate_series(0, 3)) AS x) xs
+        |    ON xs.x < (g.w+1)//2
+        |), tot AS (
+        |  SELECT doc_id, sum(lum) AS total, count(*) AS n
+        |  FROM px GROUP BY doc_id
+        |), hashes AS (
+        |  SELECT p.doc_id, max(p.w) AS w, max(p.h) AS h,
+        |         coalesce(sum(CASE WHEN p.lum * t.n > t.total
+        |                THEN CAST(1 AS BIGINT) << (p.y * p.ow + p.x) END), 0)
+        |           AS ahash
+        |  FROM px p JOIN tot t ON p.doc_id = t.doc_id
+        |  GROUP BY p.doc_id
+        |)
+        |SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ahash AS BIGINT) AS ahash,
+        |       count(*) AS n_images, min(doc_id) AS canonical_id
+        |FROM hashes GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
     "mm_bmp" ->
       """SELECT doc_id,
         |  CAST(w AS BIGINT) AS width,

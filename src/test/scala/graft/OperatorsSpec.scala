@@ -1114,6 +1114,58 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(math.abs(info.mean_r - mean(2)) < 1e-12)
   }
 
+  test("decodeAHash: bits equal a direct above-mean computation; guards hold") {
+    val blobs = operators.Multimodal.bmpMedia(spark, sf0001)
+      .collect().sortBy(_.doc_id).take(10)
+    blobs.foreach { m =>
+      val a = operators.Multimodal.decodeAHash(m.doc_id, m.blob, 1).get
+      val (w, h) = (a.width, a.height)
+      // reference: luminance = B+G+R at storage row h-1-y, bit iff
+      // strictly above the integer mean (cross-multiplied)
+      val lum = for { y <- 0 until h; x <- 0 until w } yield
+        (0 until 3).map(c =>
+          (m.doc_id * 7 + (h - 1 - y) * 31 + (3 * x + c) * 13) % 251).sum
+      val total = lum.sum
+      val n = lum.length.toLong
+      val ref = lum.zipWithIndex
+        .collect { case (l, p) if l * n > total => 1L << p }.sum
+      assert(a.ahash === ref, s"hash mismatch for doc ${m.doc_id}")
+      assert(a.n_bits === n)
+      // not every pixel can sit strictly above the mean
+      assert(java.lang.Long.bitCount(a.ahash) < n)
+      // factor-2 geometry is the resize kernel's ceil rule
+      val a2 = operators.Multimodal
+        .decodeAHash(m.doc_id, m.blob, operators.Multimodal.AHashFactor).get
+      assert((a2.hash_w, a2.hash_h) === ((w + 1) / 2, (h + 1) / 2))
+    }
+    // garbage and over-64-sample images are refused, never mis-hashed
+    assert(operators.Multimodal.decodeAHash(1L, Array[Byte](9, 9), 1).isEmpty)
+    val big = operators.Multimodal.bmpMedia(spark, sf0001)
+      .collect().find(m => (2 + m.doc_id % 7) * (1 + m.doc_id % 5) >= 40).get
+    // factor 1 on a 8x5 image is 40 bits (fine); a synthetic check of
+    // the cap: a fake header claiming 9x8 would exceed 64 — covered by
+    // the filter in decodeAHash (constructed images here never do)
+    assert(operators.Multimodal.decodeAHash(big.doc_id, big.blob, 1).nonEmpty)
+  }
+
+  test("dedupImage buckets are unique, sized >=2, keyed by member minimum") {
+    val out = operators.Multimodal.dedupImage(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(3) >= 2))
+    val keys = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(keys.length === keys.distinct.length)
+    // recompute membership directly and check one bucket end-to-end
+    val hashes = operators.Multimodal.bmpMedia(spark, sf0001).collect()
+      .flatMap(m => operators.Multimodal
+        .decodeAHash(m.doc_id, m.blob, operators.Multimodal.AHashFactor))
+    val byBucket = hashes.groupBy(a => (a.width.toLong, a.height.toLong, a.ahash))
+    out.foreach { r =>
+      val members = byBucket((r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(members.length.toLong === r.getLong(3))
+      assert(members.map(_.doc_id).min === r.getLong(4))
+    }
+  }
+
   test("decodeResized: factor-1 equals decode; factor-2 samples image space") {
     val blobs = operators.Multimodal.bmpMedia(spark, sf0001)
       .collect().sortBy(_.doc_id).take(10)
