@@ -352,6 +352,42 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  val SimhashBands = 4
+  val SimhashHamming = 3
+
+  /** SimHash NEAR-DUP PAIRS — the banded Hamming join that turns
+    * [[dedupSimhash]]'s signatures into verified duplicates: the
+    * 32-bit hash splits into [[SimhashBands]] 8-bit bands, candidates
+    * share at least one exact band (by pigeonhole this misses NO pair
+    * at Hamming ≤ [[SimhashHamming]]: 3 flipped bits touch ≤ 3 of the
+    * 4 bands), then the exact popcount(xor) verify runs only on
+    * candidates. Signatures are computed ONCE and persisted — both
+    * join sides read the cache — and the band self-join hash-
+    * partitions on (band, value), so the whole query is
+    * candidate-volume bound, never n². */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = dedupSimhash(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(SimhashBands - 1))).as("b"))
+      .withColumn("bv", expr("shiftright(simhash, b * 8)")
+        .bitwiseAND(lit(255L)))
+    val a = bands.select(col("b"), col("bv"), col("doc_id").as("id_a"),
+      col("simhash").as("h_a"))
+    val b = bands.select(col("b").as("b2"), col("bv").as("bv2"),
+      col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, col("b") === col("b2") && col("bv") === col("bv2") &&
+        col("id_a") < col("id_b"))
+      // distinct BEFORE the popcount verify: a pair sharing k bands
+      // would otherwise be verified k times (simhash is functionally
+      // dependent on doc_id, so the pair key dedupes the hashes too)
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(h_a ^ h_b)").cast("long"))
+      .where(col("hamming") <= SimhashHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Target within-cell population for the IVF blocking below: k is
     * derived as ceil(n / TargetCellSize), so candidate pairs stay
     * O(n · TargetCellSize) — linear in n — instead of the O(n²/k)
@@ -876,6 +912,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_cross_embed" -> dedupCrossEmbed,
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_components" -> dedupComponents,
     "dedup_keep_best" -> dedupKeepBest,
@@ -1194,20 +1231,19 @@ object Dedup {
          |JOIN sh a ON a.doc_id = p.doc_a
          |JOIN sh b ON b.doc_id = p.doc_b""".stripMargin,
     "dedup_simhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |        FROM documents)
-        |), bits AS (
-        |  SELECT doc_id, i,
-        |         CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
-        |              THEN CAST(1 AS BIGINT) << i ELSE 0 END AS bitval
-        |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) g
-        |  GROUP BY doc_id, i
-        |)
-        |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id""".stripMargin,
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sh""".stripMargin,
+    // brute-force n² verify on the oracle side — so the compare also
+    // proves the Spark side's banded blocking loses NO pair at the
+    // Hamming threshold (the pigeonhole exactness claim)
+    "dedup_simhash_pairs" ->
+      s"""$simhashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+         |         AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashHamming"""
+        .stripMargin,
     "dedup_embed_cosine" ->
       s"""$embedAssignedCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1224,6 +1260,25 @@ object Dedup {
          |  ON a.cluster = b.cluster
          | AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
          |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin)
+
+  /** DuckDB replay of [[dedupSimhash]] — shared WITH prefix ending in
+    * `sh(doc_id, simhash)`. */
+  private def simhashCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |), bits AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |              THEN CAST(1 AS BIGINT) << i ELSE 0 END AS bitval
+      |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) g
+      |  GROUP BY doc_id, i
+      |), sh AS (
+      |  SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
 
   /** DuckDB replay of [[embedAssigned]] — the shared WITH prefix of the
     * embedding-dedup oracles. */

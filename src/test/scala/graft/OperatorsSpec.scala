@@ -408,6 +408,20 @@ class OperatorsSpec extends SparkSessionSpec {
       cust.map(_.getDouble(1)).sum / cust.length)
   }
 
+  test("banded simhash pair join equals brute-force Hamming verify") {
+    val sh = Dedup.dedupSimhash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= Dedup.SimhashHamming
+    } yield (ia, ib, d.toLong)).toSet
+    val out = Dedup.dedupSimhashPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the banded join loses nothing (pigeonhole) and invents nothing
+    assert(out.nonEmpty)
+    assert(out === brute)
+  }
+
   test("cross-corpus embed dedup = exactly the mixed-parity cosine pairs") {
     // the cross screen and the self-dedup share one quantizer, so the
     // cross output must be EXACTLY the parity-mixed subset of the
