@@ -50,6 +50,22 @@ object Jpeg {
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99)
 
+  /** Chroma quantization table for the color corpus: ITU T.81 Annex
+    * K.2 with q(0,0) set to 16 (K.2 has 17 there; 16 keeps the
+    * DC-only closed form integer-exact — flat chroma blocks become
+    * 128 + 2·dc like luma). A custom table is first-class JPEG: it
+    * rides the DQT segment and the decoder uses whatever is declared,
+    * so nothing about the codec path is weakened by the choice. */
+  val QuantChromaNat: Array[Int] = Array(
+    16, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
   /** zigzag→natural index map (T.81 Figure A.6): ZigZag(k) is the
     * natural position of the k-th coefficient in scan order. */
   val ZigZag: Array[Int] = Array(
@@ -214,13 +230,46 @@ object Jpeg {
   def encode(docId: Long): Array[Byte] =
     encodeBlocks(widthOf(docId), heightOf(docId), oracleBlocks(docId))
 
-  /** General baseline encoder over ZIGZAG-order coefficient blocks
-    * (raster block order): differential DC, run-length AC limited to
-    * the symbols [[AcBits]]/[[AcVals]] cover (throws otherwise —
-    * exposed so the AC spec can drive arbitrary small coefficients
-    * through the real decoder). */
+  /** Per-channel DC rules for the COLOR oracle corpus (distinct linear
+    * forms per channel so a plane swap in the decoder cannot cancel
+    * out in the means). */
+  def dcCbOf(docId: Long, b: Int): Int = (((docId * 3 + 5L * b) % 9) - 4).toInt
+  def dcCrOf(docId: Long, b: Int): Int = (((docId * 5 + 11L * b) % 9) - 4).toInt
+
+  private def dcOnlyBlocks(nb: Int, dc: Int => Int): Array[Array[Int]] =
+    Array.tabulate(nb) { b =>
+      val z = new Array[Int](64)
+      z(0) = dc(b)
+      z
+    }
+
+  def encodeColor(docId: Long): Array[Byte] = {
+    val nb = (widthOf(docId) / 8) * (heightOf(docId) / 8)
+    encodeBlocksMulti(widthOf(docId), heightOf(docId), Array(
+      dcOnlyBlocks(nb, dcOf(docId, _)),
+      dcOnlyBlocks(nb, dcCbOf(docId, _)),
+      dcOnlyBlocks(nb, dcCrOf(docId, _))))
+  }
+
+  /** Grayscale encoder over ZIGZAG-order coefficient blocks — the
+    * 1-component case of [[encodeBlocksMulti]] (exposed so the AC spec
+    * can drive arbitrary small coefficients through the real
+    * decoder). */
   private[graft] def encodeBlocks(w: Int, h: Int,
-                                  blocks: Array[Array[Int]]): Array[Byte] = {
+                                  blocks: Array[Array[Int]]): Array[Byte] =
+    encodeBlocksMulti(w, h, Array(blocks))
+
+  /** General baseline encoder: 1 component (grayscale) or 3 at 4:4:4
+    * (one block per component per interleaved MCU, raster MCU order,
+    * per-component DC prediction). Differential DC, run-length AC
+    * limited to the symbols [[AcBits]]/[[AcVals]] cover (throws
+    * otherwise). Luma takes DQT 0 (Annex K.1); chroma components take
+    * DQT 1 ([[QuantChromaNat]]); one Huffman table pair serves every
+    * component (legal — the SOS slots say so). */
+  private[graft] def encodeBlocksMulti(
+      w: Int, h: Int, comps: Array[Array[Array[Int]]]): Array[Byte] = {
+    require(comps.length == 1 || comps.length == 3)
+    val nc = comps.length
     val dcEnc = canonicalCodes(DcBits, DcVals)
       .map { case (v, c, l) => v -> (c, l) }.toMap
     val acEnc = canonicalCodes(AcBits, AcVals)
@@ -235,42 +284,56 @@ object Jpeg {
     u8(0xff); u8(0xd8) // SOI
     seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
     seg(0xdb, 0 +: (0 until 64).map(k => QuantNat(ZigZag(k))).toArray)
-    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    if (nc == 3)
+      seg(0xdb, 1 +: (0 until 64).map(k => QuantChromaNat(ZigZag(k))).toArray)
+    // SOF0: component ids 1..nc, all 1x1 sampling, chroma → DQT 1
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nc) ++
+      (1 to nc).flatMap(c => Array(c, 0x11, if (c == 1) 0 else 1)))
     seg(0xc4, 0x00 +: (DcBits ++ DcVals))
     seg(0xc4, 0x10 +: (AcBits ++ AcVals))
-    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    seg(0xda, nc +: ((1 to nc).flatMap(c => Array(c, 0x00)) ++
+      Array(0, 63, 0)).toArray)
     val bw = new BitWriter
-    var pred = 0
-    blocks.foreach { z =>
-      val diff = z(0) - pred
-      pred = z(0)
-      val t = category(diff)
-      val (dc, dl) = dcEnc(t)
-      bw.writeBits(dc, dl)
-      if (t > 0)
-        bw.writeBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-      // AC run-length through zigzag 1..63
-      var k = 1
-      var run = 0
-      var lastNz = 63
-      while (lastNz > 0 && z(lastNz) == 0) lastNz -= 1
-      while (k <= lastNz) {
-        if (z(k) == 0) { run += 1 }
-        else {
-          if (run > 15) throw new IllegalArgumentException(
-            "ZRL not in the compact AC table — keep runs <= 15")
-          val s = category(z(k))
-          val rs = (run << 4) | s
-          val (ac, al) = acEnc.getOrElse(rs, throw new IllegalArgumentException(
-            f"AC symbol 0x$rs%02x outside the compact table"))
-          bw.writeBits(ac, al)
-          bw.writeBits(
-            if (z(k) < 0) z(k) + (1 << s) - 1 else z(k), s)
-          run = 0
+    val pred = new Array[Int](nc)
+    val nb = comps(0).length
+    var b = 0
+    while (b < nb) {
+      var ci = 0
+      while (ci < nc) {
+        val z = comps(ci)(b)
+        val diff = z(0) - pred(ci)
+        pred(ci) = z(0)
+        val t = category(diff)
+        val (dc, dl) = dcEnc(t)
+        bw.writeBits(dc, dl)
+        if (t > 0)
+          bw.writeBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        // AC run-length through zigzag 1..63
+        var k = 1
+        var run = 0
+        var lastNz = 63
+        while (lastNz > 0 && z(lastNz) == 0) lastNz -= 1
+        while (k <= lastNz) {
+          if (z(k) == 0) { run += 1 }
+          else {
+            if (run > 15) throw new IllegalArgumentException(
+              "ZRL not in the compact AC table — keep runs <= 15")
+            val s = category(z(k))
+            val rs = (run << 4) | s
+            val (ac, al) = acEnc.getOrElse(rs,
+              throw new IllegalArgumentException(
+                f"AC symbol 0x$rs%02x outside the compact table"))
+            bw.writeBits(ac, al)
+            bw.writeBits(
+              if (z(k) < 0) z(k) + (1 << s) - 1 else z(k), s)
+            run = 0
+          }
+          k += 1
         }
-        k += 1
+        if (lastNz < 63) { val (eob, el) = acEnc(0x00); bw.writeBits(eob, el) }
+        ci += 1
       }
-      if (lastNz < 63) { val (eob, el) = acEnc(0x00); bw.writeBits(eob, el) }
+      b += 1
     }
     bw.finish().foreach(b => u8(b & 0xff))
     u8(0xff); u8(0xd9) // EOI
@@ -317,17 +380,26 @@ object Jpeg {
   /** Full decode to a W×H grayscale raster. None on anything the
     * baseline-grayscale profile does not cover or on a corrupt
     * stream. */
+  /** General baseline decode to PER-COMPONENT PLANES: 1 component
+    * (grayscale) or 3 components at 1×1 sampling (4:4:4 YCbCr, one
+    * 8×8 block per component per interleaved MCU, T.81 A.2.3). Each
+    * component carries its own quant table, Huffman table pair (from
+    * the SOS slots) and DC predictor. Subsampled chroma (4:2:0/4:2:2),
+    * progressive, arithmetic, 16-bit DQT and restart markers return
+    * None — dropped, never garbage. */
   private[graft] def decodePixels(blob: Array[Byte])
-      : Option[(Int, Int, Array[Int])] = {
+      : Option[(Int, Int, Array[Array[Int]])] = {
     try {
       if (blob.length < 4 || (blob(0) & 0xff) != 0xff ||
           (blob(1) & 0xff) != 0xd8) return None
       var pos = 2
-      var quant: Array[Int] = null // natural order
-      var dcDec: HuffDecoder = null
-      var acDec: HuffDecoder = null
+      val quants = new Array[Array[Int]](4) // natural order, by Tq
+      val dcTabs = new Array[HuffDecoder](4)
+      val acTabs = new Array[HuffDecoder](4)
       var w = 0
       var h = 0
+      var ncomp = 0
+      val compQ = new Array[Int](3) // per-component quant table id
       def u16(p: Int): Int = ((blob(p) & 0xff) << 8) | (blob(p + 1) & 0xff)
       while (pos + 4 <= blob.length) {
         if ((blob(pos) & 0xff) != 0xff) return None
@@ -346,15 +418,21 @@ object Jpeg {
               while (k < 64) {
                 tbl(ZigZag(k)) = blob(p + 1 + k) & 0xff; k += 1
               }
-              if ((pqtq & 15) == 0) quant = tbl
+              quants(pqtq & 15) = tbl
               p += 65
             }
-          case 0xc0 => // SOF0 baseline
+          case 0xc0 => // SOF0 baseline, 1 or 3 components, all 1x1
             if ((blob(body) & 0xff) != 8) return None
             h = u16(body + 1)
             w = u16(body + 3)
-            if ((blob(body + 5) & 0xff) != 1) return None // grayscale only
-            if ((blob(body + 7) & 0xff) != 0x11) return None
+            ncomp = blob(body + 5) & 0xff
+            if (ncomp != 1 && ncomp != 3) return None
+            var c = 0
+            while (c < ncomp) {
+              if ((blob(body + 7 + 3 * c) & 0xff) != 0x11) return None
+              compQ(c) = blob(body + 8 + 3 * c) & 0xff
+              c += 1
+            }
           case 0xc4 => // DHT: 1+ tables
             var p = body
             while (p < pos + 2 + len) {
@@ -363,67 +441,87 @@ object Jpeg {
               val nv = bits.sum
               val vals = Array.tabulate(nv)(i => blob(p + 17 + i) & 0xff)
               val dec = new HuffDecoder(bits, vals)
-              if ((tcth >> 4) == 0) { if ((tcth & 15) == 0) dcDec = dec }
-              else { if ((tcth & 15) == 0) acDec = dec }
+              if ((tcth >> 4) == 0) dcTabs(tcth & 15) = dec
+              else acTabs(tcth & 15) = dec
               p += 17 + nv
             }
           case 0xda => // SOS → entropy-coded segment
-            if (quant == null || dcDec == null || acDec == null ||
-                w == 0 || h == 0) return None
+            if (w == 0 || h == 0 || ncomp == 0) return None
+            val ns = blob(body) & 0xff
+            if (ns != ncomp) return None // single interleaved scan only
+            val compDc = new Array[HuffDecoder](ncomp)
+            val compAc = new Array[HuffDecoder](ncomp)
+            val compQt = new Array[Array[Int]](ncomp)
+            var c = 0
+            while (c < ncomp) {
+              val tdta = blob(body + 2 + 2 * c) & 0xff
+              compDc(c) = dcTabs(tdta >> 4)
+              compAc(c) = acTabs(tdta & 15)
+              compQt(c) = quants(compQ(c))
+              if (compDc(c) == null || compAc(c) == null ||
+                  compQt(c) == null) return None
+              c += 1
+            }
             val br = new BitReader(blob, pos + 2 + len)
             val bx = (w + 7) / 8
             val by = (h + 7) / 8
-            val img = new Array[Int](w * h)
-            var pred = 0
+            val planes = Array.fill(ncomp)(new Array[Int](w * h))
+            val pred = new Array[Int](ncomp)
             var byi = 0
             while (byi < by) {
               var bxi = 0
               while (bxi < bx) {
-                val coef = new Array[Int](64)
-                val t = dcDec.decode(br)
-                pred += extend(br.readBits(t), t)
-                coef(0) = pred * quant(0)
-                var k = 1
-                var open = true
-                while (open && k < 64) {
-                  val rs = acDec.decode(br)
-                  if (rs == 0x00) open = false // EOB
-                  else {
-                    val r = rs >> 4
-                    val s = rs & 15
-                    if (s == 0) {
-                      if (r == 15) k += 16 // ZRL
-                      else throw new java.io.IOException("bad AC symbol")
-                    } else {
-                      k += r
-                      if (k > 63) throw new java.io.IOException("AC overflow")
-                      val nat = ZigZag(k)
-                      coef(nat) = extend(br.readBits(s), s) * quant(nat)
-                      k += 1
+                var ci = 0
+                while (ci < ncomp) { // one block per component per MCU
+                  val quant = compQt(ci)
+                  val coef = new Array[Int](64)
+                  val t = compDc(ci).decode(br)
+                  pred(ci) += extend(br.readBits(t), t)
+                  coef(0) = pred(ci) * quant(0)
+                  var k = 1
+                  var open = true
+                  while (open && k < 64) {
+                    val rs = compAc(ci).decode(br)
+                    if (rs == 0x00) open = false // EOB
+                    else {
+                      val r = rs >> 4
+                      val s = rs & 15
+                      if (s == 0) {
+                        if (r == 15) k += 16 // ZRL
+                        else throw new java.io.IOException("bad AC symbol")
+                      } else {
+                        k += r
+                        if (k > 63) throw new java.io.IOException("AC overflow")
+                        val nat = ZigZag(k)
+                        coef(nat) = extend(br.readBits(s), s) * quant(nat)
+                        k += 1
+                      }
                     }
                   }
-                }
-                val px = idct(coef)
-                // crop-aware placement (general; the synthetic corpus
-                // is full-block)
-                var yy = 0
-                while (yy < 8) {
-                  val gy = byi * 8 + yy
-                  if (gy < h) {
-                    var xx = 0
-                    while (xx < 8) {
-                      val gx = bxi * 8 + xx
-                      if (gx < w) img(gy * w + gx) = px(yy * 8 + xx)
-                      xx += 1
+                  val px = idct(coef)
+                  // crop-aware placement (general; the synthetic corpus
+                  // is full-block)
+                  val img = planes(ci)
+                  var yy = 0
+                  while (yy < 8) {
+                    val gy = byi * 8 + yy
+                    if (gy < h) {
+                      var xx = 0
+                      while (xx < 8) {
+                        val gx = bxi * 8 + xx
+                        if (gx < w) img(gy * w + gx) = px(yy * 8 + xx)
+                        xx += 1
+                      }
                     }
+                    yy += 1
                   }
-                  yy += 1
+                  ci += 1
                 }
                 bxi += 1
               }
               byi += 1
             }
-            return Some((w, h, img))
+            return Some((w, h, planes))
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
             return None // progressive/extended/arithmetic — unsupported
           case _ => // APPn, COM, etc.
@@ -437,13 +535,28 @@ object Jpeg {
   final case class JpegInfo(doc_id: Long, width: Int, height: Int,
                             n_blocks: Long, mean_px: Double)
 
+  private def planeMean(img: Array[Int]): Double = {
+    var sum = 0L
+    var i = 0
+    while (i < img.length) { sum += img(i); i += 1 }
+    sum.toDouble / img.length
+  }
+
   def decodeInfo(docId: Long, blob: Array[Byte]): Option[JpegInfo] =
-    decodePixels(blob).map { case (w, h, img) =>
-      var sum = 0L
-      var i = 0
-      while (i < img.length) { sum += img(i); i += 1 }
+    decodePixels(blob).filter(_._3.length == 1).map { case (w, h, planes) =>
       JpegInfo(docId, w, h,
-        ((w + 7) / 8).toLong * ((h + 7) / 8), sum.toDouble / (w.toLong * h))
+        ((w + 7) / 8).toLong * ((h + 7) / 8), planeMean(planes(0)))
+    }
+
+  final case class JpegColorInfo(doc_id: Long, width: Int, height: Int,
+                                 n_blocks: Long, mean_y: Double,
+                                 mean_cb: Double, mean_cr: Double)
+
+  def decodeColorInfo(docId: Long, blob: Array[Byte]): Option[JpegColorInfo] =
+    decodePixels(blob).filter(_._3.length == 3).map { case (w, h, planes) =>
+      JpegColorInfo(docId, w, h,
+        ((w + 7) / 8).toLong * ((h + 7) / 8),
+        planeMean(planes(0)), planeMean(planes(1)), planeMean(planes(2)))
     }
 
   def jpegMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
@@ -471,8 +584,35 @@ object Jpeg {
         round(col("mean_px"), 6).as("mean_px"))
   }
 
+  def jpegColorMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodeColor(id))))
+  }
+
+  /** COLOR decode through the interleaved-MCU path: 3 components at
+    * 4:4:4, per-component quant/predictors, per-plane means — each
+    * channel's mean re-derived closed-form by the oracle from its own
+    * DC rule (distinct per channel, so a plane swap cannot hide). */
+  def mmJpegColor(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    jpegColorMedia(spark, dir)
+      .mapPartitions(_.flatMap(m => decodeColorInfo(m.doc_id, m.blob)))
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_blocks"),
+        round(col("mean_y"), 6).as("mean_y"),
+        round(col("mean_cb"), 6).as("mean_cb"),
+        round(col("mean_cr"), 6).as("mean_cr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_jpeg" -> mmJpeg)
+    "mm_jpeg" -> mmJpeg,
+    "mm_jpeg_color" -> mmJpegColor)
 
   val oracles: Map[String, String] = Map(
     // geometry + per-block DC closed forms; mean over equal-sized
@@ -484,6 +624,26 @@ object Jpeg {
         |  round((SELECT avg(128 + 2 * (((doc_id + 7*g.i) % 9) - 4))
         |         FROM generate_series(0, 5) g(i) WHERE g.i < nb), 6)
         |    AS mean_px
+        |FROM (SELECT doc_id, 8 * (1 + doc_id % 3) AS w,
+        |             8 * (1 + doc_id % 2) AS h,
+        |             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+        |      FROM documents)""".stripMargin,
+    // per-channel closed forms: flat 128 + 2·dc_ch(b) blocks with each
+    // channel's own DC rule (luma (d+7b)%9-4, cb (3d+5b)%9-4,
+    // cr (5d+11b)%9-4)
+    "mm_jpeg_color" ->
+      """SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nb AS BIGINT) AS n_blocks,
+        |  round((SELECT avg(128 + 2 * (((doc_id + 7*g.i) % 9) - 4))
+        |         FROM generate_series(0, 5) g(i) WHERE g.i < nb), 6)
+        |    AS mean_y,
+        |  round((SELECT avg(128 + 2 * (((doc_id*3 + 5*g.i) % 9) - 4))
+        |         FROM generate_series(0, 5) g(i) WHERE g.i < nb), 6)
+        |    AS mean_cb,
+        |  round((SELECT avg(128 + 2 * (((doc_id*5 + 11*g.i) % 9) - 4))
+        |         FROM generate_series(0, 5) g(i) WHERE g.i < nb), 6)
+        |    AS mean_cr
         |FROM (SELECT doc_id, 8 * (1 + doc_id % 3) AS w,
         |             8 * (1 + doc_id % 2) AS h,
         |             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb

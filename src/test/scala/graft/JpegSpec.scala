@@ -73,7 +73,8 @@ class JpegSpec extends SparkSessionSpec {
     b1(3) = 1      // run 2 → (2,1)
     b1(5) = 3      // run 1, size 2 → 0x12
     val blob = Jpeg.encodeBlocks(16, 8, Array(b0, b1))
-    val (w, h, img) = Jpeg.decodePixels(blob).get
+    val (w, h, planes) = Jpeg.decodePixels(blob).get
+    val img = planes(0)
     assert(w == 16 && h == 8)
     // reference: dequantize in natural order and IDCT independently
     def deq(z: Array[Int]): Array[Int] = {
@@ -109,6 +110,52 @@ class JpegSpec extends SparkSessionSpec {
     // empty + garbage
     assert(Jpeg.decodeInfo(5L, Array.emptyByteArray).isEmpty)
     assert(Jpeg.decodeInfo(5L, Array.fill(64)(0x55.toByte)).isEmpty)
+  }
+
+  test("color 4:4:4 decode: per-plane flat values, AC in every plane") {
+    // DC-only color image: every plane must come back flat 128+2*dc
+    val good = Jpeg.encodeColor(5L)
+    val (w, h, planes) = Jpeg.decodePixels(good).get
+    assert(planes.length == 3)
+    assert(w == Jpeg.widthOf(5L) && h == Jpeg.heightOf(5L))
+    val nb = (w / 8) * (h / 8)
+    val dcFns = Seq(Jpeg.dcOf(5L, _: Int), Jpeg.dcCbOf(5L, _: Int),
+      Jpeg.dcCrOf(5L, _: Int))
+    for (ci <- 0 until 3; b <- 0 until nb) {
+      val bx = b % (w / 8); val by = b / (w / 8)
+      val want = 128 + 2 * dcFns(ci)(b)
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert(planes(ci)((by * 8 + y) * w + bx * 8 + x) == want,
+          s"plane $ci block $b")
+    }
+    // AC coefficients decode per-component through the interleaved
+    // scan: put a distinct AC in each plane of a 1-MCU image and check
+    // against the reference IDCT with each component's quant table
+    val zs = Array.tabulate(3) { ci =>
+      val z = new Array[Int](64); z(0) = ci - 1; z(1 + ci) = 1; z
+    }
+    val blob = Jpeg.encodeBlocksMulti(8, 8, zs.map(Array(_)))
+    val (_, _, ps) = Jpeg.decodePixels(blob).get
+    for (ci <- 0 until 3) {
+      val q = if (ci == 0) Jpeg.QuantNat else Jpeg.QuantChromaNat
+      val nat = new Array[Int](64)
+      for (k <- 0 until 64) nat(Jpeg.ZigZag(k)) = zs(ci)(k) * q(Jpeg.ZigZag(k))
+      val ref = refIdct(nat)
+      for (i <- 0 until 64)
+        assert(ps(ci)(i) == ref(i), s"plane $ci px $i")
+    }
+    // grayscale consumers refuse color payloads and vice versa
+    assert(Jpeg.decodeInfo(5L, good).isEmpty)
+    assert(Jpeg.decodeColorInfo(5L, Jpeg.encode(5L)).isEmpty)
+    // truncations stay clean None through the color path too
+    for (cut <- Seq(2, 30, good.length / 2, good.length - 3))
+      assert(Jpeg.decodeColorInfo(5L, good.take(cut)).isEmpty, s"cut=$cut")
+    // subsampled chroma (4:2:0) must be refused: patch Y sampling 0x22
+    val sub = good.clone()
+    val sofAt = (0 until sub.length - 1).find(i =>
+      (sub(i) & 0xff) == 0xff && (sub(i + 1) & 0xff) == 0xc0).get
+    sub(sofAt + 11) = 0x22.toByte // first component's HiVi
+    assert(Jpeg.decodeColorInfo(5L, sub).isEmpty)
   }
 
   test("mm_jpeg relation decodes the whole corpus") {
