@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables.t
 import graft.functions.VectorFunctions._
@@ -445,6 +446,79 @@ object Similarity {
     * ascending-coordinate order (matching the oracle's
     * generate_series replay), ranked with the usual rounded-score +
     * id tie-break through the native heaps. */
+  /** BINARY-QUANTIZATION codes: the 64-dim embedding sign-packed
+    * against PER-DIMENSION MEAN thresholds into two 32-bit words
+    * (lo = dims 0..31, hi = 32..63 — two halves so no term ever
+    * touches the BIGINT sign bit and the DuckDB replay can sum the
+    * same powers of two without overflow). 64× memory compression:
+    * the Hamming scan reads 8 bytes/vector instead of 512 — at 100 TB
+    * of embeddings the code table is ~1.6 TB and the scan goes from
+    * IO-bound to compute-trivial. Thresholds are ONE 1-row aggregate
+    * broadcast into the packing projection. */
+  private def bqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val thr = e.agg(array((0 until 64).map(i => avg(col("v")(i))): _*)
+      .as("thr"))
+    e.crossJoin(broadcast(thr))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (0 until 32).map(i =>
+          when(col("v")(i) > col("thr")(i), lit(1L << i))
+            .otherwise(lit(0L))).reduce(_ + _).as("lo"),
+        (0 until 32).map(i =>
+          when(col("v")(i + 32) > col("thr")(i + 32), lit(1L << i))
+            .otherwise(lit(0L))).reduce(_ + _).as("hi"))
+  }
+
+  private def hammingCol: Column =
+    (expr("bit_count(q_lo ^ lo)") + expr("bit_count(q_hi ^ hi)"))
+      .cast("long")
+
+  /** Binary-quantization Hamming top-k — the cheapest tier of the
+    * quantization family (PQ → SQ8 → BQ): 1 bit/dim codes, popcount
+    * distance, per-query heap cut. */
+  def annBq(spark: SparkSession, dir: String): DataFrame = {
+    val codes = bqCodes(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qs = codes.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val scored = codes.join(broadcast(qs),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        hammingCol.as("hamming"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("hamming" -> true, "neighbor_id" -> true), TopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("hamming"))
+  }
+
+  val BqRefineFactor = 4
+
+  /** BQ candidate generation + exact cosine rerank — the production
+    * BQ pipeline (the [[annRefine]] shape at the cheapest code tier):
+    * Hamming cuts the corpus to [[BqRefineFactor]]·k candidates per
+    * query, the exact score runs only on those. */
+  def annBqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val codes = bqCodes(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qs = codes.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val scored = codes.join(broadcast(qs),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("qnrm"), col("v"), col("nrm"),
+        hammingCol.as("hamming"))
+    val cand = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("hamming" -> true, "neighbor_id" -> true),
+      BqRefineFactor * TopK)
+    rankTopK(cand.select(col("query_id"), col("neighbor_id"),
+      cosineScore.as("score")))
+  }
+
   def annRefine(spark: SparkSession, dir: String): DataFrame = {
     val cents = KMeansQueries.coarseCentroids(spark, dir)
     val cb = pqCodebook(spark, dir)
@@ -787,9 +861,39 @@ object Similarity {
     "ann_pq_codes" -> annPqCodes,
     "ann_pq" -> annPq,
     "ann_sq8" -> annSq8,
+    "ann_bq" -> annBq,
+    "ann_bq_refine" -> annBqRefine,
     "ann_refine" -> annRefine,
     "ann_recall" -> annRecall,
     "ann_ivfpq" -> annIvfPq)
+
+  /** DuckDB replay of [[bqCodes]] + the Hamming scan — shared WITH
+    * prefix ending in `scored(query_id, neighbor_id, hamming)`. */
+  private def bqCodesCte: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), dims AS (
+       |  SELECT unnest(generate_series(1, 64)) AS i
+       |), thr AS (
+       |  SELECT dims.i AS i, avg(v[dims.i]) AS m
+       |  FROM ev CROSS JOIN dims GROUP BY dims.i
+       |), codes AS (
+       |  SELECT ev.vec_id,
+       |    CAST(sum(CASE WHEN dims.i <= 32 AND ev.v[dims.i] > t.m
+       |             THEN CAST(1 AS BIGINT) << (dims.i - 1)
+       |             ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN dims.i > 32 AND ev.v[dims.i] > t.m
+       |             THEN CAST(1 AS BIGINT) << (dims.i - 33)
+       |             ELSE 0 END) AS BIGINT) AS hi
+       |  FROM ev CROSS JOIN dims JOIN thr t ON t.i = dims.i
+       |  GROUP BY ev.vec_id
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+       |         AS BIGINT) AS hamming
+       |  FROM codes q JOIN codes c
+       |    ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+       |)""".stripMargin
 
   /** Shared replay of [[annKnnGraph]] (requires [[centsCte]] in the
     * same WITH): every vector's IVF-probed top-[[GraphK]] cosine
@@ -1067,6 +1171,34 @@ object Similarity {
          |                        CAST(embedding AS DOUBLE[]) AS qv
          |                 FROM embeddings WHERE vec_id < $NQueries) qq
          |  WHERE e.vec_id <> qq.query_id)
+         |WHERE rank <= $TopK""".stripMargin
+    },
+    "ann_bq" -> {
+      s"""$bqCodesCte
+         |SELECT query_id, neighbor_id, rank, hamming FROM (
+         |  SELECT query_id, neighbor_id, hamming,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hamming, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $TopK""".stripMargin
+    },
+    "ann_bq_refine" -> {
+      s"""$bqCodesCte, cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY hamming, neighbor_id) AS hr
+         |    FROM scored)
+         |  WHERE hr <= ${BqRefineFactor * TopK}
+         |)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    round(list_cosine_similarity(qe.v, ne.v), 6) AS score,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY round(list_cosine_similarity(qe.v, ne.v), 6) DESC,
+         |               c.neighbor_id) AS rank
+         |  FROM cand c JOIN ev qe ON qe.vec_id = c.query_id
+         |              JOIN ev ne ON ne.vec_id = c.neighbor_id)
          |WHERE rank <= $TopK""".stripMargin
     },
     "ann_ivfpq" -> {

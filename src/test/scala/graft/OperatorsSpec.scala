@@ -396,6 +396,35 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(r > 0.5, s"refine recall $r implausibly low")
   }
 
+  test("binary quantization: rerank recovers recall the 1-bit codes lose") {
+    // cosine ground truth (BQ codes approximate angular closeness)
+    val emb = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exactTop = (0L until Similarity.NQueries).flatMap { q =>
+      emb.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(emb(q), emb(n)), n)).take(Similarity.TopK)
+        .map(n => (q, n))
+    }.toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(exactTop).size.toDouble / exactTop.size
+    val raw = recall(Similarity.annBq(spark, sf0001))
+    val refined = recall(Similarity.annBqRefine(spark, sf0001))
+    assert(refined >= raw, s"refine recall $refined < raw bq $raw")
+    assert(refined > 0.5, s"bq refine recall $refined implausibly low")
+    // every query returns exactly TopK rows, hamming within [0, 64]
+    val out = Similarity.annBq(spark, sf0001).collect()
+    assert(out.length === (Similarity.NQueries * Similarity.TopK).toInt)
+    assert(out.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 64))
+  }
+
   test("pagerank conserves mass and concentrates on supplier hubs") {
     val pr = RelationalQueries.qPageRank(spark, sf0001).collect()
     // symmetric edges ⇒ no dangling mass: Σpr = 1 up to rounding
