@@ -430,11 +430,16 @@ object Multimodal {
       pixHex)
   }
 
-  def bmpMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    t(spark, dir, "documents")
-      .select(col("doc_id"), unhex(bmpHexCol).as("blob"))
-      .as[MediaRow]
+  def bmpMedia(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    bmpMediaOf(t(spark, dir, "documents"))
+
+  /** The BMP synthesis over ANY frame with a doc_id column (the
+    * streaming screen feeds micro-batches through the same column
+    * expression the batch corpus uses). */
+  def bmpMediaOf(docs: DataFrame): Dataset[MediaRow] = {
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    docs.select(col("doc_id"), unhex(bmpHexCol).as("blob")).as[MediaRow]
   }
 
   /** Driver-checked exercise of the REAL [[BmpDecoder]] — and unlike
@@ -559,16 +564,56 @@ object Multimodal {
     * pair join anywhere, linear at any corpus size; a bucket of b
     * near-dup images costs one row, not b². Emits buckets holding ≥ 2
     * images with the canonical survivor (lowest doc_id). */
-  def dedupImage(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
+  /** Factor-[[AHashFactor]] coarse hash per image — the shared decode
+    * + hash projection under [[dedupImage]] and the cross-corpus
+    * screen. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark2 = media.sparkSession
     import spark2.implicits._
-    bmpMedia(spark, dir)
+    media
       .mapPartitions(_.flatMap(m => decodeAHash(m.doc_id, m.blob, AHashFactor)))
       .toDF()
+  }
+
+  def dedupImage(spark: SparkSession, dir: String): DataFrame =
+    imageHashes(bmpMedia(spark, dir))
       .groupBy(col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), col("ahash"))
       .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("canonical_id"))
       .where(col("n_images") >= 2)
+
+  /** The curated base's (geometry, hash) buckets as a PRECOMPUTED
+    * artifact — the [[graft.operators.Dedup.baseScreenArtifacts]]
+    * pattern for images: built once, the screen never re-reads the
+    * base corpus. */
+  def imageBaseBuckets(baseDocs: DataFrame): DataFrame =
+    imageHashes(bmpMediaOf(baseDocs))
+      .groupBy(col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("ahash"))
+      .agg(count(lit(1)).as("n_base"), min(col("doc_id")).as("base_canonical"))
+
+  /** CROSS-CORPUS IMAGE SCREEN — arriving images flagged when their
+    * coarse perceptual hash lands in a curated-base bucket: decode +
+    * hash on the crawl side only, ONE equi-join on (geometry, hash)
+    * against the base artifact. Crawl-side compute per batch; at
+    * 100 TB the base buckets are the persisted (and typically
+    * broadcastable — buckets, not images) side. */
+  def screenImagesAgainstBase(crawlDocs: DataFrame,
+                              baseBuckets: DataFrame): DataFrame =
+    imageHashes(bmpMediaOf(crawlDocs))
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("ahash"))
+      .join(baseBuckets, Seq("width", "height", "ahash"))
+      .select(col("doc_id"), col("width"), col("height"), col("ahash"),
+        col("n_base"), col("base_canonical"))
+
+  /** Driver-checked batch form of the screen: odd doc_ids (the crawl)
+    * against even doc_ids' buckets (the base) — the
+    * `dedup_cross_corpus` split, image edition. */
+  def dedupImageScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    screenImagesAgainstBase(docs.where(col("doc_id") % 2 === 1),
+      imageBaseBuckets(docs.where(col("doc_id") % 2 === 0)))
   }
 
   // ---------------------------------------------------------------------
@@ -803,6 +848,7 @@ object Multimodal {
     "mm_resize" -> mmResize,
     "mm_ahash" -> mmAHash,
     "dedup_image" -> dedupImage,
+    "dedup_image_screen" -> dedupImageScreen,
     "mm_png" -> mmPng,
     "mm_decode" -> mmDecode)
 
@@ -895,6 +941,44 @@ object Multimodal {
         |       CAST(ahash AS BIGINT) AS ahash,
         |       count(*) AS n_images, min(doc_id) AS canonical_id
         |FROM hashes GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+    // same hash CTE, parity-split: odd (crawl) hashes matched against
+    // even (base) buckets
+    "dedup_image_screen" ->
+      """WITH g AS (
+        |  SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT g.doc_id, g.w, g.h, (g.w+1)//2 AS ow, ys.y, xs.x,
+        |         ((g.doc_id*7 + (g.h-1-ys.y*2)*31 + (xs.x*6+0)*13) % 251
+        |        + (g.doc_id*7 + (g.h-1-ys.y*2)*31 + (xs.x*6+1)*13) % 251
+        |        + (g.doc_id*7 + (g.h-1-ys.y*2)*31 + (xs.x*6+2)*13) % 251) AS lum
+        |  FROM g
+        |  JOIN (SELECT unnest(generate_series(0, 2)) AS y) ys
+        |    ON ys.y < (g.h+1)//2
+        |  JOIN (SELECT unnest(generate_series(0, 3)) AS x) xs
+        |    ON xs.x < (g.w+1)//2
+        |), tot AS (
+        |  SELECT doc_id, sum(lum) AS total, count(*) AS n
+        |  FROM px GROUP BY doc_id
+        |), hashes AS (
+        |  SELECT p.doc_id, max(p.w) AS w, max(p.h) AS h,
+        |         coalesce(sum(CASE WHEN p.lum * t.n > t.total
+        |                THEN CAST(1 AS BIGINT) << (p.y * p.ow + p.x) END), 0)
+        |           AS ahash
+        |  FROM px p JOIN tot t ON p.doc_id = t.doc_id
+        |  GROUP BY p.doc_id
+        |), base AS (
+        |  SELECT w, h, ahash, count(*) AS n_base,
+        |         min(doc_id) AS base_canonical
+        |  FROM hashes WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3
+        |)
+        |SELECT c.doc_id, CAST(c.w AS BIGINT) AS width,
+        |       CAST(c.h AS BIGINT) AS height,
+        |       CAST(c.ahash AS BIGINT) AS ahash,
+        |       b.n_base, b.base_canonical
+        |FROM hashes c
+        |JOIN base b ON c.w = b.w AND c.h = b.h AND c.ahash = b.ahash
+        |WHERE c.doc_id % 2 = 1""".stripMargin,
     "mm_bmp" ->
       """SELECT doc_id,
         |  CAST(w AS BIGINT) AS width,

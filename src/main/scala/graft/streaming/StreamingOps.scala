@@ -811,6 +811,32 @@ object StreamingOps {
         ()
       }
 
+  /** Stream row for the image screen: arriving image ids (the blob is
+    * synthesized in-batch from the id by the same column expression
+    * the batch corpus uses — a real deployment would carry the binary
+    * column itself; the decode/hash path is identical either way). */
+  final case class SImg(doc_id: Long)
+
+  /** STREAMING CROSS-CORPUS IMAGE SCREEN — the
+    * [[crossCorpusScreenStream]] shape for the perceptual-hash family:
+    * the curated base's (geometry, hash) buckets are a PRECOMPUTED
+    * artifact ([[graft.operators.Multimodal.imageBaseBuckets]],
+    * persisted by the caller); each arriving micro-batch pays its own
+    * decode + hash and ONE equi-join against the static buckets.
+    * foreachBatch wraps the literal batch screen, so stream == batch
+    * flag-for-flag across arbitrary micro-batch splits. Stateless per
+    * batch — no watermark, no state store. */
+  def imageScreenStream(imgs: Dataset[SImg], baseBuckets: DataFrame)
+      (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SImg] =
+    imgs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SImg], _: Long) =>
+        onBatch(graft.operators.Multimodal
+          .screenImagesAgainstBase(batch.toDF(), baseBuckets))
+        ()
+      }
+
   /** STREAMING SNAPSHOT INGEST — exactly-once transactional append
     * into an Iceberg-lite [[graft.sources.SnapshotTable]]: each
     * micro-batch becomes ONE atomically-published table version via

@@ -1004,6 +1004,38 @@ class StreamingSpec extends SparkSessionSpec {
     } finally { bs.unpersist(); bh.unpersist() }
   }
 
+  test("streaming image screen equals the batch screen across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    import graft.streaming.StreamingOps.SImg
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"))
+    val buckets = Multimodal
+      .imageBaseBuckets(docs.where(col("doc_id") % 2 === 0)).persist()
+    try {
+      val crawl = docs.where(col("doc_id") % 2 === 1)
+        .as[Long].collect().map(SImg(_))
+      val mem = MemoryStream[SImg]
+      val got = scala.collection.mutable.Set[(Long, Long, Long, Long, Long, Long)]()
+      val q = StreamingOps.imageScreenStream(mem.toDS(), buckets) { out =>
+        got ++= out.as[(Long, Long, Long, Long, Long, Long)].collect()
+      }.start()
+      try {
+        // three uneven micro-batches — split must not matter
+        val (a, rest) = crawl.splitAt(crawl.length / 5)
+        val (b, c) = rest.splitAt(rest.length / 2)
+        for (chunk <- Seq(a, b, c)) {
+          mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val batch = Multimodal.dedupImageScreen(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got.toSet == batch,
+        s"image screen diverged: ${got.size} streamed vs ${batch.size} batch")
+      assert(batch.nonEmpty, "fixture must flag at least one arriving image")
+    } finally { buckets.unpersist(); () }
+  }
+
   test("snapshot sink: a version per micro-batch, exactly-once, resumed lineage") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.SnapshotTable
