@@ -112,6 +112,50 @@ object Multimodal {
     media.mapPartitions(_.flatMap(m => WavDecoder.decode(m.doc_id, m.blob)))
   }
 
+  final case class WavTone(doc_id: Long, n_frames: Long, tone_power: Long)
+
+  /** SINGLE-BIN DFT tone energy (Goertzel) over the real PCM16
+    * payload — the audio FEATURE EXTRACTION step (dial-tone /
+    * carrier detection class): the classic two-pole recursion
+    * q_t = x_t + coeff·q_{t-1} − q_{t-2} at the bin whose coeff is
+    * EXACTLY 1 (frequency = sample_rate/6, 2·cos(π/3) = 1), so the
+    * whole filter — recursion AND the power readout
+    * P = q_N² + q_{N−1}² − coeff·q_N·q_{N−1} — is INTEGER arithmetic:
+    * no transcendental ever evaluated, both engines agree to the bit
+    * (the DuckDB oracle replays it via the recursion's closed-form
+    * period-6 weights, a deliberately different derivation). Runs on
+    * channel 0; one decoder pass per blob, mapPartitions at scan
+    * speed like every codec. */
+  object WavTone {
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def tone(docId: Long, b: Array[Byte]): Option[WavTone] =
+      WavDecoder.decode(docId, b).map { info =>
+        val nCh = info.n_channels
+        var q1 = 0L; var q2 = 0L
+        var t = 0L
+        while (t < info.n_samples) { // n_samples = frames; channel 0
+          val off = 44 + (t * nCh * 2).toInt
+          val x = (u16(b, off) << 16) >> 16
+          val q0 = x + q1 - q2
+          q2 = q1; q1 = q0
+          t += 1
+        }
+        WavTone(docId, info.n_samples, q1 * q1 + q2 * q2 - q1 * q2)
+      }
+  }
+
+  /** Driver-checked exercise of the integer Goertzel — geometry and
+    * the exact filter state re-derived closed-form by the oracle. */
+  def mmTone(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    wavMedia(spark, dir)
+      .mapPartitions(_.flatMap(m => WavTone.tone(m.doc_id, m.blob)))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("tone_power"))
+  }
+
   final case class WavResampled(doc_id: Long, rate_out: Long,
                                 n_frames_out: Long, sum_out: Long)
 
@@ -844,6 +888,7 @@ object Multimodal {
     "mm_frames" -> mmFrames,
     "mm_wav" -> mmWav,
     "mm_resample" -> mmResample,
+    "mm_tone" -> mmTone,
     "mm_bmp" -> mmBmp,
     "mm_resize" -> mmResize,
     "mm_ahash" -> mmAHash,
@@ -1042,6 +1087,35 @@ object Multimodal {
         |  round((n_chars % 50 + 1) * 1000.0 / (8000 + (doc_id % 4) * 4000), 6)
         |    AS duration_ms
         |FROM documents""".stripMargin,
+    // integer Goertzel replayed through the recursion's CLOSED FORM:
+    // q_N = Σ x_t · u_{(N−t) mod 6} with u = [1,1,0,−1,−1,0] (the
+    // period-6 homogeneous solution of q_t = x_t + q_{t−1} − q_{t−2});
+    // channel-0 sample of frame t is payload index (t−1)·nch + 1
+    "mm_tone" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS nch, n_chars % 50 + 1 AS nf
+        |  FROM documents
+        |), x AS (
+        |  SELECT p.doc_id, p.nf, t.t,
+        |    CASE WHEN (p.doc_id*31 + ((t.t-1)*p.nch + 1)*7) % 65536 >= 32768
+        |         THEN (p.doc_id*31 + ((t.t-1)*p.nch + 1)*7) % 65536 - 65536
+        |         ELSE (p.doc_id*31 + ((t.t-1)*p.nch + 1)*7) % 65536 END AS x
+        |  FROM p JOIN (SELECT unnest(generate_series(1, 50)) AS t) t
+        |    ON t.t <= p.nf
+        |), q AS (
+        |  SELECT doc_id, max(nf) AS nf,
+        |    sum(x * (CASE (nf - t) % 6 WHEN 0 THEN 1 WHEN 1 THEN 1
+        |             WHEN 2 THEN 0 WHEN 3 THEN -1 WHEN 4 THEN -1
+        |             ELSE 0 END)) AS qn,
+        |    sum(CASE WHEN t <= nf - 1 THEN
+        |        x * (CASE (nf - 1 - t) % 6 WHEN 0 THEN 1 WHEN 1 THEN 1
+        |             WHEN 2 THEN 0 WHEN 3 THEN -1 WHEN 4 THEN -1
+        |             ELSE 0 END) ELSE 0 END) AS qn1
+        |  FROM x GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(qn*qn + qn1*qn1 - qn*qn1 AS BIGINT) AS tone_power
+        |FROM q""".stripMargin,
     // payload replay: sample i = (doc_id*31 + i*7) mod 65536, signed;
     // frame/channel bounds are the synthesis constants (<=25 output
     // frames, <=2 channels), correlated via WHERE because DuckDB's

@@ -1157,6 +1157,51 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(math.abs(info.mean_r - mean(2)) < 1e-12)
   }
 
+  test("integer Goertzel: recursion equals closed-form weights; DC rejected") {
+    import operators.Multimodal
+    // corpus blobs: the decoder's recursion vs the period-6 closed form
+    val u = Array(1L, 1L, 0L, -1L, -1L, 0L)
+    val blobs = Multimodal.wavMedia(spark, sf0001)
+      .collect().sortBy(_.doc_id).take(10)
+    blobs.foreach { m =>
+      val info = Multimodal.WavDecoder.decode(m.doc_id, m.blob).get
+      val xs = (0 until info.n_samples.toInt).map { t =>
+        val i = t * info.n_channels + 1 // 1-based interleaved sample index
+        val s = (m.doc_id * 31 + i * 7) % 65536
+        if (s >= 32768) s - 65536 else s
+      }
+      val n = xs.length
+      def qAt(k: Int): Long =
+        (1 to k).map(t => xs(t - 1).toLong * u((k - t) % 6)).sum
+      val (qn, qn1) = (qAt(n), qAt(n - 1))
+      val got = Multimodal.WavTone.tone(m.doc_id, m.blob).get
+      assert(got.tone_power == qn * qn + qn1 * qn1 - qn * qn1,
+        s"doc ${m.doc_id}")
+      assert(got.n_frames == n.toLong)
+    }
+    // bin selectivity on crafted mono 8 kHz signals: a period-6 tone
+    // responds (closed-form 48000² here), DC over full periods is
+    // rejected EXACTLY (the u-weights sum to zero per period)
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + samples.length * 2)
+      bb.put("WAVE".getBytes); bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000)
+      bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(samples.length * 2)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val tone = Seq.tabulate(48)(t => Seq(2, 1, -1, -2, -1, 1)(t % 6) * 1000)
+    val dc = Seq.fill(48)(1000)
+    assert(Multimodal.WavTone.tone(0L, wav(tone)).get.tone_power ==
+      2304000000L)
+    assert(Multimodal.WavTone.tone(0L, wav(dc)).get.tone_power == 0L)
+    // non-WAV garbage refuses
+    assert(Multimodal.WavTone.tone(0L, Array.fill(50)(7.toByte)).isEmpty)
+  }
+
   test("decodeAHash: bits equal a direct above-mean computation; guards hold") {
     val blobs = operators.Multimodal.bmpMedia(spark, sf0001)
       .collect().sortBy(_.doc_id).take(10)
