@@ -75,6 +75,46 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape — the 6-table join-order workout: revenue from
+    * LOCAL-supplier lineitems (customer and supplier in the SAME
+    * nation) for one region and one order-date year, per nation.
+    * Join order is volume-descending: lineitem ⋈ orders shuffles on
+    * the order key (the only big⋈big edge); supplier, customer and
+    * the region-pruned nation list all BROADCAST (dims stay dims at
+    * every SF — customer is the largest at ~1.5% of lineitem), so the
+    * locality predicate c_nationkey = s_nationkey evaluates inside a
+    * broadcast join, never as a shuffle. The date filter pushes into
+    * the orders scan; revenue in DECIMAL so the sum is
+    * order-independent (the q3 rule). */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val nat = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+          .where(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Window function: top-3 orders per customer by total price.
     * Deterministic tie-break on o_orderkey. */
   def qWindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
@@ -995,6 +1035,7 @@ object RelationalQueries {
     "q1_agg" -> q1Agg,
     "q1_agg_sql" -> q1AggSql,
     "q3_join" -> q3Join,
+    "q5_local_supplier" -> q5LocalSupplier,
     "q_window_top_orders" -> qWindowTopOrders,
     "q_topk" -> qTopK,
     "q_topk_native" -> qTopKNative,
@@ -1367,6 +1408,23 @@ object RelationalQueries {
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |              AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_window_top_orders" ->
       """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM (
