@@ -27,6 +27,7 @@ object SparkEntry {
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (Jpeg.queries, Jpeg.oracles),
+    (Gif.queries, Gif.oracles),
     (Avi.queries, Avi.oracles),
     (Pipeline.queries, Pipeline.oracles),
     (Events.queries, Events.oracles))

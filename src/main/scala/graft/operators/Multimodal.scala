@@ -208,6 +208,70 @@ object Multimodal {
         col("sum_out"))
   }
 
+  final case class WavVad(doc_id: Long, n_windows: Long, n_voiced: Long,
+                          n_segments: Long, voiced_energy: Long)
+
+  /** ENERGY-BASED VOICE-ACTIVITY SEGMENTATION over the real PCM16
+    * payload — the speech-curation primitive (silence trimming, speech
+    * ratio filters) every audio training pipeline needs. Channel 0 is
+    * cut into non-overlapping windows of [[VadWindow]] frames (a
+    * trailing partial window drops), each window's INTEGER energy
+    * Σ x_t² compares against [[VadThreshold]] (≥ is voiced — strict
+    * boundary so both engines agree to the bit), and contiguous voiced
+    * runs collapse into segments. Everything is int64 arithmetic on
+    * the decoded samples (max energy 8·2³⁰ ≪ 2⁶³), so the DuckDB
+    * oracle replays windowing, threshold, AND the run-length collapse
+    * exactly. A blob [[WavDecoder]] rejects yields None, never
+    * garbage; a doc shorter than one window yields the zero row (the
+    * "all silence" witness), not an absent one. */
+  object WavVadOp {
+    val VadWindow = 8
+    val VadThreshold = 2000000000L
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def vad(docId: Long, b: Array[Byte]): Option[WavVad] =
+      WavDecoder.decode(docId, b).map { info =>
+        val nCh = info.n_channels
+        val nWin = info.n_samples / VadWindow
+        var w = 0L
+        var voiced = 0L; var segments = 0L; var vEnergy = 0L
+        var prevVoiced = false
+        while (w < nWin) {
+          var e = 0L
+          var k = 0
+          while (k < VadWindow) {
+            val t = w * VadWindow + k // 0-based channel-0 frame
+            val off = 44 + (t * nCh * 2).toInt
+            val x = (u16(b, off) << 16) >> 16
+            e += x.toLong * x
+            k += 1
+          }
+          val isVoiced = e >= VadThreshold
+          if (isVoiced) {
+            voiced += 1; vEnergy += e
+            if (!prevVoiced) segments += 1
+          }
+          prevVoiced = isVoiced
+          w += 1
+        }
+        WavVad(docId, nWin, voiced, segments, vEnergy)
+      }
+  }
+
+  /** Driver-gated VAD over the in-plan WAV corpus: real parse, real
+    * payload walk, one mapPartitions pass at scan speed (the codec
+    * rule), closed-form oracle replay of windows → energies →
+    * threshold → segment run-lengths. */
+  def mmVad(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    wavMedia(spark, dir)
+      .mapPartitions(_.flatMap(m => WavVadOp.vad(m.doc_id, m.blob)))
+      .toDF()
+      .select(col("doc_id"), col("n_windows"), col("n_voiced"),
+        col("n_segments"), col("voiced_energy"))
+  }
+
   /** Generic decode: a MIXED media column (even doc_ids carry a real
     * PCM16 WAV, odd a real 24-bit BMP, both synthesized in-plan exactly
     * like [[wavMedia]]/[[bmpMedia]]) decoded in ONE mapPartitions pass
@@ -889,6 +953,7 @@ object Multimodal {
     "mm_wav" -> mmWav,
     "mm_resample" -> mmResample,
     "mm_tone" -> mmTone,
+    "mm_vad" -> mmVad,
     "mm_bmp" -> mmBmp,
     "mm_resize" -> mmResize,
     "mm_ahash" -> mmAHash,
@@ -1091,6 +1156,46 @@ object Multimodal {
     // q_N = Σ x_t · u_{(N−t) mod 6} with u = [1,1,0,−1,−1,0] (the
     // period-6 homogeneous solution of q_t = x_t + q_{t−1} − q_{t−2});
     // channel-0 sample of frame t is payload index (t−1)·nch + 1
+    // full VAD replay: channel-0 sample stream → 8-frame windows
+    // (partial tail dropped via (nf // 8) * 8) → integer energies →
+    // threshold at 2e9 → run-length collapse via lag() — every stage
+    // of the segmentation re-derived, so a drift in windowing, sign
+    // extension, the ≥ boundary, or the segment transition rule all
+    // surface as value mismatches. Docs shorter than one window keep
+    // their zero row through the LEFT JOIN.
+    "mm_vad" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS nch, n_chars % 50 + 1 AS nf
+        |  FROM documents
+        |), x AS (
+        |  SELECT p.doc_id, (t.t-1) // 8 AS w,
+        |    CASE WHEN (p.doc_id*31 + ((t.t-1)*p.nch + 1)*7) % 65536 >= 32768
+        |         THEN (p.doc_id*31 + ((t.t-1)*p.nch + 1)*7) % 65536 - 65536
+        |         ELSE (p.doc_id*31 + ((t.t-1)*p.nch + 1)*7) % 65536 END AS x
+        |  FROM p JOIN (SELECT unnest(generate_series(1, 48)) AS t) t
+        |    ON t.t <= (p.nf // 8) * 8
+        |), e AS (
+        |  SELECT doc_id, w, sum(x * x) AS en FROM x GROUP BY doc_id, w
+        |), v AS (
+        |  SELECT doc_id, w, en,
+        |    CASE WHEN en >= 2000000000 THEN 1 ELSE 0 END AS vo,
+        |    CASE WHEN en >= 2000000000 AND coalesce(
+        |           lag(CASE WHEN en >= 2000000000 THEN 1 ELSE 0 END)
+        |             OVER (PARTITION BY doc_id ORDER BY w), 0) = 0
+        |         THEN 1 ELSE 0 END AS seg_start
+        |  FROM e
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_windows, sum(vo) AS n_voiced,
+        |         sum(seg_start) AS n_segments,
+        |         sum(CASE WHEN vo = 1 THEN en ELSE 0 END) AS voiced_energy
+        |  FROM v GROUP BY doc_id
+        |)
+        |SELECT p.doc_id,
+        |  CAST(coalesce(a.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(a.n_voiced, 0) AS BIGINT) AS n_voiced,
+        |  CAST(coalesce(a.n_segments, 0) AS BIGINT) AS n_segments,
+        |  CAST(coalesce(a.voiced_energy, 0) AS BIGINT) AS voiced_energy
+        |FROM p LEFT JOIN agg a ON p.doc_id = a.doc_id""".stripMargin,
     "mm_tone" ->
       """WITH p AS (
         |  SELECT doc_id, 1 + doc_id % 2 AS nch, n_chars % 50 + 1 AS nf

@@ -115,6 +115,37 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q18 shape — the large-volume-customer query: orders whose
+    * total lineitem quantity exceeds 300, with their customer. The
+    * selective HAVING is the whole scale story: the quantity
+    * aggregation is ONE hash-partitioned pass over lineitem (partial
+    * map-side sums first), the survivors are ~0.03% of orders, and
+    * the plan is left declarative so AQE turns the survivors ⋈ orders
+    * edge into a broadcast join from the RUNTIME row count — the
+    * filtered relation's size isn't knowable at plan time at 100 TB,
+    * which is exactly what adaptive re-planning is for. The final
+    * customer edge broadcasts the (now tiny) hot-order relation into
+    * customer's scan, so the big dimension never shuffles. Top-100 by
+    * total price via TakeOrderedAndProject (no global sort). */
+  def q18BigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val hotSums = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 300)
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val hot = ord.join(hotSums, col("o_orderkey") === col("l_orderkey"))
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .join(broadcast(hot), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Window function: top-3 orders per customer by total price.
     * Deterministic tie-break on o_orderkey. */
   def qWindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
@@ -1036,6 +1067,7 @@ object RelationalQueries {
     "q1_agg_sql" -> q1AggSql,
     "q3_join" -> q3Join,
     "q5_local_supplier" -> q5LocalSupplier,
+    "q18_big_spenders" -> q18BigSpenders,
     "q_window_top_orders" -> qWindowTopOrders,
     "q_topk" -> qTopK,
     "q_topk_native" -> qTopKNative,
@@ -1408,6 +1440,18 @@ object RelationalQueries {
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q18_big_spenders" ->
+      """WITH hot AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+        |)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |       round(o_totalprice, 2) AS o_totalprice, sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN hot ON o_orderkey = hot.l_orderkey
+        |ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -837,6 +837,30 @@ object StreamingOps {
         ()
       }
 
+  final case class SMedia(doc_id: Long, blob: Array[Byte])
+
+  /** STREAMING VAD — codec work under readStream: each arriving
+    * micro-batch of raw media blobs pays ONE mapPartitions
+    * decode+segmentation pass through the batch kernel
+    * ([[graft.operators.Multimodal.WavVadOp]]), so the
+    * codec-at-scan-speed rule holds unchanged under streaming — no
+    * shuffle, no state store, no watermark; stream == batch
+    * row-for-row across arbitrary micro-batch splits. Blobs the
+    * decoder rejects drop from the relation, never poison the
+    * stream. */
+  def vadStream(media: Dataset[SMedia])(onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SMedia] =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SMedia], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        onBatch(batch.mapPartitions(_.flatMap(m =>
+          graft.operators.Multimodal.WavVadOp.vad(m.doc_id, m.blob)))
+          .toDF())
+        ()
+      }
+
   /** STREAMING SNAPSHOT INGEST — exactly-once transactional append
     * into an Iceberg-lite [[graft.sources.SnapshotTable]]: each
     * micro-batch becomes ONE atomically-published table version via

@@ -1202,6 +1202,56 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(Multimodal.WavTone.tone(0L, Array.fill(50)(7.toByte)).isEmpty)
   }
 
+  test("WavVad: segmentation equals direct recompute; windows/threshold/runs") {
+    import operators.Multimodal
+    // corpus blobs (mono AND stereo): decoder walk vs direct recompute
+    val blobs = Multimodal.wavMedia(spark, sf0001)
+      .collect().sortBy(_.doc_id).take(10)
+    blobs.foreach { m =>
+      val info = Multimodal.WavDecoder.decode(m.doc_id, m.blob).get
+      val xs = (0 until info.n_samples.toInt).map { t =>
+        val i = t * info.n_channels + 1
+        val s = (m.doc_id * 31 + i * 7) % 65536
+        (if (s >= 32768) s - 65536 else s).toLong
+      }
+      val wins = xs.grouped(8).filter(_.size == 8)
+        .map(w => w.map(x => x * x).sum).toVector
+      val vo = wins.map(_ >= 2000000000L)
+      val segs = vo.zip(false +: vo.dropRight(1)).count {
+        case (cur, prev) => cur && !prev }
+      val got = Multimodal.WavVadOp.vad(m.doc_id, m.blob).get
+      assert(got.n_windows == wins.size.toLong, s"doc ${m.doc_id}")
+      assert(got.n_voiced == vo.count(identity).toLong, s"doc ${m.doc_id}")
+      assert(got.n_segments == segs.toLong, s"doc ${m.doc_id}")
+      assert(got.voiced_energy ==
+        wins.zip(vo).collect { case (e, true) => e }.sum, s"doc ${m.doc_id}")
+    }
+    // crafted pattern: loud,loud,quiet,loud → 4 windows, 3 voiced, 2 runs
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + samples.length * 2)
+      bb.put("WAVE".getBytes); bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000)
+      bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(samples.length * 2)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val loud = Seq.fill(8)(20000) // 8·4e8 = 3.2e9 ≥ 2e9
+    val quiet = Seq.fill(8)(1000) // 8e6 < 2e9
+    val v = Multimodal.WavVadOp.vad(9L, wav(loud ++ loud ++ quiet ++ loud)).get
+    assert(v.n_windows == 4L && v.n_voiced == 3L && v.n_segments == 2L)
+    assert(v.voiced_energy == 3L * 8L * 20000L * 20000L)
+    // trailing partial window drops; short doc → all-zero row, not absent
+    val p = Multimodal.WavVadOp.vad(9L, wav(loud ++ Seq.fill(4)(20000))).get
+    assert(p.n_windows == 1L && p.n_voiced == 1L)
+    assert(Multimodal.WavVadOp.vad(9L, wav(Seq.fill(5)(9))).get ==
+      Multimodal.WavVad(9L, 0L, 0L, 0L, 0L))
+    // non-WAV garbage refuses
+    assert(Multimodal.WavVadOp.vad(9L, Array.fill(50)(7.toByte)).isEmpty)
+  }
+
   test("decodeAHash: bits equal a direct above-mean computation; guards hold") {
     val blobs = operators.Multimodal.bmpMedia(spark, sf0001)
       .collect().sortBy(_.doc_id).take(10)

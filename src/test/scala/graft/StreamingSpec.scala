@@ -1004,6 +1004,34 @@ class StreamingSpec extends SparkSessionSpec {
     } finally { bs.unpersist(); bh.unpersist() }
   }
 
+  test("streaming VAD equals the batch segmentation across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    import graft.streaming.StreamingOps.SMedia
+    val blobs = Multimodal.wavMedia(spark, sf0001).collect()
+      .map(m => SMedia(m.doc_id, m.blob))
+    val mem = MemoryStream[SMedia]
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    val q = StreamingOps.vadStream(mem.toDS()) { out =>
+      got ++= out.as[(Long, Long, Long, Long, Long)].collect()
+    }.start()
+    try {
+      // three uneven micro-batches — split must not matter (stateless)
+      val (a, rest) = blobs.splitAt(blobs.length / 4)
+      val (b, c) = rest.splitAt(rest.length / 3)
+      for (chunk <- Seq(a, b, c)) {
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = Multimodal.mmVad(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got.toSet == batch,
+      s"VAD stream diverged: ${got.size} streamed vs ${batch.size} batch")
+    assert(batch.exists(_._3 > 0), "fixture must contain voiced windows")
+    assert(batch.exists(r => r._2 > 0 && r._3 < r._2),
+      "fixture must contain unvoiced windows")
+  }
+
   test("streaming image screen equals the batch screen across splits") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Multimodal
