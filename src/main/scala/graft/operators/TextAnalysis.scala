@@ -411,6 +411,17 @@ object TextAnalysis {
     * driver-side `count()` job. `tf` is persisted: both `df` and the
     * final join read it, and recomputing means re-exploding the corpus. */
   def textTfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tfIdfScored(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+  }
+
+  /** The (doc_id, tok, score) tf-idf relation shared by [[textTfIdf]]
+    * and [[textKeywordsNative]]. */
+  private def tfIdfScored(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
@@ -419,16 +430,26 @@ object TextAnalysis {
     // tf is unique per (doc_id, tok) by construction: plain count ≡
     // count(DISTINCT doc_id), without the distinct expansion
     val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("tok"))
     tf.join(df_, "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log(col("n_docs") / col("df")), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+      .select(col("doc_id"), col("tok"), col("score"))
   }
+
+  /** Same row set as [[textTfIdf]] minus the rank column — per-doc
+    * keyword extraction — but through the NATIVE
+    * [[graft.plans.TopKPerKey]] operator instead of a window: the
+    * bounded-heap top-k pass runs map-side BEFORE the shuffle, so the
+    * exchange carries ≤ partitions·docs·3 rows instead of the whole
+    * (doc, token) relation. At 100 TB that relation is tokens-sized —
+    * the window lowering shuffles ALL of it to rank per doc, the heap
+    * cut ships only candidate keywords. (score, tok) is a total order
+    * within a doc (tok unique per (doc, tok) row). */
+  def textKeywordsNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      tfIdfScored(spark, dir),
+      Seq("doc_id"), Seq(("score", false), ("tok", true)), 3)
 
   /** LM-style rarity filter — the integer-exact core of a perplexity
     * quality filter: a bigram "model" (corpus occurrence counts) built
@@ -1045,7 +1066,8 @@ object TextAnalysis {
     "text_langid_nb" -> textLangIdNb,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
-    "text_tfidf" -> textTfIdf)
+    "text_tfidf" -> textTfIdf,
+    "text_keywords_native" -> textKeywordsNative)
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -1653,6 +1675,26 @@ object TextAnalysis {
         |  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
         |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
         |SELECT doc_id, rank, tok, score FROM (
+        |  SELECT tf.doc_id, tf.tok,
+        |         round(tf.tf * ln(n.n_docs / df.df), 6) AS score,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY round(tf.tf * ln(n.n_docs / df.df), 6) DESC, tf.tok)
+        |           AS rank
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        |WHERE rank <= 3""".stripMargin,
+    // the native-operator variant: identical row set minus the rank
+    // column — the oracle proves the heap cut loses/keeps exactly the
+    // window lowering's rows
+    "text_keywords_native" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT doc_id, tok, score FROM (
         |  SELECT tf.doc_id, tf.tok,
         |         round(tf.tf * ln(n.n_docs / df.df), 6) AS score,
         |         row_number() OVER (PARTITION BY tf.doc_id

@@ -115,6 +115,22 @@ class PlansSpec extends SparkSessionSpec {
     assert(native == viaWindow && native.nonEmpty)
   }
 
+  test("text_keywords_native equals text_tfidf's rows; heap cut, no Window") {
+    val spark2 = spark
+    import spark2.implicits._
+    val nativeDf = graft.operators.TextAnalysis
+      .textKeywordsNative(spark, sf0001)
+    val native = nativeDf.as[(Long, String, Double)].collect().toSet
+    val viaWindow = graft.operators.TextAnalysis
+      .textTfIdf(spark, sf0001)
+      .select(col("doc_id"), col("tok"), col("score"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(native == viaWindow && native.nonEmpty)
+    val planStr = nativeDf.queryExecution.executedPlan.toString
+    assert(planStr.contains("TopKPerKeyPartial") &&
+      planStr.contains("TopKPerKeyFinal") && !planStr.contains("Window"))
+  }
+
   private def withTopKRewrite[A](body: => A): A = {
     graft.plans.TopKPerKey.register(spark)
     spark.experimental.extraOptimizations =
