@@ -15,9 +15,10 @@ import graft.operators.Multimodal.MediaRow
   * defragmentation, and a full variable-code-width LZW decompressor —
   * LSB-first bit order, clear/EOI codes, dictionary growth to 12 bits
   * with the GIF (non-early-change) width-bump rule, the KwKwK case,
-  * and table-full behavior (no further adds until a clear code).
-  * Interlaced images and corrupt/truncated streams return None — they
-  * drop from the relation instead of poisoning it.
+  * and table-full behavior (no further adds until a clear code) —
+  * plus four-pass interlace de-scheduling. Corrupt/truncated streams
+  * return None — they drop from the relation instead of poisoning
+  * it.
   *
   * Synthesis follows the PngEncoder pattern (Multimodal.scala): the
   * corpus has no image blobs, so deterministic GIFs are built in the
@@ -122,13 +123,22 @@ object Gif {
     bw.finish()
   }
 
+  /** GIF interlace row schedule: the four passes (every 8th row from
+    * 0, every 8th from 4, every 4th from 2, every 2nd from 1) — the
+    * array maps STORED row index → display row. */
+  private[graft] def interlaceRows(h: Int): Array[Int] =
+    ((0 until h by 8) ++ (4 until h by 8) ++
+      (2 until h by 4) ++ (1 until h by 2)).toArray
+
   /** Full GIF blob: logical screen + 256-entry global color table
-    * (entry i = (i, 2i mod 256, 7i mod 256)), one or more
-    * non-interlaced frames at the origin (multi-frame blobs are
-    * GIF89a with a graphic-control extension per frame, the animated
-    * shape), real-LZW image data in ≤255-byte sub-blocks, trailer. */
+    * (entry i = (i, 2i mod 256, 7i mod 256)), one or more frames at
+    * the origin (multi-frame blobs are GIF89a with a graphic-control
+    * extension per frame, the animated shape; `interlaced` stores
+    * frame rows in the four-pass schedule), real-LZW image data in
+    * ≤255-byte sub-blocks, trailer. */
   private[graft] def encodeFrames(w: Int, h: Int,
-                                  frames: Seq[(Int, Int) => Int])
+                                  frames: Seq[(Int, Int) => Int],
+                                  interlaced: Boolean = false)
       : Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -146,13 +156,17 @@ object Gif {
       }
       u8(0x2C) // image descriptor
       u16(0); u16(0); u16(w); u16(h)
-      u8(0x00) // no LCT, not interlaced
+      u8(if (interlaced) 0x40 else 0x00) // no LCT; interlace flag
       u8(8)    // LZW min code size
+      val rowAt: Int => Int =
+        if (interlaced) { val ord = interlaceRows(h); ord(_) }
+        else identity[Int]
       val pixels = new Array[Int](w * h)
       var r = 0
       while (r < h) {
+        val dr = rowAt(r) // display row stored at position r
         var j = 0
-        while (j < w) { pixels(r * w + j) = px(r, j); j += 1 }
+        while (j < w) { pixels(r * w + j) = px(dr, j); j += 1 }
         r += 1
       }
       val lzw = lzwCompress(pixels)
@@ -189,6 +203,12 @@ object Gif {
       (0 until framesOf(docId)).map(f =>
         (r: Int, j: Int) => framePixelOf(docId, f, r, j)))
 
+  /** Interlaced corpus blob: same raster as [[encode]], rows stored
+    * in the four-pass schedule. */
+  def encodeInterlaced(docId: Long): Array[Byte] =
+    encodeFrames(widthOf(docId), heightOf(docId),
+      Seq((r, j) => pixelOf(docId, r, j)), interlaced = true)
+
   // -------------------------------------------------------------------
   // Decoder: the real thing
   // -------------------------------------------------------------------
@@ -216,10 +236,11 @@ object Gif {
 
   /** Decode EVERY image of a GIF blob to its palette-index raster —
     * multi-frame (animated 89a) blobs yield one raster per frame,
-    * each with its own fresh LZW state. None on anything malformed:
-    * bad magic, truncation at any layer (including a missing
-    * trailer), interlaced images, LZW code out of range, or a pixel
-    * count that does not match the frame geometry. */
+    * each with its own fresh LZW state; interlaced frames come back
+    * in display order. None on anything malformed: bad magic,
+    * truncation at any layer (including a missing trailer), LZW code
+    * out of range, or a pixel count that does not match the frame
+    * geometry. */
   private[graft] def decodeFrames(blob: Array[Byte])
       : Option[Vector[(Int, Int, Array[Int])]] =
     try {
@@ -254,7 +275,7 @@ object Gif {
             u16(); u16() // left, top
             val iw = u16(); val ih = u16()
             val iflags = u8()
-            if ((iflags & 0x40) != 0) return None // interlaced: refuse
+            val interlaced = (iflags & 0x40) != 0
             if ((iflags & 0x80) != 0) skip(3 * (1 << ((iflags & 7) + 1)))
             val minCode = u8()
             if (minCode != 8) return None // 8-bit images only (our scope)
@@ -268,7 +289,20 @@ object Gif {
               n = u8()
             }
             lzwDecompress(data.toByteArray, iw * ih) match {
-              case Some(px) => frames :+= ((iw, ih, px))
+              case Some(px) =>
+                val raster =
+                  if (!interlaced) px
+                  else { // undo the four-pass row schedule
+                    val ord = interlaceRows(ih)
+                    val out = new Array[Int](iw * ih)
+                    var r = 0
+                    while (r < ih) {
+                      System.arraycopy(px, r * iw, out, ord(r) * iw, iw)
+                      r += 1
+                    }
+                    out
+                  }
+                frames :+= ((iw, ih, raster))
               case None => return None
             }
           case _ => return None
@@ -423,9 +457,46 @@ object Gif {
         col("sum_px"), round(col("mean_px"), 6).as("mean_px"))
   }
 
+  final case class GifPosInfo(doc_id: Long, width: Long, height: Long,
+                              wsum_px: Long)
+
+  /** Position-WEIGHTED checksum Σ (r·w + j)·px(r,j) — the witness for
+    * the interlace path: a plain pixel sum is permutation-invariant,
+    * so a wrong row schedule would slip through it; the weighted sum
+    * moves if any row lands on the wrong display line. */
+  def decodePosInfo(docId: Long, blob: Array[Byte]): Option[GifPosInfo] =
+    decodePixels(blob).map { case (w, h, px) =>
+      var s = 0L
+      var i = 0
+      while (i < px.length) { s += i.toLong * px(i); i += 1 }
+      GifPosInfo(docId, w.toLong, h.toLong, s)
+    }
+
+  def gifInterlacedMedia(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodeInterlaced(id))))
+  }
+
+  /** The interlaced path: blobs store rows in the four-pass schedule;
+    * the decoder must undo it, and the position-weighted oracle
+    * witness is computed over DISPLAY order — any de-interlacing slip
+    * is a value mismatch, not a silent reshuffle. */
+  def mmGifInterlaced(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    gifInterlacedMedia(spark, dir)
+      .mapPartitions(_.flatMap(m => decodePosInfo(m.doc_id, m.blob)))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("wsum_px"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_gif" -> mmGif,
-    "mm_gif_frames" -> mmGifFrames)
+    "mm_gif_frames" -> mmGifFrames,
+    "mm_gif_interlaced" -> mmGifInterlaced)
 
   val oracles: Map[String, String] = Map(
     // geometry + integer pixel-index sum replayed from the synthesis
@@ -471,5 +542,25 @@ object Gif {
         |  CAST(h AS BIGINT) AS height,
         |  CAST(sum_px AS BIGINT) AS sum_px,
         |  round(sum_px / (w * h * nf * 1.0), 6) AS mean_px
+        |FROM s""".stripMargin,
+    // display-order weighted checksum: Σ (r·w + j)·px — replays the
+    // de-interlaced raster positionally, so a row landing on the
+    // wrong display line cannot cancel
+    "mm_gif_interlaced" ->
+      """WITH p AS (
+        |  SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 6 AS h
+        |  FROM documents
+        |), s AS (
+        |  SELECT p.doc_id, p.w, p.h,
+        |    sum((r.r * p.w + j.j) *
+        |        ((p.doc_id*7 + r.r*31 + j.j*13) % 251)) AS wsum_px
+        |  FROM p
+        |  JOIN (SELECT unnest(generate_series(0, 8)) AS r) r ON r.r < p.h
+        |  JOIN (SELECT unnest(generate_series(0, 12)) AS j) j ON j.j < p.w
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(wsum_px AS BIGINT) AS wsum_px
         |FROM s""".stripMargin)
 }

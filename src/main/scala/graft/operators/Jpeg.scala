@@ -251,6 +251,27 @@ object Jpeg {
       dcOnlyBlocks(nb, dcCrOf(docId, _))))
   }
 
+  /** 4:2:0 corpus geometry — multiples of 16 so every MCU is fully
+    * visible and the oracle needs no crop/padding terms. */
+  def widthOf420(docId: Long): Int = 16 * (1 + (docId % 2)).toInt
+  def heightOf420(docId: Long): Int = 16
+
+  /** Baseline color at 4:2:0 (Y 2×2, Cb/Cr 1×1): four luma blocks +
+    * one block per chroma component per 16×16 MCU; luma DCs follow
+    * [[dcOf]] over the luma block raster, chroma over the (4× smaller)
+    * chroma raster. */
+  def encodeColor420(docId: Long): Array[Byte] = {
+    val w = widthOf420(docId)
+    val h = heightOf420(docId)
+    val nbY = (w / 8) * (h / 8)
+    val nbC = (w / 16) * (h / 16)
+    encodeBlocksMulti(w, h, Array(
+      dcOnlyBlocks(nbY, dcOf(docId, _)),
+      dcOnlyBlocks(nbC, dcCbOf(docId, _)),
+      dcOnlyBlocks(nbC, dcCrOf(docId, _))),
+      Array(0x22, 0x11, 0x11))
+  }
+
   /** Grayscale encoder over ZIGZAG-order coefficient blocks — the
     * 1-component case of [[encodeBlocksMulti]] (exposed so the AC spec
     * can drive arbitrary small coefficients through the real
@@ -260,16 +281,25 @@ object Jpeg {
     encodeBlocksMulti(w, h, Array(blocks))
 
   /** General baseline encoder: 1 component (grayscale) or 3 at 4:4:4
-    * (one block per component per interleaved MCU, raster MCU order,
-    * per-component DC prediction). Differential DC, run-length AC
+    * or subsampled (`samp` = packed H·V byte per component, default
+    * all 1×1; interleaved MCUs emit each component's Hi×Vi blocks in
+    * T.81 A.2.3 order, per-component DC prediction). Per-component
+    * block arrays are RASTER order over that component's own
+    * (possibly subsampled) block grid. Differential DC, run-length AC
     * limited to the symbols [[AcBits]]/[[AcVals]] cover (throws
     * otherwise). Luma takes DQT 0 (Annex K.1); chroma components take
     * DQT 1 ([[QuantChromaNat]]); one Huffman table pair serves every
     * component (legal — the SOS slots say so). */
   private[graft] def encodeBlocksMulti(
-      w: Int, h: Int, comps: Array[Array[Array[Int]]]): Array[Byte] = {
+      w: Int, h: Int, comps: Array[Array[Array[Int]]],
+      samp: Array[Int] = null): Array[Byte] = {
     require(comps.length == 1 || comps.length == 3)
     val nc = comps.length
+    val sampling = if (samp == null) Array.fill(nc)(0x11) else samp
+    val hS = sampling.map(_ >> 4)
+    val vS = sampling.map(_ & 15)
+    val hMax = hS.max
+    val vMax = vS.max
     val dcEnc = canonicalCodes(DcBits, DcVals)
       .map { case (v, c, l) => v -> (c, l) }.toMap
     val acEnc = canonicalCodes(AcBits, AcVals)
@@ -286,21 +316,23 @@ object Jpeg {
     seg(0xdb, 0 +: (0 until 64).map(k => QuantNat(ZigZag(k))).toArray)
     if (nc == 3)
       seg(0xdb, 1 +: (0 until 64).map(k => QuantChromaNat(ZigZag(k))).toArray)
-    // SOF0: component ids 1..nc, all 1x1 sampling, chroma → DQT 1
+    // SOF0: component ids 1..nc, per-component sampling, chroma → DQT 1
     seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nc) ++
-      (1 to nc).flatMap(c => Array(c, 0x11, if (c == 1) 0 else 1)))
+      (0 until nc).flatMap(c =>
+        Array(c + 1, sampling(c), if (c == 0) 0 else 1)))
     seg(0xc4, 0x00 +: (DcBits ++ DcVals))
     seg(0xc4, 0x10 +: (AcBits ++ AcVals))
     seg(0xda, nc +: ((1 to nc).flatMap(c => Array(c, 0x00)) ++
       Array(0, 63, 0)).toArray)
     val bw = new BitWriter
     val pred = new Array[Int](nc)
-    val nb = comps(0).length
-    var b = 0
-    while (b < nb) {
-      var ci = 0
-      while (ci < nc) {
-        val z = comps(ci)(b)
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    (0 until nc).foreach { c =>
+      require(comps(c).length == mcusX * hS(c) * mcusY * vS(c),
+        s"component $c: ${comps(c).length} blocks != MCU coverage")
+    }
+    def emitBlock(z: Array[Int], ci: Int): Unit = {
         val diff = z(0) - pred(ci)
         pred(ci) = z(0)
         val t = category(diff)
@@ -331,9 +363,29 @@ object Jpeg {
           k += 1
         }
         if (lastNz < 63) { val (eob, el) = acEnc(0x00); bw.writeBits(eob, el) }
-        ci += 1
+    }
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var ci = 0
+        while (ci < nc) {
+          var v = 0
+          while (v < vS(ci)) {
+            var hh = 0
+            while (hh < hS(ci)) {
+              val cbw = mcusX * hS(ci) // component block-grid width
+              emitBlock(comps(ci)((my * vS(ci) + v) * cbw + mx * hS(ci) + hh),
+                ci)
+              hh += 1
+            }
+            v += 1
+          }
+          ci += 1
+        }
+        mx += 1
       }
-      b += 1
+      my += 1
     }
     bw.finish().foreach(b => u8(b & 0xff))
     u8(0xff); u8(0xd9) // EOI
@@ -399,7 +451,8 @@ object Jpeg {
       var w = 0
       var h = 0
       var ncomp = 0
-      val compQ = new Array[Int](3) // per-component quant table id
+      val compQ = new Array[Int](3)    // per-component quant table id
+      val compSamp = new Array[Int](3) // per-component packed H·V
       def u16(p: Int): Int = ((blob(p) & 0xff) << 8) | (blob(p + 1) & 0xff)
       while (pos + 4 <= blob.length) {
         if ((blob(pos) & 0xff) != 0xff) return None
@@ -421,7 +474,7 @@ object Jpeg {
               quants(pqtq & 15) = tbl
               p += 65
             }
-          case 0xc0 => // SOF0 baseline, 1 or 3 components, all 1x1
+          case 0xc0 => // SOF0 baseline: 1 or 3 comps, 4:4:4 or 4:2:0
             if ((blob(body) & 0xff) != 8) return None
             h = u16(body + 1)
             w = u16(body + 3)
@@ -429,10 +482,14 @@ object Jpeg {
             if (ncomp != 1 && ncomp != 3) return None
             var c = 0
             while (c < ncomp) {
-              if ((blob(body + 7 + 3 * c) & 0xff) != 0x11) return None
+              compSamp(c) = blob(body + 7 + 3 * c) & 0xff
               compQ(c) = blob(body + 8 + 3 * c) & 0xff
               c += 1
             }
+            val all111 = (0 until ncomp).forall(compSamp(_) == 0x11)
+            val is420 = ncomp == 3 && compSamp(0) == 0x22 &&
+              compSamp(1) == 0x11 && compSamp(2) == 0x11
+            if (!all111 && !is420) return None // 4:2:2 etc. out of scope
           case 0xc4 => // DHT: 1+ tables
             var p = body
             while (p < pos + 2 + len) {
@@ -463,63 +520,94 @@ object Jpeg {
               c += 1
             }
             val br = new BitReader(blob, pos + 2 + len)
-            val bx = (w + 7) / 8
-            val by = (h + 7) / 8
-            val planes = Array.fill(ncomp)(new Array[Int](w * h))
+            val hS = Array.tabulate(ncomp)(compSamp(_) >> 4)
+            val vS = Array.tabulate(ncomp)(compSamp(_) & 15)
+            val hMax = hS.max
+            val vMax = vS.max
+            val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            // per-component padded SUBSAMPLED planes (T.81 A.2.3: each
+            // MCU carries Hi×Vi blocks of component i)
+            val pw = Array.tabulate(ncomp)(c => mcusX * hS(c) * 8)
+            val sub = Array.tabulate(ncomp)(c =>
+              new Array[Int](pw(c) * mcusY * vS(c) * 8))
             val pred = new Array[Int](ncomp)
-            var byi = 0
-            while (byi < by) {
-              var bxi = 0
-              while (bxi < bx) {
-                var ci = 0
-                while (ci < ncomp) { // one block per component per MCU
-                  val quant = compQt(ci)
-                  val coef = new Array[Int](64)
-                  val t = compDc(ci).decode(br)
-                  pred(ci) += extend(br.readBits(t), t)
-                  coef(0) = pred(ci) * quant(0)
-                  var k = 1
-                  var open = true
-                  while (open && k < 64) {
-                    val rs = compAc(ci).decode(br)
-                    if (rs == 0x00) open = false // EOB
-                    else {
-                      val r = rs >> 4
-                      val s = rs & 15
-                      if (s == 0) {
-                        if (r == 15) k += 16 // ZRL
-                        else throw new java.io.IOException("bad AC symbol")
-                      } else {
-                        k += r
-                        if (k > 63) throw new java.io.IOException("AC overflow")
-                        val nat = ZigZag(k)
-                        coef(nat) = extend(br.readBits(s), s) * quant(nat)
-                        k += 1
-                      }
-                    }
+            def decodeBlock(ci: Int): Array[Int] = {
+              val quant = compQt(ci)
+              val coef = new Array[Int](64)
+              val t = compDc(ci).decode(br)
+              pred(ci) += extend(br.readBits(t), t)
+              coef(0) = pred(ci) * quant(0)
+              var k = 1
+              var open = true
+              while (open && k < 64) {
+                val rs = compAc(ci).decode(br)
+                if (rs == 0x00) open = false // EOB
+                else {
+                  val r = rs >> 4
+                  val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) k += 16 // ZRL
+                    else throw new java.io.IOException("bad AC symbol")
+                  } else {
+                    k += r
+                    if (k > 63) throw new java.io.IOException("AC overflow")
+                    val nat = ZigZag(k)
+                    coef(nat) = extend(br.readBits(s), s) * quant(nat)
+                    k += 1
                   }
-                  val px = idct(coef)
-                  // crop-aware placement (general; the synthetic corpus
-                  // is full-block)
-                  val img = planes(ci)
-                  var yy = 0
-                  while (yy < 8) {
-                    val gy = byi * 8 + yy
-                    if (gy < h) {
-                      var xx = 0
-                      while (xx < 8) {
-                        val gx = bxi * 8 + xx
-                        if (gx < w) img(gy * w + gx) = px(yy * 8 + xx)
-                        xx += 1
+                }
+              }
+              idct(coef)
+            }
+            var byi = 0
+            while (byi < mcusY) {
+              var bxi = 0
+              while (bxi < mcusX) {
+                var ci = 0
+                while (ci < ncomp) {
+                  var v = 0
+                  while (v < vS(ci)) {
+                    var hh = 0
+                    while (hh < hS(ci)) {
+                      val px = decodeBlock(ci)
+                      val img = sub(ci)
+                      val row0 = (byi * vS(ci) + v) * 8
+                      val col0 = (bxi * hS(ci) + hh) * 8
+                      var yy = 0
+                      while (yy < 8) {
+                        var xx = 0
+                        while (xx < 8) {
+                          img((row0 + yy) * pw(ci) + col0 + xx) =
+                            px(yy * 8 + xx)
+                          xx += 1
+                        }
+                        yy += 1
                       }
+                      hh += 1
                     }
-                    yy += 1
+                    v += 1
                   }
                   ci += 1
                 }
                 bxi += 1
               }
               byi += 1
+            }
+            // upsample (sample replication) + crop to full geometry
+            val planes = Array.tabulate(ncomp) { ci =>
+              val img = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                val sy = y * vS(ci) / vMax
+                var x = 0
+                while (x < w) {
+                  img(y * w + x) = sub(ci)(sy * pw(ci) + x * hS(ci) / hMax)
+                  x += 1
+                }
+                y += 1
+              }
+              img
             }
             return Some((w, h, planes))
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
@@ -610,9 +698,40 @@ object Jpeg {
         round(col("mean_cr"), 6).as("mean_cr"))
   }
 
+  def jpeg420Media(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodeColor420(id))))
+  }
+
+  /** COLOR decode at 4:2:0 — the subsampling every camera/phone JPEG
+    * actually ships: 16×16 MCUs carrying four luma blocks + one per
+    * chroma component, chroma planes decoded at quarter resolution
+    * and replication-upsampled. Per-plane means re-derived closed-form
+    * from the per-channel DC rules over each component's OWN block
+    * grid (luma 4×/MCU, chroma 1×), so a luma/chroma grid mix-up or
+    * a skipped subsampled block moves a mean; MCU-interleave order and
+    * the upsample kernel are raster-pinned by JpegSpec. */
+  def mmJpeg420(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    jpeg420Media(spark, dir)
+      .mapPartitions(_.flatMap(m => decodeColorInfo(m.doc_id, m.blob)))
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_blocks"),
+        round(col("mean_y"), 6).as("mean_y"),
+        round(col("mean_cb"), 6).as("mean_cb"),
+        round(col("mean_cr"), 6).as("mean_cr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_jpeg" -> mmJpeg,
-    "mm_jpeg_color" -> mmJpegColor)
+    "mm_jpeg_color" -> mmJpegColor,
+    "mm_jpeg_420" -> mmJpeg420)
 
   val oracles: Map[String, String] = Map(
     // geometry + per-block DC closed forms; mean over equal-sized
@@ -647,5 +766,26 @@ object Jpeg {
         |FROM (SELECT doc_id, 8 * (1 + doc_id % 3) AS w,
         |             8 * (1 + doc_id % 2) AS h,
         |             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+        |      FROM documents)""".stripMargin,
+    // 4:2:0: luma mean over the LUMA block grid ((w/8)·(h/8) = up to
+    // 8 blocks), chroma means over the quarter-size chroma grid
+    // (w/16 · h/16 = up to 2 blocks) — replication upsampling of
+    // equal-sized flat blocks preserves each grid's block average
+    "mm_jpeg_420" ->
+      """SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nby AS BIGINT) AS n_blocks,
+        |  round((SELECT avg(128 + 2 * (((doc_id + 7*g.i) % 9) - 4))
+        |         FROM generate_series(0, 7) g(i) WHERE g.i < nby), 6)
+        |    AS mean_y,
+        |  round((SELECT avg(128 + 2 * (((doc_id*3 + 5*g.i) % 9) - 4))
+        |         FROM generate_series(0, 1) g(i) WHERE g.i < nbc), 6)
+        |    AS mean_cb,
+        |  round((SELECT avg(128 + 2 * (((doc_id*5 + 11*g.i) % 9) - 4))
+        |         FROM generate_series(0, 1) g(i) WHERE g.i < nbc), 6)
+        |    AS mean_cr
+        |FROM (SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 AS h,
+        |             (2 * (1 + doc_id % 2)) * 2 AS nby,
+        |             1 + doc_id % 2 AS nbc
         |      FROM documents)""".stripMargin)
 }

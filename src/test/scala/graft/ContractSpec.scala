@@ -23,6 +23,7 @@ class ContractSpec extends SparkSessionSpec {
       operators.TextAnalysis.queries.size,
       operators.Multimodal.queries.size,
       operators.Jpeg.queries.size,
+      operators.Gif.queries.size,
       operators.Avi.queries.size,
       operators.Pipeline.queries.size,
       operators.Events.queries.size)

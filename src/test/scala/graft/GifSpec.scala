@@ -60,6 +60,32 @@ class GifSpec extends SparkSessionSpec {
     assert(Gif.decodeFrames(anim.take(anim.length * 2 / 3)).isEmpty)
   }
 
+  test("interlace: four-pass schedule is exact and decode undoes it") {
+    // the schedule itself: a permutation of 0..h-1 with the canonical
+    // GIF pass structure (checked against the spec'd strides)
+    for (h <- 1 to 13) {
+      val ord = Gif.interlaceRows(h)
+      assert(ord.sorted.sameElements(0 until h), s"h=$h not a permutation")
+      val expect = (0 until h by 8) ++ (4 until h by 8) ++
+        (2 until h by 4) ++ (1 until h by 2)
+      assert(ord.sameElements(expect), s"h=$h wrong pass order")
+    }
+    // round-trip: interlaced blobs decode to DISPLAY order, pixel-exact
+    (0L until 20L).foreach { id =>
+      val (w, h, px) = Gif.decodePixels(Gif.encodeInterlaced(id)).get
+      assert(w == Gif.widthOf(id) && h == Gif.heightOf(id), s"doc $id")
+      for (r <- 0 until h; j <- 0 until w)
+        assert(px(r * w + j) == Gif.pixelOf(id, r, j), s"doc $id ($r,$j)")
+    }
+    // an interlaced blob differs from the sequential one on disk for
+    // any h ≥ 2 image whose rows differ — yet decodes identically
+    val seq7 = Gif.encode(7L) // h = 1 + 7%5 = 3
+    val int7 = Gif.encodeInterlaced(7L)
+    assert(!seq7.sameElements(int7))
+    assert(Gif.decodePixels(seq7).get._3
+      .sameElements(Gif.decodePixels(int7).get._3))
+  }
+
   test("single-pixel image round-trips") {
     val (w, h, px) = Gif.decodePixels(Gif.encodeWith(1, 1, (_, _) => 9)).get
     assert(w == 1 && h == 1 && px.sameElements(Array(9)))
@@ -91,11 +117,6 @@ class GifSpec extends SparkSessionSpec {
     Seq(4, 10, 100, 13 + 768 + 5, good.length - 2).foreach { n =>
       assert(Gif.decodePixels(good.take(n)).isEmpty, s"truncate $n")
     }
-    // interlace flag set → refuse
-    val interlaced = good.clone()
-    val imgAt = interlaced.indexWhere(_ == 0x2C.toByte, 13 + 768)
-    interlaced(imgAt + 9) = (interlaced(imgAt + 9) | 0x40).toByte
-    assert(Gif.decodePixels(interlaced).isEmpty)
     // trailer with no image
     val noImage = good.take(13 + 768) :+ 0x3B.toByte
     assert(Gif.decodePixels(noImage).isEmpty)

@@ -150,12 +150,40 @@ class JpegSpec extends SparkSessionSpec {
     // truncations stay clean None through the color path too
     for (cut <- Seq(2, 30, good.length / 2, good.length - 3))
       assert(Jpeg.decodeColorInfo(5L, good.take(cut)).isEmpty, s"cut=$cut")
-    // subsampled chroma (4:2:0) must be refused: patch Y sampling 0x22
+    // 4:2:2 (supported nowhere) must be refused at the SOF: patch Y
+    // sampling to 0x21 — neither all-1×1 nor the 4:2:0 pattern
     val sub = good.clone()
     val sofAt = (0 until sub.length - 1).find(i =>
       (sub(i) & 0xff) == 0xff && (sub(i + 1) & 0xff) == 0xc0).get
-    sub(sofAt + 11) = 0x22.toByte // first component's HiVi
+    sub(sofAt + 11) = 0x21.toByte // first component's HiVi
     assert(Jpeg.decodeColorInfo(5L, sub).isEmpty)
+  }
+
+  test("color 4:2:0: MCU interleave, quarter-res chroma, upsample exact") {
+    (0L until 12L).foreach { id =>
+      val (w, h) = (Jpeg.widthOf420(id), Jpeg.heightOf420(id))
+      val blob = Jpeg.encodeColor420(id)
+      val (dw, dh, planes) = Jpeg.decodePixels(blob).get
+      assert(dw == w && dh == h && planes.length == 3, s"doc $id")
+      val bwY = w / 8
+      for (y <- 0 until h; x <- 0 until w) {
+        // luma: flat 128+2·dc over the LUMA raster block grid — pins
+        // the 2×2-per-MCU traversal order block by block
+        val by = (y / 8) * bwY + (x / 8)
+        assert(planes(0)(y * w + x) == 128 + 2 * Jpeg.dcOf(id, by),
+          s"doc $id Y ($y,$x)")
+        // chroma: quarter-res block grid replicated 2×2 — pins the
+        // subsampled decode AND the upsample kernel
+        val bc = (y / 16) * (w / 16) + (x / 16)
+        assert(planes(1)(y * w + x) == 128 + 2 * Jpeg.dcCbOf(id, bc),
+          s"doc $id Cb ($y,$x)")
+        assert(planes(2)(y * w + x) == 128 + 2 * Jpeg.dcCrOf(id, bc),
+          s"doc $id Cr ($y,$x)")
+      }
+      // truncations through the 420 path stay clean None
+      for (cut <- Seq(20, blob.length / 2, blob.length - 3))
+        assert(Jpeg.decodeColorInfo(id, blob.take(cut)).isEmpty)
+    }
   }
 
   test("mm_jpeg relation decodes the whole corpus") {
