@@ -186,6 +186,18 @@ object Jpeg {
       while (i < len) { v = (v << 1) | readBit(); i += 1 }
       v
     }
+    /** Byte-align (discarding the 1-padding of the current partial
+      * byte) and consume the expected RSTm marker (T.81 F.2.2.5 —
+      * the marker number must cycle 0..7 in order). */
+    def syncRestart(m: Int): Unit = {
+      n = 0
+      if (pos + 1 >= bytes.length)
+        throw new java.io.EOFException("restart marker")
+      if ((bytes(pos) & 0xff) != 0xff ||
+          (bytes(pos + 1) & 0xff) != (0xd0 + (m % 8)))
+        throw new java.io.IOException("missing/misnumbered RST marker")
+      pos += 2
+    }
   }
 
   private final class HuffDecoder(bits: Array[Int], vals: Array[Int]) {
@@ -251,6 +263,14 @@ object Jpeg {
       dcOnlyBlocks(nb, dcCrOf(docId, _))))
   }
 
+  /** Grayscale corpus blob with a DRI of 2 — every blob carries real
+    * RSTm markers (up to 6 MCUs → markers RST0..RST2 exercised),
+    * byte-aligned entropy segments, and per-segment DC predictor
+    * resets. */
+  def encodeRestart(docId: Long): Array[Byte] =
+    encodeBlocksMulti(widthOf(docId), heightOf(docId),
+      Array(oracleBlocks(docId)), restartInterval = 2)
+
   /** 4:2:0 corpus geometry — multiples of 16 so every MCU is fully
     * visible and the oracle needs no crop/padding terms. */
   def widthOf420(docId: Long): Int = 16 * (1 + (docId % 2)).toInt
@@ -292,7 +312,7 @@ object Jpeg {
     * component (legal — the SOS slots say so). */
   private[graft] def encodeBlocksMulti(
       w: Int, h: Int, comps: Array[Array[Array[Int]]],
-      samp: Array[Int] = null): Array[Byte] = {
+      samp: Array[Int] = null, restartInterval: Int = 0): Array[Byte] = {
     require(comps.length == 1 || comps.length == 3)
     val nc = comps.length
     val sampling = if (samp == null) Array.fill(nc)(0x11) else samp
@@ -322,9 +342,11 @@ object Jpeg {
         Array(c + 1, sampling(c), if (c == 0) 0 else 1)))
     seg(0xc4, 0x00 +: (DcBits ++ DcVals))
     seg(0xc4, 0x10 +: (AcBits ++ AcVals))
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
     seg(0xda, nc +: ((1 to nc).flatMap(c => Array(c, 0x00)) ++
       Array(0, 63, 0)).toArray)
-    val bw = new BitWriter
+    var bw = new BitWriter
     val pred = new Array[Int](nc)
     val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
@@ -365,9 +387,21 @@ object Jpeg {
         if (lastNz < 63) { val (eob, el) = acEnc(0x00); bw.writeBits(eob, el) }
     }
     var my = 0
+    var mcuIdx = 0
+    var rstNo = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuIdx > 0 &&
+            mcuIdx % restartInterval == 0) {
+          // close the entropy segment (1-padded), emit RSTm, reset DC
+          bw.finish().foreach(b => u8(b & 0xff))
+          u8(0xff); u8(0xd0 + (rstNo % 8))
+          rstNo += 1
+          java.util.Arrays.fill(pred, 0)
+          bw = new BitWriter
+        }
+        mcuIdx += 1
         var ci = 0
         while (ci < nc) {
           var v = 0
@@ -453,6 +487,7 @@ object Jpeg {
       var ncomp = 0
       val compQ = new Array[Int](3)    // per-component quant table id
       val compSamp = new Array[Int](3) // per-component packed H·V
+      var restartInterval = 0          // DRI: MCUs between RSTm, 0 = none
       def u16(p: Int): Int = ((blob(p) & 0xff) << 8) | (blob(p + 1) & 0xff)
       while (pos + 4 <= blob.length) {
         if ((blob(pos) & 0xff) != 0xff) return None
@@ -490,6 +525,8 @@ object Jpeg {
             val is420 = ncomp == 3 && compSamp(0) == 0x22 &&
               compSamp(1) == 0x11 && compSamp(2) == 0x11
             if (!all111 && !is420) return None // 4:2:2 etc. out of scope
+          case 0xdd => // DRI
+            restartInterval = u16(body)
           case 0xc4 => // DHT: 1+ tables
             var p = body
             while (p < pos + 2 + len) {
@@ -560,10 +597,19 @@ object Jpeg {
               }
               idct(coef)
             }
+            var mcuIdx = 0
+            var rstNo = 0
             var byi = 0
             while (byi < mcusY) {
               var bxi = 0
               while (bxi < mcusX) {
+                if (restartInterval > 0 && mcuIdx > 0 &&
+                    mcuIdx % restartInterval == 0) {
+                  br.syncRestart(rstNo)
+                  rstNo += 1
+                  java.util.Arrays.fill(pred, 0)
+                }
+                mcuIdx += 1
                 var ci = 0
                 while (ci < ncomp) {
                   var v = 0
@@ -728,15 +774,61 @@ object Jpeg {
         round(col("mean_cr"), 6).as("mean_cr"))
   }
 
+  def jpegRestartMedia(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodeRestart(id))))
+  }
+
+  /** Restart-marker path (DRI + RSTm): the feature that makes
+    * real-world JPEGs resynchronizable (and parallel-decodable) —
+    * every corpus blob carries a DRI of 2, so the decoder must
+    * byte-align at each marker, verify the RST number cycle, and
+    * reset the DC predictors. The differential-DC stream is
+    * DIFFERENT from the no-restart encoding of the same blocks
+    * (predictors reset per segment), yet must decode to the SAME
+    * pixels — the mm_jpeg closed form, so a missed predictor reset
+    * or a swallowed marker shows as a mean shift or a dropped row. */
+  def mmJpegRestart(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    jpegRestartMedia(spark, dir)
+      .mapPartitions(_.flatMap(m => decodeInfo(m.doc_id, m.blob)))
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_blocks"),
+        round(col("mean_px"), 6).as("mean_px"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_jpeg" -> mmJpeg,
     "mm_jpeg_color" -> mmJpegColor,
-    "mm_jpeg_420" -> mmJpeg420)
+    "mm_jpeg_420" -> mmJpeg420,
+    "mm_jpeg_rst" -> mmJpegRestart)
 
   val oracles: Map[String, String] = Map(
     // geometry + per-block DC closed forms; mean over equal-sized
     // flat blocks = mean over blocks of 128 + 2·dc(b)
     "mm_jpeg" ->
+      """SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nb AS BIGINT) AS n_blocks,
+        |  round((SELECT avg(128 + 2 * (((doc_id + 7*g.i) % 9) - 4))
+        |         FROM generate_series(0, 5) g(i) WHERE g.i < nb), 6)
+        |    AS mean_px
+        |FROM (SELECT doc_id, 8 * (1 + doc_id % 3) AS w,
+        |             8 * (1 + doc_id % 2) AS h,
+        |             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+        |      FROM documents)""".stripMargin,
+    // the restart path decodes to the SAME pixels as mm_jpeg (resets
+    // are encoder+decoder symmetric), so the closed form is identical
+    // — what the query proves is that the marker/reset machinery
+    // recovers it from a structurally different entropy stream
+    "mm_jpeg_rst" ->
       """SELECT doc_id,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(nb AS BIGINT) AS n_blocks,

@@ -750,7 +750,10 @@ object Multimodal {
       ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
         ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
 
-    def decode(docId: Long, b: Array[Byte]): Option[PngInfo] = {
+    /** Signature + chunk walk (lengths, CRCs, IHDR sanity, IDAT
+      * concatenation) shared by the gray and truecolor paths. */
+    private def parseChunks(b: Array[Byte])
+        : Option[(Int, Int, Int, Int, Array[Byte])] = {
       if (b.length < 8 + 25 + 12 || !b.take(8).sameElements(Sig)) return None
       var off = 8
       var w, h, depth, color = -1
@@ -780,31 +783,42 @@ object Multimodal {
         }
         off += 12 + l
       }
-      if (!sawEnd || w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
-        depth != 8 || color != 0) return None
-      // zlib inflate of the concatenated IDAT stream
+      if (!sawEnd || w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20))
+        return None
+      Some((w, h, depth, color, idat.toByteArray))
+    }
+
+    /** Inflate + unfilter at `bpp` bytes/pixel (the filter reference
+      * distance — PNG filters are bytewise with the "left" sample bpp
+      * bytes back, prior row starting as the spec's implicit zeros).
+      * Returns per-CHANNEL byte sums, the oracle witnesses. */
+    private def unfilterSums(idat: Array[Byte], w: Int, h: Int,
+                             bpp: Int): Option[Array[Long]] = {
+      val rowBytes = w * bpp
       val inf = new java.util.zip.Inflater()
-      inf.setInput(idat.toByteArray)
-      val raw = new Array[Byte](h * (1 + w))
+      inf.setInput(idat)
+      val raw = new Array[Byte](h * (1 + rowBytes))
       val got = try inf.inflate(raw)
       catch { case _: java.util.zip.DataFormatException => return None }
       finally inf.end()
       if (got != raw.length) return None
-      // unfilter (bpp = 1): prior row starts as the spec's implicit zeros
-      val prev = new Array[Int](w)
-      var sum = 0L
+      val prev = new Array[Int](rowBytes)
+      // rolling window of the prior ROW's last bpp values: prev(j-bpp)
+      // is already THIS row (it was the left reference) by the time
+      // byte j needs its upper-left, so the old value rides here
+      val ulBuf = new Array[Int](bpp)
+      val sums = new Array[Long](bpp)
       var r = 0
       while (r < h) {
-        val base = r * (1 + w)
+        val base = r * (1 + rowBytes)
         val ft = raw(base) & 0xff
         if (ft > 4) return None
         var j = 0
-        var left = 0
-        var priorUl = 0 // prior ROW's j-1 (prev(j-1) is already this row)
-        while (j < w) {
+        while (j < rowBytes) {
           val x = raw(base + 1 + j) & 0xff
           val up = prev(j)
-          val ul = if (j == 0) 0 else priorUl
+          val left = if (j >= bpp) prev(j - bpp) else 0
+          val ul = if (j >= bpp) ulBuf(j % bpp) else 0
           val px = ft match {
             case 0 => x
             case 1 => (x + left) & 0xff
@@ -818,18 +832,42 @@ object Multimodal {
                          else if (pb <= pc) up else ul
               (x + pred) & 0xff
           }
-          priorUl = up
+          ulBuf(j % bpp) = up
           prev(j) = px
-          left = px
-          sum += px
+          sums(j % bpp) += px
           j += 1
         }
         r += 1
       }
-      val n = w.toLong * h
-      Some(PngInfo(docId, w, h, depth, color, n, sum.toDouble / n))
+      Some(sums)
     }
+
+    def decode(docId: Long, b: Array[Byte]): Option[PngInfo] =
+      parseChunks(b).flatMap { case (w, h, depth, color, idat) =>
+        if (depth != 8 || color != 0) None
+        else unfilterSums(idat, w, h, 1).map { sums =>
+          val n = w.toLong * h
+          PngInfo(docId, w, h, depth, color, n, sums(0).toDouble / n)
+        }
+      }
+
+    /** Truecolor (color type 2, RGB8) decode — same container walk,
+      * filters at bpp = 3 (the left/upper-left references move three
+      * bytes, the classic source of filter bugs). */
+    def decodeRgb(docId: Long, b: Array[Byte]): Option[PngRgbInfo] =
+      parseChunks(b).flatMap { case (w, h, depth, color, idat) =>
+        if (depth != 8 || color != 2) None
+        else unfilterSums(idat, w, h, 3).map { sums =>
+          val n = w.toLong * h
+          PngRgbInfo(docId, w, h, n, sums(0).toDouble / n,
+            sums(1).toDouble / n, sums(2).toDouble / n)
+        }
+      }
   }
+
+  final case class PngRgbInfo(doc_id: Long, width: Int, height: Int,
+                              n_pixels: Long, mean_r: Double,
+                              mean_g: Double, mean_b: Double)
 
   /** JVM PNG encoder for the synthetic corpus — the hex-column
     * technique cannot express zlib, so (unlike WAV/BMP) synthesis runs
@@ -899,6 +937,13 @@ object Multimodal {
         }
         r += 1
       }
+      wrapPng(w, h, 0, raw)
+    }
+
+    /** Deflate the filtered scanlines and wrap them in the CRC'd
+      * chunk grammar — shared by the gray and truecolor encoders. */
+    private def wrapPng(w: Int, h: Int, colorType: Int,
+                        raw: Array[Byte]): Array[Byte] = {
       val defl = new java.util.zip.Deflater()
       defl.setInput(raw)
       defl.finish()
@@ -909,12 +954,75 @@ object Multimodal {
       out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
         .map(_.toByte))
       val ihdr = java.nio.ByteBuffer.allocate(13)
-      ihdr.putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      ihdr.putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
         .put(0.toByte).put(0.toByte).put(0.toByte)
       chunk(out, "IHDR", ihdr.array())
       chunk(out, "IDAT", buf.take(idatLen))
       chunk(out, "IEND", Array.emptyByteArray)
       out.toByteArray
+    }
+
+    /** Per-channel closed forms for the truecolor corpus — distinct
+      * linear rules per channel so a channel swap or an off-by-bpp
+      * filter reference cannot cancel in the means. */
+    def chG(docId: Long, r: Int, j: Int): Int =
+      (((docId * 11 + r * 17L + j * 19L) % 251) + 251).toInt % 251
+    def chB(docId: Long, r: Int, j: Int): Int =
+      (((docId * 13 + r * 23L + j * 29L) % 251) + 251).toInt % 251
+
+    def encodeRgb(docId: Long): Array[Byte] =
+      encodeRgbWith(docId, r => r % 5) // ALL five filters in the corpus
+
+    /** Truecolor encoder: filters run bytewise at bpp = 3 (left and
+      * upper-left references three bytes back, mirroring the
+      * decoder's [[unfilterSums]] exactly). */
+    private[graft] def encodeRgbWith(docId: Long,
+                                     ftFor: Int => Int): Array[Byte] = {
+      val w = (2 + docId % 7).toInt
+      val h = (1 + docId % 5).toInt
+      val bpp = 3
+      val rowBytes = w * bpp
+      val raw = new Array[Byte](h * (1 + rowBytes))
+      val prev = new Array[Int](rowBytes)
+      val ulBuf = new Array[Int](bpp)
+      var r = 0
+      while (r < h) {
+        val base = r * (1 + rowBytes)
+        val ft = ftFor(r)
+        raw(base) = ft.toByte
+        var j = 0
+        while (j < rowBytes) {
+          val colIdx = j / bpp
+          val ch = j % bpp
+          val px = ch match {
+            case 0 => pixel(docId, r, colIdx)
+            case 1 => chG(docId, r, colIdx)
+            case _ => chB(docId, r, colIdx)
+          }
+          val up = prev(j)
+          val left = if (j >= bpp) prev(j - bpp) else 0
+          val ul = if (j >= bpp) ulBuf(ch) else 0
+          val enc = ft match {
+            case 0 => px
+            case 1 => (px - left) & 0xff
+            case 2 => (px - up) & 0xff
+            case 3 => (px - (left + up) / 2) & 0xff
+            case 4 =>
+              val p = left + up - ul
+              val (pa, pb, pc) =
+                (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+              val pred = if (pa <= pb && pa <= pc) left
+                         else if (pb <= pc) up else ul
+              (px - pred) & 0xff
+          }
+          raw(base + 1 + j) = enc.toByte
+          ulBuf(ch) = up
+          prev(j) = px
+          j += 1
+        }
+        r += 1
+      }
+      wrapPng(w, h, 2, raw)
     }
   }
 
@@ -947,8 +1055,36 @@ object Multimodal {
         col("n_pixels"),
         round(col("mean_px"), 6).as("mean_px"))
 
+  def pngRgbMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, PngEncoder.encodeRgb(id))))
+  }
+
+  /** Truecolor PNG decode (color type 2): the corpus cycles ALL five
+    * scanline filters at bpp = 3, so Sub/Average/Paeth run with their
+    * references three bytes back — the classic filter-distance bug
+    * class; per-channel means replay from distinct closed forms, so a
+    * channel swap or off-by-bpp reference moves a mean. */
+  def mmPngRgb(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    pngRgbMedia(spark, dir)
+      .mapPartitions(_.flatMap(m => PngDecoder.decodeRgb(m.doc_id, m.blob)))
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_pixels"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mmMeta,
+    "mm_png_rgb" -> mmPngRgb,
     "mm_frames" -> mmFrames,
     "mm_wav" -> mmWav,
     "mm_resample" -> mmResample,
@@ -1156,6 +1292,31 @@ object Multimodal {
     // q_N = Σ x_t · u_{(N−t) mod 6} with u = [1,1,0,−1,−1,0] (the
     // period-6 homogeneous solution of q_t = x_t + q_{t−1} − q_{t−2});
     // channel-0 sample of frame t is payload index (t−1)·nch + 1
+    // truecolor replay: per-channel means over the three closed forms
+    // (R = the gray pixel rule, G/B their own linear rules) — the
+    // decode path recovers them through deflate → chunk → inflate →
+    // bpp-3 unfilter across all five filter types
+    "mm_png_rgb" ->
+      """WITH p AS (
+        |  SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+        |  FROM documents
+        |), s AS (
+        |  SELECT p.doc_id, p.w, p.h,
+        |    sum((p.doc_id*7  + r.r*31 + j.j*13) % 251) AS sr,
+        |    sum((p.doc_id*11 + r.r*17 + j.j*19) % 251) AS sg,
+        |    sum((p.doc_id*13 + r.r*23 + j.j*29) % 251) AS sb
+        |  FROM p
+        |  JOIN (SELECT unnest(generate_series(0, 4)) AS r) r ON r.r < p.h
+        |  JOIN (SELECT unnest(generate_series(0, 7)) AS j) j ON j.j < p.w
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(sr / (w * h * 1.0), 6) AS mean_r,
+        |  round(sg / (w * h * 1.0), 6) AS mean_g,
+        |  round(sb / (w * h * 1.0), 6) AS mean_b
+        |FROM s""".stripMargin,
     // full VAD replay: channel-0 sample stream → 8-frame windows
     // (partial tail dropped via (nf // 8) * 8) → integer energies →
     // threshold at 2e9 → run-length collapse via lag() — every stage

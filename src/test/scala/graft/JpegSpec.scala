@@ -186,6 +186,56 @@ class JpegSpec extends SparkSessionSpec {
     }
   }
 
+  test("restart markers: segment resync, DC reset, marker-number cycle") {
+    // AC-bearing blocks through every restart interval: restarted
+    // streams differ on disk but decode pixel-identically
+    val zs = Array.tabulate(6) { b =>
+      val z = new Array[Int](64)
+      z(0) = b - 2; z(1) = 1; z(5) = -1
+      z
+    }
+    val plain = Jpeg.encodeBlocksMulti(24, 16, Array(zs))
+    val (_, _, ref) = Jpeg.decodePixels(plain).get
+    for (ri <- 1 to 3) {
+      val rst = Jpeg.encodeBlocksMulti(24, 16, Array(zs),
+        restartInterval = ri)
+      assert(!rst.sameElements(plain), s"ri=$ri must add markers")
+      val (w, h, got) = Jpeg.decodePixels(rst).get
+      assert(w == 24 && h == 16)
+      assert(got(0).sameElements(ref(0)), s"ri=$ri pixels diverge")
+    }
+    // a misnumbered marker is a hard None (the cycle is verified)
+    val rst2 = Jpeg.encodeBlocksMulti(24, 16, Array(zs),
+      restartInterval = 2)
+    val bad = rst2.clone()
+    val at = (0 until bad.length - 1).find(i =>
+      (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xd0).get
+    bad(at + 1) = 0xd5.toByte
+    assert(Jpeg.decodePixels(bad).isEmpty)
+    // truncation inside a later restart segment refuses
+    assert(Jpeg.decodePixels(rst2.take(at + 4)).isEmpty)
+    // 4:2:0 + restarts compose (predictor resets per component)
+    val rst420 = Jpeg.encodeColor420(9L)
+    val (wc, hc, pc) = Jpeg.decodePixels(rst420).get
+    val with420Rst = Jpeg.encodeBlocksMulti(
+      Jpeg.widthOf420(9L), Jpeg.heightOf420(9L),
+      {
+        val w0 = Jpeg.widthOf420(9L); val h0 = Jpeg.heightOf420(9L)
+        val nbY = (w0 / 8) * (h0 / 8); val nbC = (w0 / 16) * (h0 / 16)
+        def dcOnly(nb: Int, dc: Int => Int) = Array.tabulate(nb) { b =>
+          val z = new Array[Int](64); z(0) = dc(b); z
+        }
+        Array(dcOnly(nbY, Jpeg.dcOf(9L, _)),
+          dcOnly(nbC, Jpeg.dcCbOf(9L, _)),
+          dcOnly(nbC, Jpeg.dcCrOf(9L, _)))
+      },
+      Array(0x22, 0x11, 0x11), restartInterval = 1)
+    val (w2, h2, p2) = Jpeg.decodePixels(with420Rst).get
+    assert(w2 == wc && h2 == hc)
+    for (ci <- 0 until 3)
+      assert(p2(ci).sameElements(pc(ci)), s"420+rst plane $ci")
+  }
+
   test("mm_jpeg relation decodes the whole corpus") {
     val df = Jpeg.mmJpeg(spark, sf0001)
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()

@@ -374,6 +374,32 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(PngDecoder.decode(7L, "not a png at all".getBytes).isEmpty)
   }
 
+  test("png truecolor: bpp-3 filters round-trip per channel; type gates") {
+    import Multimodal.{PngDecoder, PngEncoder}
+    for (ftBase <- 0 to 4; id <- Seq(3L, 9L, 23L, 34L)) {
+      val blob = PngEncoder.encodeRgbWith(id, r => (ftBase + r) % 5)
+      val info = PngDecoder.decodeRgb(id, blob)
+        .getOrElse(fail(s"rgb8 PNG (ftBase=$ftBase, id=$id) must decode"))
+      val w = (2 + id % 7).toInt
+      val h = (1 + id % 5).toInt
+      assert(info.width == w && info.height == h)
+      def mean(f: (Long, Int, Int) => Int): Double =
+        (for (r <- 0 until h; j <- 0 until w) yield f(id, r, j))
+          .sum.toDouble / (w * h)
+      assert(math.abs(info.mean_r - mean(PngEncoder.pixel)) < 1e-12)
+      assert(math.abs(info.mean_g - mean(PngEncoder.chG)) < 1e-12,
+        s"ftBase=$ftBase id=$id green")
+      assert(math.abs(info.mean_b - mean(PngEncoder.chB)) < 1e-12,
+        s"ftBase=$ftBase id=$id blue")
+    }
+    // color-type gates: gray consumer refuses RGB blobs and vice versa
+    assert(PngDecoder.decode(7L, PngEncoder.encodeRgb(7L)).isEmpty)
+    assert(PngDecoder.decodeRgb(7L, PngEncoder.encode(7L)).isEmpty)
+    // truncation through the RGB path stays clean None
+    val good = PngEncoder.encodeRgb(7L)
+    assert(PngDecoder.decodeRgb(7L, good.take(good.length - 6)).isEmpty)
+  }
+
   test("refined search recall beats or matches plain IVF-PQ vs exact L2") {
     val emb = Tables.t(spark, sf0001, "embeddings")
       .select(col("vec_id"),
