@@ -28,6 +28,7 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracles),
     (Jpeg.queries, Jpeg.oracles),
     (Gif.queries, Gif.oracles),
+    (Archives.queries, Archives.oracles),
     (Avi.queries, Avi.oracles),
     (Pipeline.queries, Pipeline.oracles),
     (Events.queries, Events.oracles))

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.Archives
+
+/** Archive containers: the oracle pins counts/sums over the corpus;
+  * this spec covers what it cannot — member-exact tar walks, header
+  * integrity (checksum, magic), typeflag handling, and the gzip
+  * CRC/ISIZE gates — plus the corruption posture (None, never
+  * garbage). */
+class ArchivesSpec extends SparkSessionSpec {
+
+  test("tar: members round-trip exactly — names, sizes, payload bytes") {
+    (0L until 20L).foreach { id =>
+      val ms = Archives.decodeTar(Archives.encodeTar(id)).get
+      assert(ms.size == Archives.membersOf(id), s"doc $id")
+      ms.zipWithIndex.foreach { case (m, i) =>
+        assert(m.name == s"doc$id/part$i.txt", s"doc $id member $i")
+        val len = Archives.memberLenOf(id, i)
+        assert(m.size == len.toLong)
+        assert(m.payload_sum ==
+          (0 until len).map(Archives.memberByteOf(id, i, _).toLong).sum)
+      }
+    }
+  }
+
+  test("tar: corruption and structure violations refuse") {
+    val good = Archives.encodeTar(5L)
+    // flipped payload byte → checksum of the header still fine, but a
+    // flipped HEADER byte must fail the checksum
+    val badHdr = good.clone()
+    badHdr(3) = (badHdr(3) ^ 0x11).toByte // inside the name field
+    assert(Archives.decodeTar(badHdr).isEmpty, "checksum must catch")
+    // truncation: mid-header, mid-payload, missing end blocks
+    assert(Archives.decodeTar(good.take(100)).isEmpty)
+    assert(Archives.decodeTar(good.take(600)).isEmpty)
+    assert(Archives.decodeTar(good.dropRight(1024)).isEmpty,
+      "missing end-of-archive must refuse")
+    // non-octal size field
+    val badSize = good.clone()
+    badSize(124) = 'z'.toByte
+    assert(Archives.decodeTar(badSize).isEmpty)
+    // a directory member (typeflag 5) is skipped, not emitted
+    val dir = good.clone()
+    dir(156) = '5'.toByte
+    // fix the checksum for the edit
+    var sum = 0L
+    for (k <- 0 until 512)
+      sum += (if (k >= 148 && k < 156) ' '.toInt else dir(k) & 0xff)
+    val cs = java.lang.Long.toOctalString(sum)
+    val pad = "0" * (6 - cs.length) + cs
+    System.arraycopy(pad.getBytes("US-ASCII"), 0, dir, 148, 6)
+    dir(154) = 0; dir(155) = ' '
+    val ms = Archives.decodeTar(dir).get
+    assert(ms.size == Archives.membersOf(5L) - 1,
+      "typeflag-5 member must be skipped but cursor still advances")
+  }
+
+  test("gzip: round-trip recovers text; CRC and ISIZE gate") {
+    for (text <- Seq("", "one", "hello world  double  spaces",
+                     "unicode: é中文 end", "a " * 500)) {
+      val g = Archives.decodeGzip(1L, Archives.encodeGzip(text)).get
+      assert(g.n_bytes == text.getBytes("UTF-8").length.toLong, s"'$text'")
+      assert(g.n_toks == text.split(" ", -1).length.toLong, s"'$text'")
+    }
+    val good = Archives.encodeGzip("the quick brown fox")
+    // flip one deflate byte: CRC must reject (never silent garbage)
+    val bad = good.clone()
+    bad(12) = (bad(12) ^ 0x40).toByte
+    assert(Archives.decodeGzip(1L, bad).isEmpty)
+    // truncations at header / body / trailer
+    for (cut <- Seq(5, 12, good.length - 4, good.length - 1))
+      assert(Archives.decodeGzip(1L, good.take(cut)).isEmpty, s"cut=$cut")
+    // wrong magic
+    val m = good.clone(); m(0) = 0x1e.toByte
+    assert(Archives.decodeGzip(1L, m).isEmpty)
+    // FNAME flag: a named member still decodes
+    val named = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, 3)
+      out.write(8) // FLG = FNAME
+      out.write(good, 4, 6)
+      out.write("file.txt".getBytes("US-ASCII")); out.write(0)
+      out.write(good, 10, good.length - 10)
+      out.toByteArray
+    }
+    assert(Archives.decodeGzip(1L, named).isDefined,
+      "FNAME header must be skipped")
+  }
+
+  test("dedup_members: md5 groups are true content equality") {
+    // find a duplicate group from the member relation, then compare
+    // the ACTUAL payload bytes of its members byte-for-byte
+    val rows = Archives.tarMemberRows(spark, sf0001).collect()
+    val groups = rows.groupBy(r => (r.content_md5, r.size))
+    val dup = groups.values.find(_.length >= 2)
+      .getOrElse(fail("fixture must contain a cross-archive duplicate"))
+    def payloadOf(docId: Long, name: String): Array[Byte] = {
+      val ms = Archives.decodeTar(Archives.encodeTar(docId)).get
+      val i = ms.indexWhere(_.name == name)
+      val len = ms(i).size.toInt
+      Array.tabulate(len)(j => Archives.memberByteOf(docId, i, j).toByte)
+    }
+    val ref = payloadOf(dup(0).doc_id, dup(0).name)
+    dup.tail.foreach { m =>
+      assert(payloadOf(m.doc_id, m.name).sameElements(ref),
+        s"md5 group must be byte-identical: ${m.doc_id}/${m.name}")
+    }
+    // and two members from different groups must differ
+    val other = groups.values.find(g => g.head.content_md5 !=
+      dup.head.content_md5 && g.head.size == dup.head.size)
+    other.foreach { g =>
+      assert(!payloadOf(g.head.doc_id, g.head.name).sameElements(ref))
+    }
+  }
+
+  test("mm_tar and mm_gzip_text emit one row per document at sf0.001") {
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(Archives.mmTar(spark, sf0001).count() == n)
+    assert(Archives.mmGzipText(spark, sf0001).count() == n)
+  }
+}

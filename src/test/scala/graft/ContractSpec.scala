@@ -24,6 +24,7 @@ class ContractSpec extends SparkSessionSpec {
       operators.Multimodal.queries.size,
       operators.Jpeg.queries.size,
       operators.Gif.queries.size,
+      operators.Archives.queries.size,
       operators.Avi.queries.size,
       operators.Pipeline.queries.size,
       operators.Events.queries.size)
