@@ -861,6 +861,27 @@ object StreamingOps {
         ()
       }
 
+  /** STREAMING TAR INGEST — WebDataset shards under readStream: each
+    * arriving micro-batch of archive blobs pays ONE mapPartitions
+    * walk through the batch kernel
+    * ([[graft.operators.Archives.tarMembersOf]]): header checksums,
+    * typeflag dispatch, member extraction — stateless, no shuffle,
+    * no state store; stream == batch member-for-member across
+    * arbitrary micro-batch splits, and a corrupt archive drops
+    * whole (never emits partial member lists). */
+  def tarIngestStream(media: Dataset[SMedia])(onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SMedia] =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SMedia], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        onBatch(graft.operators.Archives.tarMembersOf(
+          batch.map(m =>
+            graft.operators.Multimodal.MediaRow(m.doc_id, m.blob))).toDF())
+        ()
+      }
+
   /** STREAMING SNAPSHOT INGEST — exactly-once transactional append
     * into an Iceberg-lite [[graft.sources.SnapshotTable]]: each
     * micro-batch becomes ONE atomically-published table version via

@@ -113,6 +113,36 @@ class ArchivesSpec extends SparkSessionSpec {
     }
   }
 
+  test("pack_tar: written shards round-trip every document byte-exactly") {
+    import org.apache.spark.sql.functions.col
+    // rebuild one shard the way the writer does and verify the
+    // archive's members recover the source texts exactly
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shard0 = docs.filter(_._1 % Archives.PackShards == 0).sortBy(_._1)
+    val blob = Archives.buildTar(shard0.map { case (id, text) =>
+      (s"doc$id.txt", text.getBytes("UTF-8"))
+    }.toSeq)
+    val ms = Archives.decodeTar(blob).get
+    assert(ms.size == shard0.length)
+    ms.zip(shard0).foreach { case (m, (id, text)) =>
+      assert(m.name == s"doc$id.txt")
+      val bytes = text.getBytes("UTF-8")
+      assert(m.size == bytes.length.toLong)
+      assert(m.payload_sum == bytes.map(b => (b & 0xff).toLong).sum,
+        s"doc $id payload must round-trip byte-exactly")
+    }
+    // .tar.gz composition: gunzip∘decodeTar recovers the same members
+    val gz = Archives.gzipBytes(blob)
+    assert(Archives.gunzip(gz).get.sameElements(blob))
+    assert(Archives.decodeTarGzInfo(0L, Archives.encodeTarGz(5L)).get ==
+      Archives.decodeTarInfo(0L, Archives.encodeTar(5L)).get)
+    // a flipped byte anywhere in the .tar.gz fails the gzip CRC
+    val bad = gz.clone(); bad(gz.length / 2) = (bad(gz.length / 2) ^ 1).toByte
+    assert(Archives.gunzip(bad).isEmpty)
+  }
+
   test("mm_tar and mm_gzip_text emit one row per document at sf0.001") {
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
     assert(Archives.mmTar(spark, sf0001).count() == n)

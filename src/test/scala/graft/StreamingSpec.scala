@@ -1032,6 +1032,31 @@ class StreamingSpec extends SparkSessionSpec {
       "fixture must contain unvoiced windows")
   }
 
+  test("streaming tar ingest equals the batch member relation across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Archives
+    import graft.streaming.StreamingOps.SMedia
+    val blobs = Archives.tarMedia(spark, sf0001).collect()
+      .map(m => SMedia(m.doc_id, m.blob))
+    val mem = MemoryStream[SMedia]
+    val got = scala.collection.mutable.Set[(Long, String, Long, Long, String)]()
+    val q = StreamingOps.tarIngestStream(mem.toDS()) { out =>
+      got ++= out.as[(Long, String, Long, Long, String)].collect()
+    }.start()
+    try {
+      val (a, rest) = blobs.splitAt(blobs.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      for (chunk <- Seq(a, b, c)) {
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = Archives.tarMemberRows(spark, sf0001)
+      .as[(Long, String, Long, Long, String)].collect().toSet
+    assert(got.toSet == batch,
+      s"tar ingest diverged: ${got.size} streamed vs ${batch.size} batch")
+    assert(batch.size > blobs.length, "multi-member archives expected")
+  }
+
   test("streaming image screen equals the batch screen across splits") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Multimodal
