@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Adpcm
+
+/** The compressed-audio codec path: the oracle replays the whole
+  * recursion in SQL, so this spec pins the kernel mechanics directly
+  * (step math, both clamps, nibble packing order) and the corruption
+  * posture. */
+class AdpcmSpec extends SparkSessionSpec {
+
+  test("step kernel: bit tests, sign, and both clamps") {
+    // n=0 at idx 0 (step 7): diff = 0, index clamps at 0
+    assert(Adpcm.step(100, 0, 0) == ((100, 0)))
+    // n=7 sets all three magnitude bits: diff = s>>3+s>>2+s>>1+s
+    val s20 = Adpcm.StepTable(20)
+    assert(Adpcm.step(0, 20, 7) ==
+      (((s20 >> 3) + (s20 >> 2) + (s20 >> 1) + s20, 28)))
+    // n=15 mirrors n=7 with the sign bit
+    assert(Adpcm.step(0, 20, 15) ==
+      ((-((s20 >> 3) + (s20 >> 2) + (s20 >> 1) + s20), 28)))
+    // predictor clamps both ways at the int16 rails
+    assert(Adpcm.step(32700, 88, 7)._1 == 32767)
+    assert(Adpcm.step(-32700, 88, 15)._1 == -32768)
+    // index clamps at 88
+    assert(Adpcm.step(0, 88, 4)._2 == 88)
+  }
+
+  test("decode equals a direct JVM recursion over the nibble stream") {
+    (0L until 30L).foreach { id =>
+      val nc = 17L + id % 50
+      val info = Adpcm.decode(id, Adpcm.encode(id, nc)).get
+      val nNib = Adpcm.nibblesOf(id, nc)
+      var pred = Adpcm.predInitOf(id)
+      var idx = Adpcm.idxInitOf(id)
+      var sum = pred.toLong
+      for (t <- 1 to nNib) {
+        val (p2, i2) = Adpcm.step(pred, idx, Adpcm.nibbleOf(id, t))
+        pred = p2; idx = i2; sum += pred
+      }
+      assert(info.n_samples == nNib + 1L, s"doc $id")
+      assert(info.sum_samples == sum, s"doc $id")
+      assert(info.final_pred == pred.toLong, s"doc $id")
+    }
+  }
+
+  test("corruption posture: None, never garbage") {
+    val good = Adpcm.encode(9L, 25L)
+    // wrong format tag (PCM) refuses
+    val pcm = good.clone(); pcm(20) = 1; pcm(21) = 0
+    assert(Adpcm.decode(9L, pcm).isEmpty)
+    // stereo refuses
+    val st = good.clone(); st(22) = 2
+    assert(Adpcm.decode(9L, st).isEmpty)
+    // step index out of range refuses
+    val bad = good.clone()
+    // locate the data chunk header: "data" then len, then pred/idx
+    val dAt = (0 until good.length - 4).find(i =>
+      new String(good, i, 4, "US-ASCII") == "data").get
+    bad(dAt + 8 + 2) = 120.toByte // idx > 88
+    assert(Adpcm.decode(9L, bad).isEmpty)
+    // truncations at every layer
+    for (cut <- Seq(4, 20, 40, good.length - 3))
+      assert(Adpcm.decode(9L, good.take(cut)).isEmpty, s"cut=$cut")
+    // garbage
+    assert(Adpcm.decode(9L, Array.fill(60)(3.toByte)).isEmpty)
+  }
+
+  test("mm_adpcm emits one row per document at sf0.001") {
+    val df = Adpcm.mmAdpcm(spark, sf0001)
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(df.count() == n)
+  }
+}
