@@ -813,6 +813,50 @@ object RelationalQueries {
       nodeName(col("lab")).as("community"))
   }
 
+  val SsspRounds = 4
+
+  /** MULTI-SOURCE SHORTEST PATHS over the trading graph — graph
+    * workload #5: hop-count distances from the seed set (customers
+    * with custkey ≡ 0 mod 50) by [[SsspRounds]] rounds of Bellman-Ford
+    * relaxation — distances exact for every node within that many
+    * hops, the bounded-frontier form production BFS runs in (a fixed
+    * round budget, like the fixed-iteration PageRank/LPA, keeps the
+    * plan finite and the oracle replayable round for round).
+    *
+    * Scale shape = the LPA loop's: edges cached pre-partitioned on
+    * the join key once, each round ONE SHUFFLE_HASH join of the
+    * cached edges with the node-sized distance relation plus a
+    * min-aggregation whose map-side combine collapses the relaxation
+    * stream before its exchange. min() is associative and order-free,
+    * so the result is deterministic regardless of partitioning.
+    * Unreached nodes carry no row (frontier-sized state, not
+    * graph-sized — at 100 TB the distance relation only ever holds
+    * the reached set). */
+  def qSssp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cs = tradeCs(spark, dir)
+    val parts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (2L * cs.count() + 65535L) / 65536L)).toInt
+    val edges = cs
+      .union(cs.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = edges.select(col("src").as("node")).distinct()
+      .where(col("node") % 100 === 0)
+      .withColumn("dist", lit(0L))
+    for (i <- 1 to SsspRounds) {
+      val relaxed = dist
+        .join(edges.hint("shuffle_hash"), col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (i == SsspRounds) dist = dist.localCheckpoint(true)
+    }
+    edges.unpersist()
+    dist.select(nodeName(col("node")).as("node"), col("dist"))
+  }
+
   private def pageRankCore(spark: SparkSession, dir: String,
                            init: (Long, Long) => Column,
                            teleport: (Long, Long) => Column): DataFrame = {
@@ -1048,6 +1092,7 @@ object RelationalQueries {
     "graph_pagerank" -> qPageRank,
     "graph_ppr" -> qPageRankPersonalized,
     "graph_communities" -> qCommunities,
+    "graph_sssp" -> qSssp,
     "q_not_in_anti" -> qNotInAnti,
     "q_freq_items_bound" -> qFreqItemsBound,
     "q_grouping_sets" -> qGroupingSets,
@@ -1280,6 +1325,34 @@ object RelationalQueries {
          |       (CASE WHEN lab % 2 = 0 THEN 'c' ELSE 's' END
          |        || CAST(lab // 2 AS BIGINT)) AS community
          |FROM l$LpaRounds""".stripMargin
+    },
+    // Bellman-Ford unrolled round for round: d_r = min(d_{r-1},
+    // 1 + d_{r-1} over incoming edges) — min is order-free, so the
+    // replay is exact
+    "graph_sssp" -> {
+      val rounds = (1 to SsspRounds).map { i =>
+        s"""d$i AS (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, d.dist + 1 AS dist
+           |    FROM d${i - 1} d JOIN edges e ON e.src = d.node)
+           |  GROUP BY node
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), edges AS (
+         |  SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs
+         |), d0 AS (
+         |  SELECT DISTINCT src AS node, 0 AS dist FROM edges
+         |  WHERE src % 100 = 0
+         |), $rounds
+         |SELECT (CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END
+         |        || CAST(node // 2 AS BIGINT)) AS node,
+         |       CAST(dist AS BIGINT) AS dist
+         |FROM d$SsspRounds""".stripMargin
     },
     "q_not_in_anti" ->
       """WITH early AS (
