@@ -31,6 +31,100 @@ class PropertySpec extends SparkSessionSpec {
       .sortBy(_._1).toSeq
   }
 
+  test("GIF LZW round-trips ARBITRARY rasters (seeded random, both modes)") {
+    import operators.Gif
+    val rasterGen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, px.toArray)
+    samples(rasterGen, 25).foreach { case (w, h, px) =>
+      def at(r: Int, j: Int): Int = px(r * w + j)
+      for (interlaced <- Seq(false, true)) {
+        val blob = Gif.encodeFrames(w, h, Seq(at _), interlaced)
+        val (dw, dh, out) = Gif.decodePixels(blob)
+          .getOrElse(fail(s"${w}x$h interlaced=$interlaced must decode"))
+        assert(dw == w && dh == h)
+        assert(out.sameElements(px), s"${w}x$h interlaced=$interlaced")
+      }
+    }
+  }
+
+  test("gzip round-trips ARBITRARY byte payloads; tar ARBITRARY members") {
+    import operators.Archives
+    val bytesGen = Gen.chooseNum(0, 3000)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127)))
+      .map(_.map(_.toByte).toArray)
+    samples(bytesGen, 20).foreach { payload =>
+      assert(Archives.gunzip(Archives.gzipBytes(payload)).get
+        .sameElements(payload), s"gzip len=${payload.length}")
+    }
+    val membersGen = for {
+      n <- Gen.chooseNum(1, 6)
+      ms <- Gen.listOfN(n, Gen.zip(
+        Gen.chooseNum(1, 30).flatMap(l =>
+          Gen.listOfN(l, Gen.alphaNumChar).map(_.mkString)),
+        Gen.chooseNum(0, 1200).flatMap(l =>
+          Gen.listOfN(l, Gen.chooseNum(-128, 127)).map(_.map(_.toByte)))))
+    } yield ms.zipWithIndex.map { case ((nm, data), i) =>
+      (s"$i/$nm", data.toArray) // unique names (tar allows dups; rows don't)
+    }
+    samples(membersGen, 15).foreach { members =>
+      val ms = Archives.decodeTar(Archives.buildTar(members))
+        .getOrElse(fail(s"${members.size} members must decode"))
+      assert(ms.size == members.size)
+      ms.zip(members).foreach { case (m, (nm, data)) =>
+        assert(m.name == nm && m.size == data.length.toLong)
+        assert(m.payload_sum == data.map(b => (b & 0xff).toLong).sum)
+      }
+    }
+  }
+
+  test("ADPCM decode equals the reference recursion on ARBITRARY streams") {
+    import operators.Adpcm
+    val streamGen = for {
+      pred0 <- Gen.chooseNum(-32768, 32767)
+      idx0 <- Gen.chooseNum(0, 88)
+      nibs <- Gen.chooseNum(0, 60)
+        .flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 15)))
+    } yield (pred0, idx0, nibs)
+    samples(streamGen, 25).foreach { case (pred0, idx0, nibs) =>
+      // build the block by hand (the encoder pins the corpus closed
+      // forms; this drives the DECODER over the whole state space,
+      // including extreme predictors near the clamp rails)
+      val nibBytes = (nibs.length + 1) / 2
+      val blockAlign = 4 + nibBytes
+      val nSamples = 1 + nibs.length
+      val bb = java.nio.ByteBuffer
+        .allocate(12 + 8 + 20 + 8 + 4 + 8 + blockAlign)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes)
+      bb.putInt(4 + 8 + 20 + 8 + 4 + 8 + blockAlign)
+      bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(20)
+      bb.putShort(0x11); bb.putShort(1); bb.putInt(8000); bb.putInt(4000)
+      bb.putShort(blockAlign.toShort); bb.putShort(4); bb.putShort(2)
+      bb.putShort(nSamples.toShort)
+      bb.put("fact".getBytes); bb.putInt(4); bb.putInt(nSamples)
+      bb.put("data".getBytes); bb.putInt(blockAlign)
+      bb.putShort(pred0.toShort); bb.put(idx0.toByte); bb.put(0.toByte)
+      nibs.grouped(2).foreach { g =>
+        bb.put((g.head | (g.lift(1).getOrElse(0) << 4)).toByte)
+      }
+      val info = Adpcm.decode(7L, bb.array()).get
+      var pred = pred0
+      var idx = idx0
+      var sum = pred.toLong
+      nibs.foreach { n =>
+        val (p2, i2) = Adpcm.step(pred, idx, n)
+        pred = p2; idx = i2; sum += pred
+      }
+      assert(info.n_samples == nSamples.toLong)
+      assert(info.sum_samples == sum, s"pred0=$pred0 idx0=$idx0")
+      assert(info.final_pred == pred.toLong)
+    }
+  }
+
   test("tokenBudgetOf equals a brute-force greedy replay on random corpora") {
     val corpusGen = for {
       nSrc <- Gen.chooseNum(1, 4)
