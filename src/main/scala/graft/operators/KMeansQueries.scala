@@ -157,6 +157,74 @@ object KMeansQueries {
     }.toSeq.toDF("cluster", "dim", "value")
   }
 
+  val BisectK = 4
+  val BisectRounds = 3
+
+  /** BISECTING K-MEANS (Steinbach/Karypis/Kumar, KDD'00 workshop) —
+    * the divisive variant every clustering library ships next to
+    * Lloyd: start with one cluster, repeatedly 2-means-split the
+    * LARGEST cluster (ties → smallest label) until [[BisectK]]
+    * clusters exist. Each split runs a fixed [[BisectRounds]]-round
+    * seeded 2-means: seeds are the cluster's first two points in the
+    * runReplayable id-hash order, per-round means quantize to 6dp
+    * (the kmeans_full parity rules), assignment ties go to child 0
+    * (the strict-argmin O4 rule), and an empty child keeps its
+    * previous centroid — every branch deterministic, so the DuckDB
+    * oracle replays the WHOLE divisive tree value-exactly with the
+    * splits and rounds unrolled as chained CTEs.
+    *
+    * Scale shape: per round ONE scan of the target cluster's points
+    * (hash-partitioned membership join) into the k=2 partial/final
+    * aggregate — the O6-O8 shape; the labels relation is n-sized,
+    * re-checkpointed once per split; the driver holds only 2·d
+    * doubles and the loop counters. Total work ≈ Lloyd with k=2 per
+    * level — the classic bisecting win: splits touch ever-smaller
+    * subsets while quality tracks full k-means. */
+  def kmeansBisecting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pts = points(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val hashOrd = ((col("vec_id") * lit(2654435761L) + lit(42L * 40503L))
+      % lit(2147483647L)).asc
+    var labels = pts.select(col("vec_id")).withColumn("lab", lit(0))
+      .localCheckpoint(true)
+    for (s <- 1 until BisectK) {
+      val tgt = labels.groupBy(col("lab")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lab")).limit(1)
+        .collect()(0).getInt(0)
+      val sub = pts.join(labels.where(col("lab") === tgt), "vec_id")
+        .select(col("vec_id"), col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var cents = sub.orderBy(hashOrd, col("vec_id").asc).limit(2)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      for (_ <- 1 to BisectRounds) {
+        val upd = KMeansOps.lloydRound(sub, "v", cents)
+          .select(col("cluster"),
+            transform(col("centroid"), x => round(x, 6)).as("centroid"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        // an empty child keeps its previous centroid (deterministic,
+        // mirrored by the oracle's coalesce)
+        cents = Array(upd.getOrElse(0, cents(0)), upd.getOrElse(1, cents(1)))
+      }
+      val child = KMeansOps.assignDyn(sub, "v", cents)
+        .select(col("vec_id"), col("cluster").as("child"))
+      labels = labels.join(child, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("child") === 1, lit(s)).otherwise(col("lab")).as("lab"))
+        .localCheckpoint(true)
+      sub.unpersist()
+    }
+    val outDf = pts.join(labels, "vec_id")
+      .select(col("lab"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("lab"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("lab").cast("int").as("cluster"),
+        (col("pos") + 1).cast("int").as("dim"),
+        round(col("sx") / col("n"), 6).as("value"),
+        col("n"))
+    outDf
+  }
+
   /** k-means‖ oversampling factor (Bahmani et al., VLDB'12 use l = 2k)
     * and round count. */
   val KmparL = 16L
@@ -382,6 +450,7 @@ object KMeansQueries {
     "km_cost" -> kmCost,
     "kmeans_par_init" -> kmeansParInit,
     "kmeans_minibatch" -> kmeansMiniBatch,
+    "kmeans_bisecting" -> kmeansBisecting,
     "kmeans_full" -> kmeansFull)
 
   /** Shared oracle CTEs: deterministic centroids + assignment.
@@ -561,6 +630,72 @@ object KMeansQueries {
     // state row, stopping on Σ‖Δc‖ < eps or the maxIter−1 update bound.
     // State rows recurse only while s.err ≥ eps, so the final (max r)
     // row is the run's result whether it converged or hit the bound.
+    // the whole divisive tree unrolled: per split, the target-cluster
+    // election, the id-hash seed pair, BisectRounds assign/update
+    // rounds (6dp-quantized means, empty child keeps its centroid via
+    // coalesce), the final child assignment, and the label rewrite —
+    // then final per-cluster means. Every branch of the engine loop
+    // has a CTE twin, so a wrong split target, a swapped child, or a
+    // missed quantization shows as a value mismatch.
+    "kmeans_bisecting" -> {
+      val splits = (1 until BisectK).map { s =>
+        val rounds = (1 to BisectRounds).map { r =>
+          s"""a${s}r$r AS MATERIALIZED (
+             |  SELECT vec_id, v,
+             |    CASE WHEN list_distance(v, (SELECT c0 FROM c${s}r${r - 1}))
+             |           <= list_distance(v, (SELECT c1 FROM c${s}r${r - 1}))
+             |         THEN 0 ELSE 1 END AS ch
+             |  FROM sub$s
+             |), c${s}r$r AS MATERIALIZED (
+             |  SELECT
+             |    coalesce((SELECT list(round(m, 6) ORDER BY dim) FROM (
+             |       SELECT g.dim AS dim, sum(v[g.dim]) / count(*) AS m
+             |       FROM a${s}r$r, generate_series(1, $DIM) g(dim)
+             |       WHERE ch = 0 GROUP BY g.dim)),
+             |      (SELECT c0 FROM c${s}r${r - 1})) AS c0,
+             |    coalesce((SELECT list(round(m, 6) ORDER BY dim) FROM (
+             |       SELECT g.dim AS dim, sum(v[g.dim]) / count(*) AS m
+             |       FROM a${s}r$r, generate_series(1, $DIM) g(dim)
+             |       WHERE ch = 1 GROUP BY g.dim)),
+             |      (SELECT c1 FROM c${s}r${r - 1})) AS c1
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""tgt$s AS MATERIALIZED (
+           |  SELECT lab FROM l${s - 1} GROUP BY lab
+           |  ORDER BY count(*) DESC, lab LIMIT 1
+           |), sub$s AS MATERIALIZED (
+           |  SELECT vec_id, v FROM l${s - 1}
+           |  WHERE lab = (SELECT lab FROM tgt$s)
+           |), c${s}r0 AS MATERIALIZED (
+           |  SELECT cs[1] AS c0, cs[2] AS c1 FROM (
+           |    SELECT list(v ORDER BY h, vec_id) AS cs FROM (
+           |      SELECT v,
+           |        (vec_id * 2654435761 + 42 * 40503) % 2147483647 AS h,
+           |        vec_id
+           |      FROM sub$s ORDER BY h, vec_id LIMIT 2))
+           |), $rounds, fin$s AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    CASE WHEN
+           |        list_distance(v, (SELECT c0 FROM c${s}r$BisectRounds))
+           |        <= list_distance(v, (SELECT c1 FROM c${s}r$BisectRounds))
+           |      THEN 0 ELSE 1 END AS ch
+           |  FROM sub$s
+           |), l$s AS MATERIALIZED (
+           |  SELECT l.vec_id, l.v,
+           |    CASE WHEN f.ch = 1 THEN $s ELSE l.lab END AS lab
+           |  FROM l${s - 1} l LEFT JOIN fin$s f ON l.vec_id = f.vec_id
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), l0 AS MATERIALIZED (SELECT vec_id, v, 0 AS lab FROM e),
+         |$splits
+         |SELECT lab AS cluster, CAST(g.dim AS INT) AS dim,
+         |  round(sum(v[g.dim]) / count(*), 6) AS value,
+         |  count(*) AS n
+         |FROM l${BisectK - 1}, generate_series(1, $DIM) g(dim)
+         |GROUP BY lab, g.dim""".stripMargin
+    },
     "kmeans_full" ->
       s"""WITH RECURSIVE e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -252,6 +252,28 @@ class KMeansSpec extends SparkSessionSpec {
     assert(nSeen.forall(_ > 0))
   }
 
+  test("kmeansBisecting yields BisectK clusters, full coverage, repeatable") {
+    import operators.KMeansQueries
+    val rows = KMeansQueries.kmeansBisecting(spark, sf0001)
+      .as[(Int, Int, Double, Long)].collect().sortBy(r => (r._1, r._2))
+    val byCluster = rows.groupBy(_._1)
+    // the divisive tree ran to completion: labels 0..K-1 all populated
+    assert(byCluster.keySet == (0 until KMeansQueries.BisectK).toSet)
+    assert(rows.length == KMeansQueries.BisectK * KMeansQueries.DIM)
+    // every point is in exactly one cluster (sizes partition the corpus)
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(byCluster.values.map(_.head._4).sum == n)
+    assert(byCluster.values.forall(_.head._4 > 0), "no empty final cluster")
+    // centroid components sit on the 6dp grid (the parity rule)
+    rows.foreach { case (_, _, v, _) =>
+      assert(KMeansRunner.roundHalfUp(v, 6) == v)
+    }
+    // deterministic: a second run reproduces the result bit-for-bit
+    val again = KMeansQueries.kmeansBisecting(spark, sf0001)
+      .as[(Int, Int, Double, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(again.sameElements(rows))
+  }
+
   test("sampler headroom guard errors at phi = 2^43, passes just below") {
     import graft.operators.KMeansQueries
     // φ one below the ceiling: the guard must be a transparent TRUE
