@@ -181,8 +181,111 @@ object Adpcm {
         col("final_pred"))
   }
 
+  // -------------------------------------------------------------------
+  // μ-law (G.711) — the telephony companding codec, WAV format tag 7
+  // -------------------------------------------------------------------
+
+  /** G.711 μ-law expansion of one encoded byte — the canonical
+    * table-free form: complement, 3-bit exponent, 4-bit mantissa,
+    * bias 0x84, sign from bit 7 of the complemented byte. Pure
+    * integer arithmetic, so the oracle replays it closed-form. */
+  def ulawDecodeByte(b: Int): Int = {
+    val u = (~b) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  def ulawSamplesOf(nChars: Long): Int = ((nChars % 50) + 1).toInt
+  def ulawByteOf(docId: Long, i: Int): Int =
+    ((docId * 31 + i * 7L) % 256).toInt
+
+  /** WAV container for μ-law: format tag 7, 8 bits/sample, mono. */
+  def encodeUlaw(docId: Long, nChars: Long): Array[Byte] = {
+    val n = ulawSamplesOf(nChars)
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 + 4 + 8 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(4 + 8 + 18 + 8 + 4 + 8 + n)
+    bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(18)
+    bb.putShort(7)      // μ-law
+    bb.putShort(1)      // mono
+    bb.putInt(8000)
+    bb.putInt(8000)     // byte rate = rate · 1 byte/sample
+    bb.putShort(1)      // block align
+    bb.putShort(8)      // bits per sample
+    bb.putShort(0)      // cbSize
+    bb.put("fact".getBytes); bb.putInt(4); bb.putInt(n)
+    bb.put("data".getBytes); bb.putInt(n)
+    var i = 1
+    while (i <= n) { bb.put(ulawByteOf(docId, i).toByte); i += 1 }
+    bb.array()
+  }
+
+  final case class UlawInfo(doc_id: Long, n_samples: Long, sum_pcm: Long,
+                            sum_abs: Long)
+
+  /** Decode a mono μ-law WAV blob: container walk (format tag 7,
+    * 8-bit, mono, fact cross-check), per-byte G.711 expansion. */
+  def decodeUlaw(docId: Long, b: Array[Byte]): Option[UlawInfo] = {
+    try {
+      def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      def u32(off: Int): Long =
+        (u16(off) & 0xffffL) | ((u16(off + 2) & 0xffffL) << 16)
+      if (b.length < 12 ||
+          new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+      var p = 12
+      var fmtAt = -1
+      var dataAt = -1
+      var dataLen = -1
+      var factSamples = -1L
+      while (p + 8 <= b.length) {
+        val cid = new String(b, p, 4, "US-ASCII")
+        val clen = u32(p + 4).toInt
+        if (clen < 0 || p + 8 + clen > b.length) return None
+        cid match {
+          case "fmt " => fmtAt = p + 8
+          case "fact" => if (clen >= 4) factSamples = u32(p + 8)
+          case "data" => dataAt = p + 8; dataLen = clen
+          case _ => ()
+        }
+        p += 8 + clen + (clen & 1)
+      }
+      if (fmtAt < 0 || dataAt < 0) return None
+      if (u16(fmtAt) != 7) return None    // μ-law only
+      if (u16(fmtAt + 2) != 1) return None // mono only
+      if (u16(fmtAt + 14) != 8) return None // 8-bit
+      if (factSamples >= 0 && factSamples != dataLen.toLong) return None
+      var sum = 0L
+      var sumAbs = 0L
+      var i = 0
+      while (i < dataLen) {
+        val s = ulawDecodeByte(b(dataAt + i) & 0xff)
+        sum += s
+        sumAbs += math.abs(s)
+        i += 1
+      }
+      Some(UlawInfo(docId, dataLen.toLong, sum, sumAbs))
+    } catch { case _: Exception => None }
+  }
+
+  def mmUlaw(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        decodeUlaw(id, encodeUlaw(id, nc))
+      })
+      .toDF()
+      .select(col("doc_id"), col("n_samples"), col("sum_pcm"),
+        col("sum_abs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_adpcm" -> mmAdpcm)
+    "mm_adpcm" -> mmAdpcm,
+    "mm_ulaw" -> mmUlaw)
 
   private def stepTableSql: String =
     StepTable.zipWithIndex
@@ -239,5 +342,28 @@ object Adpcm {
         |SELECT doc_id, CAST(n_nib + 1 AS BIGINT) AS n_samples,
         |  CAST(acc AS BIGINT) AS sum_samples,
         |  CAST(pred AS BIGINT) AS final_pred
-        |FROM rec WHERE t = n_nib""".stripMargin)
+        |FROM rec WHERE t = n_nib""".stripMargin,
+    // G.711 expansion closed-form: u = 255 − byte, exponent
+    // (u // 16) % 8, mantissa u % 16, bias 132, sign from u ≥ 128 —
+    // pure integer arithmetic, both witnesses replayed per sample
+    "mm_ulaw" ->
+      """WITH p AS (
+        |  SELECT doc_id, (n_chars % 50) + 1 AS n FROM documents
+        |), x AS (
+        |  SELECT p.doc_id, p.n,
+        |    255 - (p.doc_id * 31 + i.i * 7) % 256 AS u
+        |  FROM p JOIN (SELECT unnest(generate_series(1, 50)) AS i) i
+        |    ON i.i <= p.n
+        |), s AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN u >= 128
+        |         THEN 132 - ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+        |         ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+        |    END AS pcm
+        |  FROM x
+        |)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(pcm) AS BIGINT) AS sum_pcm,
+        |  CAST(sum(abs(pcm)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY doc_id""".stripMargin)
 }

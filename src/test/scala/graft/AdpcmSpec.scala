@@ -65,6 +65,36 @@ class AdpcmSpec extends SparkSessionSpec {
     assert(Adpcm.decode(9L, Array.fill(60)(3.toByte)).isEmpty)
   }
 
+  test("μ-law expansion: canonical values, symmetry, container gates") {
+    // canonical anchor points of the G.711 table
+    assert(Adpcm.ulawDecodeByte(0xff) == 0)      // +0
+    assert(Adpcm.ulawDecodeByte(0x7f) == 0)      // −0
+    assert(Adpcm.ulawDecodeByte(0x80) == 32124)  // max positive
+    assert(Adpcm.ulawDecodeByte(0x00) == -32124) // max negative
+    // complement symmetry: flipping the sign bit negates the sample
+    (0 until 128).foreach { b =>
+      assert(Adpcm.ulawDecodeByte(b) == -Adpcm.ulawDecodeByte(b | 0x80), b)
+    }
+    // round-trip vs direct recompute over corpus-shaped blobs
+    (0L until 20L).foreach { id =>
+      val nc = 3L + id * 7 % 50
+      val info = Adpcm.decodeUlaw(id, Adpcm.encodeUlaw(id, nc)).get
+      val n = Adpcm.ulawSamplesOf(nc)
+      val pcm = (1 to n).map(i =>
+        Adpcm.ulawDecodeByte(Adpcm.ulawByteOf(id, i)))
+      assert(info.n_samples == n.toLong)
+      assert(info.sum_pcm == pcm.map(_.toLong).sum)
+      assert(info.sum_abs == pcm.map(s => math.abs(s).toLong).sum)
+    }
+    // container gates: PCM tag, stereo, truncation all refuse
+    val good = Adpcm.encodeUlaw(9L, 25L)
+    val pcmTag = good.clone(); pcmTag(20) = 1
+    assert(Adpcm.decodeUlaw(9L, pcmTag).isEmpty)
+    val st = good.clone(); st(22) = 2
+    assert(Adpcm.decodeUlaw(9L, st).isEmpty)
+    assert(Adpcm.decodeUlaw(9L, good.take(good.length - 2)).isEmpty)
+  }
+
   test("mm_adpcm emits one row per document at sf0.001") {
     val df = Adpcm.mmAdpcm(spark, sf0001)
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
