@@ -87,6 +87,33 @@ class ArchivesSpec extends SparkSessionSpec {
       "FNAME header must be skipped")
   }
 
+  test("zip: members round-trip; CRC, EOCD, and stored-only gates hold") {
+    // same member relation as tar, through the zip grammar
+    (0L until 20L).foreach { id =>
+      val zs = Archives.decodeZip(Archives.encodeZip(id)).get
+      val ts = Archives.decodeTar(Archives.encodeTar(id)).get
+      assert(zs == ts, s"doc $id: zip and tar must agree member-for-member")
+    }
+    val good = Archives.encodeZip(5L)
+    // a flipped payload byte fails the member CRC (member 0's data
+    // starts after the 30-byte local header + 14-byte name)
+    val bad = good.clone()
+    bad(46) = (bad(46) ^ 0x20).toByte
+    assert(Archives.decodeZip(bad).isEmpty)
+    // truncated EOCD / missing central directory refuse
+    assert(Archives.decodeZip(good.take(good.length - 10)).isEmpty)
+    assert(Archives.decodeZip(good.take(40)).isEmpty)
+    // a compressed member (method != 0) is out of scope → None
+    val deflated = good.clone()
+    val cdAt = (0 until deflated.length - 4).find(i =>
+      (deflated(i) & 0xff) == 0x50 && (deflated(i + 1) & 0xff) == 0x4b &&
+      (deflated(i + 2) & 0xff) == 0x01 && (deflated(i + 3) & 0xff) == 0x02).get
+    deflated(cdAt + 10) = 8 // method = deflate in the CD entry
+    assert(Archives.decodeZip(deflated).isEmpty)
+    // garbage
+    assert(Archives.decodeZip(Array.fill(100)(9.toByte)).isEmpty)
+  }
+
   test("dedup_members: md5 groups are true content equality") {
     // find a duplicate group from the member relation, then compare
     // the ACTUAL payload bytes of its members byte-for-byte
