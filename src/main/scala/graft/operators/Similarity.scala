@@ -169,6 +169,66 @@ object Similarity {
         col("score"))
   }
 
+  val BeamWidth = 8
+  val BeamHops = 6
+  val GraphTopK = 3
+
+  /** GRAPH-NAVIGATION ANN SEARCH — the modern (HNSW/NSG-family) tier
+    * next to IVF/PQ/BQ: greedy BEAM SEARCH over the prebuilt kNN
+    * graph ([[annKnnGraph]] — the single-layer navigable graph).
+    * Every query starts at the deterministic entry point (minimum
+    * vec_id), then [[BeamHops]] rounds of expand-score-prune: frontier
+    * ∪ its graph neighbors, cosine-scored against the query, cut to
+    * the [[BeamWidth]] best (ties → smallest id; scores 6dp-rounded,
+    * so both engines rank identically). Output: the final frontier's
+    * top [[GraphTopK]] excluding the query itself.
+    *
+    * Scale shape: the navigation graph is n·K rows, built once and
+    * persisted hash-partitioned on the node key; per hop the
+    * frontier relation (queries·beam rows) BROADCASTS into one edge
+    * join and one corpus join — the searches never shuffle anything
+    * corpus-sized, which is exactly how a graph index serves at
+    * 100 TB (the graph is the big artifact; lookups ride broadcasts).
+    * The beam cut runs through the native TopKPerKey heaps. */
+  def annGraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = emb(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = annKnnGraph(spark, dir)
+      .select(col("query_id").as("node"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val queries = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val entry = e.agg(min(col("vec_id"))).collect()(0).getLong(0)
+    var frontier: DataFrame = queries.select(col("query_id"))
+      .withColumn("node", lit(entry))
+    for (_ <- 1 to BeamHops) {
+      val expanded = frontier.select(col("query_id"), col("node"))
+        .unionByName(edges.join(broadcast(frontier
+            .select(col("query_id"), col("node"))), "node")
+          .select(col("query_id"), col("neighbor_id").as("node")))
+        .distinct()
+      val scored = e
+        .select(col("vec_id").as("node"), col("v"), col("nrm"))
+        .join(broadcast(expanded), "node")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("node"), cosineScore.as("score"))
+      frontier = graft.plans.TopKPerKey.topKPerKey(scored,
+        Seq("query_id"), Seq("score" -> false, "node" -> true), BeamWidth)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node"))
+    val out = frontier.where(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= GraphTopK)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        col("score"))
+      .localCheckpoint(true) // eager: caller reads after the unpersists
+    edges.unpersist()
+    e.unpersist()
+    out
+  }
+
   /** EMBEDDING DISTRIBUTION DRIFT — the monitoring op a production
     * corpus runs between snapshots: quantize BOTH corpus versions
     * onto the SAME frozen coarse cells (the deployed quantizer — a
@@ -855,6 +915,7 @@ object Similarity {
     "retrieval_phrase" -> retrievalPhrase,
     "ann_cell_drift" -> annCellDrift,
     "ann_knn_graph" -> annKnnGraph,
+    "ann_graph_search" -> annGraphSearch,
     "ann_label_transfer" -> annLabelTransfer,
     "ann_topk_cosine" -> annTopKCosine,
     "ann_ivf" -> annIvfCosine,
@@ -1330,6 +1391,49 @@ object Similarity {
     "ann_knn_graph" ->
       s"""WITH $centsCte, $knnGraphCte
          |SELECT query_id, rank, neighbor_id, score FROM knn""".stripMargin,
+    // beam search unrolled hop for hop over the knn graph: expand
+    // (frontier ∪ neighbors, DISTINCT), cosine-score, prune to the
+    // beam (score DESC, id) — MATERIALIZED so the hop chain doesn't
+    // inline exponentially; final top-k excludes the query itself
+    "ann_graph_search" -> {
+      val hops = (1 to BeamHops).map { h =>
+        s"""cand$h AS MATERIALIZED (
+           |  SELECT DISTINCT query_id, node FROM (
+           |    SELECT query_id, node FROM f${h - 1}
+           |    UNION ALL
+           |    SELECT f.query_id, g.neighbor_id AS node
+           |    FROM f${h - 1} f JOIN edges g ON g.node = f.node)
+           |), sc$h AS MATERIALIZED (
+           |  SELECT c.query_id, c.node,
+           |    round(list_cosine_similarity(q.qv, ev.v), 6) AS s
+           |  FROM cand$h c
+           |  JOIN q ON q.query_id = c.query_id
+           |  JOIN ev ON ev.vec_id = c.node
+           |), f$h AS MATERIALIZED (
+           |  SELECT query_id, node, s FROM (
+           |    SELECT query_id, node, s, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY s DESC, node) AS rn
+           |    FROM sc$h) WHERE rn <= $BeamWidth
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $centsCte, $knnGraphCte,
+         |edges AS MATERIALIZED (
+         |  SELECT query_id AS node, neighbor_id FROM knn
+         |), ev AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), f0 AS MATERIALIZED (
+         |  SELECT query_id, (SELECT min(vec_id) FROM embeddings) AS node,
+         |         0.0 AS s
+         |  FROM q
+         |), $hops
+         |SELECT query_id, CAST(rank AS INT) AS rank, node AS neighbor_id,
+         |       s AS score
+         |FROM (
+         |  SELECT query_id, node, s, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY s DESC, node) AS rank
+         |  FROM f$BeamHops WHERE node <> query_id)
+         |WHERE rank <= $GraphTopK""".stripMargin
+    },
     // both halves quantized on the SAME frozen cells; shares in
     // integer micros (round(n·1e6/tot), the temperature-mixing rule)
     "ann_cell_drift" ->

@@ -400,6 +400,43 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(PngDecoder.decodeRgb(7L, good.take(good.length - 6)).isEmpty)
   }
 
+  test("graph beam search: structure, determinism, recall vs exact cosine") {
+    import operators.Similarity
+    val rows = Similarity.annGraphSearch(spark, sf0001)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // one full top-k list per query, never the query itself, ranks 1..k
+    assert(rows.length == Similarity.NQueries * Similarity.GraphTopK)
+    rows.foreach { case (q, _, n, s) =>
+      assert(n != q && s >= -1.0 && s <= 1.0)
+    }
+    assert(rows.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq ==
+      (1 to Similarity.GraphTopK).toSeq))
+    // deterministic across runs (entry point, tie rules, 6dp scores)
+    val again = Similarity.annGraphSearch(spark, sf0001)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(again.sameElements(rows))
+    // navigation quality: recall vs exact cosine top-k has a floor
+    // (measured 0.87 at this SF; the floor leaves noise headroom)
+    val e = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.rint(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)) * 1e6) / 1e6
+    }
+    val hits = (0L until Similarity.NQueries.toLong).map { q =>
+      val exact = e.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(e(q), e(n)), n)).take(Similarity.GraphTopK).toSet
+      val got = rows.filter(_._1 == q).map(_._3).toSet
+      (got & exact).size
+    }.sum
+    val recall = hits.toDouble /
+      (Similarity.NQueries * Similarity.GraphTopK)
+    assert(recall >= 0.5, s"beam-search recall $recall below floor")
+  }
+
   test("refined search recall beats or matches plain IVF-PQ vs exact L2") {
     val emb = Tables.t(spark, sf0001, "embeddings")
       .select(col("vec_id"),
