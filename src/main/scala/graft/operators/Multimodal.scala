@@ -1082,8 +1082,62 @@ object Multimodal {
         round(col("mean_b"), 6).as("mean_b"))
   }
 
+  final case class DispatchRow(doc_id: Long, format: String,
+                               n_units: Long, witness: Double)
+
+  /** FOUR-WAY CONTAINER DISPATCH — the shape of a real multimodal
+    * table: one binary column whose format varies row to row
+    * (GIF / JPEG / tar / gzip by doc_id mod 4), decoded in ONE
+    * mapPartitions pass that dispatches on the container magic —
+    * GIF8 header, the JPEG SOI marker, the ustar magic at offset
+    * 257, the gzip 1f 8b — through the four REAL decoders. Per
+    * format, one count witness and one value witness ride out, each
+    * replayed by its family's closed form; an unrecognized blob
+    * drops. The mm_decode pattern widened from 2 to 4 codecs, now
+    * spanning image, entropy-coded image, archive, and compressed
+    * text in a single relation. */
+  def mmDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val blob = (id % 4) match {
+          case 0 => Gif.encode(id)
+          case 1 => Jpeg.encode(id)
+          case 2 => Archives.encodeTar(id)
+          case _ => Archives.encodeGzip(text)
+        }
+        (id, blob)
+      })
+      .mapPartitions(_.flatMap { case (id, b) =>
+        if (b.length > 6 && new String(b, 0, 4, "US-ASCII") == "GIF8")
+          Gif.decodeInfo(id, b).map(g =>
+            DispatchRow(id, "gif", g.n_pixels,
+              graft.kmeans.KMeansRunner.roundHalfUp(g.mean_px, 6)))
+        else if (b.length > 2 && (b(0) & 0xff) == 0xff &&
+                 (b(1) & 0xff) == 0xd8)
+          Jpeg.decodeInfo(id, b).map(j =>
+            DispatchRow(id, "jpeg", j.n_blocks,
+              graft.kmeans.KMeansRunner.roundHalfUp(j.mean_px, 6)))
+        else if (b.length > 2 && (b(0) & 0xff) == 0x1f &&
+                 (b(1) & 0xff) == 0x8b)
+          Archives.decodeGzip(id, b).map(g =>
+            DispatchRow(id, "gzip", g.n_toks, g.n_bytes.toDouble))
+        else if (b.length > 262 &&
+                 new String(b, 257, 5, "US-ASCII") == "ustar")
+          Archives.decodeTarInfo(id, b).map(t =>
+            DispatchRow(id, "tar", t.n_members, t.payload_sum.toDouble))
+        else None
+      })
+      .toDF()
+      .select(col("doc_id"), col("format"), col("n_units"), col("witness"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mmMeta,
+    "mm_dispatch" -> mmDispatch,
     "mm_png_rgb" -> mmPngRgb,
     "mm_frames" -> mmFrames,
     "mm_wav" -> mmWav,
@@ -1292,6 +1346,41 @@ object Multimodal {
     // q_N = Σ x_t · u_{(N−t) mod 6} with u = [1,1,0,−1,−1,0] (the
     // period-6 homogeneous solution of q_t = x_t + q_{t−1} − q_{t−2});
     // channel-0 sample of frame t is payload index (t−1)·nch + 1
+    // per-format closed forms, one branch per doc_id mod 4 — the
+    // gif/jpeg/tar/gzip family oracles' arithmetic, unioned
+    "mm_dispatch" ->
+      """SELECT doc_id, 'gif' AS format,
+        |  CAST((4 + doc_id % 9) * (3 + doc_id % 6) AS BIGINT) AS n_units,
+        |  round((SELECT sum((doc_id*7 + (c.k // (4 + doc_id % 9))*31
+        |                     + (c.k % (4 + doc_id % 9))*13) % 251)
+        |         FROM (SELECT unnest(generate_series(0, 116)) AS k) c
+        |         WHERE c.k < (4 + doc_id % 9) * (3 + doc_id % 6))
+        |        / ((4 + doc_id % 9) * (3 + doc_id % 6) * 1.0), 6)
+        |    AS witness
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, 'jpeg' AS format,
+        |  CAST((1 + doc_id % 3) * (1 + doc_id % 2) AS BIGINT) AS n_units,
+        |  round((SELECT avg(128 + 2 * (((doc_id + 7*g.i) % 9) - 4))
+        |         FROM generate_series(0, 5) g(i)
+        |         WHERE g.i < (1 + doc_id % 3) * (1 + doc_id % 2)), 6)
+        |    AS witness
+        |FROM documents WHERE doc_id % 4 = 1
+        |UNION ALL
+        |SELECT doc_id, 'tar' AS format,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_units,
+        |  CAST((SELECT sum(((doc_id*3 + i.i*11) % 16 + j.j*7) % 256)
+        |        FROM (SELECT unnest(generate_series(0, 2)) AS i) i,
+        |             (SELECT unnest(generate_series(0, 99)) AS j) j
+        |        WHERE i.i < 1 + doc_id % 3
+        |          AND j.j < 1 + (doc_id*7 + i.i*13) % 100) AS DOUBLE)
+        |    AS witness
+        |FROM documents WHERE doc_id % 4 = 2
+        |UNION ALL
+        |SELECT doc_id, 'gzip' AS format,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_units,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) AS witness
+        |FROM documents WHERE doc_id % 4 = 3""".stripMargin,
     // truecolor replay: per-channel means over the three closed forms
     // (R = the gray pixel rule, G/B their own linear rules) — the
     // decode path recovers them through deflate → chunk → inflate →
