@@ -146,6 +146,55 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** TPC-H Q6 shape — the pure filter-aggregate: one scan, every
+    * predicate pushed into the parquet reader (shipdate range,
+    * discount band, quantity cap all show under PushedFilters), a
+    * two-column ReadSchema beyond the filter columns, and ONE
+    * partial→final aggregate with no exchange wider than one row.
+    * DECIMAL product so the sum is aggregation-order-free. The
+    * whole-stage-codegen ideal: at 100 TB this runs at scan
+    * bandwidth. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)"))
+        .cast("double").as("revenue"))
+      .select(round(col("revenue"), 2).as("revenue"))
+
+  /** TPC-H Q10 shape — returned-item customer ranking: revenue lost
+    * to returns (l_returnflag = 'R') in one order-date quarter, per
+    * customer with their nation, top 20. The flags/date filters push
+    * into both big scans; lineitem⋈orders is the one big⋈big edge
+    * (AQE broadcasts the date-filtered orders at test SF); customer
+    * and nation broadcast (dims stay dims); top-20 via
+    * TakeOrderedAndProject on the rounded revenue. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= to_timestamp(lit("1995-10-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("rev"))
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nat = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Window function: top-3 orders per customer by total price.
     * Deterministic tie-break on o_orderkey. */
   def qWindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
@@ -1113,6 +1162,8 @@ object RelationalQueries {
     "q3_join" -> q3Join,
     "q5_local_supplier" -> q5LocalSupplier,
     "q18_big_spenders" -> q18BigSpenders,
+    "q6_forecast" -> q6Forecast,
+    "q10_returned_items" -> q10ReturnedItems,
     "q_window_top_orders" -> qWindowTopOrders,
     "q_topk" -> qTopK,
     "q_topk_native" -> qTopKNative,
@@ -1513,6 +1564,31 @@ object RelationalQueries {
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q6_forecast" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                        CAST(l_discount AS DECIMAL(18,2)))
+        |                  AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                 (CAST(1 AS DECIMAL(18,2)) -
+        |                  CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q18_big_spenders" ->
       """WITH hot AS (
         |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
