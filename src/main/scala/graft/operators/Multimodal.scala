@@ -1111,28 +1111,39 @@ object Multimodal {
         }
         (id, blob)
       })
-      .mapPartitions(_.flatMap { case (id, b) =>
-        if (b.length > 6 && new String(b, 0, 4, "US-ASCII") == "GIF8")
-          Gif.decodeInfo(id, b).map(g =>
-            DispatchRow(id, "gif", g.n_pixels,
-              graft.kmeans.KMeansRunner.roundHalfUp(g.mean_px, 6)))
-        else if (b.length > 2 && (b(0) & 0xff) == 0xff &&
-                 (b(1) & 0xff) == 0xd8)
-          Jpeg.decodeInfo(id, b).map(j =>
-            DispatchRow(id, "jpeg", j.n_blocks,
-              graft.kmeans.KMeansRunner.roundHalfUp(j.mean_px, 6)))
-        else if (b.length > 2 && (b(0) & 0xff) == 0x1f &&
-                 (b(1) & 0xff) == 0x8b)
-          Archives.decodeGzip(id, b).map(g =>
-            DispatchRow(id, "gzip", g.n_toks, g.n_bytes.toDouble))
-        else if (b.length > 262 &&
-                 new String(b, 257, 5, "US-ASCII") == "ustar")
-          Archives.decodeTarInfo(id, b).map(t =>
-            DispatchRow(id, "tar", t.n_members, t.payload_sum.toDouble))
-        else None
-      })
+      .map { case (id, blob) => MediaRow(id, blob) }
+      .transform(dispatchDecode)
       .toDF()
       .select(col("doc_id"), col("format"), col("n_units"), col("witness"))
+  }
+
+  /** The magic-dispatch decode core over ANY relation of mixed-format
+    * blobs — shared by [[mmDispatch]] and the streaming mirror
+    * ([[graft.streaming.StreamingOps.dispatchStream]]). */
+  def dispatchDecode(media: Dataset[MediaRow]): Dataset[DispatchRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val (id, b) = (m.doc_id, m.blob)
+      if (b.length > 6 && new String(b, 0, 4, "US-ASCII") == "GIF8")
+        Gif.decodeInfo(id, b).map(g =>
+          DispatchRow(id, "gif", g.n_pixels,
+            graft.kmeans.KMeansRunner.roundHalfUp(g.mean_px, 6)))
+      else if (b.length > 2 && (b(0) & 0xff) == 0xff &&
+               (b(1) & 0xff) == 0xd8)
+        Jpeg.decodeInfo(id, b).map(j =>
+          DispatchRow(id, "jpeg", j.n_blocks,
+            graft.kmeans.KMeansRunner.roundHalfUp(j.mean_px, 6)))
+      else if (b.length > 2 && (b(0) & 0xff) == 0x1f &&
+               (b(1) & 0xff) == 0x8b)
+        Archives.decodeGzip(id, b).map(g =>
+          DispatchRow(id, "gzip", g.n_toks, g.n_bytes.toDouble))
+      else if (b.length > 262 &&
+               new String(b, 257, 5, "US-ASCII") == "ustar")
+        Archives.decodeTarInfo(id, b).map(t =>
+          DispatchRow(id, "tar", t.n_members, t.payload_sum.toDouble))
+      else None
+    })
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

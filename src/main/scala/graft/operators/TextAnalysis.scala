@@ -437,6 +437,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok"), col("score"))
   }
 
+  val CollocMinCount = 3L
+  val CollocTopK = 20
+
+  /** COLLOCATION EXTRACTION — corpus-level PMI over adjacent-token
+    * bigrams (the classic phrase-mining signal: "new york" scores,
+    * "of the" doesn't): pmi = ln(c₁₂·N / (c₁·c₂)) with N = total
+    * bigram instances, floored at [[CollocMinCount]] occurrences so
+    * hapax noise can't dominate. Counts are exact integers from one
+    * shuffle each (bigram key, unigram key); the unigram join is
+    * keyed on the token — distributed hash join, NO broadcast
+    * (vocabulary is unbounded at corpus scale, the tf-idf rule); N
+    * rides as a broadcast 1-row aggregate. ONE rounded log at the
+    * end (the pipeline_filter bit-parity lesson). Top-[[CollocTopK]]
+    * by (pmi, bigram) via TakeOrderedAndProject. */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = t(spark, dir, "documents")
+    val bi = docs
+      .withColumn("toks", toks)
+      .where(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= CollocMinCount)
+    val uni = bi.select(col("w1").as("w")) // first-position unigrams…
+      .unionByName(bi.select(col("w2").as("w"))) // …plus second: see note
+    // c(w) = occurrences of w across BOTH bigram slots — double-counts
+    // interior tokens consistently on both sides of the compare, and
+    // keeps every count derivable from the persisted bigram relation
+    val cw = uni.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val n = bi.agg(count(lit(1)).cast("double").as("nb"))
+    c12
+      .join(cw.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(cw.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12") * col("nb") / (col("c1") * col("c2"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
   /** Same row set as [[textTfIdf]] minus the rank column — per-doc
     * keyword extraction — but through the NATIVE
     * [[graft.plans.TopKPerKey]] operator instead of a window: the
@@ -1067,7 +1112,8 @@ object TextAnalysis {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfIdf,
-    "text_keywords_native" -> textKeywordsNative)
+    "text_keywords_native" -> textKeywordsNative,
+    "text_collocations" -> textCollocations)
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -1701,5 +1747,30 @@ object TextAnalysis {
         |           ORDER BY round(tf.tf * ln(n.n_docs / df.df), 6) DESC, tf.tok)
         |           AS rank
         |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
-        |WHERE rank <= 3""".stripMargin)
+        |WHERE rank <= 3""".stripMargin,
+    // exact integer counts from the same bigram relation, one rounded
+    // log; unigram counts over BOTH bigram slots (the engine's rule)
+    "text_collocations" ->
+      """WITH bi AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+        |       LATERAL (SELECT unnest(generate_series(1,
+        |                  len(toks) - 1)) AS i) g
+        |  WHERE len(toks) >= 2
+        |), c12 AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+        |  HAVING count(*) >= 3
+        |), cw AS (
+        |  SELECT w, count(*) AS cw FROM (
+        |    SELECT w1 AS w FROM bi UNION ALL SELECT w2 AS w FROM bi)
+        |  GROUP BY w
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bi)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        |  round(ln(c12.c12 * n.nb / (a.cw * b.cw)), 6) AS pmi
+        |FROM c12
+        |JOIN cw a ON a.w = c12.w1
+        |JOIN cw b ON b.w = c12.w2
+        |CROSS JOIN n
+        |ORDER BY pmi DESC, c12.w1, c12.w2
+        |LIMIT 20""".stripMargin)
 }

@@ -882,6 +882,25 @@ object StreamingOps {
         ()
       }
 
+  /** STREAMING MULTI-FORMAT DISPATCH — the [[vadStream]] rule for a
+    * MIXED-format blob stream: each micro-batch pays one magic-
+    * dispatch decode pass through the batch core
+    * ([[graft.operators.Multimodal.dispatchDecode]]) — four real
+    * decoders behind one dispatch, stateless, no shuffle; stream ==
+    * batch row-for-row across splits, unrecognized blobs drop. */
+  def dispatchStream(media: Dataset[SMedia])(onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SMedia] =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SMedia], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        onBatch(graft.operators.Multimodal.dispatchDecode(
+          batch.map(m =>
+            graft.operators.Multimodal.MediaRow(m.doc_id, m.blob))).toDF())
+        ()
+      }
+
   /** STREAMING SNAPSHOT INGEST — exactly-once transactional append
     * into an Iceberg-lite [[graft.sources.SnapshotTable]]: each
     * micro-batch becomes ONE atomically-published table version via

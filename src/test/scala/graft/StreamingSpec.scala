@@ -1032,6 +1032,41 @@ class StreamingSpec extends SparkSessionSpec {
       "fixture must contain unvoiced windows")
   }
 
+  test("streaming multi-format dispatch equals the batch rows across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Archives, Gif, Jpeg, Multimodal}
+    import graft.streaming.StreamingOps.SMedia
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val blobs = docs.map { case (id, text) =>
+      SMedia(id, (id % 4) match {
+        case 0 => Gif.encode(id)
+        case 1 => Jpeg.encode(id)
+        case 2 => Archives.encodeTar(id)
+        case _ => Archives.encodeGzip(text)
+      })
+    }
+    val mem = MemoryStream[SMedia]
+    val got = scala.collection.mutable.Set[(Long, String, Long, Double)]()
+    val q = StreamingOps.dispatchStream(mem.toDS()) { out =>
+      got ++= out.as[(Long, String, Long, Double)].collect()
+    }.start()
+    try {
+      val (a, rest) = blobs.splitAt(blobs.length / 4)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      for (chunk <- Seq(a, b, c)) {
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = Multimodal.mmDispatch(spark, sf0001)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got.toSet == batch,
+      s"dispatch stream diverged: ${got.size} vs ${batch.size}")
+    assert(Set("gif", "jpeg", "tar", "gzip")
+      .subsetOf(batch.map(_._2)), "all four formats must appear")
+  }
+
   test("streaming tar ingest equals the batch member relation across splits") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Archives
