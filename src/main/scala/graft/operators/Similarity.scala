@@ -213,8 +213,12 @@ object Similarity {
         .join(broadcast(expanded), "node")
         .join(broadcast(queries), "query_id")
         .select(col("query_id"), col("node"), cosineScore.as("score"))
+      // materialize the (queries·beam)-row frontier each hop: without
+      // this the hop lineage nests — every broadcast re-executes all
+      // prior hops (measured 36 s warm at sf0.1; ~3 s with the cut)
       frontier = graft.plans.TopKPerKey.topKPerKey(scored,
         Seq("query_id"), Seq("score" -> false, "node" -> true), BeamWidth)
+        .localCheckpoint(true)
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node"))
