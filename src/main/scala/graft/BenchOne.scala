@@ -4,7 +4,7 @@ package graft
   * <query>[,<query>…] [runs]` — times each named [[SparkEntry]] query
   * cold-then-warm and prints the warm median. NOT the driver contract
   * ([[Bench]] is); this exists so a tuning loop can measure one query
-  * without paying the full 156-query gauntlet, with the same drain
+  * without paying the full gauntlet, with the same drain
   * discipline Bench uses so the numbers are comparable. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
