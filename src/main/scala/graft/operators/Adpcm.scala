@@ -11,10 +11,11 @@ import graft.operators.Multimodal.MediaRow
   * BMP: 4-bit differential samples through the standard step-size /
   * index-adjust tables, block header carrying the initial predictor
   * and step index, nibble order low-first. The decoder is REAL for
-  * mono single-block streams: RIFF/fmt/fact/data walk, format-tag
+  * mono streams, single- OR multi-block (per-block state restart —
+  * the format's seek feature): RIFF/fmt/fact/data walk, format-tag
   * and geometry validation, the full predictor recursion with both
-  * clamps (predictor to int16, step index to [0, 88]). Stereo,
-  * multi-block, and corrupt/truncated streams return None.
+  * clamps (predictor to int16, step index to [0, 88]). Stereo and
+  * corrupt/truncated streams return None.
   *
   * The DuckDB oracle replays the ENTIRE recursion — step table,
   * nibble bit tests, sign handling, both clamps — as a recursive CTE
@@ -59,21 +60,33 @@ object Adpcm {
     (p, i)
   }
 
-  /** WAV container, format tag 0x11 (IMA ADPCM), mono, one block:
-    * fmt chunk with cbSize=2 + samplesPerBlock, fact chunk with the
-    * true sample count, data = 4-byte block header (predictor int16
-    * LE, step index u8, reserved 0) + low-nibble-first packed
-    * deltas. */
-  def encode(docId: Long, nChars: Long): Array[Byte] = {
+  /** Per-block closed forms for the MULTI-block corpus: each block
+    * carries its own header state (the format's seek/parallel-decode
+    * feature) and its own nibble stream. Block 0 of a 1-block blob
+    * reduces to the [[predInitOf]]/[[idxInitOf]]/[[nibbleOf]] forms. */
+  def blocksOf(docId: Long): Int = (1 + docId % 3).toInt
+  def predInitOfBlock(docId: Long, b: Int): Int =
+    (((docId * 37) + b * 101L) % 4001).toInt - 2000
+  def idxInitOfBlock(docId: Long, b: Int): Int =
+    ((docId + b * 7L) % 89).toInt
+  def nibbleOfBlock(docId: Long, b: Int, t: Int): Int =
+    ((docId * 5 + b * 13L + t * 3L) % 16).toInt
+
+  /** WAV container, format tag 0x11 (IMA ADPCM), mono, `nBlocks`
+    * blocks: fmt chunk with cbSize=2 + samplesPerBlock, fact chunk
+    * with the true TOTAL sample count, data = per block a 4-byte
+    * header (predictor int16 LE, step index u8, reserved 0) +
+    * low-nibble-first packed deltas. */
+  def encodeBlocks(docId: Long, nChars: Long, nBlocks: Int): Array[Byte] = {
     val nNib = nibblesOf(docId, nChars)
     val nibBytes = (nNib + 1) / 2
     val blockAlign = 4 + nibBytes
-    val nSamples = 1 + nNib
+    val nSamples = 1 + nNib // per block
     val bb = java.nio.ByteBuffer
-      .allocate(12 + 8 + 20 + 8 + 4 + 8 + blockAlign)
+      .allocate(12 + 8 + 20 + 8 + 4 + 8 + nBlocks * blockAlign)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes)
-    bb.putInt(4 + 8 + 20 + 8 + 4 + 8 + blockAlign)
+    bb.putInt(4 + 8 + 20 + 8 + 4 + 8 + nBlocks * blockAlign)
     bb.put("WAVE".getBytes)
     bb.put("fmt ".getBytes); bb.putInt(20)
     bb.putShort(0x11) // IMA ADPCM
@@ -84,25 +97,35 @@ object Adpcm {
     bb.putShort(4) // bits per sample
     bb.putShort(2) // cbSize
     bb.putShort(nSamples.toShort) // samples per block
-    bb.put("fact".getBytes); bb.putInt(4); bb.putInt(nSamples)
-    bb.put("data".getBytes); bb.putInt(blockAlign)
-    bb.putShort(predInitOf(docId).toShort)
-    bb.put(idxInitOf(docId).toByte)
-    bb.put(0.toByte)
-    var t = 1
-    while (t <= nNib) {
-      val lo = nibbleOf(docId, t)
-      val hi = if (t + 1 <= nNib) nibbleOf(docId, t + 1) else 0
-      bb.put((lo | (hi << 4)).toByte)
-      t += 2
+    bb.put("fact".getBytes); bb.putInt(4); bb.putInt(nBlocks * nSamples)
+    bb.put("data".getBytes); bb.putInt(nBlocks * blockAlign)
+    var blk = 0
+    while (blk < nBlocks) {
+      bb.putShort(predInitOfBlock(docId, blk).toShort)
+      bb.put(idxInitOfBlock(docId, blk).toByte)
+      bb.put(0.toByte)
+      var t = 1
+      while (t <= nNib) {
+        val lo = nibbleOfBlock(docId, blk, t)
+        val hi = if (t + 1 <= nNib) nibbleOfBlock(docId, blk, t + 1) else 0
+        bb.put((lo | (hi << 4)).toByte)
+        t += 2
+      }
+      blk += 1
     }
     bb.array()
   }
 
+  /** Single-block blob (block 0 of the multi-block forms). */
+  def encode(docId: Long, nChars: Long): Array[Byte] =
+    encodeBlocks(docId, nChars, 1)
+
   final case class AdpcmInfo(doc_id: Long, n_samples: Long,
                              sum_samples: Long, final_pred: Long)
 
-  /** Decode a mono single-block WAV-IMA-ADPCM blob. The witnesses:
+  /** Decode a mono WAV-IMA-ADPCM blob, single- or multi-block (each
+    * block restarts predictor/index from its own header — the
+    * format's seek/parallel-decode feature). The witnesses:
     * sample count (header + fact cross-checked), the integer sum of
     * ALL decoded samples (every recursion step participates), and
     * the final predictor (order-sensitive — a swapped nibble or a
@@ -138,27 +161,38 @@ object Adpcm {
       val blockAlign = u16(fmtAt + 12)
       if (u16(fmtAt + 14) != 4) return None // 4-bit
       val samplesPerBlock = u16(fmtAt + 18)
-      if (dataLen != blockAlign) return None // single block
       if (blockAlign < 4) return None
-      var pred = (u16(dataAt) << 16) >> 16
-      var idx = b(dataAt + 2) & 0xff
-      if (idx > 88) return None
-      if (b(dataAt + 3) != 0) return None
+      // MULTI-block walk: each block restarts the predictor/index
+      // from its own header — the format's seek point
+      if (dataLen <= 0 || dataLen % blockAlign != 0) return None
+      val nBlocks = dataLen / blockAlign
       val nNib = samplesPerBlock - 1
       if (nNib < 0 || (nNib + 1) / 2 > blockAlign - 4) return None
-      var sum = pred.toLong
-      var t = 0
-      while (t < nNib) {
-        val byte = b(dataAt + 4 + t / 2) & 0xff
-        val n = if (t % 2 == 0) byte & 0xf else byte >> 4
-        val (p2, i2) = step(pred, idx, n)
-        pred = p2; idx = i2
+      var sum = 0L
+      var pred = 0
+      var blk = 0
+      while (blk < nBlocks) {
+        val base = dataAt + blk * blockAlign
+        pred = (u16(base) << 16) >> 16
+        var idx = b(base + 2) & 0xff
+        if (idx > 88) return None
+        if (b(base + 3) != 0) return None
         sum += pred
-        t += 1
+        var t = 0
+        while (t < nNib) {
+          val byte = b(base + 4 + t / 2) & 0xff
+          val n = if (t % 2 == 0) byte & 0xf else byte >> 4
+          val (p2, i2) = step(pred, idx, n)
+          pred = p2; idx = i2
+          sum += pred
+          t += 1
+        }
+        blk += 1
       }
-      if (factSamples >= 0 && factSamples != samplesPerBlock.toLong)
-        return None
-      Some(AdpcmInfo(docId, samplesPerBlock.toLong, sum, pred.toLong))
+      if (factSamples >= 0 &&
+          factSamples != nBlocks.toLong * samplesPerBlock) return None
+      Some(AdpcmInfo(docId, nBlocks.toLong * samplesPerBlock, sum,
+        pred.toLong))
     } catch { case _: Exception => None }
   }
 
@@ -283,8 +317,27 @@ object Adpcm {
         col("sum_abs"))
   }
 
+  /** The MULTI-block corpus: 1 + doc_id%3 blocks per blob, each with
+    * its own header state and nibble stream — the mm_adpcm witnesses
+    * over the whole block walk (final_pred comes from the LAST
+    * block, so a skipped or reordered block cannot cancel). */
+  def mmAdpcmBlocks(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        decode(id, encodeBlocks(id, nc, blocksOf(id)))
+      })
+      .toDF()
+      .select(col("doc_id"), col("n_samples"), col("sum_samples"),
+        col("final_pred"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_adpcm" -> mmAdpcm,
+    "mm_adpcm_blocks" -> mmAdpcmBlocks,
     "mm_ulaw" -> mmUlaw)
 
   private def stepTableSql: String =
@@ -343,6 +396,59 @@ object Adpcm {
         |  CAST(acc AS BIGINT) AS sum_samples,
         |  CAST(pred AS BIGINT) AS final_pred
         |FROM rec WHERE t = n_nib""".stripMargin,
+    // the multi-block replay: the same per-step recursion, now keyed
+    // by (doc, block) with per-block seeds and the blk·13 nibble
+    // term; the final aggregate sums every block's accumulator and
+    // takes the LAST block's final predictor
+    "mm_adpcm_blocks" ->
+      s"""WITH RECURSIVE st(i, s) AS (VALUES $stepTableSql),
+        |it(n, d) AS (VALUES $indexTableSql),
+        |p AS (
+        |  SELECT d.doc_id, (d.n_chars % 40) + 8 AS n_nib,
+        |         1 + d.doc_id % 3 AS nb, g.blk
+        |  FROM documents d
+        |  JOIN (SELECT unnest(generate_series(0, 2)) AS blk) g
+        |    ON g.blk < 1 + d.doc_id % 3
+        |), rec AS (
+        |  SELECT doc_id, n_nib, nb, blk, 0 AS t,
+        |    CAST((doc_id * 37 + blk * 101) % 4001 - 2000 AS BIGINT) AS pred,
+        |    CAST((doc_id + blk * 7) % 89 AS BIGINT) AS idx,
+        |    CAST((doc_id * 37 + blk * 101) % 4001 - 2000 AS BIGINT) AS acc
+        |  FROM p
+        |  UNION ALL
+        |  SELECT r.doc_id, r.n_nib, r.nb, r.blk, r.t + 1,
+        |    greatest(-32768, least(32767,
+        |      r.pred + CASE WHEN ((r.doc_id*5 + r.blk*13 + (r.t+1)*3) % 16) >= 8
+        |                    THEN -1 ELSE 1 END *
+        |        ((st.s // 8)
+        |         + CASE WHEN ((r.doc_id*5 + r.blk*13 + (r.t+1)*3) % 16) % 2 = 1
+        |                THEN st.s // 4 ELSE 0 END
+        |         + CASE WHEN (((r.doc_id*5 + r.blk*13 + (r.t+1)*3) % 16) // 2) % 2 = 1
+        |                THEN st.s // 2 ELSE 0 END
+        |         + CASE WHEN (((r.doc_id*5 + r.blk*13 + (r.t+1)*3) % 16) // 4) % 2 = 1
+        |                THEN st.s ELSE 0 END))) AS pred,
+        |    greatest(0, least(88, r.idx + it.d)) AS idx,
+        |    r.acc + greatest(-32768, least(32767,
+        |      r.pred + CASE WHEN ((r.doc_id*5 + r.blk*13 + (r.t+1)*3) % 16) >= 8
+        |                    THEN -1 ELSE 1 END *
+        |        ((st.s // 8)
+        |         + CASE WHEN ((r.doc_id*5 + r.blk*13 + (r.t+1)*3) % 16) % 2 = 1
+        |                THEN st.s // 4 ELSE 0 END
+        |         + CASE WHEN (((r.doc_id*5 + r.blk*13 + (r.t+1)*3) % 16) // 2) % 2 = 1
+        |                THEN st.s // 2 ELSE 0 END
+        |         + CASE WHEN (((r.doc_id*5 + r.blk*13 + (r.t+1)*3) % 16) // 4) % 2 = 1
+        |                THEN st.s ELSE 0 END))) AS acc
+        |  FROM rec r
+        |  JOIN st ON st.i = r.idx
+        |  JOIN it ON it.n = ((r.doc_id*5 + r.blk*13 + (r.t+1)*3) % 16)
+        |  WHERE r.t < r.n_nib
+        |)
+        |SELECT doc_id,
+        |  CAST(max(nb) * (max(n_nib) + 1) AS BIGINT) AS n_samples,
+        |  CAST(sum(acc) AS BIGINT) AS sum_samples,
+        |  CAST(max(CASE WHEN blk = nb - 1 THEN pred END) AS BIGINT)
+        |    AS final_pred
+        |FROM rec WHERE t = n_nib GROUP BY doc_id""".stripMargin,
     // G.711 expansion closed-form: u = 255 − byte, exponent
     // (u // 16) % 8, mantissa u % 16, bias 132, sign from u ≥ 128 —
     // pure integer arithmetic, both witnesses replayed per sample

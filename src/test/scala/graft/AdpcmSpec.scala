@@ -65,6 +65,35 @@ class AdpcmSpec extends SparkSessionSpec {
     assert(Adpcm.decode(9L, Array.fill(60)(3.toByte)).isEmpty)
   }
 
+  test("multi-block decode: per-block state restart equals a direct walk") {
+    (0L until 20L).foreach { id =>
+      val nc = 11L + id % 40
+      val nBlocks = Adpcm.blocksOf(id)
+      val info = Adpcm.decode(id, Adpcm.encodeBlocks(id, nc, nBlocks)).get
+      val nNib = Adpcm.nibblesOf(id, nc)
+      var sum = 0L
+      var pred = 0
+      for (blk <- 0 until nBlocks) {
+        pred = Adpcm.predInitOfBlock(id, blk)
+        var idx = Adpcm.idxInitOfBlock(id, blk)
+        sum += pred
+        for (t <- 1 to nNib) {
+          val (p2, i2) = Adpcm.step(pred, idx, Adpcm.nibbleOfBlock(id, blk, t))
+          pred = p2; idx = i2; sum += pred
+        }
+      }
+      assert(info.n_samples == nBlocks.toLong * (nNib + 1), s"doc $id")
+      assert(info.sum_samples == sum, s"doc $id")
+      assert(info.final_pred == pred.toLong, s"doc $id")
+    }
+    // a data chunk that is not a whole number of blocks refuses
+    val good = Adpcm.encodeBlocks(7L, 25L, 2)
+    assert(Adpcm.decode(7L, good.dropRight(1)).isEmpty)
+    // the single-block encode is exactly block 0 of the multi forms
+    assert(Adpcm.decode(3L, Adpcm.encode(3L, 30L)).get.final_pred ==
+      Adpcm.decode(3L, Adpcm.encodeBlocks(3L, 30L, 1)).get.final_pred)
+  }
+
   test("μ-law expansion: canonical values, symmetry, container gates") {
     // canonical anchor points of the G.711 table
     assert(Adpcm.ulawDecodeByte(0xff) == 0)      // +0
