@@ -163,6 +163,42 @@ object Events {
         round(avg(col("k")), 6).as("avg_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** LAST-TOUCH ATTRIBUTION — the marketing-analytics staple built on
+    * the as-of machinery: every purchase is attributed to the CHANNEL
+    * of the user's most recent click at-or-before it (channel =
+    * click's props.k mod 3; purchases with no prior click fall in the
+    * 'organic' bucket), then revenue and counts aggregate per
+    * channel. Same scale shape as [[evAsof]]: tag both streams,
+    * union, ONE user-partitioned window pass carrying the last
+    * click's channel forward (ignoreNulls last, clicks tie-sorted
+    * before purchases at equal ts), filter back to purchases, one
+    * k-row aggregate. Revenue sums in DECIMAL (order-free). */
+  def evAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"),
+        concat(lit("ch"),
+          pmod(get_json_object(col("props"), "$.k").cast("long"), lit(3)))
+          .as("channel"),
+        lit(null).cast("double").as("value"), lit(0).as("tag"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        lit(null).cast("string").as("channel"),
+        col("value"), lit(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("attr",
+        last(when(col("tag") === 0, col("channel")), ignoreNulls = true)
+          .over(w))
+      .where(col("tag") === 1)
+      .groupBy(coalesce(col("attr"), lit("organic")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+  }
+
   /** Filtered top-k: top 10 users by total purchase value. The
     * event_type filter pushes into the parquet scan. */
   def evTopUsers(spark: SparkSession, dir: String): DataFrame =
@@ -432,6 +468,7 @@ object Events {
     "ev_json" -> evJson,
     "ev_top_users" -> evTopUsers,
     "ev_asof" -> evAsof,
+    "ev_attribution" -> evAttribution,
     "ev_recent_clicks" -> evRecentClicks)
 
   val oracles: Map[String, String] = Map(
@@ -634,6 +671,30 @@ object Events {
         |GROUP BY user_id
         |ORDER BY total_value DESC, user_id
         |LIMIT 10""".stripMargin,
+    // last-click channel carried forward by the same at-or-before
+    // window as ev_asof; the no-prior-click bucket is 'organic'
+    "ev_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CASE WHEN event_type = 'click'
+        |         THEN 'ch' || (CAST(props->>'$.k' AS BIGINT) % 3)
+        |    END AS channel,
+        |    value,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), attr AS (
+        |  SELECT user_id, value, tag,
+        |    last_value(channel IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, tag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr
+        |  FROM u
+        |)
+        |SELECT coalesce(attr, 'organic') AS channel,
+        |  count(*) AS n_purchases,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM attr WHERE tag = 1
+        |GROUP BY 1""".stripMargin,
     "ev_asof" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,
