@@ -233,6 +233,25 @@ object Similarity {
     out
   }
 
+  /** In-engine recall@k of the GRAPH tier — [[annRecall]]'s shape
+    * for [[annGraphSearch]]: the beam search's top-k joined against
+    * exact cosine top-k, per-query hit counts and the recall ratio.
+    * The quality gauge a production graph index publishes next to
+    * its serving latency. */
+  def annRecallGraph(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopKCosine(spark, dir)
+      .where(col("rank") <= GraphTopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annGraphSearch(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+      .select(col("query_id"), col("n_hits"), col("k"),
+        round(col("n_hits").cast("double") / col("k"), 6).as("recall_at_k"))
+  }
+
   /** EMBEDDING DISTRIBUTION DRIFT — the monitoring op a production
     * corpus runs between snapshots: quantize BOTH corpus versions
     * onto the SAME frozen coarse cells (the deployed quantizer — a
@@ -920,6 +939,7 @@ object Similarity {
     "ann_cell_drift" -> annCellDrift,
     "ann_knn_graph" -> annKnnGraph,
     "ann_graph_search" -> annGraphSearch,
+    "ann_recall_graph" -> annRecallGraph,
     "ann_label_transfer" -> annLabelTransfer,
     "ann_topk_cosine" -> annTopKCosine,
     "ann_ivf" -> annIvfCosine,
@@ -1437,6 +1457,62 @@ object Similarity {
          |    PARTITION BY query_id ORDER BY s DESC, node) AS rank
          |  FROM f$BeamHops WHERE node <> query_id)
          |WHERE rank <= $GraphTopK""".stripMargin
+    },
+    // the graph tier's recall gauge: the SAME beam CTEs plus an
+    // exact-cosine top-k CTE, joined per query
+    "ann_recall_graph" -> {
+      val hops = (1 to BeamHops).map { h =>
+        s"""cand$h AS MATERIALIZED (
+           |  SELECT DISTINCT query_id, node FROM (
+           |    SELECT query_id, node FROM f${h - 1}
+           |    UNION ALL
+           |    SELECT f.query_id, g.neighbor_id AS node
+           |    FROM f${h - 1} f JOIN edges g ON g.node = f.node)
+           |), sc$h AS MATERIALIZED (
+           |  SELECT c.query_id, c.node,
+           |    round(list_cosine_similarity(q.qv, ev.v), 6) AS s
+           |  FROM cand$h c
+           |  JOIN q ON q.query_id = c.query_id
+           |  JOIN ev ON ev.vec_id = c.node
+           |), f$h AS MATERIALIZED (
+           |  SELECT query_id, node, s FROM (
+           |    SELECT query_id, node, s, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY s DESC, node) AS rn
+           |    FROM sc$h) WHERE rn <= $BeamWidth
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $centsCte, $knnGraphCte,
+         |edges AS MATERIALIZED (
+         |  SELECT query_id AS node, neighbor_id FROM knn
+         |), ev AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), f0 AS MATERIALIZED (
+         |  SELECT query_id, (SELECT min(vec_id) FROM embeddings) AS node,
+         |         0.0 AS s
+         |  FROM q
+         |), $hops, approx AS (
+         |  SELECT query_id, node AS neighbor_id
+         |  FROM (
+         |    SELECT query_id, node, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY s DESC, node) AS rank
+         |    FROM f$BeamHops WHERE node <> query_id)
+         |  WHERE rank <= $GraphTopK
+         |), exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, ev.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_cosine_similarity(q.qv, ev.v), 6) DESC,
+         |                 ev.vec_id) AS rank
+         |    FROM ev CROSS JOIN q WHERE ev.vec_id <> q.query_id)
+         |  WHERE rank <= $GraphTopK
+         |)
+         |SELECT e.query_id, count(a.neighbor_id) AS n_hits,
+         |       count(*) AS k,
+         |       round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+         |         AS recall_at_k
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id""".stripMargin
     },
     // both halves quantized on the SAME frozen cells; shares in
     // integer micros (round(n·1e6/tot), the temperature-mixing rule)
