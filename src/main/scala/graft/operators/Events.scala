@@ -163,6 +163,34 @@ object Events {
         round(avg(col("k")), 6).as("avg_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** FORWARD as-of join — the mirror of [[evAsof]]: each purchase
+    * matched to the user's NEXT click strictly after it (time-to-
+    * next-action analysis). Same single-window-pass lowering with the
+    * frame reversed: first ignoreNulls over the FOLLOWING frame,
+    * clicks tie-sorted BEFORE purchases at equal ts so an equal-ts
+    * click is NOT in a purchase's following frame — "strictly after"
+    * holds at boundaries. One shuffle on user_id, no range
+    * self-join. */
+  def evAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"),
+        lit(null).cast("long").as("event_id"), lit(0).as("tag"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        lit(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("next_click_us",
+        first(when(col("tag") === 0, col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .where(col("tag") === 1)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("next_click_us"))
+  }
+
   /** LAST-TOUCH ATTRIBUTION — the marketing-analytics staple built on
     * the as-of machinery: every purchase is attributed to the CHANNEL
     * of the user's most recent click at-or-before it (channel =
@@ -468,6 +496,7 @@ object Events {
     "ev_json" -> evJson,
     "ev_top_users" -> evTopUsers,
     "ev_asof" -> evAsof,
+    "ev_asof_forward" -> evAsofForward,
     "ev_attribution" -> evAttribution,
     "ev_recent_clicks" -> evRecentClicks)
 
@@ -671,6 +700,25 @@ object Events {
         |GROUP BY user_id
         |ORDER BY total_value DESC, user_id
         |LIMIT 10""".stripMargin,
+    // the forward mirror: first following click strictly after each
+    // purchase (equal-ts clicks sort before the purchase, outside
+    // its following frame)
+    "ev_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+        |    CASE WHEN event_type = 'purchase' THEN event_id END AS event_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), x AS (
+        |  SELECT user_id, event_id, ts_us, tag,
+        |    first_value(CASE WHEN tag = 0 THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, tag
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_click_us
+        |  FROM u
+        |)
+        |SELECT user_id, event_id, ts_us, next_click_us
+        |FROM x WHERE tag = 1""".stripMargin,
     // last-click channel carried forward by the same at-or-before
     // window as ev_asof; the no-prior-click bucket is 'organic'
     "ev_attribution" ->
