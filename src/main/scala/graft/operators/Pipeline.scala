@@ -767,6 +767,38 @@ object Pipeline {
     * rows are EXACTLY v1's (the evens), v3 stays readable (nothing
     * deleted), and the republished manifest carries v1's single file
     * set (sets = 1, no rewrite happened). */
+  /** SHALLOW CLONE exercised end-to-end: commit evens to a private
+    * source table, zero-copy clone it, then append the odds to the
+    * SOURCE — the clone must still read exactly the evens (snapshot
+    * isolation across roots: the clone's manifest references the v1
+    * file set by absolute path and nothing else), while the source's
+    * latest reads everything. Both sides report closed-form count +
+    * id-sum witnesses; a clone that copied data, chased the source's
+    * HEAD, or resolved dirs against the wrong root all move them. */
+  def pipelineSnapshotClone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = t(spark, dir, "documents").count()
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val src = s"${graft.sources.Artifacts.root(spark)}/snapclone_src_${key}_n$n"
+    val dst = s"${graft.sources.Artifacts.root(spark)}/snapclone_dst_${key}_n$n"
+    if (!(SnapshotTable.latestVersion(spark, src).contains(2) &&
+          SnapshotTable.latestVersion(spark, dst).contains(1))) {
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      SnapshotTable.commit(spark, src, docs.where(col("doc_id") % 2 === 0))
+      SnapshotTable.cloneFrom(spark, src, dst)
+      SnapshotTable.commit(spark, src, docs.where(col("doc_id") % 2 === 1))
+    }
+    def side(name: String, frame: DataFrame): DataFrame =
+      frame.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+        .select(lit(name).as("side"), col("n_docs"), col("sum_id"))
+    side("clone", SnapshotTable.readLatest(spark, dst))
+      .unionByName(side("source", SnapshotTable.readLatest(spark, src)))
+  }
+
   def pipelineSnapshotRollback(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
     val n = t(spark, dir, "documents").count()
@@ -993,6 +1025,7 @@ object Pipeline {
     "pipeline_snapshot_compact" -> pipelineSnapshotCompact,
     "pipeline_snapshot_point" -> pipelineSnapshotPoint,
     "pipeline_snapshot_rollback" -> pipelineSnapshotRollback,
+    "pipeline_snapshot_clone" -> pipelineSnapshotClone,
     "pipeline_upsert" -> pipelineUpsert,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
@@ -1072,6 +1105,15 @@ object Pipeline {
         |FROM d WHERE doc_id % 13 = 2""".stripMargin,
     // v4 = metadata rollback to v1 (the evens, one carried file
     // set); v3 (the overwrite) stays readable with its re-ingest rows
+    // the clone pins v1 (evens); the source's latest sees all docs
+    "pipeline_snapshot_clone" ->
+      """SELECT 'clone' AS side, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'source' AS side, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents""".stripMargin,
     "pipeline_snapshot_rollback" ->
       """WITH d AS (SELECT doc_id FROM documents)
         |SELECT CAST(4 AS INT) AS version, CAST(1 AS INT) AS n_sets,

@@ -258,8 +258,37 @@ object SnapshotTable {
 
   private def unionSets(spark: SparkSession, root: String,
                         dirs: Seq[Entry]): DataFrame =
-    dirs.map(e => spark.read.parquet(s"$root/${e.dir}"))
+    dirs.map(e => spark.read.parquet(resolveDir(root, e.dir)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Manifest dirs are root-relative EXCEPT in shallow clones, whose
+    * entries reference the source table's file sets by absolute
+    * path ([[cloneFrom]]). */
+  private def resolveDir(root: String, dir: String): String =
+    if (dir.startsWith("/") || dir.contains("://")) dir else s"$root/$dir"
+
+  /** SHALLOW (zero-copy) CLONE — the Delta/Iceberg table-branching
+    * primitive: publish version 1 at `dstRoot` whose manifest
+    * references the SOURCE's latest file sets by ABSOLUTE path. No
+    * data is copied or moved; the clone is immediately readable,
+    * independently appendable, and snapshot-isolated from subsequent
+    * source commits (those create NEW file sets the clone never
+    * references — file sets are immutable by the table's core
+    * invariant). The shallow-clone caveat every engine documents
+    * rather than solves: retention on the SOURCE only protects dirs
+    * its own surviving manifests reference, so the cloned-from
+    * version must stay within the source's retention window for as
+    * long as the clone lives (expire on the CLONE is safe either
+    * way — its GC only sweeps the clone's own data/ namespace). */
+  def cloneFrom(spark: SparkSession, srcRoot: String,
+                dstRoot: String): Int = {
+    val v = latestVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"no versions to clone at $srcRoot"))
+    val entries = manifestEntries(spark, srcRoot, v)
+      .map(e => e.copy(dir = resolveDir(srcRoot, e.dir)))
+    publish(spark, dstRoot, 1, entries)
+    1
+  }
 
   /** INCREMENTAL (CHANGES) SCAN — the Iceberg incremental-read
     * semantic: exactly the rows ADDED by commits in (fromVersion,

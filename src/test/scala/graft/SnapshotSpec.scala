@@ -121,6 +121,33 @@ class SnapshotSpec extends SparkSessionSpec {
     assert(SnapshotTable.readLatest(spark, root).count() == 2)
   }
 
+  test("shallow clone: zero-copy, isolated from source commits, appendable") {
+    val src = tmpRoot()
+    val dst = tmpRoot()
+    SnapshotTable.commit(spark, src,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    assert(SnapshotTable.cloneFrom(spark, src, dst) == 1)
+    // zero-copy: the clone root holds NO data files of its own
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/data")),
+      "clone must not copy data")
+    assert(SnapshotTable.readLatest(spark, dst).count() == 2)
+    // later SOURCE commits are invisible to the clone
+    SnapshotTable.commit(spark, src, Seq((3L, "c")).toDF("doc_id", "text"))
+    assert(SnapshotTable.readLatest(spark, dst).count() == 2)
+    assert(SnapshotTable.readLatest(spark, src).count() == 3)
+    // the clone is independently appendable; the source doesn't see it
+    SnapshotTable.commit(spark, dst, Seq((9L, "z")).toDF("doc_id", "text"))
+    assert(SnapshotTable.readLatest(spark, dst).count() == 3)
+    assert(SnapshotTable.readLatest(spark, src).count() == 3)
+    // expire on the CLONE never touches the source's file sets
+    SnapshotTable.expire(spark, dst, keepFrom = 2)
+    assert(SnapshotTable.readLatest(spark, src).count() == 3)
+    assert(SnapshotTable.readLatest(spark, dst).count() == 3,
+      "v2's manifest carries the absolute source refs + the local set")
+  }
+
   test("changes scan returns exactly the rows added in the window") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
