@@ -280,6 +280,12 @@ object Gif {
             val minCode = u8()
             if (minCode != 8) return None // 8-bit images only (our scope)
             if (iw <= 0 || ih <= 0) return None
+            // cap the pixel count BEFORE allocating (the PNG decoder's
+            // rule): a crafted 65535x65535 header would otherwise
+            // overflow iw*ih to a negative array size or demand a
+            // multi-GB raster — both escape the Corrupt catch and
+            // poison the stream instead of mapping to None
+            if (iw.toLong * ih > (1L << 20)) return None
             val data = new java.io.ByteArrayOutputStream()
             var n = u8()
             while (n != 0) {

@@ -265,7 +265,9 @@ object SnapshotTable {
     * entries reference the source table's file sets by absolute
     * path ([[cloneFrom]]). */
   private def resolveDir(root: String, dir: String): String =
-    if (dir.startsWith("/") || dir.contains("://")) dir else s"$root/$dir"
+    if (dir.startsWith("/") ||
+        new org.apache.hadoop.fs.Path(dir).toUri.getScheme != null) dir
+    else s"$root/$dir"
 
   /** SHALLOW (zero-copy) CLONE — the Delta/Iceberg table-branching
     * primitive: publish version 1 at `dstRoot` whose manifest
@@ -284,8 +286,19 @@ object SnapshotTable {
                 dstRoot: String): Int = {
     val v = latestVersion(spark, srcRoot).getOrElse(
       throw new IllegalStateException(s"no versions to clone at $srcRoot"))
+    // qualify the source root FIRST: a relative srcRoot would leave
+    // relative dirs in the clone's manifest, which resolveDir later
+    // resolves against the CLONE's root — silently reading wrong or
+    // nonexistent paths
+    val qualifiedSrc = fsOf(spark, srcRoot)
+      .makeQualified(new org.apache.hadoop.fs.Path(srcRoot)).toString
+    // lineage RESETS on clone (added_in = 1): the clone's version
+    // history starts at its own v1, so a changes() window over the
+    // clone never misreports carried source sets as rows added inside
+    // the window, and a post-clone append (added_in = 2) always sorts
+    // AFTER every carried set in the schema-evolution union order
     val entries = manifestEntries(spark, srcRoot, v)
-      .map(e => e.copy(dir = resolveDir(srcRoot, e.dir)))
+      .map(e => e.copy(dir = resolveDir(qualifiedSrc, e.dir), addedIn = 1))
     publish(spark, dstRoot, 1, entries)
     1
   }
