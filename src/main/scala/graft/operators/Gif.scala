@@ -280,12 +280,17 @@ object Gif {
             val minCode = u8()
             if (minCode != 8) return None // 8-bit images only (our scope)
             if (iw <= 0 || ih <= 0) return None
-            // cap the pixel count BEFORE allocating (the PNG decoder's
-            // rule): a crafted 65535x65535 header would otherwise
-            // overflow iw*ih to a negative array size or demand a
-            // multi-GB raster — both escape the Corrupt catch and
-            // poison the stream instead of mapping to None
-            if (iw.toLong * ih > (1L << 20)) return None
+            // cap TOTAL pixels BEFORE allocating — deliberately
+            // stricter than the PNG decoder's per-dimension 2^20 rule
+            // (vacuous here: GIF dims are u16, ≤65535 each) because a
+            // GIF materializes a full Int raster PER FRAME: a crafted
+            // 65535x65535 header would otherwise overflow iw*ih to a
+            // negative array size or demand a multi-GB allocation —
+            // both escape the Corrupt catch and poison the stream
+            // instead of mapping to None. 2^24 (16 MP) admits any
+            // plausible real-world GIF while bounding one frame's
+            // raster at 64 MB
+            if (iw.toLong * ih > (1L << 24)) return None
             val data = new java.io.ByteArrayOutputStream()
             var n = u8()
             while (n != 0) {

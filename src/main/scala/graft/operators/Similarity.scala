@@ -147,8 +147,17 @@ object Similarity {
     * the DuckDB oracle replays the identical approximation. */
   def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val cents = KMeansQueries.coarseCentroids(spark, dir)
-    val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
-    val probed = emb(spark, dir)
+    val corpus = emb(spark, dir)
+    knnGraphFrom(corpus, KMeansOps.assignDyn(corpus, "v", cents), cents)
+  }
+
+  /** [[annKnnGraph]]'s body over caller-supplied corpus/assignment —
+    * so [[annGraphSearch]] shares one persisted corpus scan and one
+    * cell assignment between the graph build and its IVF seed instead
+    * of recomputing both. */
+  private def knnGraphFrom(corpus: DataFrame, assigned: DataFrame,
+                           cents: Array[Array[Double]]): DataFrame = {
+    val probed = corpus
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
       .withColumn("probe_cell",
@@ -170,21 +179,39 @@ object Similarity {
   }
 
   val BeamWidth = 8
-  val BeamHops = 6
+  val BeamHops = 2
   val GraphTopK = 3
+  /** Seed-only probe width: the beam entry probes twice the IVF
+    * serving path's cells — seed coverage is what bounds beam recall
+    * (hops saturate fast on a [[GraphK]]-degree graph; measured
+    * recall is flat in hops 1→5 and beam 8→16 but moves with every
+    * probed cell), and extra cells cost more equi-join partitions,
+    * never a corpus pass — the probed fraction still shrinks with
+    * scale because the cell count grows as ⌈n/256⌉. */
+  val SeedProbe = 4
 
   /** GRAPH-NAVIGATION ANN SEARCH — the modern (HNSW/NSG-family) tier
     * next to IVF/PQ/BQ: greedy BEAM SEARCH over the prebuilt kNN
     * graph ([[annKnnGraph]] — the single-layer navigable graph).
-    * Every query starts at the deterministic entry point (minimum
-    * vec_id), then [[BeamHops]] rounds of expand-score-prune: frontier
-    * ∪ its graph neighbors, cosine-scored against the query, cut to
-    * the [[BeamWidth]] best (ties → smallest id; scores 6dp-rounded,
-    * so both engines rank identically). Output: the final frontier's
-    * top [[GraphTopK]] excluding the query itself.
+    * Every query's beam is SEEDED FROM THE IVF COARSE CELLS — the
+    * frontier starts as the query's top-[[BeamWidth]] cosine
+    * candidates among its [[SeedProbe]] nearest cells' members (the
+    * [[annIvfCosine]] probe, widened, cut to the beam), playing the role
+    * of HNSW's upper layers: navigation begins next to the query
+    * instead of at one global entry whose graph distance grows with
+    * the corpus. Then [[BeamHops]] rounds of expand-score-prune:
+    * frontier ∪ its graph neighbors, cosine-scored against the
+    * query, cut to the [[BeamWidth]] best (ties → smallest id;
+    * scores 6dp-rounded, so both engines rank identically). The hops
+    * patch exactly what the IVF seed misses — true neighbors living
+    * outside the probed cells are reached through graph edges, so
+    * beam recall ≥ seed recall by construction and two hops suffice
+    * where the blind-entry design needed six. Output: the final
+    * frontier's top [[GraphTopK]] excluding the query itself.
     *
     * Scale shape: the navigation graph is n·K rows, built once and
-    * persisted hash-partitioned on the node key; per hop the
+    * persisted hash-partitioned on the node key; the seed is one
+    * probe-cell equi join (the IVF serving path); per hop the
     * frontier relation (queries·beam rows) BROADCASTS into one edge
     * join and one corpus join — the searches never shuffle anything
     * corpus-sized, which is exactly how a graph index serves at
@@ -193,15 +220,30 @@ object Similarity {
   def annGraphSearch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val e = emb(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = annKnnGraph(spark, dir)
+    val cents = KMeansQueries.coarseCentroids(spark, dir)
+    // one persisted cell assignment feeds BOTH the graph build and
+    // the IVF seed — the corpus is scanned and assigned exactly once
+    val assigned = KMeansOps.assignDyn(e, "v", cents)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = knnGraphFrom(e, assigned, cents)
       .select(col("query_id").as("node"), col("neighbor_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val queries = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
-    val entry = e.agg(min(col("vec_id"))).collect()(0).getLong(0)
-    var frontier: DataFrame = queries.select(col("query_id"))
-      .withColumn("node", lit(entry))
+    // IVF-seeded entry: the query's top-BeamWidth candidates from its
+    // SeedProbe nearest coarse cells (the query's own vector may seed
+    // its beam — it navigates well and the final cut excludes it)
+    val probedQ = queries.withColumn("probe_cell",
+      explode(probeCellsCol(col("qv"), cents, SeedProbe)))
+    val seedScored = assigned
+      .join(broadcast(probedQ), col("probe_cell") === col("cluster"))
+      .select(col("query_id"), col("vec_id").as("node"),
+        cosineScore.as("score"))
+    var frontier: DataFrame = graft.plans.TopKPerKey.topKPerKey(seedScored,
+      Seq("query_id"), Seq("score" -> false, "node" -> true), BeamWidth)
+      .select(col("query_id"), col("node"))
+      .localCheckpoint(true)
     for (_ <- 1 to BeamHops) {
       val expanded = frontier.select(col("query_id"), col("node"))
         .unionByName(edges.join(broadcast(frontier
@@ -229,6 +271,7 @@ object Similarity {
         col("score"))
       .localCheckpoint(true) // eager: caller reads after the unpersists
     edges.unpersist()
+    assigned.unpersist()
     e.unpersist()
     out
   }
@@ -237,7 +280,17 @@ object Similarity {
     * for [[annGraphSearch]]: the beam search's top-k joined against
     * exact cosine top-k, per-query hit counts and the recall ratio.
     * The quality gauge a production graph index publishes next to
-    * its serving latency. */
+    * its serving latency.
+    *
+    * Sampling envelope: ground truth is exact ONLY over the
+    * deterministic [[NQueries]]-query sample (vec_id < NQueries) —
+    * never all queries — so the gauge costs one corpus pass
+    * (queries·n scores with a tiny broadcast query side) regardless
+    * of scale, the `q_approx_distinct` witness pattern. At 100 TB
+    * the sample size grows (hundreds of queries), not the per-query
+    * cost shape; recall over a fixed random sample estimates corpus
+    * recall within ±1/√(sample·k) — the envelope a consumer applies
+    * to `recall_at_k`. */
   def annRecallGraph(spark: SparkSession, dir: String): DataFrame = {
     val exact = annTopKCosine(spark, dir)
       .where(col("rank") <= GraphTopK)
@@ -1415,10 +1468,12 @@ object Similarity {
     "ann_knn_graph" ->
       s"""WITH $centsCte, $knnGraphCte
          |SELECT query_id, rank, neighbor_id, score FROM knn""".stripMargin,
-    // beam search unrolled hop for hop over the knn graph: expand
-    // (frontier ∪ neighbors, DISTINCT), cosine-score, prune to the
-    // beam (score DESC, id) — MATERIALIZED so the hop chain doesn't
-    // inline exponentially; final top-k excludes the query itself
+    // beam search unrolled hop for hop over the knn graph: f0 is the
+    // IVF-cell seed (top-BeamWidth cosine among the query's probed
+    // cells), then per hop expand (frontier ∪ neighbors, DISTINCT),
+    // cosine-score, prune to the beam (score DESC, id) — MATERIALIZED
+    // so the hop chain doesn't inline exponentially; final top-k
+    // excludes the query itself
     "ann_graph_search" -> {
       val hops = (1 to BeamHops).map { h =>
         s"""cand$h AS MATERIALIZED (
@@ -1445,10 +1500,22 @@ object Similarity {
          |  SELECT query_id AS node, neighbor_id FROM knn
          |), ev AS MATERIALIZED (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), f0 AS MATERIALIZED (
-         |  SELECT query_id, (SELECT min(vec_id) FROM embeddings) AS node,
-         |         0.0 AS s
+         |), qprobe AS (
+         |  SELECT q.query_id, q.qv,
+         |         (SELECT list(cid) FROM (
+         |            SELECT cid FROM cents c
+         |            ORDER BY list_distance(q.qv, c.c), c.cid
+         |            LIMIT $SeedProbe)) AS probe
          |  FROM q
+         |), f0 AS MATERIALIZED (
+         |  SELECT query_id, node, s FROM (
+         |    SELECT p.query_id, a.vec_id AS node,
+         |      round(list_cosine_similarity(p.qv, a.v), 6) AS s,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+         |                 a.vec_id) AS rn
+         |    FROM qprobe p JOIN assigned a ON list_contains(p.probe, a.cluster))
+         |  WHERE rn <= $BeamWidth
          |), $hops
          |SELECT query_id, CAST(rank AS INT) AS rank, node AS neighbor_id,
          |       s AS score
@@ -1486,10 +1553,22 @@ object Similarity {
          |  SELECT query_id AS node, neighbor_id FROM knn
          |), ev AS MATERIALIZED (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), f0 AS MATERIALIZED (
-         |  SELECT query_id, (SELECT min(vec_id) FROM embeddings) AS node,
-         |         0.0 AS s
+         |), qprobe AS (
+         |  SELECT q.query_id, q.qv,
+         |         (SELECT list(cid) FROM (
+         |            SELECT cid FROM cents c
+         |            ORDER BY list_distance(q.qv, c.c), c.cid
+         |            LIMIT $SeedProbe)) AS probe
          |  FROM q
+         |), f0 AS MATERIALIZED (
+         |  SELECT query_id, node, s FROM (
+         |    SELECT p.query_id, a.vec_id AS node,
+         |      round(list_cosine_similarity(p.qv, a.v), 6) AS s,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+         |                 a.vec_id) AS rn
+         |    FROM qprobe p JOIN assigned a ON list_contains(p.probe, a.cluster))
+         |  WHERE rn <= $BeamWidth
          |), $hops, approx AS (
          |  SELECT query_id, node AS neighbor_id
          |  FROM (

@@ -124,6 +124,36 @@ class GifSpec extends SparkSessionSpec {
     assert(Gif.decodePixels(Array.fill(50)(7.toByte)).isEmpty)
   }
 
+  test("crafted giant header (65535x65535) maps to None on decode, " +
+       "dispatch, and the stream-shared core — never an allocation") {
+    // patch a valid blob's image descriptor dims to the u16 maximum:
+    // iw*ih = 4.29G pixels — Int-overflows to negative and demands a
+    // multi-GB raster if the cap is missing; the budget check must
+    // refuse BEFORE allocating (the r10 fix this test pins)
+    val good = Gif.encode(7L)
+    val imgAt = good.indexWhere(_ == 0x2C.toByte, 13 + 768)
+    assert(imgAt > 0)
+    val giant = good.clone()
+    (5 to 8).foreach(i => giant(imgAt + i) = 0xFF.toByte)
+    assert(Gif.decodePixels(giant).isEmpty, "decodePixels must refuse")
+    assert(Gif.decodeFrames(giant).isEmpty, "decodeFrames must refuse")
+    assert(Gif.decodeInfo(7L, giant).isEmpty, "decodeInfo must refuse")
+    // the magic-dispatch core (shared by mm_dispatch and the streaming
+    // mirror) drops the record instead of crashing the batch
+    val spark2 = spark
+    import spark2.implicits._
+    val out = operators.Multimodal.dispatchDecode(
+      Seq(operators.Multimodal.MediaRow(7L, giant),
+          operators.Multimodal.MediaRow(8L, Gif.encode(8L))).toDS()).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(8L),
+      "giant-header blob must be dropped, healthy sibling kept")
+    // a LEGAL large-but-sane GIF still decodes (the cap is a budget,
+    // not a blanket size refusal): 1280x1024 is ~1.3 MP
+    val sane = Gif.encodeWith(1280, 1024, (r, j) => (r + j) % 256)
+    val (w, h, px) = Gif.decodePixels(sane).get
+    assert(w == 1280 && h == 1024 && px.length == 1280 * 1024)
+  }
+
   test("mm_gif emits one row per document at sf0.001") {
     val df = Gif.mmGif(spark, sf0001)
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()

@@ -148,6 +148,35 @@ class SnapshotSpec extends SparkSessionSpec {
       "v2's manifest carries the absolute source refs + the local set")
   }
 
+  test("clone lineage reset: multi-commit source never leaks into the " +
+       "clone's changes() windows") {
+    val src = tmpRoot()
+    val dst = tmpRoot()
+    // THREE source commits — the clone carries three file sets with
+    // distinct source added_in values (1, 2, 3); without the reset
+    // those survive into the clone's manifest and changes() windows
+    // over the clone misreport carried rows as in-window additions
+    // (the r10 regression this test pins)
+    SnapshotTable.commit(spark, src, Seq((1L, "a")).toDF("doc_id", "text"))
+    SnapshotTable.commit(spark, src, Seq((2L, "b")).toDF("doc_id", "text"))
+    SnapshotTable.commit(spark, src, Seq((3L, "c")).toDF("doc_id", "text"))
+    assert(SnapshotTable.cloneFrom(spark, src, dst) == 1)
+    // the clone's v1 reads all carried rows
+    assert(SnapshotTable.read(spark, dst, 1)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // post-clone append becomes the clone's v2
+    assert(SnapshotTable.commit(spark, dst,
+      Seq((9L, "z")).toDF("doc_id", "text")) == 2)
+    // changes over (1, 2] reports ONLY the appended rows — a carried
+    // set keeping source added_in=2 would leak doc_id=2 here
+    assert(SnapshotTable.changes(spark, dst, 1, 2)
+      .select("doc_id").as[Long].collect().toSet == Set(9L),
+      "carried source sets must not appear as clone-window changes")
+    // and the full table still reads carried + appended together
+    assert(SnapshotTable.readLatest(spark, dst)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 9L))
+  }
+
   test("changes scan returns exactly the rows added in the window") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
