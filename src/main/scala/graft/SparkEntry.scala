@@ -29,6 +29,7 @@ object SparkEntry {
     (Jpeg.queries, Jpeg.oracles),
     (Gif.queries, Gif.oracles),
     (Archives.queries, Archives.oracles),
+    (Warc.queries, Warc.oracles),
     (Adpcm.queries, Adpcm.oracles),
     (Avi.queries, Avi.oracles),
     (Pipeline.queries, Pipeline.oracles),

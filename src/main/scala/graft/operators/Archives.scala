@@ -546,7 +546,7 @@ object Archives {
   // Shared verbatim by mm_tar and mm_tar_gz: the .tar.gz pipeline
   // must recover the identical member relation through the extra
   // gunzip layer.
-  private val tarInfoSql =
+  private[operators] val tarInfoSql =
     """WITH p AS (
         |  SELECT doc_id, 1 + doc_id % 3 AS m FROM documents
         |), mem AS (

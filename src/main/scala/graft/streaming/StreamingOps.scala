@@ -882,6 +882,27 @@ object StreamingOps {
         ()
       }
 
+  /** STREAMING WARC INGEST — web-crawl files under readStream: each
+    * arriving micro-batch of WARC blobs pays ONE mapPartitions walk
+    * through the batch kernel ([[graft.operators.Warc.warcInfoOf]]):
+    * version/header grammar, Content-Length-exact content blocks,
+    * record separators, non-response skipping — stateless, no
+    * shuffle, no state store; stream == batch row-for-row across
+    * arbitrary micro-batch splits, and a corrupt crawl file drops
+    * whole (never emits a partial record list). */
+  def warcIngestStream(media: Dataset[SMedia])(onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SMedia] =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SMedia], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        onBatch(graft.operators.Warc.warcInfoOf(
+          batch.map(m =>
+            graft.operators.Multimodal.MediaRow(m.doc_id, m.blob))).toDF())
+        ()
+      }
+
   /** STREAMING MULTI-FORMAT DISPATCH — the [[vadStream]] rule for a
     * MIXED-format blob stream: each micro-batch pays one magic-
     * dispatch decode pass through the batch core

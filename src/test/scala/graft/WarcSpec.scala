@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{Archives, Warc}
+
+/** The WARC reader: grammar round-trips, the warcinfo/non-response
+  * skip rule, and the refusal posture (None on any malformation —
+  * truncation, bad version, bad Content-Length, missing separators).
+  * The member RELATION itself is driver-gated: mm_warc shares the tar
+  * oracle SQL verbatim, so the four containers triangulate. */
+class WarcSpec extends SparkSessionSpec {
+
+  test("corpus round-trip: every response's uri, length and payload sum " +
+       "match the shared container closed form") {
+    (0L until 40L).foreach { id =>
+      val rs = Warc.decodeWarc(Warc.encodeWarc(id)).get
+      assert(rs.size == Archives.membersOf(id), s"doc $id")
+      rs.zipWithIndex.foreach { case (r, i) =>
+        assert(r.warc_type == "response")
+        assert(r.target_uri == s"http://synth.graft/doc$id/part$i")
+        val len = Archives.memberLenOf(id, i)
+        assert(r.size == len, s"doc $id member $i")
+        assert(r.payload_sum ==
+          (0 until len).map(j => Archives.memberByteOf(id, i, j).toLong).sum,
+          s"doc $id member $i payload")
+      }
+    }
+  }
+
+  test("warcinfo and other non-response records are skipped, not counted") {
+    // the synthetic file carries a leading warcinfo record; only the
+    // responses surface
+    val blob = Warc.encodeWarc(5L)
+    assert(new String(blob, "ISO-8859-1").contains("WARC-Type: warcinfo"))
+    assert(Warc.decodeWarc(blob).get.forall(_.warc_type == "response"))
+    // a hand-built file with request + metadata records interleaved
+    // still yields exactly the responses, in order
+    val mixed = {
+      val out = new java.io.ByteArrayOutputStream()
+      def rec(t: String, body: String): Unit = {
+        val b = body.getBytes("US-ASCII")
+        out.write((s"WARC/1.0\r\nWARC-Type: $t\r\n" +
+          s"WARC-Record-ID: <urn:x:$t>\r\n" +
+          s"Content-Length: ${b.length}\r\n\r\n").getBytes("US-ASCII"))
+        out.write(b); out.write("\r\n\r\n".getBytes("US-ASCII"))
+      }
+      rec("warcinfo", "w"); rec("request", "GET /")
+      rec("response", "abc"); rec("metadata", "m"); rec("response", "de")
+      out.toByteArray
+    }
+    val rs = Warc.decodeWarc(mixed).get
+    assert(rs.map(_.size) == Vector(3L, 2L))
+    assert(rs.map(_.payload_sum) ==
+      Vector("abc".map(_.toLong).sum, "de".map(_.toLong).sum))
+  }
+
+  test("refusal posture: truncation and corruption at every layer → None") {
+    val good = Warc.encodeWarc(7L)
+    // truncation: inside the version line, headers, content, separator
+    Seq(3, 20, good.length / 2, good.length - 1).foreach { n =>
+      assert(Warc.decodeWarc(good.take(n)).isEmpty, s"truncate $n")
+    }
+    // bad version line
+    val badVer = good.clone(); badVer(5) = '9'
+    assert(Warc.decodeWarc(badVer).isEmpty)
+    // non-numeric Content-Length
+    val s = new String(good, "ISO-8859-1")
+      .replaceFirst("Content-Length: \\d", "Content-Length: x")
+    assert(Warc.decodeWarc(s.getBytes("ISO-8859-1")).isEmpty)
+    // a header line without a colon
+    val noColon = new String(good, "ISO-8859-1")
+      .replaceFirst("WARC-Date: ", "WARC-Date ")
+    assert(Warc.decodeWarc(noColon.getBytes("ISO-8859-1")).isEmpty)
+    // stomped record separator: the CRLFCRLF terminating the LAST
+    // record is a hard None, never a silently-short record list
+    val brokenSep = good.clone()
+    brokenSep(good.length - 1) = 'Z'
+    assert(Warc.decodeWarc(brokenSep).isEmpty)
+    // garbage that is not WARC at all / empty / no responses
+    assert(Warc.decodeWarc(Array.fill(40)(7.toByte)).isEmpty)
+    assert(Warc.decodeWarc(Array.emptyByteArray).isEmpty)
+    val infoOnly = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "Content-Length: 1\r\n\r\nx\r\n\r\n").getBytes("US-ASCII"))
+      out.toByteArray
+    }
+    assert(Warc.decodeWarc(infoOnly).isEmpty,
+      "a crawl file with zero responses is not a member source")
+  }
+
+  test("mm_warc equals mm_tar row for row — four containers, one relation") {
+    import spark.implicits._
+    val w = Warc.mmWarc(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val t = Archives.mmTar(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(w == t, "warc and tar must decode the same member relation")
+    assert(w.nonEmpty)
+  }
+
+  test("streaming warc ingest equals the batch rollup across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.SMedia
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val blobs = Warc.warcMedia(spark, sf0001).collect()
+      .map(m => SMedia(m.doc_id, m.blob))
+    val mem = MemoryStream[SMedia]
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    val q = StreamingOps.warcIngestStream(mem.toDS()) { out =>
+      got ++= out.as[(Long, Long, Long, Long)].collect()
+    }.start()
+    try {
+      val (a, rest) = blobs.splitAt(blobs.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      for (chunk <- Seq(a, b, c)) {
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = Warc.mmWarc(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.toSet == batch,
+      s"warc ingest diverged: ${got.size} streamed vs ${batch.size} batch")
+  }
+}
