@@ -431,21 +431,20 @@ object SnapshotTable {
     ExpireReport(dead.size, live.size, removed.size, kept.size)
   }
 
-  /** MERGE (upsert) as a transactional commit — copy-on-write, the
-    * Delta/Iceberg COW baseline: rows of the CURRENT version whose
-    * `key` appears in `updates` are replaced, all other current rows
-    * carried, new keys inserted; the result is committed as a full
-    * overwrite version (old versions stay readable — the merge is
-    * visible atomically or not at all). The anti-join's build side
-    * is `updates`' key projection — broadcastable whenever the
-    * update batch is small, the common MERGE shape; the carried rows
-    * stream through without a wide shuffle when AQE picks the
-    * broadcast. At 100 TB the refinement is partition-scoped COW
-    * (rewrite only partitions holding matched keys, carry the rest
-    * as manifest references); this engine's manifests already
-    * reference whole file sets, so that refinement is a manifest
-    * split away — documented, not needed at the current surface.
-    * Returns the committed version id.
+  /** MERGE (upsert) as a transactional commit — PARTITION-SCOPED
+    * copy-on-write, the Delta/Iceberg COW model: rows of the CURRENT
+    * version whose `key` appears in `updates` are replaced, all
+    * other current rows carried, new keys inserted; the new version
+    * is visible atomically or not at all and old versions stay
+    * readable. Only file sets whose stats-key range intersects the
+    * update batch's key envelope are read and rewritten — every
+    * non-intersecting set is carried as a MANIFEST REFERENCE with
+    * its stats and lineage intact (see [[mergeAs]]), so a small
+    * upsert against a 100 TB table costs work proportional to the
+    * touched partitions. The rewrite's anti-join builds on
+    * `updates`' key projection — broadcastable whenever the update
+    * batch is small, the common MERGE shape. Returns the committed
+    * version id.
     *
     * Concurrency: the base version is resolved ONCE and pinned
     * through to the commit — if another writer publishes between the
@@ -509,15 +508,56 @@ object SnapshotTable {
   }
 
   /** Merge with the base version PINNED — the race-window primitive
-    * ([[commitAs]]'s pattern), exposed for the conflict spec. */
+    * ([[commitAs]]'s pattern), exposed for the conflict spec.
+    *
+    * PARTITION-SCOPED COW (the 100 TB refinement SURVEY §2.3 names):
+    * only file sets whose stats-key range INTERSECTS the update
+    * batch's key envelope are read and rewritten; every other set is
+    * carried BY REFERENCE — same dir, same stats, same `added_in`
+    * lineage — so a small upsert against a huge table costs work
+    * proportional to the touched partitions, not the corpus, and
+    * `changes()` windows that predate the merge keep reporting the
+    * untouched sets' rows correctly. A set without key stats MIGHT
+    * hold matched keys, so it is rewritten conservatively (skipping
+    * degrades to reading — the [[readPruned]] rule); the same
+    * fallback covers a non-numeric envelope. The rewritten set
+    * publishes WITH fresh stats on the merge key, so the next merge
+    * can scope against it. */
   private[graft] def mergeAs(spark: SparkSession, root: String,
                              updates: DataFrame, key: String,
                              base: Option[Int]): Int = {
-    val cur = read(spark, root, base.getOrElse(
-      throw new IllegalStateException(s"no versions at $root")))
-    val merged = cur
-      .join(updates.select(updates(key)).distinct(), Seq(key), "left_anti")
-      .unionByName(updates, allowMissingColumns = true)
-    commitAs(spark, root, merged, base, append = false)
+    val baseV = base.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val entries = manifestEntries(spark, root, baseV)
+    require(entries.nonEmpty, s"version $baseV not published at $root")
+    // the update batch's key envelope — one tiny agg over the SMALL
+    // side (the MERGE shape); null min ⇒ empty batch or un-castable
+    // key ⇒ conservative whole-table rewrite (the old behavior)
+    val env = updates.agg(min(col(key)).cast("long"),
+      max(col(key)).cast("long")).collect()(0)
+    val (touched, carried) =
+      if (env.isNullAt(0)) (entries, Seq.empty[Entry])
+      else entries.partition(e => (e.minKey, e.maxKey) match {
+        case (Some(lo), Some(hi)) =>
+          hi >= env.getLong(0) && lo <= env.getLong(1)
+        case _ => true // unknown stats: might hold a matched key
+      })
+    val merged =
+      if (touched.isEmpty) updates // pure insert: no set can match
+      else unionSets(spark, root, touched)
+        .join(updates.select(updates(key)).distinct(), Seq(key), "left_anti")
+        .unionByName(updates, allowMissingColumns = true)
+    // commitAs's body with an explicit carried-entry list: write the
+    // rewrite, stat it on the merge key, publish carried-by-reference
+    // sets (lineage intact) + the new set under the PINNED version id
+    val next = baseV + 1
+    val dataRel =
+      s"data/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    merged.write.parquet(s"$root/$dataRel")
+    val (nRows, minK, maxK, bloom) =
+      statsOf(spark, s"$root/$dataRel", Some(key))
+    publish(spark, root, next,
+      carried :+ Entry(dataRel, next, nRows, minK, maxK, bloom))
+    next
   }
 }

@@ -265,6 +265,62 @@ class SnapshotSpec extends SparkSessionSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("partition-scoped merge: non-intersecting sets keep their " +
+       "original paths; only touched ranges rewrite") {
+    val root = tmpRoot()
+    // three stats-keyed sets with disjoint key ranges
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (5L, "b")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    SnapshotTable.commit(spark, root,
+      Seq((10L, "c"), (15L, "d")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    SnapshotTable.commit(spark, root,
+      Seq((20L, "e"), (25L, "f")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    def dirsOf(v: Int) = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      spark.read.parquet(s"$root/manifests/v$v")
+        .select("dir", "added_in").as[(String, Int)].collect().toSet
+    }
+    val before = dirsOf(3)
+    // update touches ONLY the middle range [10, 15]
+    val v = SnapshotTable.merge(spark, root,
+      Seq((10L, "C!"), (12L, "new")).toDF("doc_id", "text"), "doc_id")
+    assert(v == 4)
+    val after = dirsOf(4)
+    // sets 1 and 3 carried BY REFERENCE: same dir, same added_in
+    val untouched = before.filter(e => e._2 == 1 || e._2 == 3)
+    assert(untouched.subsetOf(after),
+      s"non-intersecting sets must keep their paths: $before vs $after")
+    // the touched set's dir is gone from the manifest, one new set in
+    assert(!after.exists(_._2 == 2), "touched set must be rewritten")
+    assert(after.count(_._2 == 4) == 1)
+    // semantics unchanged: replace matched, insert new, carry rest
+    assert(SnapshotTable.read(spark, root, 4)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (5L, "b"), (10L, "C!"), (12L, "new"), (15L, "d"),
+        (20L, "e"), (25L, "f")))
+    // copy-on-write: the pre-merge version is untouched
+    assert(SnapshotTable.read(spark, root, 3)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (5L, "b"), (10L, "c"), (15L, "d"), (20L, "e"),
+        (25L, "f")))
+    // changes window over the pre-merge era still reports the carried
+    // sets' rows (their lineage survived the merge)
+    assert(SnapshotTable.changes(spark, root, 2, 4)
+      .select("doc_id").as[Long].collect().toSet ==
+      Set(20L, 25L, 10L, 12L, 15L),
+      "carried lineage + the merge's own additions")
+    // a pure-insert merge outside every range rewrites NOTHING
+    val v5 = SnapshotTable.merge(spark, root,
+      Seq((100L, "z")).toDF("doc_id", "text"), "doc_id")
+    val after5 = dirsOf(5)
+    assert(after.subsetOf(after5), "pure insert must carry all sets")
+    assert(SnapshotTable.readLatest(spark, root).count() == 8)
+  }
+
   test("merge racing a concurrent commit conflicts instead of losing the update") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
