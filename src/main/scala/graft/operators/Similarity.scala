@@ -519,18 +519,46 @@ object Similarity {
 
   val Sq8Levels = 255
 
+  /** PERSISTED QUANTIZER PARAMS — the 1-row BQ/SQ8 training
+    * aggregates as durable index artifacts (the [[AnnIndex]] rule:
+    * a quantizer is part of the index, trained once, not re-derived
+    * per run). Without this every COLD run pays a full corpus
+    * aggregation pass that must COMPLETE before the encode scan can
+    * start — two serialized corpus passes where a served index needs
+    * one. The artifact path is keyed by data dir AND corpus row
+    * count ([[AnnIndex.indexPath]]'s self-invalidation), so a
+    * regenerated corpus retrains instead of reusing stale params;
+    * the write is build-once racing-safe in the same way (parquet
+    * overwrite + _SUCCESS gate). */
+  private def paramArtifact(spark: SparkSession, dir: String, kind: String)
+                           (train: => DataFrame): DataFrame = {
+    val n = t(spark, dir, "embeddings").count()
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path =
+      s"${graft.sources.Artifacts.root(spark)}/quant_${kind}_${key}_n$n"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
+      train.coalesce(1).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Scalar-quantized corpus — (vec_id, codes: array<int>) plus the
     * 1-row (mn, step) params broadcast into the plan. Quantization is
     * global-affine int8 (the SQ8 of FAISS/Lucene): code = min(255,
-    * ⌊(x − mn)/step⌋) with step = (mx − mn)/255 derived from ONE tiny
-    * corpus aggregate — in-plan, broadcast, no driver collect. The
-    * encode is a narrow codegen projection at scan speed; the encoded
-    * corpus is 64 B/vector instead of 512 B of doubles. */
+    * ⌊(x − mn)/step⌋) with step = (mx − mn)/255. The params are a
+    * [[paramArtifact]] — trained by ONE tiny corpus aggregate on the
+    * first build, then read back as a 1-row parquet on every later
+    * run (cold included). The encode is a narrow codegen projection
+    * at scan speed; the encoded corpus is 64 B/vector instead of
+    * 512 B of doubles. */
   private def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val params = e.agg(min(array_min(col("v"))).as("mn"),
-        max(array_max(col("v"))).as("mx"))
-      .withColumn("step", (col("mx") - col("mn")) / lit(Sq8Levels.toDouble))
+    val params = paramArtifact(spark, dir, "sq8") {
+      e.agg(min(array_min(col("v"))).as("mn"),
+          max(array_max(col("v"))).as("mx"))
+        .withColumn("step", (col("mx") - col("mn")) / lit(Sq8Levels.toDouble))
+    }
     e.crossJoin(broadcast(params))
       .select(col("vec_id"), col("mn"), col("step"),
         transform(col("v"), x =>
@@ -589,20 +617,34 @@ object Similarity {
     * same powers of two without overflow). 64× memory compression:
     * the Hamming scan reads 8 bytes/vector instead of 512 — at 100 TB
     * of embeddings the code table is ~1.6 TB and the scan goes from
-    * IO-bound to compute-trivial. Thresholds are ONE 1-row aggregate
-    * broadcast into the packing projection. */
+    * IO-bound to compute-trivial. The per-dimension mean thresholds
+    * are a [[paramArtifact]]: trained by one 1-row aggregate on the
+    * first build, read back as a 1-row parquet on every later run —
+    * a cold search no longer pays a corpus pass before the Hamming
+    * scan can start. */
   private def bqCodes(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val thr = e.agg(array((0 until 64).map(i => avg(col("v")(i))): _*)
-      .as("thr"))
+    val thr = paramArtifact(spark, dir, "bqthr") {
+      e.agg(array((0 until 64).map(i => avg(col("v")(i))): _*).as("thr"))
+    }
+    // sign-pack as a fold over the 32-dim slice — the higher-order
+    // lambda compiles to ONE loop body instead of 32 inlined
+    // conditionals per word (the 64-term chain cost ~1 s of codegen
+    // compile on every cold plan); 2^i via pow is exact (i ≤ 31 ≪
+    // the double mantissa)
+    def packWord(off: Int): Column = aggregate(
+      zip_with(slice(col("v"), off + 1, 32), slice(col("thr"), off + 1, 32),
+        (x, t) => when(x > t, lit(1.0d)).otherwise(lit(0.0d))),
+      struct(lit(0L).as("acc"), lit(0).as("i")),
+      (s, bit) => struct(
+        (s.getField("acc") +
+          (bit * pow(lit(2.0d), s.getField("i").cast("double")))
+            .cast("long")).as("acc"),
+        (s.getField("i") + 1).as("i")),
+      s => s.getField("acc"))
     e.crossJoin(broadcast(thr))
       .select(col("vec_id"), col("v"), col("nrm"),
-        (0 until 32).map(i =>
-          when(col("v")(i) > col("thr")(i), lit(1L << i))
-            .otherwise(lit(0L))).reduce(_ + _).as("lo"),
-        (0 until 32).map(i =>
-          when(col("v")(i + 32) > col("thr")(i + 32), lit(1L << i))
-            .otherwise(lit(0L))).reduce(_ + _).as("hi"))
+        packWord(0).as("lo"), packWord(32).as("hi"))
   }
 
   private def hammingCol: Column =

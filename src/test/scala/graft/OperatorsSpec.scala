@@ -297,6 +297,37 @@ class OperatorsSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("BQ/SQ8 quantizer params persist as corpus-size-keyed artifacts " +
+       "and the second run serves from them") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    spark.conf.set("spark.graft.artifacts.dir", tmp)
+    try {
+      val first = Similarity.annBq(spark, sf0001).collect().toSet
+      val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+      // trained params landed under the size-keyed path (a regenerated
+      // corpus with a different count self-invalidates by path)
+      val f = new java.io.File(tmp).listFiles().map(_.getName).toSet
+      assert(f.exists(d => d.startsWith("quant_bqthr_") && d.endsWith(s"_n$n")),
+        s"expected size-keyed bq artifact in $f")
+      Similarity.annSq8(spark, sf0001).collect()
+      assert(new java.io.File(tmp).listFiles().map(_.getName)
+        .exists(d => d.startsWith("quant_sq8_") && d.endsWith(s"_n$n")))
+      // second run reads the artifact (same results); corrupting the
+      // stored thresholds CHANGES the search — proof the serve path
+      // really consumes the artifact, not a silent retrain
+      assert(Similarity.annBq(spark, sf0001).collect().toSet == first)
+      val dir = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("quant_bqthr_")).get
+      val spark2 = spark
+      import spark2.implicits._
+      Seq(Tuple1(Array.fill(64)(1e18))).toDF("thr")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      val skewed = Similarity.annBq(spark, sf0001).collect().toSet
+      assert(skewed != first,
+        "annBq must serve from the persisted thresholds")
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
   test("annIndexStats reads the segment catalog with lifecycle invariants") {
     val root = java.nio.file.Files.createTempDirectory("graft_ann_st").toString
     spark.conf.set("spark.graft.artifacts.dir", root)
