@@ -528,36 +528,167 @@ object SnapshotTable {
                              base: Option[Int]): Int = {
     val baseV = base.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
+    val (entries, touchedDirs, _, entry) =
+      mergeWrite(spark, root, updates, key, baseV)
+    val next = baseV + 1
+    publish(spark, root, next,
+      entries.filterNot(e => touchedDirs.contains(e.dir))
+        :+ entry.copy(addedIn = next))
+    next
+  }
+
+  /** The merge's scope-and-rewrite step, shared by the pinned-base
+    * [[mergeAs]] and the validating-retry [[mergeRetryAs]]: resolve
+    * the base manifest, scope to intersecting sets, write the
+    * rewritten set ONCE (unique dir), stat it on the merge key.
+    * Returns (base entries, touched dirs, update key envelope —
+    * None when un-scopable, new entry with a provisional
+    * `addedIn`). */
+  private def mergeWrite(spark: SparkSession, root: String,
+                         updates: DataFrame, key: String, baseV: Int)
+      : (Seq[Entry], Set[String], Option[(Long, Long)], Entry) = {
     val entries = manifestEntries(spark, root, baseV)
     require(entries.nonEmpty, s"version $baseV not published at $root")
     // the update batch's key envelope — one tiny agg over the SMALL
     // side (the MERGE shape); null min ⇒ empty batch or un-castable
     // key ⇒ conservative whole-table rewrite (the old behavior)
-    val env = updates.agg(min(col(key)).cast("long"),
+    val envRow = updates.agg(min(col(key)).cast("long"),
       max(col(key)).cast("long")).collect()(0)
-    val (touched, carried) =
-      if (env.isNullAt(0)) (entries, Seq.empty[Entry])
-      else entries.partition(e => (e.minKey, e.maxKey) match {
-        case (Some(lo), Some(hi)) =>
-          hi >= env.getLong(0) && lo <= env.getLong(1)
-        case _ => true // unknown stats: might hold a matched key
-      })
+    val env = if (envRow.isNullAt(0)) None
+              else Some((envRow.getLong(0), envRow.getLong(1)))
+    val (touched, _) = env match {
+      case None => (entries, Seq.empty[Entry])
+      case Some((uMin, uMax)) =>
+        entries.partition(e => (e.minKey, e.maxKey) match {
+          case (Some(lo), Some(hi)) => hi >= uMin && lo <= uMax
+          case _ => true // unknown stats: might hold a matched key
+        })
+    }
     val merged =
       if (touched.isEmpty) updates // pure insert: no set can match
       else unionSets(spark, root, touched)
         .join(updates.select(updates(key)).distinct(), Seq(key), "left_anti")
         .unionByName(updates, allowMissingColumns = true)
-    // commitAs's body with an explicit carried-entry list: write the
-    // rewrite, stat it on the merge key, publish carried-by-reference
-    // sets (lineage intact) + the new set under the PINNED version id
-    val next = baseV + 1
     val dataRel =
-      s"data/s$next-${java.util.UUID.randomUUID().toString.take(8)}"
+      s"data/m${baseV + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
     merged.write.parquet(s"$root/$dataRel")
     val (nRows, minK, maxK, bloom) =
       statsOf(spark, s"$root/$dataRel", Some(key))
-    publish(spark, root, next,
-      carried :+ Entry(dataRel, next, nRows, minK, maxK, bloom))
-    next
+    (entries, touched.map(_.dir).toSet, env,
+      Entry(dataRel, baseV + 1, nRows, minK, maxK, bloom))
+  }
+
+  /** OPTIMISTIC APPEND WITH BOUNDED RETRY — the Iceberg fast-append
+    * model: appends COMMUTE with every concurrent commit, so losing
+    * the version-id race never invalidates the work — the data set
+    * is written ONCE to its attempt-unique dir, and only the
+    * manifest publish retries against the new latest (which now
+    * carries the concurrent writer's sets). Two writers appending
+    * disjoint batches both succeed, in whichever order the renames
+    * land. Exhausting `maxRetries` (a pathologically hot table)
+    * surfaces the last conflict. */
+  def commitRetry(spark: SparkSession, root: String, df: DataFrame,
+                  statsKey: Option[String] = None,
+                  maxRetries: Int = 5): Int =
+    commitRetryAs(spark, root, df, latestVersion(spark, root), statsKey,
+      maxRetries)
+
+  private[graft] def commitRetryAs(spark: SparkSession, root: String,
+                                   df: DataFrame, base: Option[Int],
+                                   statsKey: Option[String],
+                                   maxRetries: Int): Int = {
+    val first = base.getOrElse(0) + 1
+    val dataRel =
+      s"data/a$first-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$root/$dataRel")
+    val (nRows, minK, maxK, bloom) = statsOf(spark, s"$root/$dataRel", statsKey)
+    var cur = base
+    var attempt = 0
+    while (true) {
+      val next = cur.getOrElse(0) + 1
+      val carried = cur.toSeq.flatMap(manifestEntries(spark, root, _))
+      try {
+        publish(spark, root, next,
+          carried :+ Entry(dataRel, next, nRows, minK, maxK, bloom))
+        return next
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          cur = latestVersion(spark, root) // re-resolve and re-carry
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** MERGE WITH CONFLICT VALIDATION — the Iceberg optimistic model
+    * for the non-commuting commit: on losing the version-id race the
+    * merge does NOT blindly retry (a concurrent writer may have
+    * changed rows this merge already rewrote — the lost-update
+    * anomaly). Instead it validates against the new latest manifest:
+    * (a) every file set this merge read and rewrote must still be
+    * referenced — a concurrent compact/overwrite/overlapping-merge
+    * that replaced one means the rewrite is stale; and (b) no
+    * concurrently-ADDED set's key range may intersect the update
+    * envelope — such rows would dodge the replace and duplicate
+    * keys. DISJOINT concurrent work (appends or merges over other
+    * key ranges) passes validation and the merge republishes against
+    * the new latest — its rewrite untouched, written once — so both
+    * writers succeed. Failing validation surfaces the conflict for a
+    * full re-merge from the new latest. */
+  def mergeRetry(spark: SparkSession, root: String, updates: DataFrame,
+                 key: String, maxRetries: Int = 5): Int =
+    mergeRetryAs(spark, root, updates, key, latestVersion(spark, root),
+      maxRetries)
+
+  private[graft] def mergeRetryAs(spark: SparkSession, root: String,
+                                  updates: DataFrame, key: String,
+                                  base: Option[Int], maxRetries: Int): Int = {
+    val baseV = base.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val (baseEntries, touchedDirs, env, entry) =
+      mergeWrite(spark, root, updates, key, baseV)
+    var entries = baseEntries
+    var cur = baseV
+    var attempt = 0
+    while (true) {
+      val next = cur + 1
+      try {
+        publish(spark, root, next,
+          entries.filterNot(e => touchedDirs.contains(e.dir))
+            :+ entry.copy(addedIn = next))
+        return next
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val newCur = latestVersion(spark, root).getOrElse(cur)
+          val newEntries = manifestEntries(spark, root, newCur)
+          val newDirs = newEntries.map(_.dir).toSet
+          if (!touchedDirs.subsetOf(newDirs))
+            throw new IllegalStateException(
+              s"commit conflict: a concurrent writer replaced file sets " +
+                s"this merge rewrote at $root; re-merge from the latest " +
+                "version and retry")
+          val added = newEntries.filterNot(n =>
+            entries.exists(_.dir == n.dir))
+          val addedConflicts = env match {
+            case None => added.nonEmpty // un-scopable: any add conflicts
+            case Some((uMin, uMax)) => added.exists(a =>
+              (a.minKey, a.maxKey) match {
+                case (Some(lo), Some(hi)) => hi >= uMin && lo <= uMax
+                case _ => true // unknown stats: cannot prove disjoint
+              })
+          }
+          if (addedConflicts)
+            throw new IllegalStateException(
+              s"commit conflict: a concurrent commit added rows inside " +
+                s"this merge's key range at $root; re-merge from the " +
+                "latest version and retry")
+          entries = newEntries
+          cur = newCur
+      }
+    }
+    -1 // unreachable
   }
 }

@@ -344,6 +344,69 @@ class SnapshotSpec extends SparkSessionSpec {
       .as[(Long, String)].collect().toSet == Set((1L, "A!"), (2L, "b")))
   }
 
+  test("two concurrent appends both succeed: the loser revalidates and " +
+       "republishes without rewriting data") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("doc_id", "text"))
+    val base = SnapshotTable.latestVersion(spark, root) // both resolve v1
+    // writer A publishes v2 while writer B is still working …
+    SnapshotTable.commit(spark, root, Seq((2L, "b")).toDF("doc_id", "text"))
+    // … B's stale-based retrying append loses the v2 race, re-reads
+    // the latest manifest (appends commute) and lands as v3
+    val v = SnapshotTable.commitRetryAs(spark, root,
+      Seq((3L, "c")).toDF("doc_id", "text"), base, None, maxRetries = 5)
+    assert(v == 3)
+    assert(SnapshotTable.readLatest(spark, root)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "both concurrent appends' rows must survive")
+  }
+
+  test("disjoint concurrent merge validates and succeeds; overlapping " +
+       "concurrent data still conflicts") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (5L, "b")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    SnapshotTable.commit(spark, root,
+      Seq((10L, "c"), (15L, "d")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    val base = SnapshotTable.latestVersion(spark, root) // v2
+    // concurrent writer appends a DISJOINT key range → v3
+    SnapshotTable.commit(spark, root,
+      Seq((20L, "e")).toDF("doc_id", "text"), statsKey = Some("doc_id"))
+    // stale-based merge over [10, 12]: loses the v3 race, validates
+    // (its touched set survives; the concurrent add is outside the
+    // envelope) and republishes as v4 — rewrite written once
+    val v = SnapshotTable.mergeRetryAs(spark, root,
+      Seq((10L, "C!"), (12L, "new")).toDF("doc_id", "text"), "doc_id",
+      base, maxRetries = 5)
+    assert(v == 4)
+    assert(SnapshotTable.readLatest(spark, root)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (5L, "b"), (10L, "C!"), (12L, "new"), (15L, "d"),
+        (20L, "e")),
+      "merge and the disjoint concurrent append must both survive")
+    // now the OVERLAPPING race: a concurrent commit adds a row INSIDE
+    // the merge's envelope — validation must refuse (the new row
+    // would dodge the replace and duplicate its key)
+    val base2 = SnapshotTable.latestVersion(spark, root) // v4
+    SnapshotTable.commit(spark, root,
+      Seq((12L, "racer")).toDF("doc_id", "text"), statsKey = Some("doc_id"))
+    val e = intercept[IllegalStateException](
+      SnapshotTable.mergeRetryAs(spark, root,
+        Seq((12L, "mine")).toDF("doc_id", "text"), "doc_id",
+        base2, maxRetries = 5))
+    assert(e.getMessage.contains("commit conflict"))
+    // the documented recovery — a fresh merge from the new latest —
+    // replaces BOTH copies of the contested key
+    SnapshotTable.mergeRetry(spark, root,
+      Seq((12L, "mine")).toDF("doc_id", "text"), "doc_id")
+    val rows = SnapshotTable.readLatest(spark, root)
+      .as[(Long, String)].collect()
+    assert(rows.count(_._1 == 12L) == 1 && rows.contains((12L, "mine")))
+  }
+
   test("a crashed commit (tmp manifest, no rename) is invisible") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
