@@ -476,6 +476,74 @@ class StreamingSpec extends SparkSessionSpec {
     assert(!streamed.exists(_ >= 1000000L), "re-ingested dup leaked through")
   }
 
+  test("hot key: one user carrying 50% of events keeps state O(users) " +
+       "and stateful results exact") {
+    // the streaming twin of the batch q_skew_join gate: a crafted
+    // stream where user 7 owns 1000 of 2000 events (50%) and twenty
+    // cold users own 50 each. A stateful op whose state grew with
+    // EVENTS instead of KEYS would hold ~2000 state rows here; the
+    // assertion pins it at O(distinct users).
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1_000_000_000_000_000L
+    def ev(uid: Long, i: Int) = {
+      val us = base + i * 60_000_000L // 60 s apart: inside the session gap
+      SEvent(uid * 10000 + i, new Timestamp(us / 1000), us, uid, "click", 1.0)
+    }
+    val hot = (0 until 1000).map(ev(7L, _))
+    val cold = for (u <- 100L until 120L; i <- 0 until 50) yield ev(u, i)
+    val all = (hot ++ cold).sortBy(_.ts_us)
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("hotkey_sessions")
+      .outputMode("append").start()
+    try {
+      // three ts-ordered micro-batches so the hot user's state carries
+      // across batches, then two sentinels to flush by timeout
+      all.grouped((all.size + 2) / 3).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+      mem.addData(sentinel(48L * 3600 * 1000 * 1000)); q.processAllAvailable()
+      mem.addData(sentinel(49L * 3600 * 1000 * 1000)); q.processAllAvailable()
+      // state never scales with the hot key's event count: ≤ one row
+      // per distinct user (21 + the sentinel user), not ~2000
+      val maxState = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).max
+      assert(maxState <= 25,
+        s"state rows $maxState must stay O(users) under a 50% hot key")
+    } finally q.stop()
+    val sessions = spark.table("hotkey_sessions")
+      .where(col("user_id") >= 0)
+      .select("user_id", "n_events", "duration_us")
+      .as[(Long, Long, Long)].collect().toSet
+    // every user closes exactly ONE session with all its events —
+    // the hot key's 1000 events landed in one state row, intact
+    val expect = Set((7L, 1000L, 999L * 60_000_000L)) ++
+      (100L until 120L).map(u => (u, 50L, 49L * 60_000_000L))
+    assert(sessions == expect)
+    // the running-counts op under the same skew: exact totals
+    val mem2 = MemoryStream[SEvent]
+    val q2 = StreamingOps.runningUserCounts(mem2.toDS())
+      .toDF("user_id", "n")
+      .writeStream.format("memory").queryName("hotkey_counts")
+      .outputMode("update").start()
+    try {
+      all.grouped((all.size + 2) / 3).foreach { chunk =>
+        mem2.addData(chunk); q2.processAllAvailable()
+      }
+      val maxState2 = q2.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).max
+      assert(maxState2 <= 21,
+        s"counts state rows $maxState2 must stay O(users)")
+    } finally q2.stop()
+    val counts = spark.table("hotkey_counts")
+      .groupBy("user_id").agg(max("n").as("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(counts == Set((7L, 1000L)) ++
+      (100L until 120L).map(u => (u, 50L)))
+  }
+
   test("runningUserCounts final state equals batch per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
