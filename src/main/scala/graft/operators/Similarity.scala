@@ -540,7 +540,10 @@ object Similarity {
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
       train.coalesce(1).write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
+    // the artifact is 1 row by construction; limit(1) enforces that
+    // contract at read time AND gives the plan linter the bound it
+    // needs to accept the broadcast parameter join
+    spark.read.parquet(path).limit(1)
   }
 
   /** Scalar-quantized corpus — (vec_id, codes: array<int>) plus the

@@ -160,6 +160,127 @@ object Warc {
     if (records.isEmpty) None else Some(records)
   }
 
+  /** One WARC record as standalone bytes — the unit `.warc.gz`
+    * compresses per record. */
+  private def recordBytes(headers: Seq[(String, String)],
+                          content: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeRecord(out, headers, content)
+    out.toByteArray
+  }
+
+  /** The COMMON CRAWL wire format: each WARC record gzip-compressed
+    * SEPARATELY, members concatenated — so a consumer can seek to a
+    * record boundary and read one record without inflating the rest
+    * of the file (RFC 1952 explicitly allows multi-member streams;
+    * WARC-GZ mandates record-per-member). Same leading warcinfo +
+    * shared synthetic members as [[encodeWarc]]. */
+  def encodeWarcGz(docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Archives.gzipBytes(recordBytes(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:doc$docId:info>",
+      "WARC-Date" -> SynthDate),
+      "software: graft-synth\r\n".getBytes("US-ASCII"))))
+    (0 until Archives.membersOf(docId)).foreach { i =>
+      val len = Archives.memberLenOf(docId, i)
+      out.write(Archives.gzipBytes(recordBytes(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:doc$docId:$i>",
+        "WARC-Date" -> SynthDate,
+        "WARC-Target-URI" -> s"http://synth.graft/doc$docId/part$i"),
+        Array.tabulate(len)(j => Archives.memberByteOf(docId, i, j).toByte))))
+    }
+    out.toByteArray
+  }
+
+  /** Walk a MULTI-MEMBER gzip stream (RFC 1952 §2.2: "a gzip file
+    * consists of a series of members"): per member, header parse with
+    * optional-field skipping, raw inflate tracking how many input
+    * bytes the member consumed, CRC32 + ISIZE verified against ITS
+    * OWN trailer, cursor advanced to the next member until exact EOF.
+    * None on any malformation in ANY member — a flipped bit anywhere
+    * refuses the whole stream ([[Archives.gunzip]]'s posture,
+    * generalized). Single-member streams decode identically to
+    * [[Archives.gunzip]]. */
+  def gunzipMembers(blob: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var p = 0
+      if (blob.length == 0) return None
+      while (p < blob.length) {
+        if (p + 18 > blob.length || (blob(p) & 0xff) != 0x1f ||
+            (blob(p + 1) & 0xff) != 0x8b || (blob(p + 2) & 0xff) != 8)
+          return None
+        val flg = blob(p + 3) & 0xff
+        var q = p + 10
+        if ((flg & 4) != 0) {
+          val xlen = (blob(q) & 0xff) | ((blob(q + 1) & 0xff) << 8)
+          q += 2 + xlen
+        }
+        if ((flg & 8) != 0) { while (blob(q) != 0) q += 1; q += 1 }
+        if ((flg & 16) != 0) { while (blob(q) != 0) q += 1; q += 1 }
+        if ((flg & 2) != 0) q += 2
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(blob, q, blob.length - q)
+        val member = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var done = inf.finished()
+        while (!done) {
+          val got = inf.inflate(buf)
+          if (got > 0) member.write(buf, 0, got)
+          done = inf.finished()
+          if (!done && got == 0 &&
+              (inf.needsInput() || inf.needsDictionary())) {
+            inf.end(); return None
+          }
+        }
+        // the member consumed exactly (input − remaining) deflate
+        // bytes; its 8-byte trailer sits right after
+        val trailerAt = blob.length - inf.getRemaining
+        inf.end()
+        if (trailerAt + 8 > blob.length) return None
+        val bytes = member.toByteArray
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes)
+        def le32(off: Int): Long =
+          (blob(off) & 0xffL) | ((blob(off + 1) & 0xffL) << 8) |
+            ((blob(off + 2) & 0xffL) << 16) | ((blob(off + 3) & 0xffL) << 24)
+        if (le32(trailerAt) != crc.getValue) return None
+        if (le32(trailerAt + 4) != (bytes.length.toLong & 0xffffffffL))
+          return None
+        out.write(bytes)
+        p = trailerAt + 8
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** gunzip-members ∘ warc-walk — the `.warc.gz` read path: every
+    * gate of BOTH layers (per-member CRC32/ISIZE, version/header
+    * grammar, separators) guards the same rows. */
+  def decodeWarcGz(blob: Array[Byte]): Option[Vector[WarcRecord]] =
+    gunzipMembers(blob).flatMap(decodeWarc)
+
+  /** Same witnesses as [[mmWarc]], recovered through the per-record
+    * gzip layer — shares the tar oracle SQL verbatim, like
+    * mm_tar_gz over mm_tar. */
+  def mmWarcGz(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodeWarcGz(id))))
+      .mapPartitions(_.flatMap { m =>
+        decodeWarcGz(m.blob).map { rs =>
+          WarcInfo(m.doc_id, rs.size.toLong, rs.map(_.size).sum,
+            rs.map(_.payload_sum).sum)
+        }
+      })
+      .toDF()
+      .select(col("doc_id"), col("n_members"), col("total_bytes"),
+        col("payload_sum"))
+  }
+
   def warcMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     val spark2 = spark
     import spark2.implicits._
@@ -197,8 +318,10 @@ object Warc {
         col("payload_sum"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_warc" -> mmWarc)
+    "mm_warc" -> mmWarc,
+    "mm_warc_gz" -> mmWarcGz)
 
   val oracles: Map[String, String] = Map(
-    "mm_warc" -> Archives.tarInfoSql)
+    "mm_warc" -> Archives.tarInfoSql,
+    "mm_warc_gz" -> Archives.tarInfoSql)
 }

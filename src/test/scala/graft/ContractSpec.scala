@@ -25,6 +25,7 @@ class ContractSpec extends SparkSessionSpec {
       operators.Jpeg.queries.size,
       operators.Gif.queries.size,
       operators.Archives.queries.size,
+      operators.Warc.queries.size,
       operators.Adpcm.queries.size,
       operators.Avi.queries.size,
       operators.Pipeline.queries.size,

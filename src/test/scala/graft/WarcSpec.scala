@@ -88,6 +88,39 @@ class WarcSpec extends SparkSessionSpec {
       "a crawl file with zero responses is not a member source")
   }
 
+  test(".warc.gz: record-per-member gzip round-trips; any member's " +
+       "corruption refuses the whole stream") {
+    // the Common Crawl wire format: one gzip member PER RECORD,
+    // concatenated — decode must walk member boundaries, not assume
+    // one member (Archives.gunzip's single-member contract would stop
+    // after the warcinfo record)
+    (0L until 30L).foreach { id =>
+      assert(Warc.decodeWarcGz(Warc.encodeWarcGz(id)) ==
+        Warc.decodeWarc(Warc.encodeWarc(id)),
+        s"doc $id: gz and plain must decode the same records")
+    }
+    val gz = Warc.encodeWarcGz(7L)
+    // the stream really is multi-member: more than one gzip magic
+    val magics = gz.indices.count(i => i + 1 < gz.length &&
+      (gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b)
+    assert(magics >= 1 + Archives.membersOf(7L),
+      s"expected record-per-member, found $magics magics")
+    // flip one payload byte in the LAST member: its CRC fails and the
+    // whole stream refuses (never a silently-short record list)
+    val bad = gz.clone()
+    bad(gz.length - 12) = (bad(gz.length - 12) ^ 0x01).toByte
+    assert(Warc.decodeWarcGz(bad).isEmpty)
+    // truncation mid-member and a straight single-member gzip of the
+    // CONCATENATED records both still behave (RFC 1952 allows either
+    // packaging; the walker must handle one member spanning records)
+    assert(Warc.decodeWarcGz(gz.take(gz.length / 2)).isEmpty)
+    val single = Archives.gzipBytes(Warc.encodeWarc(7L))
+    assert(Warc.decodeWarcGz(single) == Warc.decodeWarc(Warc.encodeWarc(7L)))
+    // and gunzipMembers agrees with the single-member gunzip
+    assert(Warc.gunzipMembers(single).map(_.toSeq) ==
+      Archives.gunzip(single).map(_.toSeq))
+  }
+
   test("mm_warc equals mm_tar row for row — four containers, one relation") {
     import spark.implicits._
     val w = Warc.mmWarc(spark, sf0001)
