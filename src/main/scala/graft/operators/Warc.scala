@@ -94,71 +94,16 @@ object Warc {
     * names), a content block of exactly Content-Length bytes, then
     * the CRLF CRLF separator; records until exact EOF. None on any
     * malformation. `response` records yield rows; other types are
-    * validated and skipped — their bytes still advance the cursor. */
-  def decodeWarc(blob: Array[Byte]): Option[Vector[WarcRecord]] = {
-    var p = 0
-    var records = Vector.empty[WarcRecord]
-    // the CRLF-terminated line starting at `from`, or None past EOF /
-    // if no terminator arrives (headers are US-ASCII by spec)
-    def line(from: Int): Option[(String, Int)] = {
-      var k = from
-      while (k + 1 < blob.length) {
-        if (blob(k) == '\r' && blob(k + 1) == '\n')
-          return Some((new String(blob, from, k - from, "US-ASCII"), k + 2))
-        k += 1
-      }
-      None
-    }
-    while (p < blob.length) {
-      val (ver, afterVer) = line(p) match {
-        case Some(v) => v
-        case None => return None
-      }
-      if (ver != "WARC/1.0" && ver != "WARC/1.1") return None
-      var q = afterVer
-      var warcType: String = null
-      var uri = ""
-      var len = -1L
-      var open = true
-      while (open) {
-        line(q) match {
-          case None => return None
-          case Some(("", next)) => open = false; q = next
-          case Some((h, next)) =>
-            val c = h.indexOf(':')
-            if (c <= 0) return None // a header line must be Name: value
-            val name = h.substring(0, c).trim.toLowerCase
-            // field-name is a token — whitespace inside means a
-            // mangled line whose first colon came from the VALUE
-            // (e.g. a timestamp); refuse rather than mis-split
-            if (name.exists(ch => ch == ' ' || ch == '\t')) return None
-            val v = h.substring(c + 1).trim
-            name match {
-              case "warc-type" => warcType = v
-              case "warc-target-uri" => uri = v
-              case "content-length" =>
-                len = try java.lang.Long.parseLong(v)
-                catch { case _: NumberFormatException => return None }
-              case _ => () // unknown headers are legal; carried past
-            }
-            q = next
-        }
-      }
-      if (warcType == null || len < 0 || len > blob.length) return None
-      if (q + len + 4 > blob.length) return None // content + CRLFCRLF
-      if (blob(q + len.toInt) != '\r' || blob(q + len.toInt + 1) != '\n' ||
-          blob(q + len.toInt + 2) != '\r' || blob(q + len.toInt + 3) != '\n')
-        return None
-      if (warcType == "response") {
-        var s = 0L
-        var j = 0
-        while (j < len) { s += blob(q + j) & 0xff; j += 1 }
-        records :+= WarcRecord(warcType, uri, len, s)
-      }
-      p = q + len.toInt + 4
-    }
-    if (records.isEmpty) None else Some(records)
-  }
+    * validated and skipped — their bytes still advance the cursor.
+    * A stats view over the ONE validated walk
+    * ([[decodeWarcOffsets]]). */
+  def decodeWarc(blob: Array[Byte]): Option[Vector[WarcRecord]] =
+    decodeWarcOffsets(blob).map(_.map { case (uri, off, len) =>
+      var s = 0L
+      var j = 0
+      while (j < len) { s += blob(off + j) & 0xff; j += 1 }
+      WarcRecord("response", uri, len.toLong, s)
+    })
 
   /** One WARC record as standalone bytes — the unit `.warc.gz`
     * compresses per record. */
@@ -317,11 +262,239 @@ object Warc {
       .select(col("doc_id"), col("n_members"), col("total_bytes"),
         col("payload_sum"))
 
+  // -------------------------------------------------------------------
+  // HTTP-in-WARC + HTML extraction — what response records actually
+  // hold. A crawl pipeline gets at the text by unwrapping THREE
+  // layers: WARC record → HTTP message → HTML markup.
+  // -------------------------------------------------------------------
+
+  /** Minimal deterministic HTML page around a document's text —
+    * entities escaped exactly as a real generator must (& first on
+    * escape, last on unescape). */
+  def htmlPage(text: String): String = {
+    val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    s"<html><head><title>t</title></head><body><p>$esc</p></body></html>"
+  }
+
+  /** One HTTP/1.1 200 response message wrapping an HTML body — the
+    * content block of a real crawl's WARC response record. */
+  def httpResponse(html: String): Array[Byte] = {
+    val body = html.getBytes("UTF-8")
+    val head = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    head ++ body
+  }
+
+  /** A crawl file whose single response record holds the document's
+    * page as a FULL HTTP message (warcinfo record ahead of it, as
+    * ever). */
+  def encodeWarcHttp(docId: Long, text: String): Array[Byte] =
+    buildWarc(docId,
+      Seq((s"http://synth.graft/doc$docId", httpResponse(htmlPage(text)))))
+
+  final case class HttpInfo(status: Int, content_type: String,
+                            body: Array[Byte])
+
+  /** Parse one HTTP/1.1 response message: status line, CRLF headers
+    * to the blank line (case-insensitive names), body of exactly
+    * Content-Length bytes. None on malformation — bad status line,
+    * non-numeric/missing Content-Length, or a short body. */
+  def parseHttp(msg: Array[Byte]): Option[HttpInfo] = {
+    def lineEnd(from: Int): Int = {
+      var k = from
+      while (k + 1 < msg.length) {
+        if (msg(k) == '\r' && msg(k + 1) == '\n') return k
+        k += 1
+      }
+      -1
+    }
+    val e0 = lineEnd(0)
+    if (e0 < 0) return None
+    val status = new String(msg, 0, e0, "US-ASCII").split(" ")
+    if (status.length < 3 || !status(0).startsWith("HTTP/1.")) return None
+    val code = try status(1).toInt
+    catch { case _: NumberFormatException => return None }
+    var p = e0 + 2
+    var cType = ""
+    var cLen = -1L
+    while (true) {
+      val e = lineEnd(p)
+      if (e < 0) return None
+      if (e == p) { // blank line: body follows
+        if (cLen < 0 || p + 2 + cLen > msg.length) return None
+        val body = java.util.Arrays.copyOfRange(msg, p + 2,
+          p + 2 + cLen.toInt)
+        return Some(HttpInfo(code, cType, body))
+      }
+      val h = new String(msg, p, e - p, "US-ASCII")
+      val c = h.indexOf(':')
+      if (c <= 0) return None
+      h.substring(0, c).trim.toLowerCase match {
+        case "content-type" => cType = h.substring(c + 1).trim
+        case "content-length" =>
+          cLen = try java.lang.Long.parseLong(h.substring(c + 1).trim)
+          catch { case _: NumberFormatException => return None }
+        case _ => ()
+      }
+      p = e + 2
+    }
+    None
+  }
+
+  /** HTML → text: the <body> slice with tags stripped and the
+    * standard entities decoded (tags first, &amp; LAST — decoding it
+    * earlier would re-interpret text like `&amp;lt;` as markup). No
+    * body element → None (not a page). */
+  def htmlToText(html: String): Option[String] = {
+    val lower = html.toLowerCase
+    val bOpen = lower.indexOf("<body")
+    if (bOpen < 0) return None
+    val bStart = html.indexOf('>', bOpen)
+    val bEnd = lower.indexOf("</body>", bOpen)
+    if (bStart < 0 || bEnd < 0 || bEnd < bStart) return None
+    val inner = html.substring(bStart + 1, bEnd)
+    val noTags = inner.replaceAll("<[^>]*>", "")
+    Some(noTags.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&"))
+  }
+
+  /** Full record walk RETAINING payloads — [[decodeWarc]] keeps only
+    * rollup stats; the HTTP/HTML path needs the response bytes. Both
+    * derive from the ONE validated walk ([[decodeWarcOffsets]]), so
+    * the stats and payload paths cannot drift. */
+  def decodeWarcPayloads(blob: Array[Byte])
+      : Option[Vector[(String, Array[Byte])]] =
+    decodeWarcOffsets(blob).map(_.map { case (uri, off, len) =>
+      (uri, java.util.Arrays.copyOfRange(blob, off, off + len))
+    })
+
+  /** THE validated record walk — the single implementation of the
+    * WARC grammar, yielding each response's (uri, content offset,
+    * content length); [[decodeWarc]] (stats) and
+    * [[decodeWarcPayloads]] (bytes) are both views over it. Header
+    * names are token-strict: whitespace inside a name means a
+    * mangled line whose first colon came from the VALUE (e.g. a
+    * timestamp) — refuse rather than mis-split. */
+  private def decodeWarcOffsets(blob: Array[Byte])
+      : Option[Vector[(String, Int, Int)]] = {
+    var p = 0
+    var out = Vector.empty[(String, Int, Int)]
+    def line(from: Int): Option[(String, Int)] = {
+      var k = from
+      while (k + 1 < blob.length) {
+        if (blob(k) == '\r' && blob(k + 1) == '\n')
+          return Some((new String(blob, from, k - from, "US-ASCII"), k + 2))
+        k += 1
+      }
+      None
+    }
+    while (p < blob.length) {
+      val (ver, afterVer) = line(p) match {
+        case Some(v) => v
+        case None => return None
+      }
+      if (ver != "WARC/1.0" && ver != "WARC/1.1") return None
+      var q = afterVer
+      var warcType: String = null
+      var uri = ""
+      var len = -1L
+      var open = true
+      while (open) {
+        line(q) match {
+          case None => return None
+          case Some(("", next)) => open = false; q = next
+          case Some((h, next)) =>
+            val c = h.indexOf(':')
+            if (c <= 0) return None
+            val name = h.substring(0, c).trim.toLowerCase
+            if (name.exists(ch => ch == ' ' || ch == '\t')) return None
+            val v = h.substring(c + 1).trim
+            name match {
+              case "warc-type" => warcType = v
+              case "warc-target-uri" => uri = v
+              case "content-length" =>
+                len = try java.lang.Long.parseLong(v)
+                catch { case _: NumberFormatException => return None }
+              case _ => ()
+            }
+            q = next
+        }
+      }
+      if (warcType == null || len < 0 || len > blob.length) return None
+      if (q + len + 4 > blob.length) return None
+      if (blob(q + len.toInt) != '\r' || blob(q + len.toInt + 1) != '\n' ||
+          blob(q + len.toInt + 2) != '\r' || blob(q + len.toInt + 3) != '\n')
+        return None
+      if (warcType == "response") out :+= ((uri, q, len.toInt))
+      p = q + len.toInt + 4
+    }
+    if (out.isEmpty) None else Some(out)
+  }
+
+  /** HTTP metadata of every response record — status, content type,
+    * declared vs actual body bytes. The triple-layer witness: a
+    * mis-parsed WARC length, HTTP header, or body slice moves a
+    * column. */
+  def mmWarcHttp(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        for {
+          rs <- decodeWarcPayloads(encodeWarcHttp(id, text)).toSeq
+          (_, payload) <- rs
+          http <- parseHttp(payload)
+        } yield (id, http.status, http.content_type,
+          http.body.length.toLong)
+      })
+      .toDF("doc_id", "status", "content_type", "body_bytes")
+  }
+
+  /** CRAWL TEXT EXTRACTION — the end-to-end unwrap a training
+    * pipeline runs on crawl data: WARC walk → HTTP parse → HTML
+    * strip+entity-decode. The oracle reads the PLAIN documents.text —
+    * it never sees the markup — so any corruption in any of the three
+    * layers breaks the match (the mm_gzip_text rule, two layers
+    * deeper). One mapPartitions projection; no shuffle. */
+  def textHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        for {
+          rs <- decodeWarcPayloads(encodeWarcHttp(id, text)).toSeq
+          (_, payload) <- rs
+          http <- parseHttp(payload)
+          extracted <- htmlToText(new String(http.body, "UTF-8"))
+        } yield (id, extracted)
+      })
+      .toDF("doc_id", "text_out")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_warc" -> mmWarc,
-    "mm_warc_gz" -> mmWarcGz)
+    "mm_warc_gz" -> mmWarcGz,
+    "mm_warc_http" -> mmWarcHttp,
+    "text_html_extract" -> textHtmlExtract)
 
   val oracles: Map[String, String] = Map(
     "mm_warc" -> Archives.tarInfoSql,
-    "mm_warc_gz" -> Archives.tarInfoSql)
+    "mm_warc_gz" -> Archives.tarInfoSql,
+    // body bytes from the PLAIN text: the fixed page template plus the
+    // entity-escaped text length — the oracle never builds the page
+    "mm_warc_http" ->
+      """SELECT doc_id, 200 AS status,
+        |  'text/html; charset=utf-8' AS content_type,
+        |  CAST(octet_length(CAST(replace(replace(replace(text,
+        |        '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS BLOB))
+        |    + 62 AS BIGINT) AS body_bytes
+        |FROM documents""".stripMargin,
+    // the round-trip witness: extraction must return the original text
+    "text_html_extract" ->
+      "SELECT doc_id, text AS text_out FROM documents")
 }

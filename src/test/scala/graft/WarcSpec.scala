@@ -131,6 +131,43 @@ class WarcSpec extends SparkSessionSpec {
     assert(w.nonEmpty)
   }
 
+  test("HTTP-in-WARC: status/headers/body parse exactly; malformed " +
+       "messages refuse") {
+    val html = Warc.htmlPage("hello & <world>")
+    val msg = Warc.httpResponse(html)
+    val h = Warc.parseHttp(msg).get
+    assert(h.status == 200)
+    assert(h.content_type == "text/html; charset=utf-8")
+    assert(new String(h.body, "UTF-8") == html)
+    // declared Content-Length larger than the actual bytes → None
+    val short = msg.take(msg.length - 1)
+    assert(Warc.parseHttp(short).isEmpty)
+    // a non-HTTP payload refuses
+    assert(Warc.parseHttp("not http at all".getBytes("US-ASCII")).isEmpty)
+    // a 404 with a different body still parses (the parser is general,
+    // not a 200-only happy path)
+    val notFound = ("HTTP/1.1 404 Not Found\r\nContent-Length: 2\r\n" +
+      "\r\nno").getBytes("US-ASCII")
+    val nf = Warc.parseHttp(notFound).get
+    assert(nf.status == 404 && new String(nf.body, "US-ASCII") == "no")
+  }
+
+  test("HTML extraction inverts the page synthesis, entities included") {
+    // entity-heavy text: the decode order (&amp; LAST) is what keeps
+    // pre-escaped-looking text intact through the round-trip
+    val tricky = Seq("plain words", "a & b", "1 < 2 > 0", "&amp; literal",
+      "<tag> soup & <more>")
+    tricky.foreach { t =>
+      assert(Warc.htmlToText(Warc.htmlPage(t)).contains(t), s"text [$t]")
+    }
+    // markup without a body element is not a page
+    assert(Warc.htmlToText("<html><head>x</head></html>").isEmpty)
+    // nested tags inside the body strip away; text order preserved
+    assert(Warc.htmlToText(
+      "<html><body><div>a <b>bold</b> c</div></body></html>")
+      .contains("a bold c"))
+  }
+
   test("streaming warc ingest equals the batch rollup across splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
