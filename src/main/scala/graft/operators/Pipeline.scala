@@ -726,6 +726,39 @@ object Pipeline {
         col("n_docs"), col("sum_id"), col("sum_len"))
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the [[pipelineSnapshotChanges]]
+    * pattern driven to its conclusion: a MATERIALIZED per-bucket
+    * aggregate kept current across the table's commit history by
+    * folding ONLY each version's `changes()` delta into the running
+    * state — the full table is read exactly once (v1); refreshes cost
+    * the delta, which is how an aggregate over a 100 TB table stays
+    * current without a nightly rescan. The fold is append-algebra
+    * (counts and sums add), the exact class of aggregate incremental
+    * view maintenance supports without retraction; the state merge is
+    * a union + re-aggregate — distributed, never a driver-side map.
+    * The DuckDB oracle recomputes the same buckets FROM SCRATCH over
+    * the replayed final table, so a double-counted delta, a missed
+    * window, or a leaked v1 re-read all surface as sum mismatches. */
+  def pipelineSnapshotIncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val (root, _) = ensureSnapHistory(spark, dir)
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy((col("doc_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_id"),
+          sum(length(col("text"))).cast("long").as("sum_len"))
+    var state = aggOf(SnapshotTable.read(spark, root, 1))
+    for (v <- 2 to 3) {
+      state = state
+        .unionByName(aggOf(SnapshotTable.changes(spark, root, v - 1, v)))
+        .groupBy(col("bucket"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_id")).cast("long").as("sum_id"),
+          sum(col("sum_len")).cast("long").as("sum_len"))
+    }
+    state.select(col("bucket"), col("n_docs"), col("sum_id"), col("sum_len"))
+  }
+
   /** MANIFEST DATA SKIPPING — [[graft.sources.SnapshotTable.readPruned]]
     * end-to-end: two commits range-partitioned on doc_id (ids below
     * the median, then ids at-or-above, both committed with
@@ -1021,6 +1054,7 @@ object Pipeline {
     "pipeline_snapshot_expire" -> pipelineSnapshotExpire,
     "pipeline_snapshot_merge" -> pipelineSnapshotMerge,
     "pipeline_snapshot_changes" -> pipelineSnapshotChanges,
+    "pipeline_snapshot_incr_agg" -> pipelineSnapshotIncrAgg,
     "pipeline_snapshot_skip" -> pipelineSnapshotSkip,
     "pipeline_snapshot_compact" -> pipelineSnapshotCompact,
     "pipeline_snapshot_point" -> pipelineSnapshotPoint,
@@ -1155,6 +1189,21 @@ object Pipeline {
         |       CAST((SELECT sum(len) FROM d WHERE doc_id % 2 = 1)
         |            + (SELECT sum(len) FROM d WHERE doc_id % 13 = 2)
         |            AS BIGINT) AS sum_len""".stripMargin,
+    // the incrementally-maintained buckets recomputed FROM SCRATCH
+    // over the replayed final table (evens + odds + mod-13 re-ingests
+    // under id+n): the engine folded deltas; the oracle never does
+    "pipeline_snapshot_incr_agg" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |rows AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT c FROM n), text FROM documents
+        |  WHERE doc_id % 13 = 2)
+        |SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+        |       count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |FROM rows GROUP BY 1""".stripMargin,
     // two range-committed file sets; the >= median read must open
     // only the upper one (dirs_read = 1 of 2)
     "pipeline_snapshot_skip" ->

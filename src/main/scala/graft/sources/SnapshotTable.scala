@@ -507,6 +507,36 @@ object SnapshotTable {
       append = false, statsKey)
   }
 
+  /** BIN-PACKED COMPACTION — the 100 TB refinement [[compact]]'s doc
+    * names (Iceberg's binpack rewrite): rewrite ONLY the file sets at
+    * or under `smallRows` rows into one set, carrying every larger
+    * set by reference with stats and `added_in` lineage intact — the
+    * small-file problem is the tail of tiny streaming/append commits,
+    * and rewriting a 100 TB table's big healthy sets to fix it is the
+    * bug. Fewer than two small sets → nothing to pack, NO new version
+    * (returns the current one — a maintenance job that runs on a
+    * schedule must be a no-op when there is no work, not a version
+    * per invocation). Stats for the packed set are recomputed when
+    * `statsKey` is given, so skipping keeps working across
+    * compactions. Pinned-base conflict safety as everywhere. */
+  def compactSmall(spark: SparkSession, root: String, smallRows: Long,
+                   statsKey: Option[String] = None): Int = {
+    val base = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    val entries = manifestEntries(spark, root, base)
+    val (small, big) = entries.partition(_.nRows <= smallRows)
+    if (small.size < 2) return base
+    val next = base + 1
+    val dataRel =
+      s"data/c$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    unionSets(spark, root, small).write.parquet(s"$root/$dataRel")
+    val (nRows, minK, maxK, bloom) =
+      statsOf(spark, s"$root/$dataRel", statsKey)
+    publish(spark, root, next,
+      big :+ Entry(dataRel, next, nRows, minK, maxK, bloom))
+    next
+  }
+
   /** Merge with the base version PINNED — the race-window primitive
     * ([[commitAs]]'s pattern), exposed for the conflict spec.
     *

@@ -903,6 +903,32 @@ object StreamingOps {
         ()
       }
 
+  /** STREAMING CRAWL TEXT EXTRACTION — the three-layer unwrap (WARC
+    * walk → HTTP parse → HTML strip) under readStream: each arriving
+    * micro-batch of crawl files pays ONE mapPartitions pass through
+    * the batch kernels ([[graft.operators.Warc.decodeWarcPayloads]] ∘
+    * `parseHttp` ∘ `htmlToText`) — stateless, no shuffle; stream ==
+    * batch row-for-row across arbitrary micro-batch splits, and a
+    * malformed layer drops the file whole. */
+  def crawlExtractStream(media: Dataset[SMedia])(onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SMedia] =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SMedia], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        onBatch(batch.mapPartitions(_.flatMap { m =>
+          import graft.operators.Warc
+          for {
+            rs <- Warc.decodeWarcPayloads(m.blob).toSeq
+            (_, payload) <- rs
+            http <- Warc.parseHttp(payload)
+            text <- Warc.htmlToText(new String(http.body, "UTF-8"))
+          } yield (m.doc_id, text)
+        }).toDF("doc_id", "text_out"))
+        ()
+      }
+
   /** STREAMING MULTI-FORMAT DISPATCH — the [[vadStream]] rule for a
     * MIXED-format blob stream: each micro-batch pays one magic-
     * dispatch decode pass through the batch core

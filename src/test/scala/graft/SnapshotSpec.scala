@@ -407,6 +407,46 @@ class SnapshotSpec extends SparkSessionSpec {
     assert(rows.count(_._1 == 12L) == 1 && rows.contains((12L, "mine")))
   }
 
+  test("bin-packed compaction: small sets merge, big sets keep their " +
+       "paths, and no-work runs publish nothing") {
+    val root = tmpRoot()
+    // one big healthy set + three small-file-problem appends
+    SnapshotTable.commit(spark, root,
+      (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    (0 until 3).foreach { i =>
+      SnapshotTable.commit(spark, root,
+        Seq((200L + i, s"s$i")).toDF("doc_id", "text"),
+        statsKey = Some("doc_id"))
+    }
+    def manifest(v: Int) = spark.read.parquet(s"$root/manifests/v$v")
+      .select("dir", "added_in", "n_rows").as[(String, Int, Long)]
+      .collect().toSet
+    val before = manifest(4)
+    assert(before.size == 4)
+    val bigEntry = before.find(_._3 == 100L).get
+    val v = SnapshotTable.compactSmall(spark, root, smallRows = 10,
+      statsKey = Some("doc_id"))
+    assert(v == 5)
+    val after = manifest(5)
+    // the big set is carried by reference — same dir, same lineage
+    assert(after.contains(bigEntry),
+      "bin-pack must not rewrite the big healthy set")
+    assert(after.size == 2 && after.exists(_._3 == 3L),
+      "three small sets must pack into one")
+    // rows identical before/after
+    assert(SnapshotTable.read(spark, root, 5)
+      .as[(Long, String)].collect().toSet ==
+      SnapshotTable.read(spark, root, 4)
+        .as[(Long, String)].collect().toSet)
+    // the packed set carries fresh stats: a point read prunes to it
+    val pr = SnapshotTable.readPoint(spark, root, 5, 201L)
+    assert(pr.dirsRead == 1, "packed set must keep skipping stats")
+    // nothing left to pack → NO new version
+    assert(SnapshotTable.compactSmall(spark, root, smallRows = 10) == 5)
+    assert(SnapshotTable.versions(spark, root).max == 5)
+  }
+
   test("a crashed commit (tmp manifest, no rename) is invisible") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,

@@ -168,6 +168,33 @@ class WarcSpec extends SparkSessionSpec {
       .contains("a bold c"))
   }
 
+  test("streaming crawl extraction equals the batch three-layer unwrap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.SMedia
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val blobs = docs.map { case (id, text) =>
+      SMedia(id, Warc.encodeWarcHttp(id, text))
+    }
+    val mem = MemoryStream[SMedia]
+    val got = scala.collection.mutable.Set[(Long, String)]()
+    val q = StreamingOps.crawlExtractStream(mem.toDS()) { out =>
+      got ++= out.as[(Long, String)].collect()
+    }.start()
+    try {
+      val (a, b) = blobs.splitAt(blobs.length / 2)
+      for (chunk <- Seq(a, b)) {
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the extraction inverts the synthesis: streamed == plain text
+    assert(got.toSet == docs.toSet,
+      s"crawl extraction diverged: ${got.size} vs ${docs.length}")
+  }
+
   test("streaming warc ingest equals the batch rollup across splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
