@@ -209,9 +209,11 @@ object Similarity {
     * where the blind-entry design needed six. Output: the final
     * frontier's top [[GraphTopK]] excluding the query itself.
     *
-    * Scale shape: the navigation graph is n·K rows, built once and
-    * persisted hash-partitioned on the node key; the seed is one
-    * probe-cell equi join (the IVF serving path); per hop the
+    * Scale shape: the navigation graph is n·K rows, built ONCE per
+    * (corpus, size) and persisted as a durable parquet artifact
+    * ([[artifactOnce]] — serving runs never pay the kNN build join);
+    * the seed is one probe-cell equi join (the IVF serving path);
+    * per hop the
     * frontier relation (queries·beam rows) BROADCASTS into one edge
     * join and one corpus join — the searches never shuffle anything
     * corpus-sized, which is exactly how a graph index serves at
@@ -221,12 +223,15 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel
     val e = emb(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val cents = KMeansQueries.coarseCentroids(spark, dir)
-    // one persisted cell assignment feeds BOTH the graph build and
-    // the IVF seed — the corpus is scanned and assigned exactly once
+    // the cell assignment feeds the IVF seed (and, on the very first
+    // call, the graph build inside the artifact gate)
     val assigned = KMeansOps.assignDyn(e, "v", cents)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = knnGraphFrom(e, assigned, cents)
-      .select(col("query_id").as("node"), col("neighbor_id"))
+    // the navigation graph IS the index artifact (the AnnIndex rule):
+    // built once per (corpus, size), persisted as parquet, served
+    // from disk ever after — a searcher never pays the n·K kNN join
+    val edges = artifactOnce(spark, dir, "knng", 0) {
+      knnGraphFrom(e, assigned, cents)
+    }.select(col("query_id").as("node"), col("neighbor_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val queries = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -271,7 +276,6 @@ object Similarity {
         col("score"))
       .localCheckpoint(true) // eager: caller reads after the unpersists
     edges.unpersist()
-    assigned.unpersist()
     e.unpersist()
     out
   }
@@ -530,21 +534,32 @@ object Similarity {
     * regenerated corpus retrains instead of reusing stale params;
     * the write is build-once racing-safe in the same way (parquet
     * overwrite + _SUCCESS gate). */
-  private def paramArtifact(spark: SparkSession, dir: String, kind: String)
-                           (train: => DataFrame): DataFrame = {
+  /** Build-once artifact gate shared by the quantizer params and the
+    * navigation graph: path keyed by data dir + corpus row count
+    * ([[AnnIndex.indexPath]]'s self-invalidation), `_SUCCESS`-gated
+    * parquet overwrite. */
+  private def artifactOnce(spark: SparkSession, dir: String, kind: String,
+                           coalesceTo: Int)(build: => DataFrame): DataFrame = {
     val n = t(spark, dir, "embeddings").count()
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path =
-      s"${graft.sources.Artifacts.root(spark)}/quant_${kind}_${key}_n$n"
+      s"${graft.sources.Artifacts.root(spark)}/${kind}_${key}_n$n"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
-      train.coalesce(1).write.mode("overwrite").parquet(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
+      val df = build
+      (if (coalesceTo > 0) df.coalesce(coalesceTo) else df)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  private def paramArtifact(spark: SparkSession, dir: String, kind: String)
+                           (train: => DataFrame): DataFrame =
     // the artifact is 1 row by construction; limit(1) enforces that
     // contract at read time AND gives the plan linter the bound it
     // needs to accept the broadcast parameter join
-    spark.read.parquet(path).limit(1)
-  }
+    artifactOnce(spark, dir, s"quant_$kind", 1)(train).limit(1)
 
   /** Scalar-quantized corpus — (vec_id, codes: array<int>) plus the
     * 1-row (mn, step) params broadcast into the plan. Quantization is

@@ -343,10 +343,20 @@ object Warc {
     None
   }
 
-  /** HTML → text: the <body> slice with tags stripped and the
-    * standard entities decoded (tags first, &amp; LAST — decoding it
-    * earlier would re-interpret text like `&amp;lt;` as markup). No
-    * body element → None (not a page). */
+  /** Non-content elements a crawl extractor drops WITH their inner
+    * text (the boilerplate-removal rule every production extractor
+    * applies): code, styling, and page chrome. Matched case-
+    * insensitively, content included, non-greedy to the matching
+    * close tag (same-name nesting is out of scope, as in the
+    * regex-tier extractors this models). */
+  private val ChromeElements =
+    "(?is)<(script|style|nav|footer|header|aside)\\b[^>]*>.*?</\\1\\s*>".r
+
+  /** HTML → text: the <body> slice with chrome elements dropped
+    * (content and all — [[ChromeElements]]), remaining tags
+    * stripped, and the standard entities decoded (tags first,
+    * &amp; LAST — decoding it earlier would re-interpret text like
+    * `&amp;lt;` as markup). No body element → None (not a page). */
   def htmlToText(html: String): Option[String] = {
     val lower = html.toLowerCase
     val bOpen = lower.indexOf("<body")
@@ -355,10 +365,24 @@ object Warc {
     val bEnd = lower.indexOf("</body>", bOpen)
     if (bStart < 0 || bEnd < 0 || bEnd < bStart) return None
     val inner = html.substring(bStart + 1, bEnd)
-    val noTags = inner.replaceAll("<[^>]*>", "")
+    val noChrome = ChromeElements.replaceAllIn(inner, "")
+    val noTags = noChrome.replaceAll("<[^>]*>", "")
     Some(noTags.replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'")
       .replace("&amp;", "&"))
+  }
+
+  /** The [[htmlPage]] content wrapped in realistic page CHROME —
+    * nav links, inline script/style, a footer — everything a crawl
+    * page carries that must NOT reach the training text. */
+  def htmlPageChrome(text: String): String = {
+    val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    "<html><head><title>t</title><style>p{margin:0}</style></head>" +
+      "<body><nav><a href=\"/\">home</a> | <a href=\"/x\">about</a></nav>" +
+      s"<p>$esc</p>" +
+      "<script>if(1<2){track();}</script>" +
+      "<footer>&copy; synth 2026</footer></body></html>"
   }
 
   /** Full record walk RETAINING payloads — [[decodeWarc]] keeps only
@@ -476,11 +500,35 @@ object Warc {
       .toDF("doc_id", "text_out")
   }
 
+  /** [[textHtmlExtract]] against CHROME-laden pages: nav, inline
+    * script (with a `<` in its code), style and footer all wrap the
+    * content — the extraction must still return EXACTLY the original
+    * text, proving boilerplate removal drops chrome content instead
+    * of leaking "home | about … track(); © synth" into the corpus. */
+  def textHtmlExtractChrome(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        for {
+          rs <- decodeWarcPayloads(buildWarc(id,
+            Seq((s"http://synth.graft/doc$id",
+              httpResponse(htmlPageChrome(text)))))).toSeq
+          (_, payload) <- rs
+          http <- parseHttp(payload)
+          extracted <- htmlToText(new String(http.body, "UTF-8"))
+        } yield (id, extracted)
+      })
+      .toDF("doc_id", "text_out")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_warc" -> mmWarc,
     "mm_warc_gz" -> mmWarcGz,
     "mm_warc_http" -> mmWarcHttp,
-    "text_html_extract" -> textHtmlExtract)
+    "text_html_extract" -> textHtmlExtract,
+    "text_html_extract_chrome" -> textHtmlExtractChrome)
 
   val oracles: Map[String, String] = Map(
     "mm_warc" -> Archives.tarInfoSql,
@@ -496,5 +544,9 @@ object Warc {
         |FROM documents""".stripMargin,
     // the round-trip witness: extraction must return the original text
     "text_html_extract" ->
+      "SELECT doc_id, text AS text_out FROM documents",
+    // same witness through a chrome-laden page: nav/script/style/
+    // footer content must never leak into the extracted text
+    "text_html_extract_chrome" ->
       "SELECT doc_id, text AS text_out FROM documents")
 }

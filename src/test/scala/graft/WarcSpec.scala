@@ -168,6 +168,25 @@ class WarcSpec extends SparkSessionSpec {
       .contains("a bold c"))
   }
 
+  test("chrome removal: nav/script/style/footer content never leaks " +
+       "into the extracted text") {
+    Seq("plain words", "a & b", "1 < 2 > 0", "&amp; literal").foreach { t =>
+      assert(Warc.htmlToText(Warc.htmlPageChrome(t)).contains(t),
+        s"chrome text [$t]")
+    }
+    // the script body contains a real `<` comparison — the element
+    // must drop to its CLOSE TAG, not to the first `>` of the code
+    val page = Warc.htmlPageChrome("content")
+    val got = Warc.htmlToText(page).get
+    assert(got == "content", s"chrome leaked: [$got]")
+    assert(!got.contains("home") && !got.contains("track") &&
+      !got.contains("synth") && !got.contains("margin"))
+    // case-insensitive close tags, attributes on the chrome element
+    assert(Warc.htmlToText(
+      "<html><body><NAV class=\"x\">menu</NAV>keep<FOOTER>f</footer>" +
+        "</body></html>").contains("keep"))
+  }
+
   test("streaming crawl extraction equals the batch three-layer unwrap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
