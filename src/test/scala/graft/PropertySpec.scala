@@ -437,36 +437,52 @@ class PropertySpec extends SparkSessionSpec {
     // interactions no single-op spec sees (merge-after-expire,
     // compact-after-overwrite, carried-manifest corruption, …).
     sealed trait Op
-    case class App(rows: List[(Long, String)]) extends Op
+    case class App(rows: List[(Long, String)], keyed: Boolean,
+                   retry: Boolean) extends Op
     case class Over(rows: List[(Long, String)]) extends Op
-    case class Mrg(rows: List[(Long, String)]) extends Op
+    case class Mrg(rows: List[(Long, String)], retry: Boolean) extends Op
     case object Cmp extends Op
+    case object CmpS extends Op
     case object Exp extends Op
     case class Rb(sel: Int) extends Op
     val rowsGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(0L, 9L), Gen.oneOf("x", "y", "z"))))
+    // keyed appends record doc_id stats in the manifest, so later
+    // merges take the PARTITION-SCOPED path (carried-by-reference
+    // sets) — interacting with compactSmall, rollback and expire's GC
     val opGen: Gen[Op] = Gen.frequency(
-      4 -> rowsGen.map(App(_)), 1 -> rowsGen.map(Over(_)),
-      2 -> rowsGen.map(Mrg(_)), 1 -> Gen.const(Cmp), 1 -> Gen.const(Exp),
+      4 -> Gen.zip(rowsGen, Gen.oneOf(true, false), Gen.oneOf(true, false))
+        .map { case (r, k, t) => App(r, k, t) },
+      1 -> rowsGen.map(Over(_)),
+      2 -> Gen.zip(rowsGen, Gen.oneOf(true, false))
+        .map { case (r, t) => Mrg(r, t) },
+      1 -> Gen.const(Cmp), 1 -> Gen.const(CmpS), 1 -> Gen.const(Exp),
       1 -> Gen.chooseNum(0, 99).map(Rb(_)))
     def bag(rows: Seq[(Long, String)]) = rows.sorted
-    for (ops <- samples(Gen.listOfN(7, opGen), 3)) {
+    for (ops <- samples(Gen.listOfN(8, opGen), 3)) {
       val root = java.nio.file.Files
         .createTempDirectory("graft_snap_prop").toString + "/tbl"
       var model = Vector((1, List((0L, "seed"))))
       SnapshotTable.commit(spark, root, Seq((0L, "seed")).toDF("doc_id", "text"))
       for (op <- ops) {
         op match {
-          case App(rows) =>
-            val v = SnapshotTable.commit(spark, root,
-              rows.toDF("doc_id", "text"))
+          case App(rows, keyed, retry) =>
+            val sk = if (keyed) Some("doc_id") else None
+            val v = if (retry)
+              SnapshotTable.commitRetry(spark, root,
+                rows.toDF("doc_id", "text"), sk)
+            else SnapshotTable.commit(spark, root,
+              rows.toDF("doc_id", "text"), statsKey = sk)
             model :+= ((v, model.last._2 ++ rows))
           case Over(rows) =>
             val v = SnapshotTable.commit(spark, root,
               rows.toDF("doc_id", "text"), append = false)
             model :+= ((v, rows))
-          case Mrg(rows) =>
-            val v = SnapshotTable.merge(spark, root,
+          case Mrg(rows, retry) =>
+            val v = if (retry)
+              SnapshotTable.mergeRetry(spark, root,
+                rows.toDF("doc_id", "text"), "doc_id")
+            else SnapshotTable.merge(spark, root,
               rows.toDF("doc_id", "text"), "doc_id")
             val keys = rows.map(_._1).toSet
             model :+= ((v, model.last._2.filterNot(r => keys(r._1)) ++ rows))
@@ -474,6 +490,12 @@ class PropertySpec extends SparkSessionSpec {
             val v = SnapshotTable.compact(spark, root)
             model :+= ((v, model.last._2))
             assert(SnapshotTable.numFileSets(spark, root, v) == 1)
+          case CmpS =>
+            // content must be invariant whether or not work existed;
+            // a new version appears ONLY when ≥2 small sets packed
+            val v = SnapshotTable.compactSmall(spark, root, smallRows = 3,
+              statsKey = Some("doc_id"))
+            if (v != model.last._1) model :+= ((v, model.last._2))
           case Exp =>
             SnapshotTable.expire(spark, root, keepFrom = model.last._1)
             model = model.filter(_._1 >= model.last._1)
