@@ -92,6 +92,69 @@ object Pipeline {
         countDistinct(col("s")).as("n_shared_shingles"))
   }
 
+  /** GRADED CONTAMINATION SCORING — the GPT-3/PaLM-style refinement
+    * of [[pipelineDecontaminate]]'s binary hit list: per corpus doc,
+    * the FRACTION of its distinct shingles found in the eval set,
+    * banded into reject (≥ 50%) / flag (any overlap) / clean. A
+    * binary gate treats a quotation the same as a verbatim eval copy;
+    * the graded score is what lets a pipeline drop the copies and
+    * keep (but audit) the incidental overlaps. Same broadcast shape:
+    * the eval shingle set is tiny and broadcasts, the corpus pays one
+    * explode + one distinct-count aggregation — the denominator and
+    * the hit count ride the same per-doc key, no extra corpus pass.
+    * Eval docs themselves score 1.0 and band reject, by design —
+    * training on the benchmark is the worst contamination of all. */
+  def pipelineDecontaminateOverlap(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    val (sh, ev) = shingleSides(spark, dir)
+    val tot = sh.groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shingles"))
+    val hits = sh
+      .join(broadcast(ev.select(col("e_s")).distinct()),
+        col("s") === col("e_s"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("s")).as("n_hit"))
+    val frac = round(
+      coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"), 6)
+    tot.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        frac.as("overlap_frac"),
+        when(frac >= 0.5, lit("reject"))
+          .when(frac > 0.0, lit("flag"))
+          .otherwise(lit("clean")).as("band"))
+  }
+
+  /** Prompt buckets for [[pipelinePrefPairs]] — deterministic stand-in
+    * for "responses to the same prompt". */
+  val PrefBuckets = 50L
+
+  /** PREFERENCE-PAIR CONSTRUCTION — the DPO/RLHF data-prep op: within
+    * each prompt bucket, the highest-quality document becomes
+    * `chosen` and the lowest `rejected` (quality = distinct-token
+    * ratio, the repetition signal, 6dp-rounded; ties break to the
+    * smaller doc_id on BOTH ends so the pair is deterministic).
+    * Buckets whose extremes coincide (one doc, or all scores equal)
+    * emit nothing — a pair with no margin carries no training signal.
+    * One narrow projection + one grouped min/max of (score, id)
+    * structs: a single bucket-keyed aggregation at any corpus size,
+    * never a self-join. */
+  def pipelinePrefPairs(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), (col("doc_id") % PrefBuckets).as("bucket"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 6).as("score"))
+    scored.groupBy(col("bucket"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("c"),
+        min(struct(col("score"), col("doc_id").as("id"))).as("r"))
+      .select(col("bucket"),
+        (-col("c.nid")).as("chosen_id"), col("r.id").as("rejected_id"),
+        col("c.score").as("chosen_score"), col("r.score").as("rejected_score"),
+        round(col("c.score") - col("r.score"), 6).as("margin"))
+      .where(col("chosen_id") =!= col("rejected_id"))
+  }
+
   /** Corpus/eval shingle sides shared by the exact and bloom-pruned
     * decontamination variants. */
   private def shingleSides(spark: SparkSession,
@@ -1068,6 +1131,8 @@ object Pipeline {
     "pipeline_split" -> pipelineSplit,
     "pipeline_split_grouped" -> pipelineSplitGrouped,
     "pipeline_decontaminate" -> pipelineDecontaminate,
+    "pipeline_decontaminate_overlap" -> pipelineDecontaminateOverlap,
+    "pipeline_pref_pairs" -> pipelinePrefPairs,
     "pipeline_decontaminate_bloom" -> pipelineDecontaminateBloom,
     "pipeline_mix" -> pipelineMix,
     "pipeline_source_temperature" -> pipelineSourceTemperature,
@@ -1403,6 +1468,57 @@ object Pipeline {
          |FROM gated JOIN deduped ON doc_id = keep_id
          |GROUP BY source""".stripMargin,
     "pipeline_decontaminate" -> decontaminateSql,
+    // the graded score: distinct-shingle denominator vs eval-hit
+    // numerator, banded on the ROUNDED fraction (both engines band
+    // the same 6dp value — no knife-edge drift)
+    "pipeline_decontaminate_overlap" ->
+      """WITH shd AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(generate_series(1, len(t)-2),
+        |             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3
+        |), ev AS (
+        |  SELECT DISTINCT s FROM shd WHERE doc_id % 97 = 0
+        |), tot AS (
+        |  SELECT doc_id, count(DISTINCT s) AS n_shingles
+        |  FROM shd GROUP BY 1
+        |), hit AS (
+        |  SELECT c.doc_id, count(DISTINCT c.s) AS n_hit
+        |  FROM shd c JOIN ev ON c.s = ev.s GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.n_shingles,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_shingles, 6)
+        |    AS overlap_frac,
+        |  CASE WHEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+        |                  / t.n_shingles, 6) >= 0.5 THEN 'reject'
+        |       WHEN coalesce(h.n_hit, 0) > 0 THEN 'flag'
+        |       ELSE 'clean' END AS band
+        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""".stripMargin,
+    // chosen = (score DESC, doc_id) argmax, rejected = (score ASC,
+    // doc_id) argmin, per bucket; coinciding extremes emit nothing
+    "pipeline_pref_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 50 AS bucket,
+        |    round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+        |      AS score
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 1
+        |), ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY bucket
+        |                       ORDER BY score DESC, doc_id) AS rc,
+        |    row_number() OVER (PARTITION BY bucket
+        |                       ORDER BY score ASC, doc_id) AS rr
+        |  FROM s
+        |)
+        |SELECT c.bucket, c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+        |       c.score AS chosen_score, r.score AS rejected_score,
+        |       round(c.score - r.score, 6) AS margin
+        |FROM (SELECT * FROM ranked WHERE rc = 1) c
+        |JOIN (SELECT * FROM ranked WHERE rr = 1) r ON c.bucket = r.bucket
+        |WHERE c.doc_id <> r.doc_id""".stripMargin,
     // bloom prune + exact confirm ≡ exact — same oracle by construction
     "pipeline_decontaminate_bloom" -> decontaminateSql,
     "pipeline_mix" ->

@@ -815,6 +815,56 @@ class OperatorsSpec extends SparkSessionSpec {
     }
   }
 
+  test("graded contamination: eval docs self-reject; clean docs band " +
+       "clean; fractions bounded") {
+    val out = Pipeline.pipelineDecontaminateOverlap(spark, sf0001)
+      .select("doc_id", "n_shingles", "n_hit", "overlap_frac", "band")
+      .as[(Long, Long, Long, Double, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, tot, hit, frac, band) =>
+      assert(hit >= 0 && hit <= tot, s"doc $id hits out of range")
+      assert(frac >= 0.0 && frac <= 1.0)
+      // band derives from the fraction, consistently
+      if (frac >= 0.5) assert(band == "reject", s"doc $id")
+      else if (frac > 0) assert(band == "flag", s"doc $id")
+      else assert(band == "clean", s"doc $id")
+      // an eval-set member is 100% contaminated with itself
+      if (id % 97 == 0) assert(frac == 1.0 && band == "reject",
+        s"eval doc $id must self-reject")
+    }
+    assert(out.exists(_._5 == "clean"), "corpus should have clean docs")
+  }
+
+  test("preference pairs: chosen beats rejected, deterministic ties, " +
+       "no zero-margin pairs") {
+    val out = Pipeline.pipelinePrefPairs(spark, sf0001)
+      .select("bucket", "chosen_id", "rejected_id", "chosen_score",
+        "rejected_score", "margin")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length == out.length,
+      "at most one pair per bucket")
+    out.foreach { case (b, c, r, cs, rs, m) =>
+      assert(c != r, s"bucket $b pair must differ")
+      assert(c % Pipeline.PrefBuckets == b && r % Pipeline.PrefBuckets == b)
+      assert(cs > rs && m > 0, s"bucket $b needs a real margin")
+      assert(math.abs(m - math.rint((cs - rs) * 1e6) / 1e6) < 1e-9)
+    }
+    // crafted ties: identical scores in a bucket emit nothing — run
+    // the same aggregation shape on a 2-doc equal-score bucket
+    val two = Seq((0L, "a b c"), (50L, "x y z")).toDF("doc_id", "text")
+    val scored = two
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), (col("doc_id") % Pipeline.PrefBuckets).as("bucket"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 6).as("score"))
+    val pairs = scored.groupBy(col("bucket"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("c"),
+        min(struct(col("score"), col("doc_id").as("id"))).as("r"))
+      .where((-col("c.nid")) =!= col("r.id"))
+    assert(pairs.count() == 0, "equal scores must not form a pair")
+  }
+
   test("span scrub removes exactly the cross-doc duplicated span tokens") {
     val s = (1 to 8).map(i => s"s$i").mkString(" ")
     val docs = Seq(
