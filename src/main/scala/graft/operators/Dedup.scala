@@ -162,6 +162,60 @@ object Dedup {
         coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
   }
 
+  /** Non-overlapping segment width for [[dedupParagraphs]] — the
+    * "paragraph" unit of corpus-level line dedup. The synthetic corpus
+    * has no newlines, so fixed 6-token windows stand in for the
+    * paragraph boundary; the machinery is boundary-agnostic. */
+  val ParaW = 6
+
+  /** CORPUS-LEVEL PARAGRAPH DEDUP — the CCNet/RefinedWeb recipe that
+    * complements [[dedupSpanScrub]]: instead of scrubbing every token
+    * covered by any OVERLAPPING duplicated span, the corpus is cut
+    * into NON-overlapping [[ParaW]]-token segments ("paragraphs"),
+    * each segment is content-hashed, and every segment whose hash is
+    * carried by ≥2 distinct documents is dropped everywhere — the
+    * boilerplate (nav bars, cookie banners, license footers) that
+    * repeats across a crawl disappears while each document's unique
+    * prose survives. Shape: one explode to n/W segment rows, one hash
+    * aggregation on the segment hash (distinct carriers per doc first,
+    * so a doc repeating its own paragraph doesn't self-inflate the
+    * count), one anti join back on the same key, and a per-doc ordered
+    * rebuild — linear end to end, shuffling only segment-hash-sized
+    * rows. The tail shorter than one segment is out of scope of the
+    * paragraph unit and is not part of the rebuilt text. At 100 TB
+    * this is exactly CCNet's hash-shard pass: the segment-hash
+    * aggregation IS the shard key, and nothing pairwise ever forms. */
+  def dedupParagraphs(spark: SparkSession, dir: String): DataFrame =
+    paragraphsOf(t(spark, dir, "documents"))
+
+  /** Core of [[dedupParagraphs]] over any (doc_id, text) frame. */
+  def paragraphsOf(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= ParaW)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"size(toks) div $ParaW") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * ParaW + 1, lit(ParaW)))))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = segs.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+    val kept = segs.join(dupHashes, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x.getField("seg"))).as("kept_text"))
+    segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   val MinhashBands = 4
   val RowsPerBand = 2
 
@@ -906,6 +960,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_span_coverage" -> dedupSpanCoverage,
     "dedup_span_scrub" -> dedupSpanScrub,
+    "dedup_paragraphs" -> dedupParagraphs,
     "dedup_minhash" -> dedupMinhash,
     "dedup_cross_corpus" -> dedupCrossCorpus,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -1122,6 +1177,35 @@ object Dedup {
          |FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM d) d2
          |LEFT JOIN agg a USING (doc_id)""".stripMargin
     },
+    "dedup_paragraphs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $ParaW
+         |), segs AS (
+         |  SELECT doc_id, u.i AS seg_idx, u.seg AS seg, md5(u.seg) AS h
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(0, len(t)//$ParaW - 1),
+         |        i -> {'i': i,
+         |              'seg': array_to_string(
+         |                       t[i*$ParaW + 1 : i*$ParaW + $ParaW], ' ')}))
+         |        AS u
+         |    FROM d)
+         |), dup AS (
+         |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM segs)
+         |  GROUP BY h HAVING count(*) >= 2
+         |), kept AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+         |  FROM segs s
+         |  WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.h = s.h)
+         |  GROUP BY doc_id
+         |)
+         |SELECT n.doc_id, n.n_segs,
+         |       n.n_segs - coalesce(k.n_kept, 0) AS n_removed,
+         |       coalesce(k.kept_text, '') AS kept_text
+         |FROM (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id) n
+         |LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "dedup_minhash" ->
       s"""$shCte
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,

@@ -430,6 +430,91 @@ object Pipeline {
         sum(col("n_toks")).as("started_tokens"))
   }
 
+  val EpochSeed = "epoch7"
+  val EpochShards = 8
+
+  /** SEEDED EPOCH SHUFFLE — the "global random shuffle" every training
+    * export needs, without a global sort: the permutation key is a
+    * portable hash of (seed, doc_id), the shard is the key mod
+    * [[EpochShards]], and the within-shard order is (key, doc_id) —
+    * one row_number window per shard partition. Reading shards
+    * round-robin replays a uniform seeded permutation of the corpus;
+    * changing [[EpochSeed]] per epoch re-deals both shard membership
+    * and order with zero state carried between epochs. At 100 TB the
+    * plan is ONE exchange on the shard key plus each writer task
+    * sorting only its own shard — the sort never crosses tasks, so the
+    * operator scales with the widest shard, not the corpus. The hash
+    * is the engine-portable md5 idiom (28 bits, BIGINT-safe in both
+    * engines; swap for xxhash64 in production where oracle parity is
+    * not needed), tie-broken by doc_id so the order is total even
+    * under hash collisions. */
+  def pipelineEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit(s"shuf:$EpochSeed:"),
+      col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", col("h") % EpochShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Blocklist of registrable domains — an entry blocks the domain
+    * itself and every subdomain under it (the UT1/SafeSearch rule
+    * crawl curation actually applies), never a substring of a longer
+    * host. Shared by the operator and its oracle so the two engines
+    * cannot drift. */
+  val UrlBlocklist = Seq("cdn4.example.com", "blog.net", "tracker.org")
+
+  /** DOMAIN-BLOCKLIST URL FILTER — the crawl-curation gate that runs
+    * before any text ever downloads. Suffix semantics ("blog.net"
+    * blocks "site3.blog.net" but NOT "site3.notblog.net") are made
+    * EQUI-joinable by exploding each host into its label-suffix chain
+    * (media.cdn4.example.com → media.cdn4.example.com,
+    * cdn4.example.com, example.com — the bare TLD is never emitted, so
+    * a blocklist can't accidentally match a whole TLD): the chain is
+    * bounded by label depth (≤5 in practice), and the match is one
+    * broadcast equi join against the blocklist — no LIKE scan, no
+    * nested-loop join, which is what a naive `endswith` predicate
+    * would force at 100 TB against a multi-million-entry blocklist.
+    * Hosts are synthesized from doc_id (the corpus carries none — the
+    * mm_wav/text_pii technique), including a `notblog.net` family as
+    * the suffix-vs-substring witness. Emits the full audit relation:
+    * every doc, its host, the most specific blocking entry (min =
+    * longest among our entries' matches is irrelevant — min is just
+    * the deterministic pick), and the kept flag. */
+  def pipelineUrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    val x = expr("(doc_id DIV 4) % 10").cast("string")
+    val host = when(col("doc_id") % 4 === 0,
+        concat(lit("cdn"), x, lit(".example.com")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("media.cdn"), x, lit(".example.com")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("site"), x, lit(".blog.net")))
+      .otherwise(concat(lit("site"), x, lit(".notblog.net")))
+    urlFilterOf(
+      t(spark, dir, "documents").select(col("doc_id"), host.as("host")),
+      UrlBlocklist)
+  }
+
+  /** Core of [[pipelineUrlFilter]] over any (doc_id, host) frame. */
+  def urlFilterOf(hosts: DataFrame, blocklist: Seq[String]): DataFrame = {
+    val spark = hosts.sparkSession
+    import spark.implicits._
+    val bl = blocklist.toDF("entry")
+    val labels = split(col("host"), "\\.")
+    val sufs = hosts.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(labels) - 2),
+        i => concat_ws(".", slice(labels, i + 1, size(labels) - i))))
+        .as("suffix"))
+    val matches = sufs.join(broadcast(bl), col("suffix") === col("entry"))
+      .groupBy(col("doc_id")).agg(min(col("entry")).as("blocked_by"))
+    hosts.join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"), col("blocked_by"),
+        col("blocked_by").isNull.as("kept"))
+  }
+
   val SplitBuckets = 20
 
   /** Train/val/test split (18/1/1 buckets by doc_id hash) WITH the
@@ -1138,6 +1223,8 @@ object Pipeline {
     "pipeline_source_temperature" -> pipelineSourceTemperature,
     "pipeline_diverse_sample" -> pipelineDiverseSample,
     "pipeline_shard" -> pipelineShard,
+    "pipeline_epoch_shuffle" -> pipelineEpochShuffle,
+    "pipeline_url_filter" -> pipelineUrlFilter,
     "pipeline_datacard" -> pipelineDatacard,
     "pipeline_token_budget" -> pipelineTokenBudget,
     "pipeline_pack" -> pipelinePack)
@@ -1670,6 +1757,43 @@ object Pipeline {
          |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
          |FROM documents
          |GROUP BY 1""".stripMargin,
+    "pipeline_epoch_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(concat('shuf:$EpochSeed:',
+         |           CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+         |  FROM documents
+         |)
+         |SELECT doc_id, h % $EpochShards AS shard,
+         |       row_number() OVER (PARTITION BY h % $EpochShards
+         |                          ORDER BY h, doc_id) AS pos
+         |FROM h""".stripMargin,
+    "pipeline_url_filter" -> {
+      val blValues = UrlBlocklist.map(e => s"('$e')").mkString(", ")
+      s"""WITH hosts AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 4 AS INT)
+         |      WHEN 0 THEN concat('cdn', x, '.example.com')
+         |      WHEN 1 THEN concat('media.cdn', x, '.example.com')
+         |      WHEN 2 THEN concat('site', x, '.blog.net')
+         |      ELSE concat('site', x, '.notblog.net')
+         |    END AS host
+         |  FROM (SELECT doc_id, CAST((doc_id // 4) % 10 AS VARCHAR) AS x
+         |        FROM documents)
+         |), sufs AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(L) - 1),
+         |      i -> array_to_string(L[i:], '.'))) AS suffix
+         |  FROM (SELECT doc_id, string_split(host, '.') AS L FROM hosts)
+         |), m AS (
+         |  SELECT doc_id, min(entry) AS blocked_by
+         |  FROM sufs JOIN (VALUES $blValues) b(entry) ON suffix = entry
+         |  GROUP BY doc_id
+         |)
+         |SELECT h.doc_id, h.host, m.blocked_by,
+         |       m.blocked_by IS NULL AS kept
+         |FROM hosts h LEFT JOIN m USING (doc_id)""".stripMargin
+    },
     // `//` (floor div) — DuckDB CAST(double AS INT) ROUNDS, Spark
     // truncates; chunk math must stay integral end to end.
     "pipeline_pack" ->

@@ -1895,4 +1895,57 @@ class OperatorsSpec extends SparkSessionSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 11L, 1L)))
   }
+
+  test("paragraph dedup drops cross-doc segments, keeps within-doc " +
+       "repeats and the sub-segment tail") {
+    val boiler = (1 to Dedup.ParaW).map(i => s"b$i").mkString(" ")
+    val own = (1 to Dedup.ParaW).map(i => s"o$i").mkString(" ")
+    val uniq = (1 to Dedup.ParaW).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $uniq tail"), // boiler cut, uniq + no tail kept
+      (2L, boiler),                // fully boilerplate → empty
+      (3L, s"$own $own"))          // self-repeat: 1 carrier → BOTH kept
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphsOf(docs)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 1L, uniq), // "tail" is beyond the last full segment
+      (2L, 1L, 1L, ""),
+      (3L, 2L, 0L, s"$own $own")))
+  }
+
+  test("epoch shuffle is a seeded permutation: every doc exactly once, " +
+       "per-shard positions contiguous from 1, runs identical") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Pipeline.pipelineEpochShuffle(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val b = Pipeline.pipelineEpochShuffle(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(a.toSet == b.toSet, "same seed must replay the same deal")
+    val n = a.length
+    assert(a.map(_._1).distinct.length == n, "each doc exactly once")
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions must be contiguous from 1")
+    }
+    // every shard populated — a degenerate hash would fold shards
+    assert(a.map(_._2).distinct.length == Pipeline.EpochShards)
+  }
+
+  test("url filter blocks by domain suffix, never by substring") {
+    val hosts = Seq(
+      (1L, "cdn4.example.com"),       // exact entry
+      (2L, "media.cdn4.example.com"), // subdomain of an entry
+      (3L, "cdn5.example.com"),       // sibling — kept
+      (4L, "x.blog.net"),             // under blog.net
+      (5L, "x.notblog.net"),          // SUBSTRING near-miss — kept
+      (6L, "blog.net"))               // the entry itself
+      .toDF("doc_id", "host")
+    val out = Pipeline.urlFilterOf(hosts, Pipeline.UrlBlocklist)
+      .select(col("doc_id"), col("kept")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> false))
+  }
 }
