@@ -920,6 +920,22 @@ object Pipeline {
     * breaks dirs_read. */
   def pipelineSnapshotSkip(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
+    val (root, _, half) = ensureSkipHistory(spark, dir)
+    val pr = SnapshotTable.readPruned(spark, root, 2, half, Long.MaxValue)
+    pr.df.where(col("doc_id") >= half)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_id"))
+      .select(lit(pr.dirsTotal).as("dirs_total"),
+        lit(pr.dirsRead).as("dirs_read"), col("n_docs"), col("sum_id"))
+  }
+
+  /** Build (idempotently) the 2-commit stats-keyed split history the
+    * skipping queries share: v1 = doc_ids below n/2, v2 = the rest,
+    * both committed with `statsKey = doc_id` so the manifest carries
+    * disjoint [min,max] ranges and per-set key blooms. */
+  private def ensureSkipHistory(spark: SparkSession, dir: String)
+      : (String, Long, Long) = {
+    import graft.sources.SnapshotTable
     val n = t(spark, dir, "documents").count()
     val half = n / 2
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -934,12 +950,32 @@ object Pipeline {
       SnapshotTable.commit(spark, root, docs.where(col("doc_id") >= half),
         statsKey = Some("doc_id"))
     }
-    val pr = SnapshotTable.readPruned(spark, root, 2, half, Long.MaxValue)
-    pr.df.where(col("doc_id") >= half)
+    (root, n, half)
+  }
+
+  /** PLAN-INTEGRATED SNAPSHOT SCAN — [[graft.sources.SnapshotSource]]
+    * end-to-end: the same 2-commit stats-keyed table read through
+    * `SnapshotTable.readIndexed` (a `HadoopFsRelation` over the
+    * manifest-backed FileIndex), with the key-range predicate written
+    * as a PLAIN `.where` — file-set pruning happens inside Spark's
+    * planning, not via an imperative pruned-read call. The witness
+    * that the skip actually happened rides the result itself:
+    * `sets_read` counts the distinct `data/<set>` dirs among the
+    * files the executed scan touched (`input_file_name()`), which is
+    * 1 exactly when the below-half file set was never opened; the
+    * count/sum columns pin that no rows were lost or leaked. */
+  def pipelineSnapshotScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val (root, _, half) = ensureSkipHistory(spark, dir)
+    SnapshotTable.readIndexed(spark, root, 2, statsColumn = Some("doc_id"))
+      .where(col("doc_id") >= half)
+      // input_file_name() is non-deterministic — project it BEFORE the
+      // aggregate (it must ride the scan row, not the agg argument)
+      .withColumn("set_dir",
+        regexp_extract(input_file_name(), "(data/[^/]+)/", 1))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("doc_id")).cast("long").as("sum_id"))
-      .select(lit(pr.dirsTotal).as("dirs_total"),
-        lit(pr.dirsRead).as("dirs_read"), col("n_docs"), col("sum_id"))
+        sum(col("doc_id")).cast("long").as("sum_id"),
+        size(collect_set(col("set_dir"))).cast("long").as("sets_read"))
   }
 
   /** ROLLBACK — [[graft.sources.SnapshotTable.rollback]] end-to-end:
@@ -1204,6 +1240,7 @@ object Pipeline {
     "pipeline_snapshot_changes" -> pipelineSnapshotChanges,
     "pipeline_snapshot_incr_agg" -> pipelineSnapshotIncrAgg,
     "pipeline_snapshot_skip" -> pipelineSnapshotSkip,
+    "pipeline_snapshot_scan" -> pipelineSnapshotScan,
     "pipeline_snapshot_compact" -> pipelineSnapshotCompact,
     "pipeline_snapshot_point" -> pipelineSnapshotPoint,
     "pipeline_snapshot_rollback" -> pipelineSnapshotRollback,
@@ -1364,6 +1401,15 @@ object Pipeline {
         |SELECT CAST(2 AS INT) AS dirs_total, CAST(1 AS INT) AS dirs_read,
         |       count(*) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM d WHERE doc_id >= (SELECT half FROM h)""".stripMargin,
+    // sets_read = 1 pins the PLANNING-time file-set skip: the scan's
+    // input_file_name() set must never touch the below-half commit
+    "pipeline_snapshot_scan" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |h AS (SELECT CAST(floor(count(*) / 2) AS BIGINT) AS half FROM d)
+        |SELECT count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |       CAST(1 AS BIGINT) AS sets_read
         |FROM d WHERE doc_id >= (SELECT half FROM h)""".stripMargin,
     // v1 = evens without the evolved column (n_with_q must be 0);
     // v2 = evens null-filled + odds carrying q_len = length(text)

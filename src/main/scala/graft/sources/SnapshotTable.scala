@@ -225,7 +225,7 @@ object SnapshotTable {
     * Tolerates manifests written before the stats columns existed
     * (min/max read as unknown — skipping degrades to reading, never
     * to wrong pruning). */
-  private def manifestEntries(spark: SparkSession, root: String,
+  private[sources] def manifestEntries(spark: SparkSession, root: String,
                               version: Int): Seq[Entry] = {
     val df = spark.read.parquet(s"$root/manifests/v$version")
     def opt(name: String, tpe: String) =
@@ -264,7 +264,7 @@ object SnapshotTable {
   /** Manifest dirs are root-relative EXCEPT in shallow clones, whose
     * entries reference the source table's file sets by absolute
     * path ([[cloneFrom]]). */
-  private def resolveDir(root: String, dir: String): String =
+  private[sources] def resolveDir(root: String, dir: String): String =
     if (dir.startsWith("/") ||
         new org.apache.hadoop.fs.Path(dir).toUri.getScheme != null) dir
     else s"$root/$dir"
@@ -386,6 +386,19 @@ object SnapshotTable {
   def readLatest(spark: SparkSession, root: String): DataFrame =
     read(spark, root, latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no versions at $root")))
+
+  /** PLAN-INTEGRATED read — the [[SnapshotSource]] relation as a
+    * DataFrame: Spark's own parquet scan over a manifest-backed
+    * [[SnapshotFileIndex]], so `.where(statsColumn ...)` predicates
+    * prune whole FILE SETS during planning (min/max range + key
+    * bloom), and parquet pushdown/column pruning/codegen apply
+    * unchanged below the skip. Equivalent rows to [[read]]; prefer
+    * this form when queries filter on the stats key. */
+  def readIndexed(spark: SparkSession, root: String, version: Int,
+                  statsColumn: Option[String] = None): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(
+        SnapshotSource.relationFor(spark, root, version, statsColumn))
 
   /** Retention report from [[expire]]. Counts are data DIRS (file
     * sets), not files — the manifest's unit of reference. */

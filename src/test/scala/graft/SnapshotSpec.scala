@@ -462,4 +462,73 @@ class SnapshotSpec extends SparkSessionSpec {
     assert(SnapshotTable.readLatest(spark, root)
       .as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
+
+  test("graft-snapshot format: public read path, version option, " +
+       "latest default, schema evolution null-fill") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    SnapshotTable.commit(spark, root,
+      Seq((3L, "c", 7L)).toDF("doc_id", "text", "q_len"))
+    val v1 = spark.read.format("graft-snapshot").option("version", 1)
+      .load(root)
+    assert(v1.columns.toSeq == Seq("doc_id", "text"))
+    assert(v1.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // latest by default; v1 rows null-fill the evolved column through
+    // Spark's own parquet missing-column path
+    val latest = spark.read.format("graft-snapshot").load(root)
+    assert(latest.columns.toSeq == Seq("doc_id", "text", "q_len"))
+    assert(latest.as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(7L))))
+  }
+
+  test("snapshot FileIndex prunes file sets from planner data-filters " +
+       "(range via min/max, point via bloom), conservatively") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.SnapshotFileIndex
+    // the planner hands listFiles RESOLVED catalyst predicates — build
+    // the same shapes directly (the bridge Column path stays lazy
+    // ColumnNodes in 4.x and never reaches the index)
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (0L until 50L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    SnapshotTable.commit(spark, root,
+      (100L until 150L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    val key = AttributeReference("doc_id", LongType)()
+    val idx = new SnapshotFileIndex(spark, root, 2, Some("doc_id"))
+    val all = idx.listFiles(Nil, Nil).head.files.size
+    def filesFor(e: Expression) =
+      idx.listFiles(Nil, Seq(e)).head.files.size
+    // range hitting only the second commit halves the listing
+    val hi = filesFor(GreaterThanOrEqual(key, Literal(100L)))
+    assert(hi < all && hi > 0, s"range prune expected: $hi vs $all")
+    // reversed operand order means the mirrored bound
+    assert(filesFor(GreaterThan(Literal(50L), key)) == all - hi,
+      "lit > key must read only the low set")
+    // point lookup on a key in neither set: bloom prunes everything
+    assert(filesFor(EqualTo(key, Literal(75L))) == 0,
+      "bloom must prune a miss")
+    // point on a present key keeps its set only
+    assert(filesFor(EqualTo(key, Literal(120L))) == hi,
+      "point must keep exactly the carrying set")
+    // a filter shape the index can't decode skips nothing
+    assert(filesFor(EqualTo(Pmod(key, Literal(7L)), Literal(3L))) == all)
+    // no statsColumn → never prunes
+    val blind = new SnapshotFileIndex(spark, root, 2, None)
+    assert(blind.listFiles(Nil,
+      Seq(EqualTo(key, Literal(120L)))).head.files.size == all)
+    // and the end-to-end query over the pruned plan is still exact
+    val out = SnapshotTable.readIndexed(spark, root, 2, Some("doc_id"))
+      .where(col("doc_id") >= 100L).agg(
+        org.apache.spark.sql.functions.count(col("doc_id")),
+        org.apache.spark.sql.functions.sum(col("doc_id")))
+      .as[(Long, Long)].head()
+    assert(out == ((50L, (100L until 150L).sum)))
+  }
 }
