@@ -188,9 +188,12 @@ object Dedup {
   def dedupParagraphs(spark: SparkSession, dir: String): DataFrame =
     paragraphsOf(t(spark, dir, "documents"))
 
-  /** Core of [[dedupParagraphs]] over any (doc_id, text) frame. */
-  def paragraphsOf(docs: DataFrame): DataFrame = {
-    val segs = docs
+  /** (doc_id, seg_idx, seg, h) — the non-overlapping [[ParaW]]-token
+    * segment relation of a (doc_id, text) frame, with each segment's
+    * content hash. The shared core of the within-corpus dedup and the
+    * cross-corpus screen. */
+  def segmentsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= ParaW)
       .select(col("doc_id"),
@@ -199,11 +202,13 @@ object Dedup {
           i => concat_ws(" ", slice(col("toks"), i * ParaW + 1, lit(ParaW)))))
           .as(Seq("seg_idx", "seg")))
       .withColumn("h", md5(col("seg")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dupHashes = segs.select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") >= 2)
-    val kept = segs.join(dupHashes, Seq("h"), "left_anti")
+
+  /** Rebuild each doc from the segments whose hash is NOT in
+    * `dropHashes` (a 1-column `h` relation): per doc, total segments,
+    * removed count, and the ordered surviving text. */
+  private def rebuildExcluding(segs: DataFrame,
+                               dropHashes: DataFrame): DataFrame = {
+    val kept = segs.join(dropHashes, Seq("h"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ",
@@ -214,6 +219,46 @@ object Dedup {
       .select(col("doc_id"), col("n_segs"),
         (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Core of [[dedupParagraphs]] over any (doc_id, text) frame. */
+  def paragraphsOf(docs: DataFrame): DataFrame = {
+    val segs = segmentsOf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = segs.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("h"))
+    rebuildExcluding(segs, dupHashes)
+  }
+
+  /** The CROSS-CORPUS paragraph screen's base-side artifact: every
+    * distinct segment hash the curated base carries. Persist once;
+    * the base is read zero times per arriving crawl batch. */
+  def baseParagraphHashes(docs: DataFrame): DataFrame =
+    segmentsOf(docs).select(col("h")).distinct()
+
+  /** Screen a crawl batch against a base corpus's paragraph hashes:
+    * every arriving segment ALREADY PRESENT in the base (≥1 carrier —
+    * the ingest rule, vs the within-corpus ≥2) is cut, and the
+    * arriving docs are rebuilt from their unseen prose. Batch-side
+    * compute only: the batch's own segments plus one equi join
+    * against the static hash set. */
+  def paragraphScreenAgainstBase(batch: DataFrame,
+                                 baseHashes: DataFrame): DataFrame =
+    rebuildExcluding(segmentsOf(batch), baseHashes)
+
+  /** Registered form of the cross-corpus paragraph screen over the
+    * single synthetic table, split by the corpus convention the other
+    * cross-corpus screens use ([[dedupCrossCorpus]]): even doc_ids
+    * are the curated BASE, odd doc_ids the arriving CRAWL. The base's
+    * distinct hashes are the once-persisted artifact; the crawl pays
+    * its own segmentation plus one hash equi-join. */
+  def dedupParagraphScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    paragraphScreenAgainstBase(
+      docs.where(col("doc_id") % 2 === 1),
+      baseParagraphHashes(docs.where(col("doc_id") % 2 === 0))
+        .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   val MinhashBands = 4
@@ -961,6 +1006,7 @@ object Dedup {
     "dedup_span_coverage" -> dedupSpanCoverage,
     "dedup_span_scrub" -> dedupSpanScrub,
     "dedup_paragraphs" -> dedupParagraphs,
+    "dedup_paragraph_screen" -> dedupParagraphScreen,
     "dedup_minhash" -> dedupMinhash,
     "dedup_cross_corpus" -> dedupCrossCorpus,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -1205,6 +1251,39 @@ object Dedup {
          |       n.n_segs - coalesce(k.n_kept, 0) AS n_removed,
          |       coalesce(k.kept_text, '') AS kept_text
          |FROM (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id) n
+         |LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    // the A-vs-B paragraph form: same segment relation, base(even)
+    // hashes as the drop set, crawl(odd) docs rebuilt — ≥1-carrier
+    // ingest rule instead of the within-corpus ≥2
+    "dedup_paragraph_screen" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $ParaW
+         |), segs AS (
+         |  SELECT doc_id, u.i AS seg_idx, u.seg AS seg, md5(u.seg) AS h
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(0, len(t)//$ParaW - 1),
+         |        i -> {'i': i,
+         |              'seg': array_to_string(
+         |                       t[i*$ParaW + 1 : i*$ParaW + $ParaW], ' ')}))
+         |        AS u
+         |    FROM d)
+         |), baseh AS (
+         |  SELECT DISTINCT h FROM segs WHERE doc_id % 2 = 0
+         |), crawl AS (
+         |  SELECT * FROM segs WHERE doc_id % 2 = 1
+         |), kept AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+         |  FROM crawl s
+         |  WHERE NOT EXISTS (SELECT 1 FROM baseh WHERE baseh.h = s.h)
+         |  GROUP BY doc_id
+         |)
+         |SELECT n.doc_id, n.n_segs,
+         |       n.n_segs - coalesce(k.n_kept, 0) AS n_removed,
+         |       coalesce(k.kept_text, '') AS kept_text
+         |FROM (SELECT doc_id, count(*) AS n_segs FROM crawl GROUP BY doc_id) n
          |LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "dedup_minhash" ->
       s"""$shCte

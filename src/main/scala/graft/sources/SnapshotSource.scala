@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.{Dataset, Row, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -43,9 +44,52 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * missing-column path. At 100 TB the index is O(file sets) driver
   * rows — the listing never touches data.
   */
-class SnapshotSource extends RelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider
+  with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** The matching WRITE path — a snapshot COMMIT through the standard
+    * writer API:
+    *
+    * {{{
+    * df.write.format("graft-snapshot")
+    *   .mode("append")                  // append → new version;
+    *                                    // overwrite → replace table
+    *   .option("statsColumn", "doc_id") // optional: record skipping
+    *   .save(root)                      //   stats + key bloom
+    * }}}
+    *
+    * `Append` publishes a version carrying the previous sets plus this
+    * batch; `Overwrite` publishes one referencing only this batch
+    * (earlier versions stay readable — time travel is never
+    * destructive). `ErrorIfExists`/`Ignore` apply their standard
+    * contract against table existence. The commit inherits the
+    * store's guarantees: data written once to a fresh set, manifest
+    * renamed in atomically, losers of a concurrent race fail clean. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: Dataset[Row]): BaseRelation = {
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val root = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-snapshot requires a path: df.write.format(\"graft-snapshot\").save(root)"))
+    val spark = sqlContext.sparkSession
+    val statsColumn = Option(opts.get("statsColumn"))
+    val exists = SnapshotTable.latestVersion(spark, root).isDefined
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"snapshot table already exists at $root (mode ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case m =>
+        SnapshotTable.commit(spark, root, data,
+          append = m == SaveMode.Append, statsKey = statsColumn)
+    }
+    SnapshotSource.relationFor(spark, root,
+      SnapshotTable.latestVersion(spark, root).get, statsColumn)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

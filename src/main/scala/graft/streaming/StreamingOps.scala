@@ -811,6 +811,50 @@ object StreamingOps {
         ()
       }
 
+  /** Arriving crawl document (text side of the admission gate). */
+  final case class SCrawlDoc(doc_id: Long, text: String)
+
+  /** Arriving crawl URL (host side of the admission gate). */
+  final case class SHost(doc_id: Long, host: String)
+
+  /** STREAMING URL-BLOCKLIST GATE — the
+    * [[graft.operators.Pipeline.urlFilterOf]] suffix-chain filter per
+    * micro-batch: stateless (a host's verdict depends on nothing but
+    * the host and the static blocklist), so foreachBatch runs
+    * LITERALLY the batch operator — suffix explode, broadcast equi
+    * join, per-doc min — and stream == batch row-for-row across any
+    * micro-batch split. The crawl-frontier shape: filter URLs as they
+    * are discovered, before any fetch happens. */
+  def urlFilterStream(hosts: Dataset[SHost], blocklist: Seq[String])
+                     (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SHost] =
+    hosts.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SHost], _: Long) =>
+        onBatch(graft.operators.Pipeline.urlFilterOf(batch.toDF(), blocklist))
+        ()
+      }
+
+  /** STREAMING PARAGRAPH SCREEN — the ingest form of
+    * [[graft.operators.Dedup.paragraphScreenAgainstBase]]: the curated
+    * base's distinct segment hashes are a PRECOMPUTED artifact
+    * ([[graft.operators.Dedup.baseParagraphHashes]], persisted by the
+    * caller — the base is read zero times per batch); each arriving
+    * micro-batch pays its own segmentation plus one equi join against
+    * the static hash set, and docs are rebuilt from their unseen
+    * prose. Stateless per batch (the [[crossCorpusScreenStream]]
+    * rule), so stream == batch across arbitrary splits. */
+  def paragraphScreenStream(docs: Dataset[SCrawlDoc], baseHashes: DataFrame)
+                           (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SCrawlDoc] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SCrawlDoc], _: Long) =>
+        onBatch(graft.operators.Dedup
+          .paragraphScreenAgainstBase(batch.toDF(), baseHashes))
+        ()
+      }
+
   /** Stream row for the image screen: arriving image ids (the blob is
     * synthesized in-batch from the id by the same column expression
     * the batch corpus uses — a real deployment would carry the binary

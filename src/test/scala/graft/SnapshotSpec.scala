@@ -484,6 +484,39 @@ class SnapshotSpec extends SparkSessionSpec {
       Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(7L))))
   }
 
+  test("graft-snapshot writer: append/overwrite commit versions, " +
+       "statsColumn records skipping stats, modes honor existence") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").option("statsColumn", "doc_id")
+      .mode("append").save(root)
+    Seq((3L, "c")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").option("statsColumn", "doc_id")
+      .mode("append").save(root)
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+    assert(spark.read.format("graft-snapshot").load(root)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the writer-recorded stats actually prune
+    val pr = SnapshotTable.readPruned(spark, root, 2, 3L, Long.MaxValue)
+    assert(pr.dirsRead == 1 && pr.dirsTotal == 2)
+    // overwrite → v3 references only its batch; time travel intact
+    Seq((9L, "z")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").mode("overwrite").save(root)
+    assert(spark.read.format("graft-snapshot").load(root).count() == 1)
+    assert(spark.read.format("graft-snapshot").option("version", 2)
+      .load(root).count() == 3)
+    // ErrorIfExists refuses, Ignore no-ops
+    intercept[IllegalStateException] {
+      Seq((7L, "x")).toDF("doc_id", "text")
+        .write.format("graft-snapshot").mode("errorifexists").save(root)
+    }
+    Seq((7L, "x")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").mode("ignore").save(root)
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2, 3))
+  }
+
   test("snapshot FileIndex prunes file sets from planner data-filters " +
        "(range via min/max, point via bloom), conservatively") {
     import org.apache.spark.sql.functions.col

@@ -1072,6 +1072,69 @@ class StreamingSpec extends SparkSessionSpec {
     } finally { bs.unpersist(); bh.unpersist() }
   }
 
+  test("streaming paragraph screen equals the batch screen across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.StreamingOps.SCrawlDoc
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // same split as dedup_paragraph_screen: even = base, odd = crawl
+    val bh = Dedup.baseParagraphHashes(docs.where(col("doc_id") % 2 === 0))
+      .persist()
+    try {
+      val crawl = docs.where(col("doc_id") % 2 === 1)
+        .as[(Long, String)].collect()
+        .map { case (id, t) => SCrawlDoc(id, t) }
+      val mem = MemoryStream[SCrawlDoc]
+      val got = scala.collection.mutable.Set[(Long, Long, Long, String)]()
+      val q = StreamingOps.paragraphScreenStream(mem.toDS(), bh) { out =>
+        got ++= out.as[(Long, Long, Long, String)].collect()
+      }.start()
+      try {
+        // three uneven micro-batches — split must not matter (stateless)
+        val (a, rest) = crawl.splitAt(crawl.length / 5)
+        val (b, c) = rest.splitAt(rest.length / 2)
+        for (chunk <- Seq(a, b, c)) {
+          mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val batch = Dedup.dedupParagraphScreen(spark, sf0001)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got.toSet == batch,
+        s"paragraph screen diverged: ${got.size} streamed vs ${batch.size} batch")
+      assert(batch.exists(_._3 > 0), "fixture must cut at least one segment")
+    } finally bh.unpersist()
+  }
+
+  test("streaming URL filter equals the batch gate across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pipeline
+    import graft.streaming.StreamingOps.SHost
+    // the synthetic host relation pipeline_url_filter itself screens
+    val hostRows = Pipeline.pipelineUrlFilter(spark, sf0001)
+      .select(col("doc_id"), col("host"))
+      .as[(Long, String)].collect()
+      .map { case (id, h) => SHost(id, h) }
+    val mem = MemoryStream[SHost]
+    val got = scala.collection.mutable.Set[(Long, String, Option[String], Boolean)]()
+    val q = StreamingOps.urlFilterStream(mem.toDS(), Pipeline.UrlBlocklist) { out =>
+      got ++= out.as[(Long, String, Option[String], Boolean)].collect()
+    }.start()
+    try {
+      val (a, rest) = hostRows.splitAt(hostRows.length / 4)
+      val (b, c) = rest.splitAt(rest.length / 3)
+      for (chunk <- Seq(a, b, c)) {
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = Pipeline.pipelineUrlFilter(spark, sf0001)
+      .as[(Long, String, Option[String], Boolean)].collect().toSet
+    assert(got.toSet == batch,
+      s"URL filter diverged: ${got.size} streamed vs ${batch.size} batch")
+    assert(batch.exists(!_._4) && batch.exists(_._4),
+      "fixture must both block and keep hosts")
+  }
+
   test("streaming VAD equals the batch segmentation across splits") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Multimodal
