@@ -1231,7 +1231,209 @@ object Pipeline {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-domain document cap for [[pipelineDomainCap]] — the crawl
+    * curation rule that stops one prolific host from dominating the
+    * mixture. */
+  val DomainCap = 8
+
+  /** HOST-LEVEL QUOTA — cap each domain's contribution at
+    * [[DomainCap]] documents, keeping the highest-quality ones
+    * (distinct-token ratio, the [[pipelinePrefPairs]] signal;
+    * ties → smaller doc_id). The kept set is cut by the native
+    * [[graft.plans.TopKPerKey]] heaps — a per-host top-N that never
+    * fully sorts a prolific host's millions of rows (the skew case
+    * this op exists for) — and the audit relation joins every doc
+    * back against it: doc, host, score, kept. One exchange on the
+    * host key, heap-bounded memory per host, no global sort. */
+  def pipelineDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val x = expr("(doc_id DIV 4) % 10").cast("string")
+    val host = when(col("doc_id") % 4 === 0,
+        concat(lit("cdn"), x, lit(".example.com")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("media.cdn"), x, lit(".example.com")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("site"), x, lit(".blog.net")))
+      .otherwise(concat(lit("site"), x, lit(".notblog.net")))
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), host.as("host"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("host"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 6).as("score"))
+    val kept = graft.plans.TopKPerKey.topKPerKey(scored,
+        Seq("host"), Seq("score" -> false, "doc_id" -> true), DomainCap)
+      .select(col("doc_id").as("k_id"), lit(true).as("kept"))
+    scored.join(kept, col("doc_id") === col("k_id"), "left")
+      .select(col("doc_id"), col("host"), col("score"),
+        coalesce(col("kept"), lit(false)).as("kept"))
+  }
+
+  /** Docs per assembled batch for [[pipelineLengthBuckets]]. */
+  val LenBatch = 16
+
+  /** SEQUENCE-LENGTH BUCKETED BATCH ASSEMBLY — the training-prep op
+    * that minimizes attention-mask padding: docs are bucketed by
+    * ⌊log₂(n_tokens)⌋ (so batch members are within 2× of each other),
+    * ordered longest-first inside the bucket (ties → doc_id), and
+    * dealt into [[LenBatch]]-doc batches. Per batch: member count,
+    * max length (the padded width), real token sum, and the padding
+    * waste fraction a trainer would pay. The window partitions on the
+    * bucket key — never a global sort — and the output is batch-sized,
+    * not corpus-sized. At 100 TB each bucket shards independently;
+    * the longest-first deal keeps waste monotonically shrinking down
+    * the batch sequence. */
+  def pipelineLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .where(col("n_tokens") >= 1)
+      // ⌊log₂⌋ via binary-digit count — integer-exact in both engines
+      // (float log2 rounds 2^k down to k-ε on some libm paths)
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", ((col("rn") - 1) / LenBatch).cast("long"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("max_len") * col("n_docs"))
+      .withColumn("pad_waste",
+        round((col("padded_tokens") - col("sum_tokens")).cast("double") /
+          col("padded_tokens"), 6))
+  }
+
+  /** Feature-hash buckets for [[pipelineDsir]]. */
+  val DsirBuckets = 32
+  /** Additive smoothing mass per bucket. */
+  val DsirAlpha = 0.5
+
+  /** DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR, Xie et al. 2023)
+    * — score every corpus document by how much its hashed-unigram
+    * distribution looks like a TARGET domain (here the `lang = 'en'`
+    * slice, standing in for "clean reference corpus"): tokens hash
+    * into [[DsirBuckets]] buckets (the portable md5 hash every split
+    * op uses), the target and source bucket distributions are two
+    * [[DsirBuckets]]-row aggregates (smoothed by [[DsirAlpha]]), and
+    * each doc's importance is the length-normalized sum of its
+    * buckets' log-ratios. `selected` = positive evidence (the
+    * resampling acceptance direction) — a THRESHOLD, not a global
+    * rank, so no unpartitioned window ever forms. Per-doc fold runs
+    * over the bucket-sorted count array (deterministic summation
+    * order). Cost shape: one token explode + one (doc, bucket) agg +
+    * one broadcast join against the 32-row ratio table — linear at
+    * any corpus size; the distributions are the tiny persisted
+    * artifact a production DSIR run keeps per target domain. */
+  def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tokB = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 7), 16, 10)
+          .cast("long") % DsirBuckets).as("bucket"))
+    val perDoc = tokB.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_b"))
+    val tTok = tokB.where(col("lang") === "en")
+    // source buckets are the superset (target ⊆ corpus), so a LEFT
+    // join keeps every bucket; the two totals ride in as broadcast
+    // 1-row parameter joins
+    val ratio = tokB.groupBy(col("bucket")).agg(count(lit(1)).as("c_s"))
+      .join(tTok.groupBy(col("bucket")).agg(count(lit(1)).as("c_t")),
+        Seq("bucket"), "left")
+      .crossJoin(broadcast(tokB.agg(count(lit(1)).as("tot_s"))))
+      .crossJoin(broadcast(tTok.agg(count(lit(1)).as("tot_t"))))
+      .select(col("bucket"),
+        (log((coalesce(col("c_t"), lit(0L)) + DsirAlpha) /
+            (col("tot_t") + DsirAlpha * DsirBuckets)) -
+          log((col("c_s") + DsirAlpha) /
+            (col("tot_s") + DsirAlpha * DsirBuckets))).as("lr"))
+    perDoc.join(broadcast(ratio), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_b")).as("n_tokens"),
+        // bucket-sorted fold: summation order is fixed, so the score
+        // is bit-identical run to run
+        aggregate(
+          array_sort(collect_list(struct(col("bucket"),
+            (col("n_b") * col("lr")).as("term")))),
+          lit(0.0d), (acc, s) => acc + s.getField("term")).as("raw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("raw") / col("n_tokens"), 6).as("dsir_score"))
+      .withColumn("selected", col("dsir_score") > 0)
+  }
+
+  /** PER-DOCUMENT PROVENANCE AUDIT — the filter-attribution relation
+    * a published dataset ships next to its data (the Dolma/RedPajama
+    * audit): for EVERY ingested doc, which gates it passed and the
+    * final verdict, composed from the SAME kernels the individual
+    * queries run (the gate bounds of [[gate]], [[pipelineFilter]]'s
+    * exact-dup keeper, [[pipelineDecontaminate]]'s eval-shingle
+    * screen, [[pipelineUrlFilter]]'s blocklist) — so the audit cannot
+    * drift from the filters it explains. Each gate contributes one
+    * linear pass keyed on doc_id; the assembly is left joins on
+    * doc_id. `kept` is the conjunction. No gate reads another's
+    * output — at 100 TB all four run in one scheduling wave over one
+    * cached scan. */
+  def pipelineProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val base = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"),
+          x => x.isInCollection(TextAnalysis.Stopwords))).cast("double") /
+          col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= MinTokens && col("stop_ratio") <= MaxStopRatio &&
+          col("lang") === "en").as("quality_ok"))
+    val dupLoser = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("nh"))
+      .where(col("nh") >= 2)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("h")), "h")
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("d_id"), lit(true).as("is_dup"))
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingleCol(col("toks"), 3))).as("s"))
+    val contaminated = sh
+      .join(broadcast(sh.where(col("doc_id") % 97 === 0)
+          .select(col("s").as("e_s"), col("doc_id").as("e_id"))),
+        col("s") === col("e_s") && col("doc_id") =!= col("e_id"))
+      .select(col("doc_id").as("c_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val x = expr("(doc_id DIV 4) % 10").cast("string")
+    val host = when(col("doc_id") % 4 === 0,
+        concat(lit("cdn"), x, lit(".example.com")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("media.cdn"), x, lit(".example.com")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("site"), x, lit(".blog.net")))
+      .otherwise(concat(lit("site"), x, lit(".notblog.net")))
+    val urlBlocked = urlFilterOf(
+        docs.select(col("doc_id"), host.as("host")), UrlBlocklist)
+      .where(!col("kept"))
+      .select(col("doc_id").as("u_id"), lit(true).as("url_blocked"))
+    base
+      .join(dupLoser, col("doc_id") === col("d_id"), "left")
+      .join(contaminated, col("doc_id") === col("c_id"), "left")
+      .join(urlBlocked, col("doc_id") === col("u_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("quality_ok"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        coalesce(col("url_blocked"), lit(false)).as("url_blocked"))
+      .withColumn("kept",
+        col("quality_ok") && !col("is_dup") && !col("contaminated") &&
+          !col("url_blocked"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_domain_cap" -> pipelineDomainCap,
+    "pipeline_length_buckets" -> pipelineLengthBuckets,
+    "pipeline_dsir" -> pipelineDsir,
+    "pipeline_provenance" -> pipelineProvenance,
     "pipeline_dataset_diff" -> pipelineDatasetDiff,
     "pipeline_snapshot_read" -> pipelineSnapshotRead,
     "pipeline_snapshot_evolve" -> pipelineSnapshotEvolve,
@@ -1285,7 +1487,128 @@ object Pipeline {
       |FROM shd c JOIN ev ON c.s = ev.s AND c.doc_id <> ev.e_id
       |GROUP BY c.doc_id""".stripMargin
 
+  /** Shared host-synthesis SQL (mirrors the column expression in
+    * [[pipelineUrlFilter]]/[[pipelineDomainCap]]/[[pipelineProvenance]]). */
+  private val hostSql =
+    """CASE WHEN doc_id % 4 = 0
+      |       THEN concat('cdn', CAST((doc_id // 4) % 10 AS VARCHAR), '.example.com')
+      |     WHEN doc_id % 4 = 1
+      |       THEN concat('media.cdn', CAST((doc_id // 4) % 10 AS VARCHAR), '.example.com')
+      |     WHEN doc_id % 4 = 2
+      |       THEN concat('site', CAST((doc_id // 4) % 10 AS VARCHAR), '.blog.net')
+      |     ELSE concat('site', CAST((doc_id // 4) % 10 AS VARCHAR), '.notblog.net')
+      |END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pipeline_domain_cap" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, $hostSql AS host,
+         |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |          / len(string_split(text, ' ')), 6) AS score
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 1
+         |), ranked AS (
+         |  SELECT doc_id, host, score,
+         |    row_number() OVER (PARTITION BY host
+         |                       ORDER BY score DESC, doc_id) AS rn
+         |  FROM scored
+         |)
+         |SELECT doc_id, host, score, rn <= $DomainCap AS kept
+         |FROM ranked""".stripMargin,
+    "pipeline_length_buckets" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 1
+         |), b AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(len(format('{:b}', n_tokens)) - 1 AS BIGINT) AS bucket
+         |  FROM d
+         |), r AS (
+         |  SELECT bucket, n_tokens,
+         |    row_number() OVER (PARTITION BY bucket
+         |                       ORDER BY n_tokens DESC, doc_id) AS rn
+         |  FROM b
+         |), g AS (
+         |  SELECT bucket, CAST((rn - 1) // $LenBatch AS BIGINT) AS batch_id,
+         |    count(*) AS n_docs, max(n_tokens) AS max_len,
+         |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT bucket, batch_id, n_docs, max_len, sum_tokens,
+         |  max_len * n_docs AS padded_tokens,
+         |  round(CAST(max_len * n_docs - sum_tokens AS DOUBLE)
+         |        / (max_len * n_docs), 6) AS pad_waste
+         |FROM g""".stripMargin,
+    "pipeline_dsir" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    CAST(concat('0x', substr(md5(concat('dsir:', tok)), 1, 7))
+         |         AS BIGINT) % $DsirBuckets AS bucket
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |), pd AS (
+         |  SELECT doc_id, bucket, count(*) AS n_b FROM tok GROUP BY 1, 2
+         |), sdist AS (
+         |  SELECT bucket, count(*) AS c_s FROM tok GROUP BY 1
+         |), tdist AS (
+         |  SELECT bucket, count(*) AS c_t FROM tok WHERE lang = 'en' GROUP BY 1
+         |), stot AS (SELECT count(*) AS tot_s FROM tok),
+         |ttot AS (SELECT count(*) AS tot_t FROM tok WHERE lang = 'en'),
+         |ratio AS (
+         |  SELECT s.bucket,
+         |    ln((coalesce(t.c_t, 0) + $DsirAlpha)
+         |       / (ttot.tot_t + $DsirAlpha * $DsirBuckets))
+         |    - ln((s.c_s + $DsirAlpha)
+         |         / (stot.tot_s + $DsirAlpha * $DsirBuckets)) AS lr
+         |  FROM sdist s LEFT JOIN tdist t USING (bucket), stot, ttot
+         |), agg AS (
+         |  SELECT doc_id, CAST(sum(n_b) AS BIGINT) AS n_tokens,
+         |    round(sum(n_b * lr) / sum(n_b), 6) AS dsir_score
+         |  FROM pd JOIN ratio USING (bucket) GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, dsir_score, dsir_score > 0 AS selected
+         |FROM agg""".stripMargin,
+    "pipeline_provenance" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |    (len(string_split(text, ' ')) >= $MinTokens
+         |     AND CAST(len(list_filter(string_split(text, ' '),
+         |               x -> list_contains($stopList, x))) AS DOUBLE)
+         |         / len(string_split(text, ' ')) <= $MaxStopRatio
+         |     AND lang = 'en') AS quality_ok
+         |  FROM documents
+         |), dup AS (
+         |  SELECT doc_id FROM documents d
+         |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id,
+         |               count(*) AS nh
+         |        FROM documents GROUP BY 1 HAVING count(*) >= 2) g
+         |    ON md5(d.text) = g.h AND d.doc_id <> g.keep_id
+         |), shd AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |           list_transform(generate_series(1, len(t)-2),
+         |             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |  WHERE len(t) >= 3
+         |), cont AS (
+         |  SELECT DISTINCT c.doc_id FROM shd c
+         |  JOIN (SELECT doc_id AS e_id, s FROM shd WHERE doc_id % 97 = 0) ev
+         |    ON c.s = ev.s AND c.doc_id <> ev.e_id
+         |), blocked AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(string_split(h, '.')) - 1),
+         |      i -> array_to_string(string_split(h, '.')[i:], '.'))) AS suffix
+         |    FROM (SELECT doc_id, $hostSql AS h FROM documents))
+         |  WHERE suffix IN (${UrlBlocklist.map(e => s"'$e'").mkString(", ")})
+         |)
+         |SELECT b.doc_id, b.n_tokens, b.quality_ok,
+         |  (b.doc_id IN (SELECT doc_id FROM dup)) AS is_dup,
+         |  (b.doc_id IN (SELECT doc_id FROM cont)) AS contaminated,
+         |  (b.doc_id IN (SELECT doc_id FROM blocked)) AS url_blocked,
+         |  (b.quality_ok
+         |   AND b.doc_id NOT IN (SELECT doc_id FROM dup)
+         |   AND b.doc_id NOT IN (SELECT doc_id FROM cont)
+         |   AND b.doc_id NOT IN (SELECT doc_id FROM blocked)) AS kept
+         |FROM base b""".stripMargin,
     "pipeline_dataset_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id, text FROM documents

@@ -1948,4 +1948,104 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out == Map(1L -> false, 2L -> false, 3L -> true,
       4L -> false, 5L -> true, 6L -> false))
   }
+
+  test("paragraph screen cuts base-carried segments at ONE carrier, " +
+       "keeps crawl-internal repeats the base never saw") {
+    val boiler = (1 to Dedup.ParaW).map(i => s"b$i").mkString(" ")
+    val own = (1 to Dedup.ParaW).map(i => s"n$i").mkString(" ")
+    val uniq = (1 to Dedup.ParaW).map(i => s"u$i").mkString(" ")
+    val base = Seq((100L, boiler)).toDF("doc_id", "text")
+    val crawl = Seq(
+      (1L, s"$boiler $uniq"), // base hit cut (1 carrier suffices), uniq kept
+      (2L, s"$own $own"))     // crawl-internal repeat: NOT in base → kept
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphScreenAgainstBase(
+        crawl, Dedup.baseParagraphHashes(base))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 1L, uniq),
+      (2L, 2L, 0L, s"$own $own")))
+  }
+
+  test("domain cap keeps at most DomainCap docs per host, the " +
+       "top-scored ones, deterministically") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Pipeline.pipelineDomainCap(spark, dir)
+      .as[(Long, String, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (host, hs) =>
+      val kept = hs.filter(_._4)
+      assert(kept.length == math.min(hs.length, Pipeline.DomainCap),
+        s"host $host kept ${kept.length} of ${hs.length}")
+      // the kept set IS the (score desc, id asc) prefix
+      val expect = hs.sortBy(r => (-r._3, r._1))
+        .take(Pipeline.DomainCap).map(_._1).toSet
+      assert(kept.map(_._1).toSet == expect, s"host $host kept wrong docs")
+    }
+    assert(rows.exists(!_._4), "fixture must actually cap some host")
+  }
+
+  test("length buckets: full batches of LenBatch, members within 2x, " +
+       "longest-first deal, waste fraction sane") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Pipeline.pipelineLengthBuckets(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.map(_._3).sum == docs.count(), "every doc in exactly one batch")
+    out.foreach { case (bucket, _, nDocs, maxLen, sumTok, padded, waste) =>
+      assert(maxLen >= (1L << bucket) && maxLen < (1L << (bucket + 1)),
+        s"max_len $maxLen outside bucket $bucket")
+      assert(padded == maxLen * nDocs && waste >= 0.0 && waste < 1.0)
+      assert(sumTok > nDocs * (maxLen / 2.0) - nDocs,
+        "members must be within 2x of the batch max")
+    }
+    out.groupBy(_._1).foreach { case (bucket, bs) =>
+      val sorted = bs.sortBy(_._2)
+      // all but the last batch are full
+      sorted.dropRight(1).foreach(b => assert(b._3 == Pipeline.LenBatch,
+        s"non-final batch in bucket $bucket not full"))
+      // longest-first: max_len non-increasing down the batch sequence
+      assert(sorted.map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)), s"bucket $bucket not longest-first")
+    }
+  }
+
+  test("DSIR scores English docs above non-English against the en target") {
+    val dir = "/root/testdata/sf0.001"
+    val langs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toMap
+    val scored = Pipeline.pipelineDsir(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(scored.length == langs.size)
+    val (en, other) = scored.partition(r => langs(r._1) == "en")
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    assert(mean(en.map(_._3)) > mean(other.map(_._3)),
+      "target-language docs must score higher on average")
+    // determinism: the sorted fold makes re-runs bit-identical
+    val again = Pipeline.pipelineDsir(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(scored.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("provenance audit agrees with every standalone gate it composes") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Pipeline.pipelineProvenance(spark, dir)
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    assert(out.length == docs.count(), "audit covers every ingested doc")
+    out.foreach { case (_, _, q, d, c, u, kept) =>
+      assert(kept == (q && !d && !c && !u), "kept must be the conjunction")
+    }
+    assert(out.count(_._3) == Pipeline.gate(docs).count(),
+      "quality_ok column must equal the standalone gate")
+    val contExpect = Pipeline.pipelineDecontaminate(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._5).map(_._1).toSet == contExpect,
+      "contaminated column must equal the standalone screen")
+    val urlExpect = Pipeline.pipelineUrlFilter(spark, dir)
+      .where(!col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._6).map(_._1).toSet == urlExpect,
+      "url_blocked column must equal the standalone filter")
+  }
 }
