@@ -1327,29 +1327,46 @@ object Pipeline {
     * artifact a production DSIR run keeps per target domain. */
   def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val tokB = docs
-      .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 7), 16, 10)
-          .cast("long") % DsirBuckets).as("bucket"))
-    val perDoc = tokB.groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("n_b"))
-    val tTok = tokB.where(col("lang") === "en")
+    dsirScoreAgainst(docs,
+      dsirRatio(docs, docs.where(col("lang") === "en")))
+  }
+
+  /** Hashed-unigram (doc_id, bucket) relation of a (doc_id, text)
+    * frame — the DSIR feature map. */
+  private def dsirTokens(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    .select(col("doc_id"),
+      (conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 7), 16, 10)
+        .cast("long") % DsirBuckets).as("bucket"))
+
+  /** The [[DsirBuckets]]-row log-ratio artifact log(p_target/p_source)
+    * — what a production DSIR run PERSISTS per target domain; scoring
+    * (batch or streaming) only ever broadcasts this. */
+  def dsirRatio(sourceDocs: DataFrame, targetDocs: DataFrame): DataFrame = {
+    val sTok = dsirTokens(sourceDocs)
+    val tTok = dsirTokens(targetDocs)
     // source buckets are the superset (target ⊆ corpus), so a LEFT
     // join keeps every bucket; the two totals ride in as broadcast
     // 1-row parameter joins
-    val ratio = tokB.groupBy(col("bucket")).agg(count(lit(1)).as("c_s"))
+    sTok.groupBy(col("bucket")).agg(count(lit(1)).as("c_s"))
       .join(tTok.groupBy(col("bucket")).agg(count(lit(1)).as("c_t")),
         Seq("bucket"), "left")
-      .crossJoin(broadcast(tokB.agg(count(lit(1)).as("tot_s"))))
+      .crossJoin(broadcast(sTok.agg(count(lit(1)).as("tot_s"))))
       .crossJoin(broadcast(tTok.agg(count(lit(1)).as("tot_t"))))
       .select(col("bucket"),
         (log((coalesce(col("c_t"), lit(0L)) + DsirAlpha) /
             (col("tot_t") + DsirAlpha * DsirBuckets)) -
           log((col("c_s") + DsirAlpha) /
             (col("tot_s") + DsirAlpha * DsirBuckets))).as("lr"))
-    perDoc.join(broadcast(ratio), "bucket")
+  }
+
+  /** Score any (doc_id, text) frame against a precomputed ratio
+    * artifact: one token explode + one (doc, bucket) agg + the 32-row
+    * broadcast join, then the bucket-sorted fold. */
+  def dsirScoreAgainst(batch: DataFrame, ratio: DataFrame): DataFrame =
+    dsirTokens(batch).groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_b"))
+      .join(broadcast(ratio), "bucket")
       .groupBy(col("doc_id"))
       .agg(sum(col("n_b")).as("n_tokens"),
         // bucket-sorted fold: summation order is fixed, so the score
@@ -1361,7 +1378,6 @@ object Pipeline {
       .select(col("doc_id"), col("n_tokens"),
         round(col("raw") / col("n_tokens"), 6).as("dsir_score"))
       .withColumn("selected", col("dsir_score") > 0)
-  }
 
   /** PER-DOCUMENT PROVENANCE AUDIT — the filter-attribution relation
     * a published dataset ships next to its data (the Dolma/RedPajama

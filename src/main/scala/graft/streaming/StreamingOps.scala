@@ -835,6 +835,67 @@ object StreamingOps {
         ()
       }
 
+  /** Arriving crawl document with its host (quota-admission input). */
+  final case class SHostDoc(doc_id: Long, host: String)
+
+  /** Quota-admission verdict: running per-host arrival ordinal and
+    * whether the doc made it under the cap. */
+  final case class QuotaOut(doc_id: Long, host: String, admitted: Boolean,
+                            host_seen: Long)
+
+  /** STREAMING HOST-QUOTA ADMISSION — the ONLINE form of the batch
+    * [[graft.operators.Pipeline.pipelineDomainCap]]: where the offline
+    * op keeps each host's top-scored docs (it sees the whole corpus),
+    * the crawl frontier must decide AT ARRIVAL, so the online rule is
+    * first-come admission — each host's first `cap` documents pass,
+    * the rest are marked refused (a crawler stops fetching the host
+    * entirely once over quota). State is ONE Long per host
+    * (mapGroupsWithState's O(keys) rule — the admission counter),
+    * bounded regardless of how many docs a hot host floods in: the
+    * skew case the cap exists for is exactly the case the state does
+    * NOT grow with. Within a micro-batch, docs apply in doc_id order
+    * so a replayed batch admits identically (the exactly-once rule);
+    * across batches, admission order IS arrival order — the online
+    * semantics, not a deficiency. */
+  def hostQuotaStream(docs: Dataset[SHostDoc], cap: Int)
+      : Dataset[QuotaOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.host)
+      .flatMapGroupsWithState[Long, QuotaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[SHostDoc], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(_.doc_id).map { d =>
+            n += 1
+            QuotaOut(d.doc_id, host, n <= cap, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
+  /** STREAMING DSIR SCORING — the serving form of
+    * [[graft.operators.Pipeline.pipelineDsir]]: the log-ratio bucket
+    * distribution is the PRECOMPUTED artifact
+    * ([[graft.operators.Pipeline.dsirRatio]], persisted per target
+    * domain by the caller); each arriving micro-batch pays one token
+    * explode + one (doc,bucket) agg + the 32-row broadcast join.
+    * Stateless per batch — a doc's score depends only on itself and
+    * the frozen artifact — so stream == batch across any split. This
+    * is how DSIR actually deploys: distributions fitted offline once,
+    * crawl scored at ingest. */
+  def dsirScoreStream(docs: Dataset[SCrawlDoc], ratio: DataFrame)
+                     (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SCrawlDoc] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SCrawlDoc], _: Long) =>
+        onBatch(graft.operators.Pipeline
+          .dsirScoreAgainst(batch.toDF(), ratio))
+        ()
+      }
+
   /** STREAMING PARAGRAPH SCREEN — the ingest form of
     * [[graft.operators.Dedup.paragraphScreenAgainstBase]]: the curated
     * base's distinct segment hashes are a PRECOMPUTED artifact

@@ -1072,6 +1072,79 @@ class StreamingSpec extends SparkSessionSpec {
     } finally { bs.unpersist(); bh.unpersist() }
   }
 
+  test("host quota admits first-come per host under the cap, " +
+       "state stays O(hosts) under a flooding host") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{QuotaOut, SHostDoc}
+    val cap = 5
+    // one hot host floods 500 docs; nine quiet hosts send 3 each
+    val hot = (0 until 500).map(i => SHostDoc(1000L + i, "flood.example.com"))
+    val quiet = for (h <- 0 until 9; i <- 0 until 3)
+      yield SHostDoc(h * 10L + i, s"quiet$h.example.org")
+    val all = (hot ++ quiet).sortBy(_.doc_id)
+    val mem = MemoryStream[SHostDoc]
+    val q = StreamingOps.hostQuotaStream(mem.toDS(), cap)
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      all.grouped((all.size + 2) / 3).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+      // ONE counter row per host — never a row per doc
+      val maxState = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).max
+      assert(maxState <= 10,
+        s"state rows $maxState must stay O(hosts) under a flooding host")
+    } finally q.stop()
+    val out = spark.table("quota_out")
+      .as[QuotaOut].collect()
+    assert(out.length == all.size, "every arrival gets a verdict")
+    out.groupBy(_.host).foreach { case (host, rows) =>
+      val admitted = rows.filter(_.admitted)
+      assert(admitted.length == math.min(rows.length, cap),
+        s"host $host admitted ${admitted.length}")
+      // first-come: the admitted docs are the arrival-order prefix
+      assert(admitted.map(_.doc_id).toSet ==
+        rows.sortBy(_.host_seen).take(math.min(rows.length, cap))
+          .map(_.doc_id).toSet, s"host $host admitted out of order")
+      // ordinals are a permutation of 1..n over the host's arrivals
+      assert(rows.map(_.host_seen).sorted.toSeq ==
+        (1L to rows.length).toSeq, s"host $host ordinals broken")
+    }
+  }
+
+  test("streaming DSIR scoring equals the batch scores across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pipeline
+    import graft.streaming.StreamingOps.SCrawlDoc
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // the frozen artifact: fitted once over the full corpus
+    val ratio = Pipeline.dsirRatio(docs, docs.where(col("lang") === "en"))
+      .persist()
+    try {
+      val rows = docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+        .map { case (id, t) => SCrawlDoc(id, t) }
+      val mem = MemoryStream[SCrawlDoc]
+      val got = scala.collection.mutable.Set[(Long, Long, Double, Boolean)]()
+      val q = StreamingOps.dsirScoreStream(mem.toDS(), ratio) { out =>
+        got ++= out.as[(Long, Long, Double, Boolean)].collect()
+      }.start()
+      try {
+        val (a, rest) = rows.splitAt(rows.length / 5)
+        val (b, c) = rest.splitAt(rest.length / 2)
+        for (chunk <- Seq(a, b, c)) {
+          mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val batch = Pipeline.pipelineDsir(spark, sf0001)
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      assert(got.toSet == batch,
+        s"DSIR stream diverged: ${got.size} streamed vs ${batch.size} batch")
+    } finally ratio.unpersist()
+  }
+
   test("streaming paragraph screen equals the batch screen across splits") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
