@@ -1113,6 +1113,47 @@ object Pipeline {
         col("n_docs"), col("sum_id"))
   }
 
+  /** CLUSTERED REWRITE as a hash-checkable query — the OPTIMIZE
+    * maintenance op ([[graft.sources.SnapshotTable.rewriteSorted]])
+    * witnessed end to end: three append commits each spanning the full
+    * doc_id range (the streaming-lineage layout where min/max skipping
+    * prunes NOTHING), then the rewrite into 4 disjoint key-range sets.
+    * The output pins (a) sets read by a narrow range query BEFORE
+    * (all 3 — the degenerate layout) and AFTER (1 of 4 — the point of
+    * the op), and (b) count/sum of the range rows from the pruned
+    * read, so a rewrite that lost or duplicated rows, or stats that
+    * prune wrongly, all break the hash. */
+  def pipelineSnapshotCluster(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = t(spark, dir, "documents").count()
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${graft.sources.Artifacts.root(spark)}/snapclu_${key}_n$n"
+    if (!SnapshotTable.latestVersion(spark, root).contains(4)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      // each commit spans the whole key range: round-robin thirds
+      (0 until 3).foreach { c =>
+        SnapshotTable.commit(spark, root,
+          docs.where(col("doc_id") % 3 === c), statsKey = Some("doc_id"))
+      }
+      SnapshotTable.rewriteSorted(spark, root, "doc_id", numSets = 4)
+    }
+    // strictly inside the first quarter-range set for dense 0..n-1 ids
+    val (lo, hi) = (n / 8, n / 5)
+    val before = SnapshotTable.readPruned(spark, root, 3, lo, hi)
+    val after = SnapshotTable.readPruned(spark, root, 4, lo, hi)
+    after.df.where(col("doc_id").between(lo, hi))
+      .agg(count(lit(1)).as("n_range"),
+        sum(col("doc_id")).cast("long").as("sum_range"))
+      .select(lit(before.dirsRead).as("sets_read_before"),
+        lit(before.dirsTotal).as("sets_total_before"),
+        lit(after.dirsRead).as("sets_read_after"),
+        lit(after.dirsTotal).as("sets_total_after"),
+        col("n_range"), col("sum_range"))
+  }
+
   /** SCHEMA EVOLUTION across snapshot versions — the Iceberg
     * add-column semantic on [[graft.sources.SnapshotTable]]: v1
     * commits (doc_id, text) for even ids; v2 APPENDS the odd ids
@@ -1460,6 +1501,7 @@ object Pipeline {
     "pipeline_snapshot_skip" -> pipelineSnapshotSkip,
     "pipeline_snapshot_scan" -> pipelineSnapshotScan,
     "pipeline_snapshot_compact" -> pipelineSnapshotCompact,
+    "pipeline_snapshot_cluster" -> pipelineSnapshotCluster,
     "pipeline_snapshot_point" -> pipelineSnapshotPoint,
     "pipeline_snapshot_rollback" -> pipelineSnapshotRollback,
     "pipeline_snapshot_clone" -> pipelineSnapshotClone,
@@ -1694,6 +1736,19 @@ object Pipeline {
         |FROM d WHERE doc_id = (SELECT probe FROM p)""".stripMargin,
     // compaction rewrites layout (3 sets -> 1), never data: v4's
     // rows = v3's = all docs + the mod-13 re-ingests under id+n
+    // the layout facts (3-of-3 read before, 1-of-4 after) are pinned
+    // as literals; the range aggregate replays over the plain table —
+    // a rewrite that lost/duplicated rows or mis-pruning stats break it
+    "pipeline_snapshot_cluster" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents)
+        |SELECT CAST(3 AS INT) AS sets_read_before,
+        |       CAST(3 AS INT) AS sets_total_before,
+        |       CAST(1 AS INT) AS sets_read_after,
+        |       CAST(4 AS INT) AS sets_total_after,
+        |       count(*) AS n_range,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_range
+        |FROM documents, n
+        |WHERE doc_id BETWEEN n.c // 8 AND n.c // 5""".stripMargin,
     "pipeline_snapshot_compact" ->
       """WITH d AS (SELECT doc_id FROM documents),
         |n AS (SELECT count(*) AS c FROM d)

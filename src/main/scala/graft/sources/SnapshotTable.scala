@@ -423,8 +423,10 @@ object SnapshotTable {
     val (dead, live) = vs.partition(_ < keepFrom)
     require(live.nonEmpty,
       s"expire would drop every published version at $root (keepFrom=$keepFrom)")
+    // a clustered rewrite's entries are SUBDIRS (data/rN-x/__rb=k);
+    // matching on the top-level child keeps their parent alive
     val liveDirs = live.flatMap(manifestEntries(spark, root, _))
-      .map(_.dir).toSet
+      .map(_.dir.split("/").take(2).mkString("/")).toSet
     val fs = fsOf(spark, root)
     dead.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/manifests/v$v"), true)
@@ -548,6 +550,90 @@ object SnapshotTable {
     publish(spark, root, next,
       big :+ Entry(dataRel, next, nRows, minK, maxK, bloom))
     next
+  }
+
+  /** CLUSTERED REWRITE — the OPTIMIZE/Z-ORDER-style maintenance op
+    * (Delta `OPTIMIZE … ZORDER BY`, Iceberg's sort-based rewrite):
+    * rewrite the latest version's live rows into `numSets` file sets
+    * PARTITIONED BY DISJOINT KEY RANGES, so min/max set-skipping
+    * becomes selective again. Append/streaming lineages produce sets
+    * that each span the whole key range (every commit carries a
+    * cross-section of keys), which makes every range query read
+    * every set — stats exist but prune nothing. After the rewrite a
+    * range predicate intersects ~(span/numSets)⁻¹ of the sets.
+    *
+    * One data pass: the range bucket is computed in-plan (equal-width
+    * over the exact min/max — deterministic arithmetic, no sampled
+    * boundaries) and `partitionBy` fans the write out to one subdir
+    * per bucket; each subdir then becomes its own manifest entry with
+    * fresh tight stats (numSets tiny stats jobs). Published as a new
+    * version — history stays readable, pinned-base conflict safety as
+    * everywhere. Production refinement at 100 TB: interleave multiple
+    * keys' bits (true Z-order — `q_zorder_layout` demonstrates the
+    * curve) and rewrite only the worst-clustered sets; the manifest
+    * layout already permits both. */
+  def rewriteSorted(spark: SparkSession, root: String, statsKey: String,
+                    numSets: Int): Int = {
+    require(numSets >= 2, s"numSets must be >= 2, got $numSets")
+    val base = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    val df = read(spark, root, base)
+    val r = df.agg(min(col(statsKey)).cast("long"),
+      max(col(statsKey)).cast("long")).collect()(0)
+    require(!r.isNullAt(0), s"$statsKey has no non-null keys to cluster on")
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val width = math.max(1L, (hi - lo) / numSets + 1)
+    val next = base + 1
+    val dataRel =
+      s"data/r$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn("__rb",
+        least(((col(statsKey).cast("long") - lo) / width).cast("long"),
+          lit(numSets - 1L)))
+      .write.partitionBy("__rb").parquet(s"$root/$dataRel")
+    val fs = fsOf(spark, root)
+    val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$dataRel"))
+      .toSeq.map(_.getPath.getName).filter(_.startsWith("__rb="))
+      .sortBy(_.stripPrefix("__rb=").toLong)
+    val entries = subdirs.map { sub =>
+      val (nRows, minK, maxK, bloom) =
+        statsOf(spark, s"$root/$dataRel/$sub", Some(statsKey))
+      Entry(s"$dataRel/$sub", next, nRows, minK, maxK, bloom)
+    }
+    publish(spark, root, next, entries)
+    next
+  }
+
+  /** Vacuum report: data dirs removed (crash/conflict debris) vs
+    * kept (referenced by some live manifest). */
+  final case class VacuumReport(dirsRemoved: Int, dirsKept: Int)
+
+  /** VACUUM — garbage-collect data file sets NO live manifest
+    * references, without expiring any version (the non-destructive
+    * complement of [[expire]]: retention deletes history, vacuum only
+    * sweeps the debris of crashed or conflict-losing commits, which
+    * wrote their attempt-unique data dir but never published). Every
+    * dir any published manifest lists survives by construction, so
+    * vacuum is always safe to schedule. Also sweeps `_tmp_` manifest
+    * write-debris. O(file sets) namespace ops, no data read. */
+  def vacuum(spark: SparkSession, root: String): VacuumReport = {
+    val liveDirs = versions(spark, root)
+      .flatMap(manifestEntries(spark, root, _)).map(_.dir).toSet
+    // a clustered rewrite's entries are SUBDIRS (data/rN-x/__rb=k);
+    // their parent dir must survive too
+    val liveTop = liveDirs.map(_.split("/").take(2).mkString("/"))
+    val fs = fsOf(spark, root)
+    val mDir = new org.apache.hadoop.fs.Path(s"$root/manifests")
+    if (fs.exists(mDir)) fs.listStatus(mDir).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("_tmp_"))
+      .foreach(fs.delete(_, true))
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    val all = if (fs.exists(dataDir))
+      fs.listStatus(dataDir).toSeq.map(_.getPath.getName) else Seq.empty
+    val (kept, removed) = all.partition(d => liveTop.contains(s"data/$d"))
+    removed.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/$d"), true)
+    }
+    VacuumReport(removed.size, kept.size)
   }
 
   /** Merge with the base version PINNED — the race-window primitive

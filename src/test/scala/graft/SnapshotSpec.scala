@@ -517,6 +517,63 @@ class SnapshotSpec extends SparkSessionSpec {
     assert(SnapshotTable.versions(spark, root) == Seq(1, 2, 3))
   }
 
+  test("clustered rewrite restores range-skipping selectivity; " +
+       "history, rows, and expire survive the subdir layout") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    // three append commits, EACH spanning the whole key range
+    // (the streaming-lineage layout): every set overlaps every range
+    (0 until 3).foreach { c =>
+      SnapshotTable.commit(spark, root,
+        (0L until 300L by 3L).map(k => (k + c, s"d${k + c}"))
+          .toDF("doc_id", "text"), statsKey = Some("doc_id"))
+    }
+    val before = SnapshotTable.readPruned(spark, root, 3, 10L, 30L)
+    assert(before.dirsRead == 3 && before.dirsTotal == 3,
+      "full-span sets must defeat skipping — the condition the rewrite fixes")
+    val allRows = SnapshotTable.read(spark, root, 3)
+      .as[(Long, String)].collect().toSet
+    val v4 = SnapshotTable.rewriteSorted(spark, root, "doc_id", numSets = 4)
+    assert(v4 == 4)
+    // same rows, tighter layout
+    assert(SnapshotTable.read(spark, root, 4)
+      .as[(Long, String)].collect().toSet == allRows)
+    val after = SnapshotTable.readPruned(spark, root, 4, 10L, 30L)
+    assert(after.dirsTotal == 4 && after.dirsRead == 1,
+      s"narrow range must now read 1 of 4 sets, read ${after.dirsRead}")
+    // the skip returns a superset; the residual predicate finishes
+    assert(after.df.where(col("doc_id").between(10L, 30L))
+      .as[(Long, String)].collect().toSet ==
+      allRows.filter(r => r._1 >= 10L && r._1 <= 30L))
+    // time travel below the rewrite is untouched
+    assert(SnapshotTable.read(spark, root, 3).count() == allRows.size)
+    // expire up to the rewrite: the subdir parent survives, old sets go
+    val rep = SnapshotTable.expire(spark, root, keepFrom = 4)
+    assert(rep.versionsExpired == 3 && rep.dirsKept == 1)
+    assert(SnapshotTable.read(spark, root, 4)
+      .as[(Long, String)].collect().toSet == allRows)
+  }
+
+  test("vacuum sweeps unpublished debris, never referenced sets or history") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    SnapshotTable.commit(spark, root, Seq((3L, "c")).toDF("doc_id", "text"))
+    // simulate a crashed/conflict-losing commit: a data dir written
+    // but never published
+    Seq((99L, "zz")).toDF("doc_id", "text")
+      .write.parquet(s"$root/data/s9-deadbeef")
+    val rep = SnapshotTable.vacuum(spark, root)
+    assert(rep.dirsRemoved == 1 && rep.dirsKept == 2)
+    // both versions still fully readable — vacuum expired nothing
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+    assert(SnapshotTable.read(spark, root, 2).count() == 3)
+    assert(SnapshotTable.read(spark, root, 1).count() == 2)
+    // idempotent when clean
+    assert(SnapshotTable.vacuum(spark, root) ==
+      SnapshotTable.VacuumReport(0, 2))
+  }
+
   test("snapshot FileIndex prunes file sets from planner data-filters " +
        "(range via min/max, point via bloom), conservatively") {
     import org.apache.spark.sql.functions.col
