@@ -1043,7 +1043,98 @@ object Similarity {
       .toDF()
   }
 
+  val PcaDim = 64
+  /** Power-iteration rounds. The synthetic corpus's spectrum is nearly
+    * flat (λ₂/λ₁ ≈ 0.93), so separation needs (λ₂/λ₁)^k ≪ 1 — 60
+    * rounds give ~1e-2 admixture. Each round is d² driver flops and
+    * one 64-row CTE pair in the oracle replay; corpus passes stay at
+    * two regardless of the count. */
+  val PcaIters = 60
+
+  private def r9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Quantized power iteration on a [[PcaDim]]² matrix: [[PcaIters]]
+    * rounds of multiply-normalize with the iterate 6dp-quantized each
+    * round (the engine's cross-engine determinism contract — both
+    * sides re-round, so float summation order can never drift the
+    * replay), then sign-canonicalized (largest-|w| coordinate
+    * positive, ties → smallest index) and paired with its 6dp
+    * Rayleigh quotient. */
+  private def powerIter(m: Array[Array[Double]]): (Array[Double], Double) = {
+    var w = Array.fill(PcaDim)(r6(1.0 / math.sqrt(PcaDim.toDouble)))
+    for (_ <- 1 to PcaIters) {
+      val u = Array.tabulate(PcaDim) { i =>
+        var s = 0.0; var j = 0
+        while (j < PcaDim) { s += m(i)(j) * w(j); j += 1 }; s
+      }
+      val nn = math.sqrt(u.map(x => x * x).sum)
+      w = u.map(x => r6(x / nn))
+    }
+    val pivot = w.indices.maxBy(i => (math.abs(w(i)), -i))
+    val ws = if (w(pivot) < 0) w.map(-_) else w
+    var lam = 0.0
+    for (i <- 0 until PcaDim; j <- 0 until PcaDim)
+      lam += ws(i) * m(i)(j) * ws(j)
+    (ws, r6(lam))
+  }
+
+  /** PCA / EMBEDDING WHITENING — the linear-algebra prep op a corpus
+    * of embeddings runs before dedup thresholding, drift monitoring
+    * or low-dim visualization: top-2 principal components of the
+    * corpus covariance, each vector projected onto them, with the
+    * component variances (Rayleigh quotients) carried per row.
+    *
+    * Distribution shape (the MLlib Gramian pattern, dimension-bounded
+    * not corpus-bounded): per-dim means are ONE 64-expression
+    * aggregate; the covariance's 64×64 entries come from one
+    * posexplode (n·d rows) into a 64-GROUP hash aggregate of 64
+    * products each — map-side combined, so the exchange carries 64
+    * rows regardless of corpus size; the driver holds only the d²
+    * matrix (fixed, tiny) and runs the quantized power iteration
+    * ([[powerIter]]); projections are one scan with the components as
+    * broadcast literals, folded in array order (deterministic
+    * summation). Nothing corpus-sized is ever collected — at 100 TB
+    * this is one pass for C, one for the projections. The DuckDB
+    * oracle replays ALL of it: means, covariance, every
+    * multiply-normalize round (chained CTEs), deflation, and the
+    * projections — quantization at 6/9dp at every step keeps the two
+    * engines in lockstep. */
+  def annPca(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    val mu = e.agg(array((0 until PcaDim).map(j =>
+        round(avg(col("v")(j)), 6)): _*).as("mu"))
+      .collect()(0).getSeq[Double](0).toArray
+    val muLit = array(mu.map(lit): _*)
+    val xc = e.select(col("vec_id"),
+        zip_with(col("v"), muLit, (a, b) => a - b).as("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cRows = xc.select(col("x"), posexplode(col("x")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(array((0 until PcaDim).map(j =>
+        round(sum(col("xi") * col("x")(j)) / n, 9)): _*).as("crow"))
+      .collect()
+    val c1 = Array.ofDim[Double](PcaDim, PcaDim)
+    cRows.foreach(r => c1(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    val (w1, lam1) = powerIter(c1)
+    val c2 = Array.tabulate(PcaDim, PcaDim)((i, j) =>
+      r9(c1(i)(j) - lam1 * w1(i) * w1(j)))
+    val (w2, lam2) = powerIter(c2)
+    def proj(w: Array[Double]) = round(
+      aggregate(zip_with(col("x"), array(w.map(lit): _*), (a, b) => a * b),
+        lit(0.0d), (acc, t) => acc + t), 6)
+    val out = xc.select(col("vec_id"), proj(w1).as("pc1"), proj(w2).as("pc2"),
+      lit(lam1).as("var1"), lit(lam2).as("var2"))
+      .localCheckpoint(true) // eager: caller reads after the unpersists
+    xc.unpersist(); e.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pca" -> annPca,
     "retrieval_mmr" -> retrievalMmr,
     "ann_filtered" -> annFiltered,
     "retrieval_hybrid" -> retrievalHybrid,
@@ -1168,7 +1259,82 @@ object Similarity {
        |)""".stripMargin
   }
 
+  /** The [[powerIter]] loop as chained CTEs over a (i, j, c) matrix
+    * relation `cMat`: PcaIters multiply-normalize rounds (iterate
+    * re-rounded to 6dp each round — the lockstep contract), then the
+    * sign canonicalization, ending in `<prefix>wf(i, w)`. */
+  private def pcaIterCtes(cMat: String, prefix: String): String = {
+    // every CTE is MATERIALIZED: each w_k references u_k twice and
+    // u_k references the matrix — default inlining would expand the
+    // chain exponentially (thousands of parquet re-scans; observed as
+    // fd exhaustion before computing anything)
+    val sb = new StringBuilder
+    sb.append(s"${prefix}w0 AS MATERIALIZED " +
+      "(SELECT i, CAST(0.125 AS DOUBLE) AS w FROM dims),\n")
+    for (k <- 1 to PcaIters) {
+      sb.append(s"${prefix}u$k AS MATERIALIZED " +
+        s"(SELECT c.i AS i, sum(c.c * w.w) AS u " +
+        s"FROM $cMat c JOIN ${prefix}w${k - 1} w ON c.j = w.i GROUP BY 1),\n")
+      sb.append(s"${prefix}w$k AS MATERIALIZED (SELECT i, round(u / " +
+        s"(SELECT sqrt(sum(u*u)) FROM ${prefix}u$k), 6) AS w " +
+        s"FROM ${prefix}u$k),\n")
+    }
+    sb.append(s"${prefix}piv AS MATERIALIZED (SELECT i FROM ${prefix}w$PcaIters " +
+      "ORDER BY abs(w) DESC, i LIMIT 1),\n")
+    sb.append(s"${prefix}sgn AS MATERIALIZED (SELECT CASE WHEN (SELECT w.w FROM " +
+      s"${prefix}w$PcaIters w WHERE i = (SELECT i FROM ${prefix}piv)) < 0 " +
+      "THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s),\n")
+    sb.append(s"${prefix}wf AS MATERIALIZED " +
+      s"(SELECT i, w * (SELECT s FROM ${prefix}sgn) " +
+      s"AS w FROM ${prefix}w$PcaIters)")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    // the FULL pipeline replayed: 6dp means, 9dp covariance, every
+    // power-iteration round, deflation, and the in-order projections
+    "ann_pca" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), nn AS MATERIALIZED (SELECT count(*) AS n FROM e),
+         |dims AS MATERIALIZED (
+         |  SELECT unnest(generate_series(1, $PcaDim)) AS i),
+         |mu AS MATERIALIZED (
+         |  SELECT d.i AS i, round(avg(v[d.i]), 6) AS m
+         |  FROM e CROSS JOIN dims d GROUP BY 1
+         |), xs AS MATERIALIZED (
+         |  SELECT vec_id, d.i AS i, v[d.i] - mu.m AS x
+         |  FROM e CROSS JOIN dims d JOIN mu ON mu.i = d.i
+         |), c1 AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS j,
+         |         round(sum(a.x * b.x) / (SELECT n FROM nn), 9) AS c
+         |  FROM xs a JOIN xs b USING (vec_id) GROUP BY 1, 2
+         |),
+         |${pcaIterCtes("c1", "a")},
+         |lam1 AS MATERIALIZED (
+         |  SELECT round(sum(wi.w * c.c * wj.w), 6) AS l
+         |  FROM c1 c JOIN awf wi ON c.i = wi.i JOIN awf wj ON c.j = wj.i
+         |), c2 AS MATERIALIZED (
+         |  SELECT c.i, c.j,
+         |         round(c.c - (SELECT l FROM lam1) * wi.w * wj.w, 9) AS c
+         |  FROM c1 c JOIN awf wi ON c.i = wi.i JOIN awf wj ON c.j = wj.i
+         |),
+         |${pcaIterCtes("c2", "b")},
+         |lam2 AS MATERIALIZED (
+         |  SELECT round(sum(wi.w * c.c * wj.w), 6) AS l
+         |  FROM c2 c JOIN bwf wi ON c.i = wi.i JOIN bwf wj ON c.j = wj.i
+         |),
+         |mul AS MATERIALIZED (SELECT list(m ORDER BY i) AS ml FROM mu),
+         |wl1 AS MATERIALIZED (SELECT list(w ORDER BY i) AS wl1 FROM awf),
+         |wl2 AS MATERIALIZED (SELECT list(w ORDER BY i) AS wl2 FROM bwf)
+         |SELECT vec_id,
+         |  round(list_inner_product(list_transform(
+         |    generate_series(1, $PcaDim), i -> v[i] - ml[i]), wl1), 6) AS pc1,
+         |  round(list_inner_product(list_transform(
+         |    generate_series(1, $PcaDim), i -> v[i] - ml[i]), wl2), 6) AS pc2,
+         |  (SELECT l FROM lam1) AS var1,
+         |  (SELECT l FROM lam2) AS var2
+         |FROM e, mul, wl1, wl2""".stripMargin,
     // replays the greedy MMR recursion step by step: the LATERAL argmax
     // inside the recursive term picks the same (rounded score, id)
     // winner the Scala loop does, carrying the selected set as a list

@@ -243,6 +243,44 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(scored._1 == 100000L && scored._2 > 0.999999)
   }
 
+  test("PCA: pc1 captures at least as much variance as pc2, both beat " +
+       "every raw axis, components orthogonal, runs identical") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.annPca(spark, dir)
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(rows.length == 500)
+    def variance(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val (v1, v2) = (variance(rows.map(_._2)), variance(rows.map(_._3)))
+    assert(v1 >= v2 - 1e-6, s"pc1 variance $v1 below pc2 $v2")
+    // the Rayleigh quotients carried per row agree with the realized
+    // projection variances (the components ARE the variance maximizers)
+    assert(math.abs(rows.head._4 - v1) < 0.05 * v1 + 1e-3,
+      s"var1=${rows.head._4} vs realized $v1")
+    // pc1 beats the best RAW axis — the whole point of rotating
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val axisVars = (0 until Similarity.PcaDim)
+      .map(j => variance(e.map(_._2(j).toDouble)))
+    assert(v1 >= axisVars.max - 1e-6,
+      s"pc1 var $v1 below best axis ${axisVars.max}")
+    // orthogonality, observed through the projections: decorrelated
+    val (m1, m2) = (rows.map(_._2).sum / rows.length,
+      rows.map(_._3).sum / rows.length)
+    val cov = rows.map(r => (r._2 - m1) * (r._3 - m2)).sum / rows.length
+    assert(math.abs(cov) < 0.05 * math.sqrt(v1 * v2) + 1e-3,
+      s"pc1/pc2 correlation too high: cov=$cov")
+    // determinism: quantized iteration → bit-identical re-run
+    val again = Similarity.annPca(spark, dir)
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("IVF search keeps high recall against the brute-force baseline") {
     def results(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").as[(Long, Long)]
