@@ -1113,6 +1113,46 @@ object Pipeline {
         col("n_docs"), col("sum_id"))
   }
 
+  /** MERGE-ON-READ lifecycle as a hash-checkable query — the Iceberg
+    * v2 / deletion-vector model end to end: v1 commits the corpus;
+    * v2 is a MOR DELETE (doc_id ≡ 3 mod 7 — one tiny key vector, no
+    * data rewrite); v3 a MOR UPSERT (≡ 5 mod 11 revised with
+    * ` [rev2]`, ≡ 2 mod 13 re-ingested under id+n — one vector + one
+    * small set, constant-time); v4 MATERIALIZES the vectors back into
+    * clean data. The per-version aggregates pin the whole algebra: a
+    * vector that leaks into an older version, a resurrected deleted
+    * row, a duplicated upsert key, or a materialization that changes
+    * values all break the hash (v4 must equal v3 exactly). */
+  def pipelineSnapshotMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = t(spark, dir, "documents").count()
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${graft.sources.Artifacts.root(spark)}/snapmor_${key}_n$n"
+    if (!SnapshotTable.latestVersion(spark, root).contains(4)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      SnapshotTable.commit(spark, root, docs, statsKey = Some("doc_id"))
+      SnapshotTable.deleteRows(spark, root,
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+      val updates = docs.where(col("doc_id") % 11 === 5)
+        .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + lit(n)).as("doc_id"), col("text")))
+      SnapshotTable.upsertMor(spark, root, updates, "doc_id")
+      SnapshotTable.materializeDeletes(spark, root, "doc_id")
+    }
+    (1 to 4).map { v =>
+      SnapshotTable.read(spark, root, v)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_id"),
+          sum(length(col("text"))).cast("long").as("sum_len"))
+        .select(lit(v).as("version"), col("n_docs"), col("sum_id"),
+          col("sum_len"))
+    }.reduce(_ unionByName _)
+  }
+
   /** CLUSTERED REWRITE as a hash-checkable query — the OPTIMIZE
     * maintenance op ([[graft.sources.SnapshotTable.rewriteSorted]])
     * witnessed end to end: three append commits each spanning the full
@@ -1502,6 +1542,7 @@ object Pipeline {
     "pipeline_snapshot_scan" -> pipelineSnapshotScan,
     "pipeline_snapshot_compact" -> pipelineSnapshotCompact,
     "pipeline_snapshot_cluster" -> pipelineSnapshotCluster,
+    "pipeline_snapshot_mor" -> pipelineSnapshotMor,
     "pipeline_snapshot_point" -> pipelineSnapshotPoint,
     "pipeline_snapshot_rollback" -> pipelineSnapshotRollback,
     "pipeline_snapshot_clone" -> pipelineSnapshotClone,
@@ -1736,6 +1777,37 @@ object Pipeline {
         |FROM d WHERE doc_id = (SELECT probe FROM p)""".stripMargin,
     // compaction rewrites layout (3 sets -> 1), never data: v4's
     // rows = v3's = all docs + the mod-13 re-ingests under id+n
+    // v1..v4 of the MOR lifecycle replayed as set algebra: v2 = v1
+    // minus the deleted keys; v3 = (v2 minus upsert keys) ∪ updates;
+    // v4 must equal v3 value-for-value (materialization is layout-only)
+    "pipeline_snapshot_mor" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |n AS (SELECT count(*) AS c FROM d),
+        |v2 AS (SELECT * FROM d WHERE doc_id % 7 <> 3),
+        |upd AS (
+        |  SELECT doc_id, text || ' [rev2]' AS text FROM d WHERE doc_id % 11 = 5
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT c FROM n) AS doc_id, text FROM d
+        |  WHERE doc_id % 13 = 2
+        |), v3 AS (
+        |  SELECT * FROM v2 WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+        |  UNION ALL SELECT * FROM upd
+        |), agg AS (
+        |  SELECT 1 AS version, count(*) AS n_docs,
+        |         CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_len FROM d
+        |  UNION ALL
+        |  SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+        |         CAST(sum(length(text)) AS BIGINT) FROM v2
+        |  UNION ALL
+        |  SELECT 3, count(*), CAST(sum(doc_id) AS BIGINT),
+        |         CAST(sum(length(text)) AS BIGINT) FROM v3
+        |  UNION ALL
+        |  SELECT 4, count(*), CAST(sum(doc_id) AS BIGINT),
+        |         CAST(sum(length(text)) AS BIGINT) FROM v3
+        |)
+        |SELECT CAST(version AS INT) AS version, n_docs, sum_id, sum_len
+        |FROM agg""".stripMargin,
     // the layout facts (3-of-3 read before, 1-of-4 after) are pinned
     // as literals; the range aggregate replays over the plain table —
     // a rewrite that lost/duplicated rows or mis-pruning stats break it

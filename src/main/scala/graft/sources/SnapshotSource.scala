@@ -136,6 +136,11 @@ final class SnapshotFileIndex(spark: SparkSession, root: String,
   private val entries: Seq[SnapshotTable.Entry] =
     SnapshotTable.manifestEntries(spark, root, version)
   require(entries.nonEmpty, s"version $version not published at $root")
+  // a plain file scan cannot apply merge-on-read delete vectors; a
+  // relation over a MOR table would silently resurrect deleted rows
+  require(entries.forall(_.kind == "data"),
+    s"version $version at $root carries merge-on-read deletes — " +
+      "materializeDeletes first, or read via SnapshotTable.read")
 
   /** Data files of one manifest entry (visible parquet parts only). */
   private def filesOf(e: SnapshotTable.Entry): Seq[FileStatus] = {

@@ -87,7 +87,8 @@ object SnapshotTable {
     * [[readPruned]] (ranges) and [[readPoint]] (blooms) consume. */
   final case class Entry(dir: String, addedIn: Int, nRows: Long,
                          minKey: Option[Long], maxKey: Option[Long],
-                         keyBloom: Option[Array[Byte]])
+                         keyBloom: Option[Array[Byte]],
+                         kind: String = "data")
 
   /** False-positive rate of the per-file-set key blooms: ~29
     * bits/key, small enough to ride the manifest, tight enough that
@@ -156,8 +157,9 @@ object SnapshotTable {
     entries.map(e => (e.dir, e.addedIn, e.nRows,
         e.minKey.map(java.lang.Long.valueOf).orNull,
         e.maxKey.map(java.lang.Long.valueOf).orNull,
-        e.keyBloom.orNull))
-      .toDF("dir", "added_in", "n_rows", "min_key", "max_key", "key_bloom")
+        e.keyBloom.orNull, e.kind))
+      .toDF("dir", "added_in", "n_rows", "min_key", "max_key", "key_bloom",
+        "kind")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/manifests/_tmp_v$next")
     val src = new org.apache.hadoop.fs.Path(s"$root/manifests/_tmp_v$next")
@@ -233,12 +235,13 @@ object SnapshotTable {
       else lit(null).cast(tpe).as(name)
     df.select(col("dir"), col("added_in"), col("n_rows"),
         opt("min_key", "long"), opt("max_key", "long"),
-        opt("key_bloom", "binary"))
+        opt("key_bloom", "binary"), opt("kind", "string"))
       .collect()
       .map(r => Entry(r.getString(0), r.getInt(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
         if (r.isNullAt(4)) None else Some(r.getLong(4)),
-        if (r.isNullAt(5)) None else Some(r.getAs[Array[Byte]](5))))
+        if (r.isNullAt(5)) None else Some(r.getAs[Array[Byte]](5)),
+        if (r.isNullAt(6)) "data" else r.getString(6)))
       .toSeq.sortBy(_.addedIn)
   }
 
@@ -253,13 +256,36 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String, version: Int): DataFrame = {
     val dirs = manifestEntries(spark, root, version)
     require(dirs.nonEmpty, s"version $version not published at $root")
-    unionSets(spark, root, dirs)
+    val (dels, datas) = dirs.partition(_.kind == "delete")
+    applyDeletes(spark, root, dels, datas)
   }
 
   private def unionSets(spark: SparkSession, root: String,
                         dirs: Seq[Entry]): DataFrame =
     dirs.map(e => spark.read.parquet(resolveDir(root, e.dir)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Union of `datas` with the MERGE-ON-READ delete vectors in `dels`
+    * applied: each delete vector (a tiny single-column key list —
+    * broadcast side by construction) anti-joins away matching rows of
+    * every data set COMMITTED BEFORE it (`addedIn` strictly lower) —
+    * so a key re-inserted after, or in the same commit as, its delete
+    * survives (the [[upsertMor]] contract). A data set predating the
+    * key column cannot hold matching rows and is passed through. */
+  private def applyDeletes(spark: SparkSession, root: String,
+                           dels: Seq[Entry], datas: Seq[Entry]): DataFrame = {
+    require(datas.nonEmpty, "no data file sets to read")
+    if (dels.isEmpty) unionSets(spark, root, datas)
+    else datas.map { e =>
+      val df = spark.read.parquet(resolveDir(root, e.dir))
+      dels.filter(_.addedIn > e.addedIn).foldLeft(df) { (acc, d) =>
+        val kdf = spark.read.parquet(resolveDir(root, d.dir))
+        val k = kdf.columns.head
+        if (!acc.columns.contains(k)) acc
+        else acc.join(broadcast(kdf), Seq(k), "left_anti")
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Manifest dirs are root-relative EXCEPT in shallow clones, whose
     * entries reference the source table's file sets by absolute
@@ -299,6 +325,12 @@ object SnapshotTable {
     // AFTER every carried set in the schema-evolution union order
     val entries = manifestEntries(spark, srcRoot, v)
       .map(e => e.copy(dir = resolveDir(qualifiedSrc, e.dir), addedIn = 1))
+    // the lineage reset would collapse the added_in ordering MOR
+    // delete application depends on (deletes would silently stop
+    // applying in the clone) — materialize first
+    require(entries.forall(_.kind == "data"),
+      s"cannot clone a table with live merge-on-read deletes at $srcRoot; " +
+        "run materializeDeletes first")
     publish(spark, dstRoot, 1, entries)
     1
   }
@@ -318,8 +350,10 @@ object SnapshotTable {
               toVersion: Int): DataFrame = {
     require(fromVersion < toVersion,
       s"changes window must be ascending: ($fromVersion, $toVersion]")
+    // changes() reports APPENDED rows; MOR delete vectors inside the
+    // window are visible via [[deletedKeys]], not as phantom appends
     val added = manifestEntries(spark, root, toVersion)
-      .filter(_.addedIn > fromVersion)
+      .filter(e => e.addedIn > fromVersion && e.kind == "data")
     require(added.nonEmpty,
       s"no file sets added in ($fromVersion, $toVersion] at $root")
     unionSets(spark, root, added)
@@ -342,14 +376,15 @@ object SnapshotTable {
     * range-committed table from a corpus scan into a few file sets. */
   def readPruned(spark: SparkSession, root: String, version: Int,
                  lo: Long, hi: Long): PrunedRead = {
-    val dirs = manifestEntries(spark, root, version)
-    require(dirs.nonEmpty, s"version $version not published at $root")
+    val all = manifestEntries(spark, root, version)
+    require(all.nonEmpty, s"version $version not published at $root")
+    val (dels, dirs) = all.partition(_.kind == "delete")
     val hit = dirs.filter(e => (e.minKey, e.maxKey) match {
       case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
       case _ => true // unknown stats: must read
     })
     val df = if (hit.isEmpty) unionSets(spark, root, dirs).limit(0)
-             else unionSets(spark, root, hit)
+             else applyDeletes(spark, root, dels, hit)
     PrunedRead(df, hit.size, dirs.size)
   }
 
@@ -366,8 +401,9 @@ object SnapshotTable {
     * the exact `key` predicate to the returned frame as usual. */
   def readPoint(spark: SparkSession, root: String, version: Int,
                 key: Long): PrunedRead = {
-    val dirs = manifestEntries(spark, root, version)
-    require(dirs.nonEmpty, s"version $version not published at $root")
+    val all = manifestEntries(spark, root, version)
+    require(all.nonEmpty, s"version $version not published at $root")
+    val (dels, dirs) = all.partition(_.kind == "delete")
     val hit = dirs.filter { e =>
       val inRange = (e.minKey, e.maxKey) match {
         case (Some(mn), Some(mx)) => key >= mn && key <= mx
@@ -379,7 +415,7 @@ object SnapshotTable {
           .mightContainLong(key))
     }
     val df = if (hit.isEmpty) unionSets(spark, root, dirs).limit(0)
-             else unionSets(spark, root, hit)
+             else applyDeletes(spark, root, dels, hit)
     PrunedRead(df, hit.size, dirs.size)
   }
 
@@ -473,6 +509,124 @@ object SnapshotTable {
             key: String): Int =
     mergeAs(spark, root, updates, key, latestVersion(spark, root))
 
+  /** Write one delete-vector file set (distinct keys, single column
+    * named `key`) and return its entry for `next`. Key min/max stats
+    * ride the entry so [[materializeDeletes]] can scope by manifest
+    * intersection alone. */
+  private def writeDeleteVector(spark: SparkSession, root: String,
+                                keys: DataFrame, key: String,
+                                next: Int): Entry = {
+    val dataRel =
+      s"data/del$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    keys.select(col(key)).distinct().coalesce(1)
+      .write.parquet(s"$root/$dataRel")
+    val (nRows, minK, maxK, bloom) =
+      statsOf(spark, s"$root/$dataRel", Some(key))
+    Entry(dataRel, next, nRows, minK, maxK, bloom, kind = "delete")
+  }
+
+  /** MERGE-ON-READ DELETE — the Iceberg v2 / Delta deletion-vector
+    * model: publish a new version whose manifest carries every prior
+    * file set UNCHANGED plus one tiny DELETE VECTOR (the distinct
+    * keys to drop). No data is read or rewritten — deleting a
+    * thousand rows from a 100 TB table costs one key-list write and
+    * a manifest rename; readers ([[read]]/[[readPruned]]/
+    * [[readPoint]]) anti-join the vector against every OLDER data
+    * set (tiny broadcast side). The read-side debt is intentional
+    * and bounded: [[materializeDeletes]] folds vectors in during
+    * scheduled maintenance, exactly the compact-small cadence. Old
+    * versions stay readable with their rows intact — a MOR delete is
+    * a commit, not an erasure ([[expire]] is the destructive op). */
+  def deleteRows(spark: SparkSession, root: String, keys: DataFrame,
+                 key: String): Int = {
+    val base = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    val next = base + 1
+    val entry = writeDeleteVector(spark, root, keys, key, next)
+    publish(spark, root, next,
+      manifestEntries(spark, root, base) :+ entry)
+    next
+  }
+
+  /** MERGE-ON-READ UPSERT — constant-time MERGE: ONE commit carrying
+    * a delete vector of the update batch's keys AND the update rows
+    * as a new data set. The vector (addedIn = next) suppresses
+    * matched rows in every OLDER set; the new set (also next) is NOT
+    * older than the vector, so the replacement rows survive — the
+    * strict `addedIn <` rule makes the pair atomic and ordered
+    * without any data rewrite. This is the write path a streaming
+    * CDC ingest uses against a 100 TB table: cost per batch is the
+    * batch, never the table ([[merge]]'s COW rewrite is the
+    * read-optimized alternative; [[materializeDeletes]] converts one
+    * into the other). */
+  def upsertMor(spark: SparkSession, root: String, updates: DataFrame,
+                key: String): Int = {
+    val base = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    val next = base + 1
+    val delEntry = writeDeleteVector(spark, root,
+      updates.select(col(key)), key, next)
+    val dataRel =
+      s"data/u$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    updates.write.parquet(s"$root/$dataRel")
+    val (nRows, minK, maxK, bloom) =
+      statsOf(spark, s"$root/$dataRel", Some(key))
+    publish(spark, root, next,
+      manifestEntries(spark, root, base) :+ delEntry :+
+        Entry(dataRel, next, nRows, minK, maxK, bloom))
+    next
+  }
+
+  /** The keys deleted by MOR vectors in (fromVersion, toVersion] —
+    * the delete side of the CDC feed ([[changes]] carries the append
+    * side). */
+  def deletedKeys(spark: SparkSession, root: String, fromVersion: Int,
+                  toVersion: Int): DataFrame = {
+    val dels = manifestEntries(spark, root, toVersion)
+      .filter(e => e.kind == "delete" && e.addedIn > fromVersion)
+    require(dels.nonEmpty,
+      s"no delete vectors in ($fromVersion, $toVersion] at $root")
+    unionSets(spark, root, dels)
+  }
+
+  /** MATERIALIZE MERGE-ON-READ DELETES — the maintenance op that
+    * converts read debt back into clean data files: rewrite ONLY the
+    * data sets some delete vector CAN affect (vector younger than the
+    * set AND key envelopes intersecting — a manifest-only decision
+    * via the stats [[writeDeleteVector]] recorded; missing stats →
+    * conservative rewrite), carry every unaffected set by reference,
+    * drop the vectors. After it, the table is plain data again
+    * (clones, COW merges and the Spark relation all require this
+    * state). No-op without vectors — no version minted. */
+  def materializeDeletes(spark: SparkSession, root: String,
+                         key: String): Int = {
+    val base = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    val entries = manifestEntries(spark, root, base)
+    val (dels, datas) = entries.partition(_.kind == "delete")
+    if (dels.isEmpty) return base
+    val (touched, carried) = datas.partition { e =>
+      dels.filter(_.addedIn > e.addedIn).exists { d =>
+        (e.minKey, e.maxKey, d.minKey, d.maxKey) match {
+          case (Some(elo), Some(ehi), Some(dlo), Some(dhi)) =>
+            ehi >= dlo && elo <= dhi
+          case _ => true // unknown stats: might intersect
+        }
+      }
+    }
+    val next = base + 1
+    val newEntries = if (touched.isEmpty) Seq.empty else {
+      val dataRel =
+        s"data/x$next-${java.util.UUID.randomUUID().toString.take(8)}"
+      applyDeletes(spark, root, dels, touched).write.parquet(s"$root/$dataRel")
+      val (nRows, minK, maxK, bloom) =
+        statsOf(spark, s"$root/$dataRel", Some(key))
+      Seq(Entry(dataRel, next, nRows, minK, maxK, bloom))
+    }
+    publish(spark, root, next, carried ++ newEntries)
+    next
+  }
+
   /** ROLLBACK — republish an older version's exact file sets as the
     * new latest (the Iceberg rollback semantic): METADATA-ONLY — no
     * data is read, copied or rewritten; the new manifest lists the
@@ -539,12 +693,20 @@ object SnapshotTable {
     val base = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
     val entries = manifestEntries(spark, root, base)
-    val (small, big) = entries.partition(_.nRows <= smallRows)
+    // delete vectors are carried, never packed into a data set
+    val (small, big) = entries.partition(e =>
+      e.kind == "data" && e.nRows <= smallRows)
     if (small.size < 2) return base
     val next = base + 1
     val dataRel =
       s"data/c$next-${java.util.UUID.randomUUID().toString.take(8)}"
-    unionSets(spark, root, small).write.parquet(s"$root/$dataRel")
+    // pack THROUGH any live MOR vectors: the packed set's fresh
+    // added_in puts it AFTER every vector, so rows a vector suppressed
+    // would silently resurrect if packed raw; reading the small sets
+    // delete-applied keeps content invariant (vectors stay live for
+    // the carried big sets, where they still apply)
+    val dels = entries.filter(_.kind == "delete")
+    applyDeletes(spark, root, dels, small).write.parquet(s"$root/$dataRel")
     val (nRows, minK, maxK, bloom) =
       statsOf(spark, s"$root/$dataRel", statsKey)
     publish(spark, root, next,
@@ -678,6 +840,11 @@ object SnapshotTable {
       : (Seq[Entry], Set[String], Option[(Long, Long)], Entry) = {
     val entries = manifestEntries(spark, root, baseV)
     require(entries.nonEmpty, s"version $baseV not published at $root")
+    // COW merge reads touched sets RAW — live MOR deletes would let
+    // deleted rows resurrect into the rewritten set
+    require(entries.forall(_.kind == "data"),
+      s"cannot COW-merge a table with live merge-on-read deletes at $root; " +
+        "run materializeDeletes first (or use upsertMor)")
     // the update batch's key envelope — one tiny agg over the SMALL
     // side (the MERGE shape); null min ⇒ empty batch or un-castable
     // key ⇒ conservative whole-table rewrite (the old behavior)

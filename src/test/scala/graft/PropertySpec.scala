@@ -445,11 +445,17 @@ class PropertySpec extends SparkSessionSpec {
     case object CmpS extends Op
     case object Exp extends Op
     case class Rb(sel: Int) extends Op
+    case class Del(keys: List[Long]) extends Op
+    case class UpM(rows: List[(Long, String)]) extends Op
+    case object Mat extends Op
+    case object Rw extends Op
     val rowsGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(0L, 9L), Gen.oneOf("x", "y", "z"))))
     // keyed appends record doc_id stats in the manifest, so later
     // merges take the PARTITION-SCOPED path (carried-by-reference
-    // sets) — interacting with compactSmall, rollback and expire's GC
+    // sets) — interacting with compactSmall, rollback and expire's GC;
+    // the MOR ops (Del/UpM/Mat) thread live delete vectors through the
+    // same history, including rollback resurrecting a vectored state
     val opGen: Gen[Op] = Gen.frequency(
       4 -> Gen.zip(rowsGen, Gen.oneOf(true, false), Gen.oneOf(true, false))
         .map { case (r, k, t) => App(r, k, t) },
@@ -457,14 +463,20 @@ class PropertySpec extends SparkSessionSpec {
       2 -> Gen.zip(rowsGen, Gen.oneOf(true, false))
         .map { case (r, t) => Mrg(r, t) },
       1 -> Gen.const(Cmp), 1 -> Gen.const(CmpS), 1 -> Gen.const(Exp),
-      1 -> Gen.chooseNum(0, 99).map(Rb(_)))
+      1 -> Gen.chooseNum(0, 99).map(Rb(_)),
+      2 -> Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, 9L))).map(Del(_)),
+      2 -> rowsGen.map(UpM(_)),
+      1 -> Gen.const(Mat), 1 -> Gen.const(Rw))
     def bag(rows: Seq[(Long, String)]) = rows.sorted
-    for (ops <- samples(Gen.listOfN(8, opGen), 3)) {
+    for (ops <- samples(Gen.listOfN(10, opGen), 3)) {
       val root = java.nio.file.Files
         .createTempDirectory("graft_snap_prop").toString + "/tbl"
-      var model = Vector((1, List((0L, "seed"))))
+      // (version, row bag, live MOR vectors?)
+      var model = Vector((1, List((0L, "seed")), false))
       SnapshotTable.commit(spark, root, Seq((0L, "seed")).toDF("doc_id", "text"))
       for (op <- ops) {
+        val (_, lastRows, lastMor) = model.last
         op match {
           case App(rows, keyed, retry) =>
             val sk = if (keyed) Some("doc_id") else None
@@ -473,11 +485,18 @@ class PropertySpec extends SparkSessionSpec {
                 rows.toDF("doc_id", "text"), sk)
             else SnapshotTable.commit(spark, root,
               rows.toDF("doc_id", "text"), statsKey = sk)
-            model :+= ((v, model.last._2 ++ rows))
+            model :+= ((v, lastRows ++ rows, lastMor))
           case Over(rows) =>
             val v = SnapshotTable.commit(spark, root,
               rows.toDF("doc_id", "text"), append = false)
-            model :+= ((v, rows))
+            model :+= ((v, rows, false))
+          case Mrg(rows, retry) if lastMor =>
+            // COW merge over live vectors must REFUSE (resurrection
+            // hazard), leaving table and model untouched
+            intercept[IllegalArgumentException] {
+              SnapshotTable.merge(spark, root,
+                rows.toDF("doc_id", "text"), "doc_id")
+            }
           case Mrg(rows, retry) =>
             val v = if (retry)
               SnapshotTable.mergeRetry(spark, root,
@@ -485,33 +504,63 @@ class PropertySpec extends SparkSessionSpec {
             else SnapshotTable.merge(spark, root,
               rows.toDF("doc_id", "text"), "doc_id")
             val keys = rows.map(_._1).toSet
-            model :+= ((v, model.last._2.filterNot(r => keys(r._1)) ++ rows))
+            model :+= ((v, lastRows.filterNot(r => keys(r._1)) ++ rows, false))
           case Cmp =>
+            // compact reads THROUGH the vectors and drops them —
+            // an implicit materialization
             val v = SnapshotTable.compact(spark, root)
-            model :+= ((v, model.last._2))
+            model :+= ((v, lastRows, false))
             assert(SnapshotTable.numFileSets(spark, root, v) == 1)
           case CmpS =>
             // content must be invariant whether or not work existed;
-            // a new version appears ONLY when ≥2 small sets packed
+            // a new version appears ONLY when ≥2 small sets packed;
+            // vectors are carried, never packed
             val v = SnapshotTable.compactSmall(spark, root, smallRows = 3,
               statsKey = Some("doc_id"))
-            if (v != model.last._1) model :+= ((v, model.last._2))
+            if (v != model.last._1) model :+= ((v, lastRows, lastMor))
           case Exp =>
             SnapshotTable.expire(spark, root, keepFrom = model.last._1)
             model = model.filter(_._1 >= model.last._1)
           case Rb(sel) =>
-            val (tv, rows) = model(sel % model.size)
+            val (tv, rows, mor) = model(sel % model.size)
             val v = SnapshotTable.rollback(spark, root, tv)
-            model :+= ((v, rows))
+            model :+= ((v, rows, mor))
+          case Del(keys) =>
+            val v = SnapshotTable.deleteRows(spark, root,
+              keys.toDF("doc_id"), "doc_id")
+            val ks = keys.toSet
+            model :+= ((v, lastRows.filterNot(r => ks(r._1)), true))
+          case UpM(rows) =>
+            val v = SnapshotTable.upsertMor(spark, root,
+              rows.toDF("doc_id", "text"), "doc_id")
+            val keys = rows.map(_._1).toSet
+            model :+= ((v, lastRows.filterNot(r => keys(r._1)) ++ rows, true))
+          case Mat =>
+            // value-neutral; mints a version ONLY when vectors live
+            val v = SnapshotTable.materializeDeletes(spark, root, "doc_id")
+            if (lastMor) {
+              assert(v != model.last._1, "live vectors must mint a version")
+              model :+= ((v, lastRows, false))
+            } else assert(v == model.last._1, "clean table must no-op")
+          case Rw if lastRows.isEmpty =>
+            // nothing to cluster on: refuses, table untouched
+            intercept[IllegalArgumentException] {
+              SnapshotTable.rewriteSorted(spark, root, "doc_id", numSets = 2)
+            }
+          case Rw =>
+            // clustered rewrite: value-neutral, drops vectors
+            val v = SnapshotTable.rewriteSorted(spark, root, "doc_id",
+              numSets = 2)
+            model :+= ((v, lastRows, false))
         }
         assert(SnapshotTable.versions(spark, root) == model.map(_._1),
           s"version list diverged after $op")
-        val (v, rows) = model.last
+        val (v, rows, _) = model.last
         assert(bag(SnapshotTable.read(spark, root, v)
           .as[(Long, String)].collect().toList) == bag(rows),
           s"latest version $v content diverged after $op")
       }
-      for ((v, rows) <- model)
+      for ((v, rows, _) <- model)
         assert(bag(SnapshotTable.read(spark, root, v)
           .as[(Long, String)].collect().toList) == bag(rows),
           s"surviving version $v diverged at end of sequence")

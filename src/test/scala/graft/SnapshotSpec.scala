@@ -554,6 +554,88 @@ class SnapshotSpec extends SparkSessionSpec {
       .as[(Long, String)].collect().toSet == allRows)
   }
 
+  test("merge-on-read: delete is a vector commit (no data rewrite), " +
+       "strict ordering lets re-inserts and upserts survive") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1L to 10L).map(k => (k, s"d$k")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    val dirsBefore = SnapshotTable.read(spark, root, 1).inputFiles.toSet
+    // v2: MOR delete of keys 3,4 — no data file is touched
+    assert(SnapshotTable.deleteRows(spark, root,
+      Seq(3L, 4L).toDF("doc_id"), "doc_id") == 2)
+    assert(SnapshotTable.read(spark, root, 2)
+      .as[(Long, String)].collect().map(_._1).toSet ==
+      ((1L to 10L).toSet -- Set(3L, 4L)))
+    // the original data files are untouched and v1 still has all rows
+    assert(SnapshotTable.read(spark, root, 1).inputFiles.toSet == dirsBefore)
+    assert(SnapshotTable.read(spark, root, 1).count() == 10)
+    // v3: re-insert key 3 — a set YOUNGER than the vector survives it
+    SnapshotTable.commit(spark, root,
+      Seq((3L, "d3v2")).toDF("doc_id", "text"), statsKey = Some("doc_id"))
+    val v3 = SnapshotTable.read(spark, root, 3)
+      .as[(Long, String)].collect()
+    assert(v3.count(_._1 == 3L) == 1 && v3.exists(_ == (3L, "d3v2")))
+    // v4: MOR upsert — matched key replaced (not duplicated), new
+    // key inserted, all in ONE commit with zero data rewrite
+    assert(SnapshotTable.upsertMor(spark, root,
+      Seq((5L, "d5v2"), (11L, "d11")).toDF("doc_id", "text"),
+      "doc_id") == 4)
+    val v4 = SnapshotTable.read(spark, root, 4)
+      .as[(Long, String)].collect()
+    assert(v4.count(_._1 == 5L) == 1 && v4.exists(_ == (5L, "d5v2")))
+    assert(v4.exists(_ == (11L, "d11")) && !v4.exists(_._1 == 4L))
+    // the CDC delete side
+    assert(SnapshotTable.deletedKeys(spark, root, 1, 4)
+      .as[Long].collect().toSet == Set(3L, 4L, 5L, 11L))
+    // pruned reads apply vectors too — a deleted key can't leak
+    // through the skipping path
+    val pt = SnapshotTable.readPoint(spark, root, 4, 4L)
+    assert(pt.df.where(col("doc_id") === 4L).count() == 0)
+  }
+
+  test("materializeDeletes rewrites only intersecting sets; guards " +
+       "refuse clone/COW-merge/relation on live vectors") {
+    val root = tmpRoot()
+    // two key-disjoint sets: [1,10] and [100,110]
+    SnapshotTable.commit(spark, root,
+      (1L to 10L).map(k => (k, s"a$k")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    SnapshotTable.commit(spark, root,
+      (100L to 110L).map(k => (k, s"b$k")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    SnapshotTable.deleteRows(spark, root,
+      Seq(7L, 9L).toDF("doc_id"), "doc_id")
+    // live vectors: the three read paths that cannot honor them refuse
+    intercept[IllegalArgumentException] {
+      SnapshotTable.cloneFrom(spark, root, tmpRoot())
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, root,
+        Seq((7L, "x")).toDF("doc_id", "text"), "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readIndexed(spark, root, 3, Some("doc_id")).count()
+    }
+    val expect = SnapshotTable.read(spark, root, 3)
+      .as[(Long, String)].collect().toSet
+    val bFiles = SnapshotTable.read(spark, root, 2).inputFiles
+      .filter(_.contains("/data/s2")).toSet
+    val v4 = SnapshotTable.materializeDeletes(spark, root, "doc_id")
+    assert(v4 == 4)
+    val after = SnapshotTable.read(spark, root, 4)
+    assert(after.as[(Long, String)].collect().toSet == expect)
+    // the [100,110] set's key range intersects no vector → carried by
+    // reference, same physical files
+    assert(bFiles.subsetOf(after.inputFiles.toSet),
+      "non-intersecting set must keep its original files")
+    // vectors gone: the relation now plans, and materialize no-ops
+    assert(SnapshotTable.readIndexed(spark, root, 4, Some("doc_id"))
+      .count() == expect.size)
+    assert(SnapshotTable.materializeDeletes(spark, root, "doc_id") == 4)
+  }
+
   test("vacuum sweeps unpublished debris, never referenced sets or history") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
