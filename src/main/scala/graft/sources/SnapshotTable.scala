@@ -577,6 +577,45 @@ object SnapshotTable {
     next
   }
 
+  /** EXACTLY-ONCE MOR UPSERT — [[upsertMor]] under [[commitBatch]]'s
+    * replay rule, the streaming CDC sink primitive
+    * ([[graft.streaming.StreamingOps.morSinkStream]]): the batch
+    * identity rides in BOTH attempt dirs' names
+    * (`data/delb<id>` + `data/ub<id>`), so an at-least-once replay of
+    * the same micro-batch is detected from the same atomically-
+    * published manifest readers use and becomes a no-op instead of a
+    * duplicate delete/insert pair. Crash windows mirror commitBatch:
+    * data written but unpublished → the replay rewrites (overwrite)
+    * and publishes; published → skipped. Returns the committed
+    * version, or None for a detected replay. Same contract: the
+    * stream must be the table's only upsert writer, and
+    * [[materializeDeletes]] (which rewrites the batch-named dirs
+    * away) must only run at a point the stream's checkpoint already
+    * covers — the standard lakehouse maintenance/ingest fence. */
+  def upsertBatch(spark: SparkSession, root: String, updates: DataFrame,
+                  key: String, batchId: Long): Option[Int] = {
+    // bootstraps the table on the first batch (no prior version)
+    val prev = latestVersion(spark, root)
+    val prevEntries = prev.toSeq.flatMap(manifestEntries(spark, root, _))
+    val delRel = s"data/delb$batchId"
+    val dataRel = s"data/ub$batchId"
+    if (prevEntries.exists(e => e.dir == delRel || e.dir == dataRel)) None
+    else {
+      val next = prev.getOrElse(0) + 1
+      updates.select(col(key)).distinct().coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/$delRel")
+      val (dn, dMin, dMax, dBloom) = statsOf(spark, s"$root/$delRel", Some(key))
+      updates.write.mode("overwrite").parquet(s"$root/$dataRel")
+      val (nRows, minK, maxK, bloom) =
+        statsOf(spark, s"$root/$dataRel", Some(key))
+      publish(spark, root, next,
+        prevEntries :+
+          Entry(delRel, next, dn, dMin, dMax, dBloom, kind = "delete") :+
+          Entry(dataRel, next, nRows, minK, maxK, bloom))
+      Some(next)
+    }
+  }
+
   /** The keys deleted by MOR vectors in (fromVersion, toVersion] —
     * the delete side of the CDC feed ([[changes]] carries the append
     * side). */

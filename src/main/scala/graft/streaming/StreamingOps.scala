@@ -1084,4 +1084,36 @@ object StreamingOps {
           .commitBatch(batch.sparkSession, root, batch.toDF(), batchId)
         ()
       }
+
+  /** STREAMING CDC UPSERT SINK — a change stream maintained as a
+    * LATEST-PER-KEY snapshot table via exactly-once MERGE-ON-READ
+    * upserts ([[graft.sources.SnapshotTable.upsertBatch]]): each
+    * micro-batch commits one delete vector + one data set named by
+    * its batchId, so an at-least-once replay is a detected no-op and
+    * the table converges to the batch semantics of
+    * latest-row-per-key — [[cdcLatest]]'s result, but DURABLE,
+    * versioned, and constant-cost per batch against a table of any
+    * size (the COW alternative rewrites matched partitions per
+    * batch). Within a micro-batch carrying several rows for one key,
+    * the LAST by (ts, id) wins — resolved BEFORE the commit with one
+    * per-key max, the CDC compaction rule. */
+  def morSinkStream(rows: Dataset[SEvent], root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SEvent] =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/_checkpoints/cdc")
+      .foreachBatch { (batch: Dataset[SEvent], batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions._
+        val latest = batch.toDF()
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts_us"), col("event_id"), col("value")))
+            .as("m"))
+          .select(col("user_id"), col("m.ts_us").as("ts_us"),
+            col("m.event_id").as("event_id"), col("m.value").as("value"))
+        if (!latest.isEmpty)
+          graft.sources.SnapshotTable
+            .upsertBatch(spark, root, latest, "user_id", batchId)
+        ()
+      }
 }

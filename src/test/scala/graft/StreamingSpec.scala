@@ -618,6 +618,49 @@ class StreamingSpec extends SparkSessionSpec {
     assert(streamed == batch)
   }
 
+  test("morSinkStream maintains a durable latest-per-key table; " +
+       "replay no-ops; materialization is value-neutral") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mor_sink").toString + "/tbl"
+    val mem = MemoryStream[SEvent]
+    val q = StreamingOps.morSinkStream(mem.toDS(), root).start()
+    try {
+      // three micro-batches split mid-user: later batches' vectors
+      // must retire earlier rows for updated keys
+      val parts = batchEvents.grouped((batchEvents.size + 2) / 3).toSeq
+      parts.foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val expect = Events.events(spark, sf0001)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    def tableState() = SnapshotTable.readLatest(spark, root)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(tableState() == expect,
+      "CDC table must converge to batch latest-per-key")
+    val versions = SnapshotTable.versions(spark, root)
+    assert(versions.size >= 3, "one version per non-empty micro-batch")
+    // at-least-once replay at the primitive: an already-committed
+    // batchId is a detected no-op
+    assert(SnapshotTable.upsertBatch(spark, root,
+      Seq((999L, 1L, 1L, 0.0)).toDF("user_id", "ts_us", "event_id", "value"),
+      "user_id", batchId = 0L).isEmpty)
+    assert(tableState() == expect, "replay must change nothing")
+    // maintenance: fold the accumulated vectors back in — values
+    // invariant, and the plain Spark relation becomes plannable
+    SnapshotTable.materializeDeletes(spark, root, "user_id")
+    assert(tableState() == expect)
+    assert(SnapshotTable.readIndexed(spark, root,
+      SnapshotTable.versions(spark, root).last, Some("user_id"))
+      .count() == expect.size)
+  }
+
   test("cdcLatest ignores an out-of-order older row for an updated key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
