@@ -1043,6 +1043,40 @@ object Similarity {
       .toDF()
   }
 
+  /** CONTRASTIVE PAIR MINING (hard negatives) — the embedding-model
+    * training-data op: for each anchor query, the best SAME-label
+    * neighbor (the positive) and the best DIFFERENT-label neighbor
+    * (the hard negative — the pair InfoNCE/triplet losses learn
+    * most from, precisely because cosine ranks it close), plus the
+    * margin between them. One broadcast of the anchor batch against
+    * the corpus scan, then ONE grouped aggregation of two
+    * conditional (score, -id) struct maxes — never a window over the
+    * corpus, never a self-join; ties break to the smaller id on both
+    * sides. At 100 TB the anchor batch rides the IVF/graph tiers for
+    * candidates; the exact scan here is the NQueries-sample gauge
+    * shape. */
+  def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val labels = t(spark, dir, "embeddings")
+      .select(col("vec_id").as("l_id"), col("label"))
+    val anchors = queriesDf(spark, dir)
+      .join(labels, col("query_id") === col("l_id"))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        col("label").as("q_label"))
+    val scored = emb(spark, dir)
+      .join(labels, col("vec_id") === col("l_id"))
+      .join(broadcast(anchors), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        struct(cosineScore.as("score"), (-col("vec_id")).as("nid")).as("s"),
+        (col("label") === col("q_label")).as("same"))
+    scored.groupBy(col("query_id"))
+      .agg(max(when(col("same"), col("s"))).as("p"),
+        max(when(!col("same"), col("s"))).as("n"))
+      .select(col("query_id"),
+        (-col("p.nid")).as("pos_id"), col("p.score").as("pos_score"),
+        (-col("n.nid")).as("neg_id"), col("n.score").as("neg_score"),
+        round(col("p.score") - col("n.score"), 6).as("margin"))
+  }
+
   val PcaDim = 64
   /** Power-iteration rounds. The synthetic corpus's spectrum is nearly
     * flat (λ₂/λ₁ ≈ 0.93), so separation needs (λ₂/λ₁)^k ≪ 1 — 60
@@ -1135,6 +1169,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pca" -> annPca,
+    "ann_hard_negatives" -> annHardNegatives,
     "retrieval_mmr" -> retrievalMmr,
     "ann_filtered" -> annFiltered,
     "retrieval_hybrid" -> retrievalHybrid,
@@ -1677,6 +1712,33 @@ object Similarity {
          |  FROM pool pl JOIN ev e ON pl.neighbor_id = e.vec_id)
          |WHERE rank <= $TopK""".stripMargin
     },
+    // both sides of the contrastive pair replayed with partitioned
+    // windows over the same rounded cosine + id tie-break the struct
+    // maxes apply
+    "ann_hard_negatives" ->
+      s"""WITH scored AS (
+         |  SELECT q.query_id, e.vec_id, e.label = q.q_label AS same,
+         |    round(list_cosine_similarity(q.qv,
+         |          CAST(e.embedding AS DOUBLE[])), 6) AS score
+         |  FROM embeddings e CROSS JOIN
+         |    (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         |            label AS q_label
+         |     FROM embeddings WHERE vec_id < $NQueries) q
+         |  WHERE e.vec_id <> q.query_id
+         |), pos AS (
+         |  SELECT query_id, vec_id AS pos_id, score AS pos_score FROM (
+         |    SELECT query_id, vec_id, score, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM scored WHERE same) WHERE rn = 1
+         |), neg AS (
+         |  SELECT query_id, vec_id AS neg_id, score AS neg_score FROM (
+         |    SELECT query_id, vec_id, score, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM scored WHERE NOT same) WHERE rn = 1
+         |)
+         |SELECT query_id, pos_id, pos_score, neg_id, neg_score,
+         |       round(pos_score - neg_score, 6) AS margin
+         |FROM pos JOIN neg USING (query_id)""".stripMargin,
     "ann_topk_cosine" ->
       s"""SELECT query_id, neighbor_id, rank, score FROM (
          |  SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -243,6 +243,30 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(scored._1 == 100000L && scored._2 > 0.999999)
   }
 
+  test("hard negatives: positive shares the anchor's label, negative " +
+       "does not, and both are the best of their side") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val pairs = Similarity.annHardNegatives(spark, dir)
+      .as[(Long, Long, Double, Long, Double, Double)].collect()
+    assert(pairs.length == Similarity.NQueries)
+    // independent exact reference from the brute-force ranking
+    val exact = Similarity.annTopKCosine(spark, dir)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    pairs.foreach { case (q, pos, ps, neg, ns, margin) =>
+      assert(labels(pos) == labels(q), s"positive $pos label differs from $q")
+      assert(labels(neg) != labels(q), s"negative $neg shares $q's label")
+      assert(math.abs(margin - (ps - ns)) < 1e-9)
+      // any higher-ranked exact neighbor of the same side would
+      // contradict "best of side": check within the exact top-k
+      val better = exact(q).takeWhile(_._4 > math.max(ps, ns))
+      assert(better.isEmpty,
+        s"query $q: ${better.length} exact neighbors outrank both sides")
+    }
+  }
+
   test("PCA: pc1 captures at least as much variance as pc2, both beat " +
        "every raw axis, components orthogonal, runs identical") {
     val dir = "/root/testdata/sf0.001"
