@@ -323,6 +323,29 @@ object Dedup {
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** EDIT-DISTANCE VERIFIED NEAR-DUP — the character-level verify
+    * tier under the token-level family: LSH candidates (the SAME
+    * memoized banded pair relation [[dedupMinhash]] materializes —
+    * never all-pairs) re-scored with exact Levenshtein distance and
+    * its normalized similarity 1 − d/max(|a|,|b|). Token shingles
+    * miss character-level edits (OCR noise, mojibake, diff-style
+    * one-char corruptions); the codegen'd `levenshtein` kernel costs
+    * O(|a|·|b|) per CANDIDATE — affordable precisely because the
+    * banding already cut the pair space to near-linear. Both engines
+    * run the same classic DP, so the distance is oracle-exact. */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val texts = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    dedupMinhash(spark, dir)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("t_a")),
+        "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("t_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("t_a"), col("t_b")).as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("t_a"), col("t_b")).cast("double") /
+          greatest(length(col("t_a")), length(col("t_b"))), 6).as("sim"))
+  }
+
   /** CROSS-CORPUS MINHASH DEDUP — the A-vs-B form every production
     * ingest actually runs (a NEW CRAWL screened against the CURATED
     * BASE before anything enters training), where the self-join
@@ -1008,6 +1031,7 @@ object Dedup {
     "dedup_paragraphs" -> dedupParagraphs,
     "dedup_paragraph_screen" -> dedupParagraphScreen,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_edit_distance" -> dedupEditDistance,
     "dedup_cross_corpus" -> dedupCrossCorpus,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
@@ -1288,6 +1312,17 @@ object Dedup {
     "dedup_minhash" ->
       s"""$shCte
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    // the same banded candidates re-scored with the classic DP —
+    // levenshtein is exact in both engines
+    "dedup_edit_distance" ->
+      s"""$shCte
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+         |  round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         |        / greatest(length(a.text), length(b.text)), 6) AS sim
+         |FROM pairs p
+         |JOIN documents a ON a.doc_id = p.doc_a
+         |JOIN documents b ON b.doc_id = p.doc_b""".stripMargin,
     // the A-vs-B form: signatures from the shared CTE, candidates
     // restricted to crawl(odd) × base(even), exact-Jaccard verified
     "dedup_cross_corpus" ->

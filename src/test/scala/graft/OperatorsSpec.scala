@@ -243,6 +243,35 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(scored._1 == 100000L && scored._2 > 0.999999)
   }
 
+  test("edit-distance verify agrees with a driver-side DP on every " +
+       "candidate pair") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to b.length) {
+          val t = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(b.length)
+    }
+    val rows = Dedup.dedupEditDistance(spark, dir)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty, "fixture must produce candidate pairs")
+    rows.foreach { case (a, b, dist, sim) =>
+      val expect = lev(texts(a), texts(b))
+      assert(dist == expect, s"($a,$b): engine $dist vs reference $expect")
+      val m = math.max(texts(a).length, texts(b).length)
+      assert(math.abs(sim - (1.0 - dist.toDouble / m)) < 1e-6)
+    }
+  }
+
   test("hard negatives: positive shares the anchor's label, negative " +
        "does not, and both are the best of their side") {
     val dir = "/root/testdata/sf0.001"
