@@ -515,6 +515,145 @@ object Pipeline {
         col("blocked_by").isNull.as("kept"))
   }
 
+  /** One parsed robots.txt group: the user-agents it names and its
+    * path rules / crawl-delay. */
+  final case class RobotsGroup(agents: Seq[String],
+                               rules: Seq[(String, Boolean)], delay: Int)
+
+  /** Minimal-correct robots.txt parser (the REP grammar subset crawl
+    * stacks actually honor): `#` comments stripped, keys
+    * case-insensitive, consecutive `User-agent` lines stack onto one
+    * group, a `User-agent` after rules starts the next group, unknown
+    * directives ignored. Pure function — unit-testable off-cluster,
+    * applied once per DISTINCT host. */
+  def parseRobots(text: String): Seq[RobotsGroup] = {
+    val groups = scala.collection.mutable.ArrayBuffer[RobotsGroup]()
+    var agents = Vector[String]()
+    var rules = Vector[(String, Boolean)]()
+    var delay = 0
+    var inRules = false
+    var open = false
+    def close(): Unit = {
+      if (open) groups += RobotsGroup(agents, rules, delay)
+      agents = Vector(); rules = Vector(); delay = 0
+      inRules = false; open = false
+    }
+    for (raw <- text.split("\n")) {
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) close()
+            agents :+= value.toLowerCase; open = true
+          case "disallow" if open =>
+            if (value.nonEmpty) rules :+= (value, false); inRules = true
+          case "allow" if open =>
+            if (value.nonEmpty) rules :+= (value, true); inRules = true
+          case "crawl-delay" if open =>
+            delay = value.toIntOption.getOrElse(0); inRules = true
+          case _ => () // sitemap + unknown directives: ignored
+        }
+      }
+    }
+    close()
+    groups.toSeq
+  }
+
+  /** The group a given bot obeys: its own named group if any host
+    * group names it, else the `*` group, else nothing (everything
+    * allowed). */
+  def robotsGroupFor(groups: Seq[RobotsGroup],
+                     bot: String): Option[RobotsGroup] =
+    groups.find(_.agents.contains(bot.toLowerCase))
+      .orElse(groups.find(_.agents.contains("*")))
+
+  /** The crawler identity the gate evaluates. */
+  val RobotsBot = "graftbot"
+
+  /** ROBOTS.TXT CRAWL GATE — the policy check a crawler runs before
+    * any fetch: per host, ONE robots.txt (synthesized here
+    * deterministically — media hosts carry a graftbot-specific group
+    * with `Disallow: /` + `Allow: /public`, everything else a `*`
+    * group with nested private/allow-override rules, a host-varying
+    * tmp rule, comments and mixed-case directives to exercise the
+    * parser); per URL, the REP decision: LONGEST matching rule wins,
+    * Allow beats Disallow at equal length, no match ⇒ allowed.
+    * Shape: the parser runs once per DISTINCT host (a driver-scale
+    * relation — the web has ~10⁸ hosts, not 10¹² pages), rules
+    * explode to a few rows per host and BROADCAST; the URL side pays
+    * one prefix-predicate join against that bounded build and one
+    * per-doc struct max — the corpus never shuffles. The oracle
+    * computes every verdict CLOSED-FORM from doc_id arithmetic, so a
+    * corruption in any layer (synthesis, parse, group choice, match
+    * rule, tie-break, default) breaks the match. */
+  def pipelineRobots(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val x = expr("(doc_id DIV 4) % 10").cast("string")
+    val host = when(col("doc_id") % 4 === 0,
+        concat(lit("cdn"), x, lit(".example.com")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("media.cdn"), x, lit(".example.com")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("site"), x, lit(".blog.net")))
+      .otherwise(concat(lit("site"), x, lit(".notblog.net")))
+    val m = col("doc_id") % 5
+    val path = when(m === 0, concat(lit("/private/ok/p"), col("doc_id")))
+      .when(m === 1, concat(lit("/private/p"), col("doc_id")))
+      .when(m === 2, concat(lit("/tmp"), x, lit("/f")))
+      .when(m === 3, concat(lit("/public/p"), col("doc_id")))
+      .otherwise(lit("/other"))
+    val urls = t(spark, dir, "documents")
+      .select(col("doc_id"), host.as("host"), path.as("path"))
+    val robots = urls.select(col("host"),
+        (col("host").startsWith("media.")).as("botGroup"),
+        regexp_extract(col("host"), "(\\d+)", 1).as("hx"))
+      .distinct()
+      .select(col("host"),
+        concat_ws("\n",
+          lit("# synthetic robots fixture"),
+          lit("User-Agent: *"),
+          lit("Disallow: /private"),
+          lit("ALLOW: /private/ok"),
+          concat(lit("disallow: /tmp"), col("hx"), lit(" # host tmp")),
+          concat(lit("Crawl-delay: "), col("hx").cast("int") % 5),
+          concat(lit("Sitemap: https://"), col("host"), lit("/sitemap.xml")),
+          when(col("botGroup"),
+            concat_ws("\n", lit(""), lit(s"User-agent: $RobotsBot"),
+              lit("Disallow: /"), lit("Allow: /public"),
+              lit("Crawl-delay: 1"))).otherwise(lit("")))
+          .as("robots"))
+    val parsed = robots.as[(String, String)].map { case (h, txt) =>
+      val g = robotsGroupFor(parseRobots(txt), RobotsBot)
+      (h, g.map(_.rules).getOrElse(Seq.empty),
+        g.map(_.delay).getOrElse(0))
+    }.toDF("r_host", "rules", "crawl_delay")
+    val ruleRows = parsed
+      .select(col("r_host"), col("crawl_delay"),
+        explode(col("rules")).as("r"))
+      .select(col("r_host"), col("r._1").as("rpath"),
+        col("r._2").as("rallow"))
+    val matched = urls
+      .join(broadcast(ruleRows),
+        col("host") === col("r_host") && col("path").startsWith(col("rpath")))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(length(col("rpath")).as("l"),
+        col("rallow").as("a"), col("rpath").as("p"))).as("best"))
+      .select(col("doc_id").as("m_id"), col("best.a").as("m_allow"),
+        col("best.p").as("matched_rule"))
+    urls
+      .join(matched, col("doc_id") === col("m_id"), "left")
+      .join(broadcast(parsed.select(col("r_host"), col("crawl_delay"))),
+        col("host") === col("r_host"), "left")
+      .select(col("doc_id"), col("host"), col("path"),
+        coalesce(col("m_allow"), lit(true)).as("allowed"),
+        col("matched_rule"),
+        coalesce(col("crawl_delay"), lit(0)).as("crawl_delay"))
+  }
+
   val SplitBuckets = 20
 
   /** Train/val/test split (18/1/1 buckets by doc_id hash) WITH the
@@ -1563,6 +1702,7 @@ object Pipeline {
     "pipeline_shard" -> pipelineShard,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle,
     "pipeline_url_filter" -> pipelineUrlFilter,
+    "pipeline_robots" -> pipelineRobots,
     "pipeline_datacard" -> pipelineDatacard,
     "pipeline_token_budget" -> pipelineTokenBudget,
     "pipeline_pack" -> pipelinePack)
@@ -1777,6 +1917,34 @@ object Pipeline {
         |FROM d WHERE doc_id = (SELECT probe FROM p)""".stripMargin,
     // compaction rewrites layout (3 sets -> 1), never data: v4's
     // rows = v3's = all docs + the mod-13 re-ingests under id+n
+    // every verdict computed closed-form from doc_id arithmetic — the
+    // synthesis/parse/group-choice/longest-match/tie/default stack
+    // must reproduce it end to end
+    "pipeline_robots" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, doc_id % 4 AS f, (doc_id // 4) % 10 AS x,
+         |         doc_id % 5 AS m
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN f = 0 THEN concat('cdn', x, '.example.com')
+         |       WHEN f = 1 THEN concat('media.cdn', x, '.example.com')
+         |       WHEN f = 2 THEN concat('site', x, '.blog.net')
+         |       ELSE concat('site', x, '.notblog.net') END AS host,
+         |  CASE WHEN m = 0 THEN concat('/private/ok/p', doc_id)
+         |       WHEN m = 1 THEN concat('/private/p', doc_id)
+         |       WHEN m = 2 THEN concat('/tmp', x, '/f')
+         |       WHEN m = 3 THEN concat('/public/p', doc_id)
+         |       ELSE '/other' END AS path,
+         |  CASE WHEN f = 1 THEN m = 3
+         |       ELSE m IN (0, 3, 4) END AS allowed,
+         |  CASE WHEN f = 1 THEN (CASE WHEN m = 3 THEN '/public' ELSE '/' END)
+         |       WHEN m = 0 THEN '/private/ok'
+         |       WHEN m = 1 THEN '/private'
+         |       WHEN m = 2 THEN concat('/tmp', x)
+         |       ELSE NULL END AS matched_rule,
+         |  CAST(CASE WHEN f = 1 THEN 1 ELSE x % 5 END AS INT) AS crawl_delay
+         |FROM b""".stripMargin,
     // v1..v4 of the MOR lifecycle replayed as set algebra: v2 = v1
     // minus the deleted keys; v3 = (v2 minus upsert keys) ∪ updates;
     // v4 must equal v3 value-for-value (materialization is layout-only)

@@ -243,6 +243,34 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(scored._1 == 100000L && scored._2 > 0.999999)
   }
 
+  test("robots parser: groups, stacking, comments, case, fallback") {
+    import Pipeline.{parseRobots, robotsGroupFor, RobotsGroup}
+    val txt =
+      """# header comment
+        |User-Agent: alpha
+        |User-agent: beta
+        |DISALLOW: /a  # trailing comment
+        |allow: /a/b
+        |Crawl-Delay: 7
+        |
+        |User-agent: *
+        |Disallow:
+        |Disallow: /x
+        |Unknown-directive: zzz
+        |""".stripMargin
+    val gs = parseRobots(txt)
+    assert(gs == Seq(
+      RobotsGroup(Seq("alpha", "beta"), Seq(("/a", false), ("/a/b", true)), 7),
+      RobotsGroup(Seq("*"), Seq(("/x", false)), 0)))
+    // stacked agents share one group; named match beats the fallback
+    assert(robotsGroupFor(gs, "BETA").contains(gs.head))
+    assert(robotsGroupFor(gs, "other").contains(gs(1)))
+    // no groups at all -> nothing to obey
+    assert(robotsGroupFor(parseRobots("just text\n"), "any").isEmpty)
+    // empty Disallow (allow-all idiom) contributes no rule
+    assert(gs(1).rules == Seq(("/x", false)))
+  }
+
   test("edit-distance verify agrees with a driver-side DP on every " +
        "candidate pair") {
     val dir = "/root/testdata/sf0.001"
