@@ -608,10 +608,19 @@ object Pipeline {
       .otherwise(lit("/other"))
     val urls = t(spark, dir, "documents")
       .select(col("doc_id"), host.as("host"), path.as("path"))
-    val robots = urls.select(col("host"),
+    robotsVerdicts(urls, parseRobotsRelation(robotsFixture(
+      urls.select(col("host")).distinct())))
+  }
+
+  /** The deterministic robots.txt corpus over a (host) frame — media
+    * hosts carry a [[RobotsBot]]-specific group, everything else only
+    * the `*` group; comments, mixed-case directives and a Sitemap
+    * line exercise the parser. Shared by the batch gate and the
+    * streaming parity spec so both parse the SAME texts. */
+  def robotsFixture(hosts: DataFrame): DataFrame =
+    hosts.select(col("host"),
         (col("host").startsWith("media.")).as("botGroup"),
         regexp_extract(col("host"), "(\\d+)", 1).as("hx"))
-      .distinct()
       .select(col("host"),
         concat_ws("\n",
           lit("# synthetic robots fixture"),
@@ -626,14 +635,29 @@ object Pipeline {
               lit("Disallow: /"), lit("Allow: /public"),
               lit("Crawl-delay: 1"))).otherwise(lit("")))
           .as("robots"))
-    val parsed = robots.as[(String, String)].map { case (h, txt) =>
+
+  /** Parse a (host, robots-text) relation into the per-host rule/
+    * delay artifact [[robotsVerdicts]] consumes — run ONCE per
+    * distinct host and persisted by real deployments (the crawl
+    * frontier re-reads it per batch, the robots corpus changes
+    * slowly). */
+  def parseRobotsRelation(robots: DataFrame): DataFrame = {
+    val spark2 = robots.sparkSession
+    import spark2.implicits._
+    robots.as[(String, String)].map { case (h, txt) =>
       val g = robotsGroupFor(parseRobots(txt), RobotsBot)
       (h, g.map(_.rules).getOrElse(Seq.empty),
         g.map(_.delay).getOrElse(0))
     }.toDF("r_host", "rules", "crawl_delay")
+  }
+
+  /** REP decision over any (doc_id, host, path) frame against a
+    * parsed rules artifact: longest match wins, Allow beats Disallow
+    * at ties, no match ⇒ allowed. Rules broadcast; one host-keyed
+    * hash join with the prefix residual + one per-doc struct max. */
+  def robotsVerdicts(urls: DataFrame, parsed: DataFrame): DataFrame = {
     val ruleRows = parsed
-      .select(col("r_host"), col("crawl_delay"),
-        explode(col("rules")).as("r"))
+      .select(col("r_host"), explode(col("rules")).as("r"))
       .select(col("r_host"), col("r._1").as("rpath"),
         col("r._2").as("rallow"))
     val matched = urls

@@ -875,6 +875,29 @@ object StreamingOps {
       }
   }
 
+  /** Arriving frontier URL (robots-gate input). */
+  final case class SUrl(doc_id: Long, host: String, path: String)
+
+  /** STREAMING ROBOTS GATE — the frontier form of
+    * [[graft.operators.Pipeline.pipelineRobots]]: the parsed rules
+    * relation ([[graft.operators.Pipeline.parseRobotsRelation]]) is
+    * the PRECOMPUTED artifact (robots corpora change slowly; real
+    * crawlers cache them) — each arriving micro-batch of discovered
+    * URLs pays one broadcast prefix join + per-doc argmax. Stateless
+    * per batch, so stream == batch under any split. Completes the
+    * frontier trio with [[urlFilterStream]] (blocklist) and
+    * [[hostQuotaStream]] (quota). */
+  def robotsStream(urls: Dataset[SUrl], parsed: DataFrame)
+                  (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SUrl] =
+    urls.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[SUrl], _: Long) =>
+        onBatch(graft.operators.Pipeline
+          .robotsVerdicts(batch.toDF(), parsed))
+        ()
+      }
+
   /** STREAMING DSIR SCORING — the serving form of
     * [[graft.operators.Pipeline.pipelineDsir]]: the log-ratio bucket
     * distribution is the PRECOMPUTED artifact

@@ -1157,6 +1157,45 @@ class StreamingSpec extends SparkSessionSpec {
     }
   }
 
+  test("streaming robots gate equals the batch verdicts across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pipeline
+    import graft.streaming.StreamingOps.SUrl
+    val batchOut = Pipeline.pipelineRobots(spark, sf0001)
+    val expect = batchOut
+      .as[(Long, String, String, Boolean, Option[String], Int)]
+      .collect().toSet
+    // the frozen artifact: the same per-host rules the batch op parsed
+    val urls = batchOut.select(col("doc_id"), col("host"), col("path"))
+    val robotsTexts = urls.select(col("host")).distinct()
+    // rebuild via the batch op's own synthesis: reuse verdicts from
+    // pipelineRobots' internal artifact by re-deriving it
+    val parsed = Pipeline.parseRobotsRelation(
+      Pipeline.robotsFixture(robotsTexts)).persist()
+    try {
+      val rows = urls.as[(Long, String, String)].collect()
+        .map { case (d, h, p) => SUrl(d, h, p) }
+      val mem = MemoryStream[SUrl]
+      val got = scala.collection.mutable
+        .Set[(Long, String, String, Boolean, Option[String], Int)]()
+      val q = StreamingOps.robotsStream(mem.toDS(), parsed) { out =>
+        got ++= out
+          .as[(Long, String, String, Boolean, Option[String], Int)].collect()
+      }.start()
+      try {
+        val (a, rest) = rows.splitAt(rows.length / 4)
+        val (b, c) = rest.splitAt(rest.length / 3)
+        for (chunk <- Seq(a, b, c)) {
+          mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      assert(got.toSet == expect,
+        s"robots stream diverged: ${got.size} vs ${expect.size}")
+      assert(expect.exists(!_._4) && expect.exists(_._4),
+        "fixture must both block and allow URLs")
+    } finally parsed.unpersist()
+  }
+
   test("streaming DSIR scoring equals the batch scores across splits") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Pipeline
