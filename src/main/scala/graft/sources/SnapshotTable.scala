@@ -154,12 +154,13 @@ object SnapshotTable {
                       entries: Seq[Entry]): Unit = {
     val spark2 = spark
     import spark2.implicits._
+    val committedAt = System.currentTimeMillis()
     entries.map(e => (e.dir, e.addedIn, e.nRows,
         e.minKey.map(java.lang.Long.valueOf).orNull,
         e.maxKey.map(java.lang.Long.valueOf).orNull,
-        e.keyBloom.orNull, e.kind))
+        e.keyBloom.orNull, e.kind, committedAt))
       .toDF("dir", "added_in", "n_rows", "min_key", "max_key", "key_bloom",
-        "kind")
+        "kind", "committed_at")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/manifests/_tmp_v$next")
     val src = new org.apache.hadoop.fs.Path(s"$root/manifests/_tmp_v$next")
@@ -422,6 +423,35 @@ object SnapshotTable {
   def readLatest(spark: SparkSession, root: String): DataFrame =
     read(spark, root, latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no versions at $root")))
+
+  /** Wall-clock publish time of a version's manifest (None for
+    * manifests written before the column existed). The rename is the
+    * commit point; the stamp is taken just before it — monotone
+    * non-decreasing across a table's versions on one writer clock. */
+  def commitTime(spark: SparkSession, root: String,
+                 version: Int): Option[Long] = {
+    val df = spark.read.parquet(s"$root/manifests/v$version")
+    if (!df.columns.contains("committed_at")) None
+    else Option(df.select(col("committed_at")).head.get(0))
+      .map(_.asInstanceOf[Long])
+  }
+
+  /** TIME TRAVEL BY TIMESTAMP — the `AS OF <timestamp>` form next to
+    * the by-version reads: the latest version whose manifest was
+    * published at or before `tsMillis`. Versions predating the
+    * commit-time column cannot be located by time and are skipped
+    * (locate those by version id). O(versions) driver-side manifest
+    * reads, no data IO. */
+  def versionAsOf(spark: SparkSession, root: String,
+                  tsMillis: Long): Int =
+    versions(spark, root).reverse
+      .find(v => commitTime(spark, root, v).exists(_ <= tsMillis))
+      .getOrElse(throw new IllegalStateException(
+        s"no version at $root published at or before $tsMillis"))
+
+  def readAsOf(spark: SparkSession, root: String,
+               tsMillis: Long): DataFrame =
+    read(spark, root, versionAsOf(spark, root, tsMillis))
 
   /** PLAN-INTEGRATED read — the [[SnapshotSource]] relation as a
     * DataFrame: Spark's own parquet scan over a manifest-backed

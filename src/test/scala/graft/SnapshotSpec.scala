@@ -554,6 +554,26 @@ class SnapshotSpec extends SparkSessionSpec {
       .as[(Long, String)].collect().toSet == allRows)
   }
 
+  test("time travel by timestamp resolves the latest version at or " +
+       "before the instant") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("doc_id", "text"))
+    Thread.sleep(5)
+    SnapshotTable.commit(spark, root, Seq((2L, "b")).toDF("doc_id", "text"))
+    Thread.sleep(5)
+    SnapshotTable.commit(spark, root, Seq((3L, "c")).toDF("doc_id", "text"))
+    val ts = (1 to 3).map(v => SnapshotTable.commitTime(spark, root, v).get)
+    assert(ts == ts.sorted, "commit times must be non-decreasing")
+    assert(SnapshotTable.versionAsOf(spark, root, ts(2)) == 3)
+    assert(SnapshotTable.versionAsOf(spark, root, ts(2) - 1) == 2)
+    assert(SnapshotTable.versionAsOf(spark, root, ts(0)) == 1)
+    assert(SnapshotTable.readAsOf(spark, root, ts(1)).count() == 2)
+    // before the first commit: nothing to locate
+    intercept[IllegalStateException] {
+      SnapshotTable.versionAsOf(spark, root, ts(0) - 1)
+    }
+  }
+
   test("merge-on-read: delete is a vector commit (no data rewrite), " +
        "strict ordering lets re-inserts and upserts survive") {
     import org.apache.spark.sql.functions.col
