@@ -419,6 +419,70 @@ object RelationalQueries {
         sum(col("price")).cast("double").as("total_price"))
   }
 
+  val JoinBuckets = 8
+
+  /** SORT-MERGE-BUCKET (co-located) JOIN — the pre-partitioning play
+    * big fact-fact joins run at 100 TB: both sides are WRITTEN
+    * bucketed (+ sorted) on the join key with the same bucket count
+    * ([[JoinBuckets]]), so the join consumes bucket files directly —
+    * NO Exchange and NO Sort on either side of the SortMergeJoin (the
+    * shuffle happened once at WRITE time and is amortized over every
+    * subsequent join; PlansSpec pins the exchange-free shape). The
+    * bucketed tables are session-catalog tables over engine-written
+    * parquet; they rebuild when absent (a fresh catalog forgets table
+    * metadata — files alone don't carry the bucket spec). The
+    * aggregate AFTER the join still exchanges its k rows, as it
+    * should. */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    bucketedTables(spark, dir)
+    val li = spark.table(bucketedName(dir, "lineitem"))
+    val ord = spark.table(bucketedName(dir, "orders"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+  }
+
+  /** The joined-but-unaggregated bucketed frame — exposed so the plan
+    * spec can assert the exchange-free join shape in isolation. */
+  def bucketedJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    bucketedTables(spark, dir)
+    spark.table(bucketedName(dir, "lineitem"))
+      .join(spark.table(bucketedName(dir, "orders")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_orderstatus"), col("l_extendedprice"))
+  }
+
+  private def bucketedName(dir: String, table: String): String =
+    s"graft_buck_${table}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Ensure the bucketed/sorted table pair exists in the session
+    * catalog (write once per session+dir; Overwrite keeps reruns
+    * idempotent). */
+  private def bucketedTables(spark: SparkSession, dir: String): Unit =
+    Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey")
+      .foreach { case (tn, key) =>
+        val name = bucketedName(dir, tn)
+        if (!spark.catalog.tableExists(name)) {
+          // external location under the artifacts root: a FRESH session
+          // catalog has forgotten the table (files alone don't carry
+          // the bucket spec), so sweep the stale location and rewrite
+          val path = s"${graft.sources.Artifacts.root(spark)}/buck/$name"
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+          // one FILE per bucket (repartition on the bucket key): with
+          // several files per bucket Spark must re-sort at read time —
+          // single sorted files are what lets the SMJ skip its sorts
+          t(spark, dir, tn).repartition(JoinBuckets, col(key)).write
+            .bucketBy(JoinBuckets, key).sortBy(key)
+            .option("path", path)
+            .mode("overwrite").format("parquet")
+            .saveAsTable(name)
+        }
+      }
+
   val CmsD = 4
   val CmsW = 1024L
   val CmsTopK = 20
@@ -1158,6 +1222,7 @@ object RelationalQueries {
     "q_cube" -> qCube,
     "q_sample" -> qSample,
     "q_skew_join" -> qSkewJoin,
+    "q_bucketed_join" -> qBucketedJoin,
     "q_setop2" -> qSetOps2,
     "q_stats" -> qStats,
     "q_quantiles" -> qQuantiles,
@@ -1490,6 +1555,14 @@ object RelationalQueries {
         |    AS n_union,
         |  (SELECT count(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
         |    AS n_union_all""".stripMargin,
+    // bucketing is a physical layout choice — the logical join result
+    // must equal the plain join bit-for-bit
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_skew_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -131,6 +131,49 @@ class PlansSpec extends SparkSessionSpec {
       planStr.contains("TopKPerKeyFinal") && !planStr.contains("Window"))
   }
 
+  test("bucketed join: zero Exchange and zero Sort below the join — " +
+       "the write-time shuffle is the only one") {
+    // tiny test tables would broadcast; the 100 TB case this layout
+    // exists for cannot — pin the SMB shape by disabling broadcast
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // since 3.0 Spark ignores bucket sort order by default (probing
+    // files-per-bucket costs planning time); the writer guarantees one
+    // sorted file per bucket, so opting in is sound here — this is the
+    // conf a production SMB deployment sets alongside the layout
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try bucketedBody()
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "false")
+    }
+  }
+
+  private def bucketedBody(): Unit = {
+    val join = graft.operators.RelationalQueries
+      .bucketedJoinPlan(spark, sf0001)
+    join.collect() // force execution so AQE finalizes the plan
+    val plan = join.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val finalPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = finalPlan.toString
+    assert(s.contains("SortMergeJoin"), s"expected SMJ:\n$s")
+    assert(!s.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$s")
+    assert(!s.contains("Sort "),
+      s"sortBy buckets must also kill the SMJ sorts:\n$s")
+    // layout must not change values: equals the plain join
+    val expect = graft.Tables.t(spark, sf0001, "lineitem")
+      .join(graft.Tables.t(spark, sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(join.count() == expect)
+  }
+
   private def withTopKRewrite[A](body: => A): A = {
     graft.plans.TopKPerKey.register(spark)
     spark.experimental.extraOptimizations =
