@@ -164,6 +164,34 @@ object RelationalQueries {
         .cast("double").as("revenue"))
       .select(round(col("revenue"), 2).as("revenue"))
 
+  /** TPC-H Q14 shape — promotion effect: the share of one ship-month's
+    * revenue carried by PROMO-type parts. The part dimension
+    * BROADCASTS (it's dimension-sized at every scale factor), the
+    * date filter pushes into the lineitem scan, and both the promo
+    * and total revenue come out of ONE aggregate (conditional sum) —
+    * a single pass at scan bandwidth, no second job for the
+    * denominator. DECIMAL accumulation; the final ratio is the only
+    * double (the q3/q6 rule). */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+        col("l_discount").cast("decimal(18,2)")))
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= to_timestamp(lit("1996-03-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .join(broadcast(t(spark, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+          .as("promo"),
+        sum(rev).as("total"))
+      .select(round(lit(100.0) * col("promo").cast("double") /
+          col("total").cast("double"), 6).as("promo_revenue_pct"),
+        col("promo").cast("double").as("promo_revenue"),
+        col("total").cast("double").as("total_revenue"))
+  }
+
   /** TPC-H Q10 shape — returned-item customer ranking: revenue lost
     * to returns (l_returnflag = 'R') in one order-date quarter, per
     * customer with their nation, top 20. The flags/date filters push
@@ -1223,6 +1251,7 @@ object RelationalQueries {
     "q_sample" -> qSample,
     "q_skew_join" -> qSkewJoin,
     "q_bucketed_join" -> qBucketedJoin,
+    "q14_promo" -> q14Promo,
     "q_setop2" -> qSetOps2,
     "q_stats" -> qStats,
     "q_quantiles" -> qQuantiles,
@@ -1555,6 +1584,24 @@ object RelationalQueries {
         |    AS n_union,
         |  (SELECT count(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
         |    AS n_union_all""".stripMargin,
+    "q14_promo" ->
+      """WITH r AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) -
+        |          CAST(l_discount AS DECIMAL(18,2))) AS rev, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |)
+        |SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |                                   ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |                     AS DOUBLE)
+        |             / CAST(sum(rev) AS DOUBLE), 6) AS promo_revenue_pct,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS promo_revenue,
+        |  CAST(sum(rev) AS DOUBLE) AS total_revenue
+        |FROM r""".stripMargin,
     // bucketing is a physical layout choice — the logical join result
     // must equal the plain join bit-for-bit
     "q_bucketed_join" ->
