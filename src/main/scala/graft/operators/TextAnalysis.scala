@@ -1084,7 +1084,41 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("sg")).as("signed_sum"))
 
+  /** READABILITY SCORING (Flesch–Kincaid) — the classic heuristic
+    * quality signal next to the stopword/repetition family: per doc,
+    * word count, syllable count (vowel-group runs `[aeiouy]+` per
+    * word, floored at 1 — the standard approximation), sentence count
+    * (split on `[.!?]+`; the synthetic corpus carries no terminators,
+    * so each doc reads as one sentence — the machinery is general),
+    * and the two canonical scores. One explode + one per-doc hash
+    * aggregate; the scores are closed-form arithmetic over two
+    * integers — scan-bandwidth at any corpus size, and exactly
+    * replayable. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sentences = greatest(lit(1),
+      size(filter(split(col("text"), "[.!?]+"), s => trim(s) =!= "")))
+    val syl = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        greatest(lit(1), size(regexp_extract_all(col("tok"),
+          lit("[aeiouy]+"), lit(0)))).as("syl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("syl")).as("n_syllables"))
+    docs.select(col("doc_id"), sentences.as("n_sentences"))
+      .join(syl, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_syllables"),
+        col("n_sentences"),
+        round(lit(0.39) * col("n_words") / col("n_sentences") +
+          lit(11.8) * col("n_syllables") / col("n_words") - lit(15.59), 6)
+          .as("fk_grade"),
+        round(lit(206.835) - lit(1.015) * col("n_words") / col("n_sentences") -
+          lit(84.6) * col("n_syllables") / col("n_words"), 6)
+          .as("reading_ease"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> textReadability,
     "text_hashing_vec" -> textHashingVec,
     "text_bpe_doc" -> textBpeDoc,
     "text_bpe_encode" -> textBpeEncode,
@@ -1286,6 +1320,27 @@ object TextAnalysis {
       |GROUP BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_readability" ->
+      """WITH syl AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |    CAST(sum(greatest(1,
+        |      len(regexp_extract_all(tok, '[aeiouy]+')))) AS BIGINT)
+        |      AS n_syllables
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id
+        |), sen AS (
+        |  SELECT doc_id, greatest(1, len(list_filter(
+        |    regexp_split_to_array(text, '[.!?]+'), s -> trim(s) <> '')))
+        |    AS n_sentences
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_syllables, n_sentences,
+        |  round(0.39 * n_words / n_sentences
+        |        + 11.8 * n_syllables / n_words - 15.59, 6) AS fk_grade,
+        |  round(206.835 - 1.015 * n_words / n_sentences
+        |        - 84.6 * n_syllables / n_words, 6) AS reading_ease
+        |FROM syl JOIN sen USING (doc_id)""".stripMargin,
     // hex→int: CAST(concat('0x',…) AS BIGINT) ≡ Spark conv(…,16,10)
     "text_hashing_vec" ->
       s"""WITH tk AS (
