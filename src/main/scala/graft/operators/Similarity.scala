@@ -521,6 +521,72 @@ object Similarity {
         col("adc_dist"))
   }
 
+  /** RESIDUAL IVF-PQ — the production (FAISS `IVFPQ`) refinement of
+    * [[annIvfPq]]: codes quantize the RESIDUAL v − centroid(cell(v))
+    * instead of the raw vector. Residuals concentrate near zero once
+    * the coarse quantizer has soaked up the between-cell variance, so
+    * the same 16-entry sub-codebooks spend their resolution on what
+    * the cell didn't explain — the reason every production IVFPQ
+    * encodes residuals. Query side: per probed cell a DIFFERENT
+    * residual q − centroid(cell), so the LUTs are per (query, cell)
+    * — still queries·NProbe·M tiny arrays riding the broadcast.
+    * Codebook = residuals of the first [[PqKsub]] post-centroid
+    * vectors (k-row collect, deterministic, replayed by the oracle).
+    * Same ADC join shape as [[annIvfPq]]; only the geometry changed.
+    * With the engine's UNTRAINED first-k coarse cells the measurable
+    * win is distance-estimation error (the spec's claim); under
+    * trained cells — the production setting — it compounds into
+    * recall. */
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val cents = KMeansQueries.coarseCentroids(spark, dir)
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("c_cl", "cent"))
+    val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
+      .join(centDf, col("cluster") === col("c_cl"))
+      .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
+      .drop("c_cl", "cent")
+    // seed AFTER the centroid vectors: the first coarseK vectors ARE
+    // the coarse centroids, so their residuals are zero — seeding on
+    // them wastes codes on the origin
+    val ck = cents.length
+    val seedRs = assigned
+      .where(col("vec_id") >= ck && col("vec_id") < ck + PqKsub)
+      .select(col("vec_id"), col("r")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val cb = Array.tabulate(PqM)(m =>
+      seedRs.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    val encoded = withBlockDists(assigned, "r", cb, "ds_")
+      .select(col("vec_id") +: col("cluster") +:
+        (0 until PqM).map(m =>
+          (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
+            .cast("int").as(s"code_$m")): _*)
+    val probedQ = queriesDf(spark, dir)
+      .select(col("query_id"), col("qv"))
+      .withColumn("probe_cell",
+        explode(probeCellsCol(col("qv"), cents, NProbe)))
+      .join(centDf, col("probe_cell") === col("c_cl"))
+      .withColumn("qr", zip_with(col("qv"), col("cent"), (a, b) => a - b))
+    val probedLuts = withBlockDists(probedQ, "qr", cb, "lut_")
+    val scored = encoded
+      .join(broadcast(probedLuts),
+        col("probe_cell") === col("cluster") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(sqrt((0 until PqM).map(m =>
+          element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)), 6)
+          .as("adc_dist"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq("query_id"), Seq("adc_dist" -> true, "neighbor_id" -> true), TopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_dist"))
+  }
+
   val Sq8Levels = 255
 
   /** PERSISTED QUANTIZER PARAMS — the 1-row BQ/SQ8 training
@@ -1189,7 +1255,8 @@ object Similarity {
     "ann_bq_refine" -> annBqRefine,
     "ann_refine" -> annRefine,
     "ann_recall" -> annRecall,
-    "ann_ivfpq" -> annIvfPq)
+    "ann_ivfpq" -> annIvfPq,
+    "ann_ivfpq_residual" -> annIvfPqResidual)
 
   /** DuckDB replay of [[bqCodes]] + the Hamming scan — shared WITH
     * prefix ending in `scored(query_id, neighbor_id, hamming)`. */
@@ -1598,6 +1665,62 @@ object Similarity {
          |               c.neighbor_id) AS rank
          |  FROM cand c JOIN ev qe ON qe.vec_id = c.query_id
          |              JOIN ev ne ON ne.vec_id = c.neighbor_id)
+         |WHERE rank <= $TopK""".stripMargin
+    },
+    // the residual geometry replayed end to end: per-vector residual
+    // against its OWN cell centroid, the residual seed codebook, and
+    // per-(query, probed-cell) residual LUT distances
+    "ann_ivfpq_residual" -> {
+      val codeCols = (0 until PqM).map(m =>
+        s"""    (SELECT s.j FROM rseeds s
+           |     ORDER BY ${sqdSql("a.r", "s.c", m)}, s.j LIMIT 1) AS code_$m""")
+        .mkString(",\n")
+      val adc = "sqrt(" + (0 until PqM).map(m =>
+        s"(SELECT ${sqdSql("p.qr", "s.c", m)} FROM rseeds s WHERE s.j = c2.code_$m)")
+        .mkString(" + ") + ")"
+      s"""WITH $centsCte, ev AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), asg AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster,
+         |    list_transform(list_zip(e.v,
+         |      (SELECT c.c FROM cents c
+         |       ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1)),
+         |      x -> x[1] - x[2]) AS r
+         |  FROM ev e
+         |), rseeds AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+         |         r AS c
+         |  FROM (SELECT vec_id, r FROM asg
+         |        WHERE vec_id >= ${KMeansQueries.coarseKSql}
+         |          AND vec_id < ${KMeansQueries.coarseKSql} + $PqKsub)
+         |), rcodes AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cluster,
+         |$codeCols
+         |  FROM asg a
+         |), probed AS (
+         |  SELECT query_id, qv,
+         |    unnest((SELECT list(cid) FROM (
+         |      SELECT cid FROM cents c
+         |      ORDER BY list_distance(q.qv, c.c), c.cid
+         |      LIMIT $NProbe))) AS pcell
+         |  FROM q
+         |), probedr AS MATERIALIZED (
+         |  SELECT p.query_id, p.pcell,
+         |    list_transform(list_zip(p.qv,
+         |      (SELECT c.c FROM cents c WHERE c.cid = p.pcell)),
+         |      x -> x[1] - x[2]) AS qr
+         |  FROM probed p
+         |)
+         |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+         |  SELECT p.query_id, c2.vec_id AS neighbor_id,
+         |    round($adc, 6) AS adc_dist,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY round($adc, 6), c2.vec_id) AS rank
+         |  FROM rcodes c2 JOIN probedr p
+         |    ON p.pcell = c2.cluster
+         |   AND c2.vec_id <> p.query_id)
          |WHERE rank <= $TopK""".stripMargin
     },
     "ann_ivfpq" -> {

@@ -617,6 +617,42 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(r > 0.5, s"refine recall $r implausibly low")
   }
 
+  test("residual IVF-PQ estimates true distances at least as well as " +
+       "raw IVF-PQ, and its recall stays sane") {
+    val emb = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // the honest residual claim under an UNTRAINED coarse quantizer
+    // (first-k cells): the ADC becomes a better estimator of the true
+    // distance — with trained cells this compounds into recall
+    def adcErr(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.select("query_id", "neighbor_id", "adc_dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.nonEmpty)
+      rows.map { case (q, n, d) =>
+        math.abs(d - l2(emb(q), emb(n))) }.sum / rows.length
+    }
+    val res = adcErr(Similarity.annIvfPqResidual(spark, sf0001))
+    val raw = adcErr(Similarity.annIvfPq(spark, sf0001))
+    assert(res <= raw,
+      s"residual ADC error $res above raw $raw — residual geometry " +
+        "should sharpen distance estimates")
+    // recall floor vs exact L2 — the codes must still navigate
+    val exactTop = (0L until Similarity.NQueries).flatMap { q =>
+      emb.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(emb(q), emb(n)), n)).take(Similarity.TopK)
+        .map(n => (q, n))
+    }.toSet
+    val recall = Similarity.annIvfPqResidual(spark, sf0001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(exactTop).size.toDouble / exactTop.size
+    assert(recall > 0.1, s"residual recall $recall implausibly low")
+  }
+
   test("binary quantization: rerank recovers recall the 1-bit codes lose") {
     // cosine ground truth (BQ codes approximate angular closeness)
     val emb = Tables.t(spark, sf0001, "embeddings")
