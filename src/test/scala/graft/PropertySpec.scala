@@ -428,6 +428,88 @@ class PropertySpec extends SparkSessionSpec {
     }
   }
 
+  test("paragraph screen equals a driver-side brute force on random corpora") {
+    import graft.operators.Dedup
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.chooseNum(0, 20).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.zip(
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, docGen)),
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, docGen)))
+    for (((baseTexts, crawlTexts), it) <- samples(corpusGen, 6).zipWithIndex) {
+      val base = baseTexts.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val crawl = crawlTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.paragraphScreenAgainstBase(
+          crawl, Dedup.baseParagraphHashes(base))
+        .as[(Long, Long, Long, String)].collect().toSet
+      // reference: non-overlapping ParaW windows, drop any segment the
+      // base carries anywhere, rebuild in order
+      def segs(t: String): Seq[String] = {
+        val toks = t.split(" ").toSeq
+        if (toks.size < Dedup.ParaW) Seq.empty
+        else (0 until toks.size / Dedup.ParaW)
+          .map(i => toks.slice(i * Dedup.ParaW, (i + 1) * Dedup.ParaW)
+            .mkString(" "))
+      }
+      val baseSegs = baseTexts.flatMap(segs).toSet
+      val expect = crawlTexts.zipWithIndex.flatMap { case (t, i) =>
+        val ss = segs(t)
+        if (ss.isEmpty) None
+        else {
+          val kept = ss.filterNot(baseSegs)
+          Some((i.toLong, ss.size.toLong, (ss.size - kept.size).toLong,
+            kept.mkString(" ")))
+        }
+      }.toSet
+      assert(got == expect, s"iteration $it diverged")
+    }
+  }
+
+  test("robots parser agrees with a reference interpreter on random files") {
+    import graft.operators.Pipeline
+    // random REP files: groups of 1-2 agents, 0-3 rules, noise lines
+    val agentGen = Gen.oneOf("*", "graftbot", "otherbot")
+    val pathGen = Gen.oneOf("/a", "/a/b", "/b", "/", "/c")
+    val ruleGen = Gen.zip(Gen.oneOf(true, false), pathGen)
+    val groupGen = for {
+      agents <- Gen.chooseNum(1, 2).flatMap(Gen.listOfN(_, agentGen))
+      // ≥1 rule: an agents-only group is grammatically AMBIGUOUS (REP
+      // stacks its agents onto the following group — the parser's
+      // correct behavior), so the generator avoids the degenerate case
+      rules <- Gen.chooseNum(1, 3).flatMap(Gen.listOfN(_, ruleGen))
+      delay <- Gen.chooseNum(0, 9)
+    } yield (agents.distinct, rules, delay)
+    val fileGen = Gen.chooseNum(1, 3).flatMap(Gen.listOfN(_, groupGen))
+    for ((groups, it) <- samples(fileGen, 8).zipWithIndex) {
+      val txt = groups.map { case (agents, rules, delay) =>
+        (agents.map(a => s"User-agent: $a") ++
+          rules.map { case (allow, p) =>
+            s"${if (allow) "Allow" else "Disallow"}: $p" } ++
+          (if (delay > 0) Seq(s"Crawl-delay: $delay") else Seq.empty) ++
+          Seq("X-noise: zz", "")).mkString("\n")
+      }.mkString("\n")
+      val parsed = Pipeline.parseRobots(txt)
+      // reference expectation: groups in order; a group with no rules
+      // and no delay still exists (agents alone open it)
+      assert(parsed.size == groups.size, s"iteration $it group count")
+      parsed.zip(groups).foreach { case (g, (agents, rules, delay)) =>
+        assert(g.agents == agents.map(_.toLowerCase),
+          s"iteration $it agents")
+        assert(g.rules == rules.map { case (a, p) => (p, a) },
+          s"iteration $it rules")
+        assert(g.delay == delay, s"iteration $it delay")
+      }
+      // group selection: named beats fallback, fallback only when
+      // no named group exists
+      val forBot = Pipeline.robotsGroupFor(parsed, "graftbot")
+      val named = parsed.find(_.agents.contains("graftbot"))
+      val star = parsed.find(_.agents.contains("*"))
+      assert(forBot == named.orElse(star), s"iteration $it selection")
+    }
+  }
+
   test("snapshot table tracks a sequential model under random op sequences") {
     import graft.sources.SnapshotTable
     // model-based testing: every op applies to the real table AND a
