@@ -1570,25 +1570,39 @@ object Pipeline {
     * any corpus size; the distributions are the tiny persisted
     * artifact a production DSIR run keeps per target domain. */
   def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    dsirScoreAgainst(docs,
-      dsirRatio(docs, docs.where(col("lang") === "en")))
+    // ONE token explode feeds all four aggregates (source/target
+    // distributions, their totals) and the per-doc counts — without
+    // the persist the plan re-derives the explode per aggregate, 4×
+    // the dominant cost at corpus scale
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"), dsirBucket.as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ratio = dsirRatioFromTokens(tok,
+      tok.where(col("lang") === "en"))
+    dsirScoreFromTokens(tok, ratio)
   }
+
+  /** The portable token→bucket hash (the split-op md5 idiom). */
+  private def dsirBucket: Column =
+    conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 7), 16, 10)
+      .cast("long") % DsirBuckets
 
   /** Hashed-unigram (doc_id, bucket) relation of a (doc_id, text)
     * frame — the DSIR feature map. */
   private def dsirTokens(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    .select(col("doc_id"),
-      (conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 7), 16, 10)
-        .cast("long") % DsirBuckets).as("bucket"))
+    .select(col("doc_id"), dsirBucket.as("bucket"))
 
   /** The [[DsirBuckets]]-row log-ratio artifact log(p_target/p_source)
     * — what a production DSIR run PERSISTS per target domain; scoring
     * (batch or streaming) only ever broadcasts this. */
-  def dsirRatio(sourceDocs: DataFrame, targetDocs: DataFrame): DataFrame = {
-    val sTok = dsirTokens(sourceDocs)
-    val tTok = dsirTokens(targetDocs)
+  def dsirRatio(sourceDocs: DataFrame, targetDocs: DataFrame): DataFrame =
+    dsirRatioFromTokens(dsirTokens(sourceDocs), dsirTokens(targetDocs))
+
+  private def dsirRatioFromTokens(sTok: DataFrame,
+                                  tTok: DataFrame): DataFrame = {
     // source buckets are the superset (target ⊆ corpus), so a LEFT
     // join keeps every bucket; the two totals ride in as broadcast
     // 1-row parameter joins
@@ -1608,7 +1622,11 @@ object Pipeline {
     * artifact: one token explode + one (doc, bucket) agg + the 32-row
     * broadcast join, then the bucket-sorted fold. */
   def dsirScoreAgainst(batch: DataFrame, ratio: DataFrame): DataFrame =
-    dsirTokens(batch).groupBy(col("doc_id"), col("bucket"))
+    dsirScoreFromTokens(dsirTokens(batch), ratio)
+
+  private def dsirScoreFromTokens(tok: DataFrame,
+                                  ratio: DataFrame): DataFrame =
+    tok.groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("n_b"))
       .join(broadcast(ratio), "bucket")
       .groupBy(col("doc_id"))
