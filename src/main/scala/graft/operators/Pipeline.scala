@@ -678,6 +678,33 @@ object Pipeline {
         coalesce(col("crawl_delay"), lit(0)).as("crawl_delay"))
   }
 
+  /** DUPLICATION PROFILE — the datacard metric next to the dedup
+    * operators themselves: the corpus's exact-duplicate group-size
+    * HISTOGRAM (how many clusters of 1, 2, 3… identical docs exist),
+    * with the doc and character volume each size class wastes.
+    * Curation teams read this to pick a dedup policy (a corpus whose
+    * waste sits in pairs needs different handling than one with a
+    * thousand-copy boilerplate cluster). Two hash aggregations —
+    * content hash then group size — nothing pairwise, scan-bandwidth
+    * at any corpus size. Identical texts have identical n_chars, so
+    * per-group waste is (size−1)·n_chars exactly. */
+  def pipelineDupStats(spark: SparkSession, dir: String): DataFrame =
+    dupStatsOf(t(spark, dir, "documents"))
+
+  /** Core of [[pipelineDupStats]] over any (text, n_chars) frame —
+    * exposed for the crafted-duplication fixture spec (the synthetic
+    * corpus happens to be duplicate-free, so its histogram is the
+    * single dup_count=1 row; the spec plants real clusters). */
+  def dupStatsOf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("sz"), min(col("n_chars")).as("c1"))
+      .groupBy(col("sz").as("dup_count"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_excess_docs"),
+        sum((col("sz") - 1) * col("c1")).as("chars_wasted"))
+
   val SplitBuckets = 20
 
   /** Train/val/test split (18/1/1 buckets by doc_id hash) WITH the
@@ -1745,6 +1772,7 @@ object Pipeline {
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle,
     "pipeline_url_filter" -> pipelineUrlFilter,
     "pipeline_robots" -> pipelineRobots,
+    "pipeline_dup_stats" -> pipelineDupStats,
     "pipeline_datacard" -> pipelineDatacard,
     "pipeline_token_budget" -> pipelineTokenBudget,
     "pipeline_pack" -> pipelinePack)
@@ -1959,6 +1987,16 @@ object Pipeline {
         |FROM d WHERE doc_id = (SELECT probe FROM p)""".stripMargin,
     // compaction rewrites layout (3 sets -> 1), never data: v4's
     // rows = v3's = all docs + the mod-13 re-ingests under id+n
+    "pipeline_dup_stats" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS h, count(*) AS sz, min(n_chars) AS c1
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT sz AS dup_count, count(*) AS n_groups,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(sum(sz - 1) AS BIGINT) AS n_excess_docs,
+        |  CAST(sum((sz - 1) * c1) AS BIGINT) AS chars_wasted
+        |FROM g GROUP BY sz""".stripMargin,
     // every verdict computed closed-form from doc_id arithmetic — the
     // synthesis/parse/group-choice/longest-match/tie/default stack
     // must reproduce it end to end

@@ -243,6 +243,24 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(scored._1 == 100000L && scored._2 > 0.999999)
   }
 
+  test("duplication profile histograms crafted clusters exactly") {
+    val docs = Seq(
+      ("aaa", 3L), ("aaa", 3L), ("aaa", 3L), // one triple
+      ("bb", 2L), ("bb", 2L),                // one pair
+      ("cccc", 4L), ("d", 1L))               // two singletons
+      .toDF("text", "n_chars")
+    val out = Pipeline.dupStatsOf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 2L, 0L, 0L),   // two unique docs, nothing wasted
+      (2L, 1L, 2L, 1L, 2L),   // the pair wastes one copy of 2 chars
+      (3L, 1L, 3L, 2L, 6L)))  // the triple wastes two copies of 3
+    // the real corpus is duplicate-free: one dup_count=1 row
+    val corpus = Pipeline.pipelineDupStats(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(corpus.toSeq == Seq((1L, 500L, 500L, 0L, 0L)))
+  }
+
   test("robots parser: groups, stacking, comments, case, fallback") {
     import Pipeline.{parseRobots, robotsGroupFor, RobotsGroup}
     val txt =
