@@ -656,6 +656,29 @@ class SnapshotSpec extends SparkSessionSpec {
     assert(SnapshotTable.materializeDeletes(spark, root, "doc_id") == 4)
   }
 
+  test("the Spark relation plans over a clustered-rewrite subdir " +
+       "layout and prunes on its per-subdir stats") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (0L until 300L).map(k => (k, s"d$k")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    SnapshotTable.rewriteSorted(spark, root, "doc_id", numSets = 4)
+    val rel = SnapshotTable.readIndexed(spark, root, 2, Some("doc_id"))
+    assert(rel.count() == 300)
+    val narrow = rel.where(col("doc_id").between(10L, 30L))
+    assert(narrow.as[(Long, String)].collect().toSet ==
+      (10L to 30L).map(k => (k, s"d$k")).toSet)
+    // planning-time skip, witnessed from EXECUTION (inputFiles reports
+    // the unpruned listing): the narrow range touches only bucket 0's
+    // subdir
+    val touched = narrow
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().as[String].collect()
+    assert(touched.nonEmpty && touched.forall(_.contains("__rb=0")),
+      s"narrow range touched ${touched.mkString(", ")}")
+  }
+
   test("vacuum sweeps unpublished debris, never referenced sets or history") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
