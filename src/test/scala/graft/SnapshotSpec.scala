@@ -554,6 +554,33 @@ class SnapshotSpec extends SparkSessionSpec {
       .as[(Long, String)].collect().toSet == allRows)
   }
 
+  test("upsertBatch crash windows: unpublished attempt dirs are " +
+       "rewritten by the replay; published batches no-op") {
+    val root = tmpRoot()
+    assert(SnapshotTable.upsertBatch(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), "doc_id",
+      batchId = 0L).contains(1))
+    // crash window: batch 1 wrote BOTH attempt dirs but never
+    // published — the dirs are unreferenced debris carrying stale
+    // content; the replay must OVERWRITE them with its own rows
+    Seq(99L).toDF("doc_id").write.parquet(s"$root/data/delb1")
+    Seq((99L, "dead")).toDF("doc_id", "text")
+      .write.parquet(s"$root/data/ub1")
+    assert(SnapshotTable.upsertBatch(spark, root,
+      Seq((2L, "b2"), (3L, "c")).toDF("doc_id", "text"), "doc_id",
+      batchId = 1L).contains(2))
+    assert(SnapshotTable.readLatest(spark, root)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")),
+      "debris content must not leak into the committed batch")
+    // published: replaying batch 1 is a detected no-op
+    assert(SnapshotTable.upsertBatch(spark, root,
+      Seq((7L, "x")).toDF("doc_id", "text"), "doc_id",
+      batchId = 1L).isEmpty)
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+    assert(SnapshotTable.readLatest(spark, root).count() == 3)
+  }
+
   test("time travel by timestamp resolves the latest version at or " +
        "before the instant") {
     val root = tmpRoot()
