@@ -42,7 +42,7 @@ object AnnIndex {
   import Similarity.{NProbe, PqKsub, PqM, TopK}
 
   def indexPath(spark: SparkSession, dir: String): String = {
-    val n = t(spark, dir, "embeddings").count()
+    val n = graft.Tables.cachedCount(spark, dir, "embeddings")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     // v2: codes carry the label metadata column (filtered search);
     // the version bump keeps a stale label-less artifact from being

@@ -69,7 +69,7 @@ object KMeansQueries {
     * the literal path here keeps the generated code compact for every
     * k the seeded-oracle harness can reach. */
   def coarseCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
-    val n = Tables.t(spark, dir, "embeddings").count()
+    val n = Tables.cachedCount(spark, dir, "embeddings")
     firstKCentroids(spark, dir, coarseK(n))
   }
 

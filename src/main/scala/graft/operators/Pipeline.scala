@@ -504,9 +504,16 @@ object Pipeline {
     import spark.implicits._
     val bl = blocklist.toDF("entry")
     val labels = split(col("host"), "\\.")
+    // single-label hosts ("localhost") emit NO suffix: sequence(0,-1)
+    // would produce the DESCENDING [0,-1] and slice(labels, 0, …)
+    // throws (array indices start at 1) — one malformed crawl host
+    // must not fail the batch. Empty chain ⇒ no match ⇒ host kept,
+    // the oracle's generate_series(1,0)-is-empty behavior.
     val sufs = hosts.select(col("doc_id"),
-      explode(transform(sequence(lit(0), size(labels) - 2),
-        i => concat_ws(".", slice(labels, i + 1, size(labels) - i))))
+      explode(when(size(labels) >= 2,
+          transform(sequence(lit(0), size(labels) - 2),
+            i => concat_ws(".", slice(labels, i + 1, size(labels) - i))))
+        .otherwise(array().cast("array<string>")))
         .as("suffix"))
     val matches = sufs.join(broadcast(bl), col("suffix") === col("entry"))
       .groupBy(col("doc_id")).agg(min(col("entry")).as("blocked_by"))
@@ -1026,7 +1033,7 @@ object Pipeline {
   private def ensureSnapHistory(spark: SparkSession, dir: String)
       : (String, Long) = {
     import graft.sources.SnapshotTable
-    val n = t(spark, dir, "documents").count()
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${graft.sources.Artifacts.root(spark)}/snap_${key}_n$n"
     if (!SnapshotTable.latestVersion(spark, root).contains(3)) {
@@ -1126,7 +1133,7 @@ object Pipeline {
   private def ensureSkipHistory(spark: SparkSession, dir: String)
       : (String, Long, Long) = {
     import graft.sources.SnapshotTable
-    val n = t(spark, dir, "documents").count()
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
     val half = n / 2
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${graft.sources.Artifacts.root(spark)}/snapskip_${key}_n$n"
@@ -1184,7 +1191,7 @@ object Pipeline {
     * HEAD, or resolved dirs against the wrong root all move them. */
   def pipelineSnapshotClone(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val n = t(spark, dir, "documents").count()
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val src = s"${graft.sources.Artifacts.root(spark)}/snapclone_src_${key}_n$n"
     val dst = s"${graft.sources.Artifacts.root(spark)}/snapclone_dst_${key}_n$n"
@@ -1208,7 +1215,7 @@ object Pipeline {
 
   def pipelineSnapshotRollback(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val n = t(spark, dir, "documents").count()
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${graft.sources.Artifacts.root(spark)}/snaprb_${key}_n$n"
     if (!SnapshotTable.latestVersion(spark, root).contains(4)) {
@@ -1245,7 +1252,7 @@ object Pipeline {
     * working breaks dirs_read. */
   def pipelineSnapshotPoint(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val n = t(spark, dir, "documents").count()
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
     val probe = 2L * (n / 4) + 1 // an odd id strictly inside [0, n)
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${graft.sources.Artifacts.root(spark)}/snappt_${key}_n$n"
@@ -1279,7 +1286,7 @@ object Pipeline {
     * stay 3-version for the read/changes queries' rerun guards. */
   def pipelineSnapshotCompact(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val n = t(spark, dir, "documents").count()
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${graft.sources.Artifacts.root(spark)}/snapcmp_${key}_n$n"
     if (!SnapshotTable.latestVersion(spark, root).contains(4)) {
@@ -1315,7 +1322,7 @@ object Pipeline {
     * values all break the hash (v4 must equal v3 exactly). */
   def pipelineSnapshotMor(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val n = t(spark, dir, "documents").count()
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${graft.sources.Artifacts.root(spark)}/snapmor_${key}_n$n"
     if (!SnapshotTable.latestVersion(spark, root).contains(4)) {
@@ -1355,7 +1362,7 @@ object Pipeline {
     * prune wrongly, all break the hash. */
   def pipelineSnapshotCluster(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val n = t(spark, dir, "documents").count()
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${graft.sources.Artifacts.root(spark)}/snapclu_${key}_n$n"
     if (!SnapshotTable.latestVersion(spark, root).contains(4)) {
@@ -1399,7 +1406,7 @@ object Pipeline {
     * to the corpus). */
   def pipelineSnapshotEvolve(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val n = t(spark, dir, "documents").count()
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${graft.sources.Artifacts.root(spark)}/snapevo_${key}_n$n"
     if (!SnapshotTable.latestVersion(spark, root).contains(2)) {
@@ -1441,7 +1448,7 @@ object Pipeline {
     * removed, s3 kept. */
   def pipelineSnapshotExpire(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val n = t(spark, dir, "documents").count()
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${graft.sources.Artifacts.root(spark)}/snapexp_${key}_n$n"
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -1477,7 +1484,7 @@ object Pipeline {
     * surface as count/sum mismatches. */
   def pipelineSnapshotMerge(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val n = t(spark, dir, "documents").count()
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${graft.sources.Artifacts.root(spark)}/snapmrg_${key}_n$n"
     if (!SnapshotTable.latestVersion(spark, root).contains(2)) {

@@ -521,6 +521,107 @@ object Similarity {
         col("adc_dist"))
   }
 
+  /** Lloyd rounds for the residual index's coarse quantizer and
+    * per-block sub-codebooks. Fixed small counts (not
+    * convergence-bound): each round is one corpus pass in BOTH
+    * engines — the DuckDB oracle replays every round as a chained
+    * CTE — and two rounds already move the seeds most of the way to
+    * the local optimum on this corpus's near-flat spectrum. */
+  val CoarseTrainRounds = 2
+  val PqTrainRounds = 2
+
+  /** Coarse quantizer TRAINED with the engine's own Lloyd kernel:
+    * [[CoarseTrainRounds]] rounds of assign→mean from the
+    * deterministic first-k seed, each round's means 6dp-rounded
+    * driver-side (the kmeans_full parity rule — both engines re-round,
+    * so float summation order can never drift the replay); an empty
+    * cell keeps its previous centroid (no re-init — an index build
+    * wants determinism, not the clustering-quality policy of
+    * [[graft.kmeans.KMeansRunner]]). k·d doubles on the driver per
+    * round, corpus passes = rounds. */
+  private[operators] def trainedCoarseCentroids(
+      spark: SparkSession, dir: String): Array[Array[Double]] = {
+    var cents = KMeansQueries.coarseCentroids(spark, dir)
+    val pts = emb(spark, dir).select(col("vec_id"), col("v"))
+    for (_ <- 1 to CoarseTrainRounds) {
+      val next = cents.map(_.clone())
+      KMeansOps.lloydRound(pts, "v", cents)
+        .select(col("cluster"), col("centroid")).collect()
+        .foreach(r => next(r.getInt(0)) =
+          r.getSeq[Double](1).toArray.map(r6))
+      cents = next
+    }
+    cents
+  }
+
+  /** Per-block k-means on the residual slices — the PQ `train()`
+    * step: each round assigns every residual's m-th slice to its
+    * nearest sub-centroid (the same strict-< argmin the encode uses)
+    * and recenters. All [[PqM]] blocks train in ONE job per round:
+    * the slices stack through a single explode into an
+    * (m, code)-keyed hash aggregate — map-side combined, the exchange
+    * carries [[PqM]]·[[PqKsub]] rows regardless of corpus size. Means
+    * 6dp-rounded, empty codes keep their previous sub-centroid (same
+    * contract as [[trainedCoarseCentroids]]). */
+  private def trainResidualCodebook(assigned: DataFrame,
+      seed: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    var cb = seed
+    for (_ <- 1 to PqTrainRounds) {
+      val coded = withBlockDists(assigned, "r", cb, "ds_")
+        .select(col("r") +: (0 until PqM).map(m =>
+          (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
+            .cast("int").as(s"code_$m")): _*)
+      val stacked = coded.select(explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), col(s"code_$m").as("j"),
+            slice(col("r"), m * PqSubDim + 1, PqSubDim).as("sub"))): _*))
+          .as("s"))
+        .select(col("s.m").as("m"), col("s.j").as("j"), col("s.sub").as("sub"))
+      val next = cb.map(_.map(_.clone()))
+      stacked.groupBy(col("m"), col("j"))
+        .agg(array((0 until PqSubDim).map(d => avg(col("sub")(d))): _*)
+          .as("c"))
+        .collect()
+        .foreach(r => next(r.getInt(0))(r.getInt(1)) =
+          r.getSeq[Double](2).toArray.map(r6))
+      cb = next
+    }
+    cb
+  }
+
+  /** Training diagnostic (the FAISS `index.train()` stats idiom):
+    * corpus-average residual reconstruction error under the seed
+    * codebook vs the Lloyd-trained one. The k-means objective is
+    * monotone under exact arithmetic, so trained < seed is the
+    * direct witness that [[trainResidualCodebook]] optimizes what it
+    * claims — spec-pinned, because the top-k-sampled |adc − true|
+    * metric is selection-biased (ranking by ADC favors
+    * underestimates) and CANNOT certify training. */
+  private[graft] def residualTrainingGain(spark: SparkSession,
+      dir: String): (Double, Double) = {
+    val spark2 = spark
+    import spark2.implicits._
+    val cents = trainedCoarseCentroids(spark, dir)
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("c_cl", "cent"))
+    val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
+      .join(centDf, col("cluster") === col("c_cl"))
+      .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
+      .drop("c_cl", "cent")
+    val ck = cents.length
+    val seedRs = assigned
+      .where(col("vec_id") >= ck && col("vec_id") < ck + PqKsub)
+      .select(col("vec_id"), col("r")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val seed = Array.tabulate(PqM)(m =>
+      seedRs.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    def distortion(cb: Array[Array[Array[Double]]]): Double =
+      withBlockDists(assigned, "r", cb, "ds_")
+        .select(sqrt((0 until PqM).map(m => array_min(col(s"ds_$m")))
+          .reduce(_ + _)).as("e"))
+        .agg(avg(col("e"))).collect()(0).getDouble(0)
+    (distortion(seed), distortion(trainResidualCodebook(assigned, seed)))
+  }
+
   /** RESIDUAL IVF-PQ — the production (FAISS `IVFPQ`) refinement of
     * [[annIvfPq]]: codes quantize the RESIDUAL v − centroid(cell(v))
     * instead of the raw vector. Residuals concentrate near zero once
@@ -530,17 +631,22 @@ object Similarity {
     * encodes residuals. Query side: per probed cell a DIFFERENT
     * residual q − centroid(cell), so the LUTs are per (query, cell)
     * — still queries·NProbe·M tiny arrays riding the broadcast.
-    * Codebook = residuals of the first [[PqKsub]] post-centroid
-    * vectors (k-row collect, deterministic, replayed by the oracle).
-    * Same ADC join shape as [[annIvfPq]]; only the geometry changed.
-    * With the engine's UNTRAINED first-k coarse cells the measurable
-    * win is distance-estimation error (the spec's claim); under
-    * trained cells — the production setting — it compounds into
-    * recall. */
+    * Both quantizers are TRAINED with the engine's own Lloyd kernel
+    * (the FAISS `train()` step): the coarse cells run
+    * [[CoarseTrainRounds]] rounds of [[KMeansOps.lloydRound]] from
+    * the first-k seed, and the sub-codebooks run [[PqTrainRounds]]
+    * rounds of per-block k-means over the residual slices from the
+    * first-[[PqKsub]]-residual seed — every round's means 6dp-rounded
+    * (the kmeans_full cross-engine parity rule) so the DuckDB oracle
+    * replays the ENTIRE training as chained CTEs and lands on
+    * bit-identical quantizers. Same ADC join shape as [[annIvfPq]];
+    * the geometry (residual) AND the quantizers (trained) changed,
+    * which is what lets the spec pin recall ≥ raw IVF-PQ rather than
+    * just distance-estimation error. */
   def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val cents = KMeansQueries.coarseCentroids(spark, dir)
+    val cents = trainedCoarseCentroids(spark, dir)
     val centDf = broadcast(cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("c_cl", "cent"))
     val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
@@ -556,8 +662,8 @@ object Similarity {
       .select(col("vec_id"), col("r")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
-    val cb = Array.tabulate(PqM)(m =>
-      seedRs.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    val cb = trainResidualCodebook(assigned, Array.tabulate(PqM)(m =>
+      seedRs.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))))
     val encoded = withBlockDists(assigned, "r", cb, "ds_")
       .select(col("vec_id") +: col("cluster") +:
         (0 until PqM).map(m =>
@@ -606,7 +712,10 @@ object Similarity {
     * parquet overwrite. */
   private def artifactOnce(spark: SparkSession, dir: String, kind: String,
                            coalesceTo: Int)(build: => DataFrame): DataFrame = {
-    val n = t(spark, dir, "embeddings").count()
+    // memoized per session — a per-query count() here put an
+    // O(files) metadata job in front of EVERY quantized search
+    // (the r11 ann_bq warm regression)
+    val n = graft.Tables.cachedCount(spark, dir, "embeddings")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path =
       s"${graft.sources.Artifacts.root(spark)}/${kind}_${key}_n$n"
@@ -1137,6 +1246,11 @@ object Similarity {
     scored.groupBy(col("query_id"))
       .agg(max(when(col("same"), col("s"))).as("p"),
         max(when(!col("same"), col("s"))).as("n"))
+      // a query whose label has no same-label (or no different-label)
+      // candidate has no trainable pair — drop it, the oracle's
+      // pos-JOIN-neg inner-join semantics made explicit rather than
+      // fixture-dependent
+      .where(col("p").isNotNull && col("n").isNotNull)
       .select(col("query_id"),
         (-col("p.nid")).as("pos_id"), col("p.score").as("pos_score"),
         (-col("n.nid")).as("neg_id"), col("n.score").as("neg_score"),
@@ -1337,6 +1451,94 @@ object Similarity {
   private[operators] def sqdSql(a: String, b: String, m: Int): String =
     s"(SELECT sum(($a[g.i] - $b[g.i]) * ($a[g.i] - $b[g.i])) " +
       s"FROM generate_series(${m * PqSubDim + 1}, ${(m + 1) * PqSubDim}) g(i))"
+
+  /** Squared distance of full-vector `full`'s block-`m` slice against
+    * an 8-long sub-centroid list `sub` (the trained-codebook layout,
+    * where each (m, j) row carries only its own block). Ascending-i
+    * sum, same bit-for-bit fold as [[sqdSql]]. */
+  private def sqdSubSql(full: String, sub: String, m: String): String =
+    s"(SELECT sum(($full[$m * $PqSubDim + g.i] - $sub[g.i]) * " +
+      s"($full[$m * $PqSubDim + g.i] - $sub[g.i])) " +
+      s"FROM generate_series(1, $PqSubDim) g(i))"
+
+  /** DuckDB replay of [[trainedCoarseCentroids]]: the first-k seed
+    * (cc0), then one (assign ca_r → 6dp-rounded means cc_r) CTE pair
+    * per Lloyd round, empty cells carried by the coalesce — landing on
+    * the engine's exact trained `cents`. Also defines `ev` and `q`
+    * (the [[centsCte]] contract this replaces for the residual
+    * oracle). */
+  private def trainedCentsCte: String = {
+    val d = PqM * PqSubDim
+    val rounds = (1 to CoarseTrainRounds).map { r =>
+      s"""ca$r AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v,
+         |    (SELECT c.cid FROM cc${r - 1} c
+         |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cl
+         |  FROM ev e
+         |), cc$r AS MATERIALIZED (
+         |  SELECT b.cid, coalesce(nc.c, b.c) AS c
+         |  FROM cc${r - 1} b LEFT JOIN (
+         |    SELECT cl, list(mv ORDER BY dim) AS c FROM (
+         |      SELECT cl, g.dim AS dim,
+         |             round(sum(v[g.dim]) / count(*), 6) AS mv
+         |      FROM ca$r CROSS JOIN generate_series(1, $d) g(dim)
+         |      GROUP BY cl, g.dim)
+         |    GROUP BY cl) nc ON nc.cl = b.cid
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""ev AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cc0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |         v AS c
+       |  FROM (SELECT vec_id, v FROM ev
+       |        ORDER BY vec_id LIMIT ${KMeansQueries.coarseKSql})
+       |), $rounds, cents AS MATERIALIZED (
+       |  SELECT cid, c FROM cc$CoarseTrainRounds
+       |), q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $NQueries
+       |)""".stripMargin
+  }
+
+  /** DuckDB replay of [[trainResidualCodebook]]: rcb0 slices the
+    * residual seeds per block, `bsub` stacks every residual's slices
+    * once, then per round an assign (basj_r: strict-< argmin against
+    * the previous codebook) and a 6dp-rounded recenter (rcb_r, empty
+    * codes carried by the coalesce). Requires `asg` (residuals) and
+    * `rseeds` in scope. */
+  private def residualCbCtes: String = {
+    val sub = PqSubDim
+    val rounds = (1 to PqTrainRounds).map { r =>
+      s"""basj$r AS MATERIALIZED (
+         |  SELECT s.vec_id, s.m, s.sub,
+         |    (SELECT b.j FROM rcb${r - 1} b WHERE b.m = s.m
+         |     ORDER BY (SELECT sum((s.sub[g.i] - b.c[g.i]) *
+         |                          (s.sub[g.i] - b.c[g.i]))
+         |               FROM generate_series(1, $sub) g(i)),
+         |       b.j LIMIT 1) AS j
+         |  FROM bsub s
+         |), rcb$r AS MATERIALIZED (
+         |  SELECT b.m, b.j, coalesce(nc.c, b.c) AS c
+         |  FROM rcb${r - 1} b LEFT JOIN (
+         |    SELECT m, j, list(mv ORDER BY dim) AS c FROM (
+         |      SELECT m, j, g.dim AS dim,
+         |             round(sum(sub[g.dim]) / count(*), 6) AS mv
+         |      FROM basj$r CROSS JOIN generate_series(1, $sub) g(dim)
+         |      GROUP BY m, j, g.dim)
+         |    GROUP BY m, j) nc ON nc.m = b.m AND nc.j = b.j
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""rcb0 AS MATERIALIZED (
+       |  SELECT bm.m, s.j,
+       |         list_slice(s.c, bm.m * $sub + 1, (bm.m + 1) * $sub) AS c
+       |  FROM rseeds s CROSS JOIN generate_series(0, ${PqM - 1}) bm(m)
+       |), bsub AS MATERIALIZED (
+       |  SELECT a.vec_id, bm.m,
+       |         list_slice(a.r, bm.m * $sub + 1, (bm.m + 1) * $sub) AS sub
+       |  FROM asg a CROSS JOIN generate_series(0, ${PqM - 1}) bm(m)
+       |), $rounds""".stripMargin
+  }
 
   private[operators] def pqCodesCte: String = {
     val codeCols = (0 until PqM).map(m =>
@@ -1671,16 +1873,17 @@ object Similarity {
     // against its OWN cell centroid, the residual seed codebook, and
     // per-(query, probed-cell) residual LUT distances
     "ann_ivfpq_residual" -> {
+      val R = PqTrainRounds
       val codeCols = (0 until PqM).map(m =>
-        s"""    (SELECT s.j FROM rseeds s
-           |     ORDER BY ${sqdSql("a.r", "s.c", m)}, s.j LIMIT 1) AS code_$m""")
+        s"""    (SELECT b.j FROM rcb$R b WHERE b.m = $m
+           |     ORDER BY ${sqdSubSql("a.r", "b.c", m.toString)}, b.j LIMIT 1)
+           |      AS code_$m""")
         .mkString(",\n")
       val adc = "sqrt(" + (0 until PqM).map(m =>
-        s"(SELECT ${sqdSql("p.qr", "s.c", m)} FROM rseeds s WHERE s.j = c2.code_$m)")
+        s"(SELECT ${sqdSubSql("p.qr", "b.c", m.toString)} FROM rcb$R b " +
+          s"WHERE b.m = $m AND b.j = c2.code_$m)")
         .mkString(" + ") + ")"
-      s"""WITH $centsCte, ev AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), asg AS MATERIALIZED (
+      s"""WITH $trainedCentsCte, asg AS MATERIALIZED (
          |  SELECT e.vec_id,
          |    (SELECT c.cid FROM cents c
          |     ORDER BY list_distance(e.v, c.c), c.cid LIMIT 1) AS cluster,
@@ -1695,7 +1898,7 @@ object Similarity {
          |  FROM (SELECT vec_id, r FROM asg
          |        WHERE vec_id >= ${KMeansQueries.coarseKSql}
          |          AND vec_id < ${KMeansQueries.coarseKSql} + $PqKsub)
-         |), rcodes AS MATERIALIZED (
+         |), $residualCbCtes, rcodes AS MATERIALIZED (
          |  SELECT a.vec_id, a.cluster,
          |$codeCols
          |  FROM asg a

@@ -817,9 +817,17 @@ object SnapshotTable {
     val next = base + 1
     val dataRel =
       s"data/r$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    // NULL keys (or keys the long cast nulls out) cluster into bucket
+    // 0: a null __rb would land in the __HIVE_DEFAULT_PARTITION__
+    // subdir, whose name breaks the bucket sort below and whose rows
+    // a range reader would silently orphan. min/max/bloom stats
+    // ignore nulls, and a SQL range predicate never matches a NULL
+    // key, so bucket 0's stats stay tight for the rows that matter.
     df.withColumn("__rb",
-        least(((col(statsKey).cast("long") - lo) / width).cast("long"),
-          lit(numSets - 1L)))
+        coalesce(
+          least(((col(statsKey).cast("long") - lo) / width).cast("long"),
+            lit(numSets - 1L)),
+          lit(0L)))
       .write.partitionBy("__rb").parquet(s"$root/$dataRel")
     val fs = fsOf(spark, root)
     val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$dataRel"))
@@ -843,10 +851,21 @@ object SnapshotTable {
     * complement of [[expire]]: retention deletes history, vacuum only
     * sweeps the debris of crashed or conflict-losing commits, which
     * wrote their attempt-unique data dir but never published). Every
-    * dir any published manifest lists survives by construction, so
-    * vacuum is always safe to schedule. Also sweeps `_tmp_` manifest
-    * write-debris. O(file sets) namespace ops, no data read. */
-  def vacuum(spark: SparkSession, root: String): VacuumReport = {
+    * dir any published manifest lists survives by construction —
+    * but an IN-FLIGHT commit (data dir written, manifest rename not
+    * yet landed, e.g. [[commitRetry]] mid-publish) is
+    * indistinguishable from crash debris, so vacuum with the default
+    * `olderThanMs = 0` requires the same ingest fence as
+    * [[materializeDeletes]]: no concurrent writers. To schedule
+    * vacuum alongside live ingest, pass an `olderThanMs` larger than
+    * any plausible write-to-publish window (Iceberg's
+    * `older_than` convention) — dirs modified more recently are
+    * kept, so an in-flight commit's dir survives to be published.
+    * Also sweeps `_tmp_` manifest write-debris (same age gate).
+    * O(file sets) namespace ops, no data read. */
+  def vacuum(spark: SparkSession, root: String,
+             olderThanMs: Long = 0L): VacuumReport = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val liveDirs = versions(spark, root)
       .flatMap(manifestEntries(spark, root, _)).map(_.dir).toSet
     // a clustered rewrite's entries are SUBDIRS (data/rN-x/__rb=k);
@@ -855,15 +874,16 @@ object SnapshotTable {
     val fs = fsOf(spark, root)
     val mDir = new org.apache.hadoop.fs.Path(s"$root/manifests")
     if (fs.exists(mDir)) fs.listStatus(mDir).toSeq
-      .map(_.getPath).filter(_.getName.startsWith("_tmp_"))
-      .foreach(fs.delete(_, true))
+      .filter(st => st.getPath.getName.startsWith("_tmp_") &&
+        st.getModificationTime <= cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     val all = if (fs.exists(dataDir))
-      fs.listStatus(dataDir).toSeq.map(_.getPath.getName) else Seq.empty
-    val (kept, removed) = all.partition(d => liveTop.contains(s"data/$d"))
-    removed.foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/$d"), true)
-    }
+      fs.listStatus(dataDir).toSeq else Seq.empty
+    val (kept, removed) = all.partition(st =>
+      liveTop.contains(s"data/${st.getPath.getName}") ||
+        st.getModificationTime > cutoff)
+    removed.foreach(st => fs.delete(st.getPath, true))
     VacuumReport(removed.size, kept.size)
   }
 
@@ -1037,6 +1057,19 @@ object SnapshotTable {
                 "version and retry")
           val added = newEntries.filterNot(n =>
             entries.exists(_.dir == n.dir))
+          // A concurrently-added MOR delete vector ALWAYS conflicts,
+          // whatever its key range: the vector's keys can sit inside a
+          // TOUCHED set's wider range while being disjoint from the
+          // update envelope, and republishing this merge's raw-read
+          // rewrite with addedIn=next (newer than the vector) would
+          // resurrect the concurrently-deleted rows — the same
+          // lost-delete anomaly mergeWrite's live-vector require
+          // refuses at base.
+          if (added.exists(_.kind == "delete"))
+            throw new IllegalStateException(
+              s"commit conflict: a concurrent commit added a merge-on-read " +
+                s"delete vector at $root; materialize deletes and re-merge " +
+                "from the latest version")
           val addedConflicts = env match {
             case None => added.nonEmpty // un-scopable: any add conflicts
             case Some((uMin, uMax)) => added.exists(a =>

@@ -407,6 +407,64 @@ class SnapshotSpec extends SparkSessionSpec {
     assert(rows.count(_._1 == 12L) == 1 && rows.contains((12L, "mine")))
   }
 
+  test("merge racing a concurrent MOR delete conflicts — even when the " +
+       "deleted key is outside the merge's envelope (lost-delete anomaly)") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1L to 15L).map(k => (k, s"d$k")).toDF("doc_id", "text"),
+      statsKey = Some("doc_id"))
+    val base = SnapshotTable.latestVersion(spark, root) // v1, all-data
+    // concurrent writer MOR-deletes key 1 → v2 adds a delete vector
+    assert(SnapshotTable.deleteRows(spark, root,
+      Seq(1L).toDF("doc_id"), "doc_id") == 2)
+    // stale-based merge over [10, 10]: the update envelope is DISJOINT
+    // from the deleted key, but the merge's raw-read rewrite carries
+    // key 1 — republishing it with a newer addedIn than the vector
+    // would resurrect the deleted row. Validation must refuse.
+    val e = intercept[IllegalStateException](
+      SnapshotTable.mergeRetryAs(spark, root,
+        Seq((10L, "mine")).toDF("doc_id", "text"), "doc_id",
+        base, maxRetries = 5))
+    assert(e.getMessage.contains("delete vector"))
+    // and the deleted row stays deleted
+    assert(!SnapshotTable.readLatest(spark, root)
+      .as[(Long, String)].collect().map(_._1).contains(1L))
+  }
+
+  test("clustered rewrite routes NULL stats keys into bucket 0 instead " +
+       "of crashing or orphaning them") {
+    val root = tmpRoot()
+    val rows = Seq((java.lang.Long.valueOf(1L), "a"),
+      (java.lang.Long.valueOf(90L), "b"),
+      (null.asInstanceOf[java.lang.Long], "nokey"),
+      (java.lang.Long.valueOf(40L), "c"))
+    SnapshotTable.commit(spark, root,
+      rows.toDF("doc_id", "text"), statsKey = Some("doc_id"))
+    val v = SnapshotTable.rewriteSorted(spark, root, "doc_id", 2)
+    val out = SnapshotTable.read(spark, root, v)
+      .select("text").as[String].collect().toSet
+    assert(out == Set("a", "b", "c", "nokey"),
+      "the null-key row must survive the rewrite")
+  }
+
+  test("vacuum with an age threshold keeps young debris (the in-flight-" +
+       "commit window); the default still sweeps it") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a")).toDF("doc_id", "text"))
+    // simulate an in-flight commit: data dir written, manifest rename
+    // not yet landed
+    Seq((2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$root/data/a9-inflight")
+    val rep = SnapshotTable.vacuum(spark, root, olderThanMs = 3600L * 1000)
+    assert(rep.dirsRemoved == 0 && rep.dirsKept == 2,
+      s"young debris must survive an aged vacuum, got $rep")
+    // the ingest-fenced default sweeps it as crash debris
+    val rep2 = SnapshotTable.vacuum(spark, root)
+    assert(rep2.dirsRemoved == 1 && rep2.dirsKept == 1, s"got $rep2")
+    assert(SnapshotTable.readLatest(spark, root).count() == 1)
+  }
+
   test("bin-packed compaction: small sets merge, big sets keep their " +
        "paths, and no-work runs publish nothing") {
     val root = tmpRoot()
