@@ -1741,7 +1741,162 @@ object Pipeline {
           !col("url_blocked"))
   }
 
+  /** END-TO-END CRAWL-TO-CORPUS COMPOSITION — the workload the whole
+    * crawl/curation surface exists for, as ONE provenance-audited
+    * query (the [[pipelineProvenance]] pattern over the crawl stack):
+    * every arriving crawl doc (odd doc_ids — the cross-corpus
+    * convention; evens are the curated base) rides in as a
+    * chrome-laden HTML page inside an HTTP response inside a WARC
+    * record, is UNWRAPPED through all three wire layers
+    * ([[Warc.textHtmlExtractChrome]]'s kernel), and then every text
+    * gate reads the EXTRACTED text — the DuckDB oracle reads
+    * documents.text and never sees the markup, so parity proves the
+    * unwrap feeds the gates losslessly. Gates, each the SAME kernel
+    * as its standalone query (CrawlE2eSpec pins the column parity):
+    * robots.txt REP verdict ([[robotsVerdicts]]), domain-blocklist
+    * URL filter ([[urlFilterOf]]), per-host quota
+    * ([[pipelineDomainCap]]'s TopKPerKey cut), marker language-ID
+    * ([[TextAnalysis.textLangId]]), token/stopword quality bounds,
+    * eval-shingle decontamination, and the cross-corpus paragraph
+    * screen ([[Dedup.paragraphScreenAgainstBase]] — kept requires at
+    * least one unseen segment). `kept` is the conjunction; the audit
+    * is COMMITTED to a snapshot table and the query returns the
+    * read-back, so the lakehouse sink is inside the verified path.
+    * Scale: each gate is one linear pass over the one extracted scan
+    * (assembled by doc_id left joins); the quota cut is heap-bounded
+    * per host; eval shingles and robots rules broadcast; the commit
+    * is one write of the audit relation. */
+  def pipelineCrawlE2e(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.sources.SnapshotTable
+    val docs = t(spark, dir, "documents")
+    // wire unwrap: WARC walk → HTTP parse → HTML strip (chrome-laden)
+    val extracted = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        for {
+          rs <- Warc.decodeWarcPayloads(Warc.buildWarc(id,
+            Seq((s"http://synth.graft/doc$id",
+              Warc.httpResponse(Warc.htmlPageChrome(text)))))).toSeq
+          (_, payload) <- rs
+          http <- Warc.parseHttp(payload)
+          txt <- Warc.htmlToText(new String(http.body, "UTF-8"))
+        } yield (id, txt)
+      }).toDF("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = expr("(doc_id DIV 4) % 10").cast("string")
+    val host = when(col("doc_id") % 4 === 0,
+        concat(lit("cdn"), x, lit(".example.com")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("media.cdn"), x, lit(".example.com")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("site"), x, lit(".blog.net")))
+      .otherwise(concat(lit("site"), x, lit(".notblog.net")))
+    val m = col("doc_id") % 5
+    val path = when(m === 0, concat(lit("/private/ok/p"), col("doc_id")))
+      .when(m === 1, concat(lit("/private/p"), col("doc_id")))
+      .when(m === 2, concat(lit("/tmp"), x, lit("/f")))
+      .when(m === 3, concat(lit("/public/p"), col("doc_id")))
+      .otherwise(lit("/other"))
+    val urls = extracted
+      .select(col("doc_id"), host.as("host"), path.as("path"))
+    val robots = robotsVerdicts(urls, parseRobotsRelation(robotsFixture(
+        urls.select(col("host")).distinct())))
+      .select(col("doc_id").as("r_id"),
+        col("allowed").as("robots_allowed"))
+    val urlf = urlFilterOf(
+        extracted.select(col("doc_id"), host.as("host")), UrlBlocklist)
+      .select(col("doc_id").as("u_id"), (!col("kept")).as("url_blocked"))
+    val scored = extracted
+      .select(col("doc_id"), host.as("host"),
+        split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("host"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 6).as("score"))
+    val quota = graft.plans.TopKPerKey.topKPerKey(scored,
+        Seq("host"), Seq("score" -> false, "doc_id" -> true), DomainCap)
+      .select(col("doc_id").as("q_id"), lit(true).as("qk"))
+    val votes = extracted
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(
+        TextAnalysis.LangMarkers.toDF("cand_lang", "marker")),
+        col("tok") === col("marker"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val lw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("cand_lang"))
+    val lang = votes.withColumn("rn", row_number().over(lw))
+      .where(col("rn") === 1)
+      .select(col("doc_id").as("l_id"), col("cand_lang").as("pred_lang"))
+    val quality = extracted
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .select(col("doc_id").as("b_id"),
+        (col("n_tokens") >= MinTokens &&
+          size(filter(col("toks"),
+            w => w.isInCollection(TextAnalysis.Stopwords))).cast("double") /
+            col("n_tokens") <= MaxStopRatio).as("quality_ok"))
+    val shBatch = extracted
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingleCol(col("toks"), 3))).as("s"))
+    val evalSh = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id").as("e_id"),
+        explode(array_distinct(Dedup.shingleCol(col("toks"), 3))).as("e_s"))
+    val cont = shBatch
+      .join(broadcast(evalSh),
+        col("s") === col("e_s") && col("doc_id") =!= col("e_id"))
+      .select(col("doc_id").as("c_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val para = Dedup.paragraphScreenAgainstBase(extracted,
+        Dedup.baseParagraphHashes(docs.where(col("doc_id") % 2 === 0)))
+      .select(col("doc_id").as("p_id"), col("n_segs"), col("n_removed"))
+    val audit = extracted
+      .select(col("doc_id"), host.as("host"), path.as("path"))
+      .join(robots, col("doc_id") === col("r_id"), "left")
+      .join(urlf, col("doc_id") === col("u_id"), "left")
+      .join(quota, col("doc_id") === col("q_id"), "left")
+      .join(lang, col("doc_id") === col("l_id"), "left")
+      .join(quality, col("doc_id") === col("b_id"), "left")
+      .join(cont, col("doc_id") === col("c_id"), "left")
+      .join(para, col("doc_id") === col("p_id"), "left")
+      .select(col("doc_id"), col("host"), col("path"),
+        col("robots_allowed"),
+        coalesce(col("url_blocked"), lit(false)).as("url_blocked"),
+        coalesce(col("qk"), lit(false)).as("quota_kept"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        col("quality_ok"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("kept",
+        col("robots_allowed") && !col("url_blocked") &&
+          col("quota_kept") && col("pred_lang") === "en" &&
+          col("quality_ok") && !col("contaminated") &&
+          col("n_removed") < col("n_segs"))
+    // lakehouse sink inside the verified path: commit the audit, read
+    // it back (n-keyed root, rebuilt per run — the audit derives from
+    // the corpus, so staleness is never possible)
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root =
+      s"${graft.sources.Artifacts.root(spark)}/crawl_e2e_${key}_n$n"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    SnapshotTable.commit(spark, root, audit, statsKey = Some("doc_id"))
+    SnapshotTable.readLatest(spark, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_crawl_e2e" -> pipelineCrawlE2e,
     "pipeline_domain_cap" -> pipelineDomainCap,
     "pipeline_length_buckets" -> pipelineLengthBuckets,
     "pipeline_dsir" -> pipelineDsir,
@@ -1787,6 +1942,9 @@ object Pipeline {
   private val stopList =
     TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  private val markerValuesSql = TextAnalysis.LangMarkers
+    .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
+
   private val decontaminateSql =
     """WITH shd AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -1816,6 +1974,119 @@ object Pipeline {
       |END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the whole crawl stack replayed against the PLAIN text — the
+    // oracle never sees the WARC/HTTP/HTML wrapping, so parity proves
+    // the engine's 3-layer unwrap feeds every gate losslessly; each
+    // gate CTE is its standalone query's oracle restricted to the odd
+    // (crawl) half
+    "pipeline_crawl_e2e" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text,
+         |    $hostSql AS host,
+         |    CASE WHEN doc_id % 5 = 0 THEN concat('/private/ok/p', doc_id)
+         |         WHEN doc_id % 5 = 1 THEN concat('/private/p', doc_id)
+         |         WHEN doc_id % 5 = 2
+         |           THEN concat('/tmp', (doc_id // 4) % 10, '/f')
+         |         WHEN doc_id % 5 = 3 THEN concat('/public/p', doc_id)
+         |         ELSE '/other' END AS path,
+         |    CASE WHEN doc_id % 4 = 1 THEN doc_id % 5 = 3
+         |         ELSE doc_id % 5 IN (0, 3, 4) END AS robots_allowed
+         |  FROM documents WHERE doc_id % 2 = 1
+         |), blocked AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(string_split(host, '.')) - 1),
+         |      i -> array_to_string(string_split(host, '.')[i:], '.')))
+         |      AS suffix
+         |    FROM u)
+         |  WHERE suffix IN (${UrlBlocklist.map(e => s"'$e'").mkString(", ")})
+         |), quota AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY host
+         |      ORDER BY round(CAST(len(list_distinct(string_split(text, ' ')))
+         |          AS DOUBLE) / len(string_split(text, ' ')), 6) DESC,
+         |        doc_id) AS rn
+         |    FROM u WHERE len(string_split(text, ' ')) >= 1)
+         |  WHERE rn <= $DomainCap
+         |), markers(cand_lang, marker) AS (VALUES $markerValuesSql),
+         |votes AS (
+         |  SELECT doc_id, cand_lang, count(*) AS hits
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM u) tk
+         |  JOIN markers ON tk.tok = markers.marker
+         |  GROUP BY doc_id, cand_lang
+         |), lang AS (
+         |  SELECT doc_id, cand_lang FROM (
+         |    SELECT doc_id, cand_lang,
+         |      row_number() OVER (PARTITION BY doc_id
+         |                         ORDER BY hits DESC, cand_lang) AS rn
+         |    FROM votes)
+         |  WHERE rn = 1
+         |), quality AS (
+         |  SELECT doc_id,
+         |    (len(string_split(text, ' ')) >= $MinTokens
+         |     AND CAST(len(list_filter(string_split(text, ' '),
+         |               x -> list_contains($stopList, x))) AS DOUBLE)
+         |         / len(string_split(text, ' ')) <= $MaxStopRatio)
+         |      AS quality_ok
+         |  FROM u
+         |), shb AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |           list_transform(generate_series(1, len(t)-2),
+         |             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM u)
+         |  WHERE len(t) >= 3
+         |), she AS (
+         |  SELECT doc_id AS e_id, unnest(list_distinct(
+         |           list_transform(generate_series(1, len(t)-2),
+         |             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+         |        FROM documents WHERE doc_id % 97 = 0)
+         |  WHERE len(t) >= 3
+         |), cont AS (
+         |  SELECT DISTINCT c.doc_id FROM shb c
+         |  JOIN she ev ON c.s = ev.s AND c.doc_id <> ev.e_id
+         |), segs AS (
+         |  SELECT doc_id, md5(seg) AS h FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(0, len(t)//${Dedup.ParaW} - 1),
+         |        i -> array_to_string(
+         |               t[i*${Dedup.ParaW} + 1 : i*${Dedup.ParaW} + ${Dedup.ParaW}], ' '))) AS seg
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM u)
+         |    WHERE len(t) >= ${Dedup.ParaW})
+         |), baseh AS (
+         |  SELECT DISTINCT md5(seg) AS h FROM (
+         |    SELECT unnest(list_transform(generate_series(0, len(t)//${Dedup.ParaW} - 1),
+         |        i -> array_to_string(
+         |               t[i*${Dedup.ParaW} + 1 : i*${Dedup.ParaW} + ${Dedup.ParaW}], ' '))) AS seg
+         |    FROM (SELECT string_split(text, ' ') AS t FROM documents
+         |          WHERE doc_id % 2 = 0)
+         |    WHERE len(t) >= ${Dedup.ParaW})
+         |), para AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |    CAST(sum(CASE WHEN h IN (SELECT h FROM baseh)
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |  FROM segs GROUP BY doc_id
+         |)
+         |SELECT u.doc_id, u.host, u.path, u.robots_allowed,
+         |  (u.doc_id IN (SELECT doc_id FROM blocked)) AS url_blocked,
+         |  (u.doc_id IN (SELECT doc_id FROM quota)) AS quota_kept,
+         |  coalesce(l.cand_lang, 'und') AS pred_lang,
+         |  q.quality_ok,
+         |  (u.doc_id IN (SELECT doc_id FROM cont)) AS contaminated,
+         |  coalesce(p.n_segs, 0) AS n_segs,
+         |  coalesce(p.n_removed, 0) AS n_removed,
+         |  (u.robots_allowed
+         |   AND u.doc_id NOT IN (SELECT doc_id FROM blocked)
+         |   AND u.doc_id IN (SELECT doc_id FROM quota)
+         |   AND coalesce(l.cand_lang, 'und') = 'en'
+         |   AND q.quality_ok
+         |   AND u.doc_id NOT IN (SELECT doc_id FROM cont)
+         |   AND coalesce(p.n_removed, 0) < coalesce(p.n_segs, 0)) AS kept
+         |FROM u
+         |LEFT JOIN lang l ON u.doc_id = l.doc_id
+         |LEFT JOIN quality q ON u.doc_id = q.doc_id
+         |LEFT JOIN para p ON u.doc_id = p.doc_id""".stripMargin,
     "pipeline_domain_cap" ->
       s"""WITH scored AS (
          |  SELECT doc_id, $hostSql AS host,
