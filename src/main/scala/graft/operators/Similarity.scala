@@ -211,7 +211,8 @@ object Similarity {
     *
     * Scale shape: the navigation graph is n·K rows, built ONCE per
     * (corpus, size) and persisted as a durable parquet artifact
-    * ([[artifactOnce]] — serving runs never pay the kNN build join);
+    * ([[AnnTiers.ensureSegment]] — serving runs never pay the kNN
+    * build join);
     * the seed is one probe-cell equi join (the IVF serving path);
     * per hop the
     * frontier relation (queries·beam rows) BROADCASTS into one edge
@@ -229,7 +230,7 @@ object Similarity {
     // the navigation graph IS the index artifact (the AnnIndex rule):
     // built once per (corpus, size), persisted as parquet, served
     // from disk ever after — a searcher never pays the n·K kNN join
-    val edges = artifactOnce(spark, dir, "knng", 0) {
+    val edges = AnnTiers.ensureSegment(spark, dir, "graph", 0) {
       knnGraphFrom(e, assigned, cents)
     }.select(col("query_id").as("node"), col("neighbor_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -269,7 +270,20 @@ object Similarity {
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node"))
-    val out = frontier.where(col("node") =!= col("query_id"))
+    // tombstoned vectors stay NAVIGABLE (the FreshDiskANN rule —
+    // dropping them from routing would disconnect the graph until
+    // compaction) but must never be RETURNED: subtract the shared
+    // tier tombstones before ranking (gapless ranks), and — the
+    // Vamana membership rule — only vectors PRESENT in the graph
+    // segment (≥1 outgoing edge) are returnable, so a compacted-away
+    // vector cannot resurrect through the raw-corpus seed path once
+    // its tombstone has been reclaimed
+    val live = AnnTiers.minusDeletes(spark, dir,
+        frontier.where(col("node") =!= col("query_id"))
+          .withColumnRenamed("node", "vec_id"))
+      .withColumnRenamed("vec_id", "node")
+      .join(edges.select(col("node")).distinct(), Seq("node"), "left_semi")
+    val out = live
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= GraphTopK)
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
@@ -695,68 +709,42 @@ object Similarity {
 
   val Sq8Levels = 255
 
-  /** PERSISTED QUANTIZER PARAMS — the 1-row BQ/SQ8 training
-    * aggregates as durable index artifacts (the [[AnnIndex]] rule:
-    * a quantizer is part of the index, trained once, not re-derived
-    * per run). Without this every COLD run pays a full corpus
-    * aggregation pass that must COMPLETE before the encode scan can
-    * start — two serialized corpus passes where a served index needs
-    * one. The artifact path is keyed by data dir AND corpus row
-    * count ([[AnnIndex.indexPath]]'s self-invalidation), so a
-    * regenerated corpus retrains instead of reusing stale params;
-    * the write is build-once racing-safe in the same way (parquet
-    * overwrite + _SUCCESS gate). */
-  /** Build-once artifact gate shared by the quantizer params and the
-    * navigation graph: path keyed by data dir + corpus row count
-    * ([[AnnIndex.indexPath]]'s self-invalidation), `_SUCCESS`-gated
-    * parquet overwrite. */
-  private def artifactOnce(spark: SparkSession, dir: String, kind: String,
-                           coalesceTo: Int)(build: => DataFrame): DataFrame = {
-    // memoized per session — a per-query count() here put an
-    // O(files) metadata job in front of EVERY quantized search
-    // (the r11 ann_bq warm regression)
-    val n = graft.Tables.cachedCount(spark, dir, "embeddings")
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path =
-      s"${graft.sources.Artifacts.root(spark)}/${kind}_${key}_n$n"
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
-      val df = build
-      (if (coalesceTo > 0) df.coalesce(coalesceTo) else df)
-        .write.mode("overwrite").parquet(path)
-    }
-    spark.read.parquet(path)
-  }
-
-  private def paramArtifact(spark: SparkSession, dir: String, kind: String)
-                           (train: => DataFrame): DataFrame =
-    // the artifact is 1 row by construction; limit(1) enforces that
-    // contract at read time AND gives the plan linter the bound it
-    // needs to accept the broadcast parameter join
-    artifactOnce(spark, dir, s"quant_$kind", 1)(train).limit(1)
+  // PERSISTED QUANTIZER PARAMS + CODE SEGMENTS now live in the
+  // unified tier index ([[AnnTiers]]): params trained once as 1-row
+  // segments (a quantizer is part of the index, never re-derived per
+  // run), codes persisted at their compressed width, and EVERY tier
+  // reader subtracting the shared tombstone segment — so a vector
+  // deleted once disappears from BQ, SQ8 and graph results alike.
 
   /** Scalar-quantized corpus — (vec_id, codes: array<int>) plus the
     * 1-row (mn, step) params broadcast into the plan. Quantization is
     * global-affine int8 (the SQ8 of FAISS/Lucene): code = min(255,
     * ⌊(x − mn)/step⌋) with step = (mx − mn)/255. The params are a
-    * [[paramArtifact]] — trained by ONE tiny corpus aggregate on the
+    * [[AnnTiers.paramSegment]] — trained by ONE tiny corpus aggregate on the
     * first build, then read back as a 1-row parquet on every later
     * run (cold included). The encode is a narrow codegen projection
     * at scan speed; the encoded corpus is 64 B/vector instead of
     * 512 B of doubles. */
   private def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val params = paramArtifact(spark, dir, "sq8") {
-      e.agg(min(array_min(col("v"))).as("mn"),
+    val params = AnnTiers.paramSegment(spark, dir, "params_sq8") {
+      emb(spark, dir)
+        .agg(min(array_min(col("v"))).as("mn"),
           max(array_max(col("v"))).as("mx"))
         .withColumn("step", (col("mx") - col("mn")) / lit(Sq8Levels.toDouble))
     }
-    e.crossJoin(broadcast(params))
-      .select(col("vec_id"), col("mn"), col("step"),
-        transform(col("v"), x =>
-          least(lit(Sq8Levels.toLong),
-            floor((x - col("mn")) / col("step"))).cast("int")).as("codes"))
+    // the encoded corpus is itself a persisted index segment (the
+    // [[AnnTiers]] unification): built once at 64 B/vector, read from
+    // disk ever after, tombstones subtracted like every tier reader
+    val codes = AnnTiers.ensureSegment(spark, dir, "codes_sq8", 0) {
+      emb(spark, dir).crossJoin(broadcast(params))
+        .select(col("vec_id"),
+          transform(col("v"), x =>
+            least(lit(Sq8Levels.toLong),
+              floor((x - col("mn")) / col("step"))).cast("int")).as("codes"))
+    }
+    AnnTiers.minusDeletes(spark, dir, codes)
+      .crossJoin(broadcast(params.select(col("mn"), col("step"))))
+      .select(col("vec_id"), col("mn"), col("step"), col("codes"))
   }
 
   /** SQ8 search — the third compression point on the ANN spectrum
@@ -811,33 +799,39 @@ object Similarity {
     * the Hamming scan reads 8 bytes/vector instead of 512 — at 100 TB
     * of embeddings the code table is ~1.6 TB and the scan goes from
     * IO-bound to compute-trivial. The per-dimension mean thresholds
-    * are a [[paramArtifact]]: trained by one 1-row aggregate on the
+    * are an [[AnnTiers.paramSegment]]: trained by one 1-row aggregate on the
     * first build, read back as a 1-row parquet on every later run —
     * a cold search no longer pays a corpus pass before the Hamming
     * scan can start. */
   private def bqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val thr = paramArtifact(spark, dir, "bqthr") {
-      e.agg(array((0 until 64).map(i => avg(col("v")(i))): _*).as("thr"))
+    // 8 B/vector code segment (the [[AnnTiers]] unification): raw
+    // vectors are NOT carried alongside the codes any more — the
+    // refine tier joins them back by candidate id, so the Hamming
+    // scan truly reads 8 bytes/vector from disk
+    val codes = AnnTiers.ensureSegment(spark, dir, "codes_bq", 0) {
+      val e = emb(spark, dir)
+      val thr = AnnTiers.paramSegment(spark, dir, "params_bq") {
+        e.agg(array((0 until 64).map(i => avg(col("v")(i))): _*).as("thr"))
+      }
+      // sign-pack as a fold over the 32-dim slice — the higher-order
+      // lambda compiles to ONE loop body instead of 32 inlined
+      // conditionals per word (the 64-term chain cost ~1 s of codegen
+      // compile on every cold plan); 2^i via pow is exact (i ≤ 31 ≪
+      // the double mantissa)
+      def packWord(off: Int): Column = aggregate(
+        zip_with(slice(col("v"), off + 1, 32), slice(col("thr"), off + 1, 32),
+          (x, t) => when(x > t, lit(1.0d)).otherwise(lit(0.0d))),
+        struct(lit(0L).as("acc"), lit(0).as("i")),
+        (s, bit) => struct(
+          (s.getField("acc") +
+            (bit * pow(lit(2.0d), s.getField("i").cast("double")))
+              .cast("long")).as("acc"),
+          (s.getField("i") + 1).as("i")),
+        s => s.getField("acc"))
+      e.crossJoin(broadcast(thr))
+        .select(col("vec_id"), packWord(0).as("lo"), packWord(32).as("hi"))
     }
-    // sign-pack as a fold over the 32-dim slice — the higher-order
-    // lambda compiles to ONE loop body instead of 32 inlined
-    // conditionals per word (the 64-term chain cost ~1 s of codegen
-    // compile on every cold plan); 2^i via pow is exact (i ≤ 31 ≪
-    // the double mantissa)
-    def packWord(off: Int): Column = aggregate(
-      zip_with(slice(col("v"), off + 1, 32), slice(col("thr"), off + 1, 32),
-        (x, t) => when(x > t, lit(1.0d)).otherwise(lit(0.0d))),
-      struct(lit(0L).as("acc"), lit(0).as("i")),
-      (s, bit) => struct(
-        (s.getField("acc") +
-          (bit * pow(lit(2.0d), s.getField("i").cast("double")))
-            .cast("long")).as("acc"),
-        (s.getField("i") + 1).as("i")),
-      s => s.getField("acc"))
-    e.crossJoin(broadcast(thr))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        packWord(0).as("lo"), packWord(32).as("hi"))
+    AnnTiers.minusDeletes(spark, dir, codes)
   }
 
   private def hammingCol: Column =
@@ -876,18 +870,25 @@ object Similarity {
     val codes = bqCodes(spark, dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val qs = codes.where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+      .select(col("vec_id").as("query_id"),
+        col("lo").as("q_lo"), col("hi").as("q_hi"))
     val scored = codes.join(broadcast(qs),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("qv"), col("qnrm"), col("v"), col("nrm"),
         hammingCol.as("hamming"))
     val cand = graft.plans.TopKPerKey.topKPerKey(scored,
       Seq("query_id"), Seq("hamming" -> true, "neighbor_id" -> true),
       BqRefineFactor * TopK)
-    rankTopK(cand.select(col("query_id"), col("neighbor_id"),
-      cosineScore.as("score")))
+    // exact re-rank: ONLY the ≤ queries·C candidates join back to the
+    // raw embeddings (the annRefine shape) — the Hamming scan itself
+    // reads nothing but the 8 B codes
+    val rescored = cand
+      .join(emb(spark, dir), col("neighbor_id") === col("vec_id"))
+      .join(broadcast(queriesDf(spark, dir)
+        .select(col("query_id"), col("qv"), col("qnrm"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineScore.as("score"))
+    rankTopK(rescored)
   }
 
   def annRefine(spark: SparkSession, dir: String): DataFrame = {

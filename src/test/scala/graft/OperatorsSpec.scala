@@ -434,34 +434,41 @@ class OperatorsSpec extends SparkSessionSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
-  test("BQ/SQ8 quantizer params persist as corpus-size-keyed artifacts " +
-       "and the second run serves from them") {
+  test("BQ/SQ8 codes and params persist as tier-index segments under " +
+       "the corpus-size-keyed root, and the second run serves from them") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_quant").toString
     spark.conf.set("spark.graft.artifacts.dir", tmp)
     try {
       val first = Similarity.annBq(spark, sf0001).collect().toSet
       val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
-      // trained params landed under the size-keyed path (a regenerated
-      // corpus with a different count self-invalidates by path)
+      // codes + trained params landed as segments under the ONE
+      // size-keyed tier root (a regenerated corpus with a different
+      // count self-invalidates by path)
       val f = new java.io.File(tmp).listFiles().map(_.getName).toSet
-      assert(f.exists(d => d.startsWith("quant_bqthr_") && d.endsWith(s"_n$n")),
-        s"expected size-keyed bq artifact in $f")
+      val tiers = f.find(d =>
+        d.startsWith("anntiers_") && d.endsWith(s"_n$n"))
+      assert(tiers.nonEmpty, s"expected size-keyed tier root in $f")
+      val segs = new java.io.File(tmp, tiers.get)
+        .listFiles().map(_.getName).toSet
+      assert(segs.contains("codes_bq") && segs.contains("params_bq"),
+        s"expected bq segments in $segs")
       Similarity.annSq8(spark, sf0001).collect()
-      assert(new java.io.File(tmp).listFiles().map(_.getName)
-        .exists(d => d.startsWith("quant_sq8_") && d.endsWith(s"_n$n")))
-      // second run reads the artifact (same results); corrupting the
-      // stored thresholds CHANGES the search — proof the serve path
-      // really consumes the artifact, not a silent retrain
+      val segs2 = new java.io.File(tmp, tiers.get)
+        .listFiles().map(_.getName).toSet
+      assert(segs2.contains("codes_sq8") && segs2.contains("params_sq8"),
+        s"expected sq8 segments in $segs2")
+      // second run reads the segments (same results); corrupting the
+      // stored CODES changes the search — proof the serve path really
+      // consumes the persisted segment, not a silent re-encode
       assert(Similarity.annBq(spark, sf0001).collect().toSet == first)
-      val dir = new java.io.File(tmp).listFiles()
-        .find(_.getName.startsWith("quant_bqthr_")).get
       val spark2 = spark
       import spark2.implicits._
-      Seq(Tuple1(Array.fill(64)(1e18))).toDF("thr")
-        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      (0L until n).map(i => (i, 0L, 0L)).toDF("vec_id", "lo", "hi")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/${tiers.get}/codes_bq")
       val skewed = Similarity.annBq(spark, sf0001).collect().toSet
       assert(skewed != first,
-        "annBq must serve from the persisted thresholds")
+        "annBq must serve from the persisted code segment")
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
