@@ -32,7 +32,7 @@ object BenchLadder {
   }
 
   private def timeQuery(spark: SparkSession, name: String,
-                        dir: String): Double = {
+                        dir: String, warmRuns: Int): Double = {
     val fn = SparkEntry.queries(name)
     def once(): Double = {
       drain()
@@ -41,15 +41,34 @@ object BenchLadder {
       (System.nanoTime() - t0) / 1e9
     }
     once() // cold
-    val runs = Seq.fill(3)(once()).sorted
+    val runs = Seq.fill(warmRuns)(once()).sorted
     runs(runs.length / 2)
   }
 
   /** Replicated-and-perturbed ladder dir (docs + embeddings) under the
-    * artifacts root; built once, `_SUCCESS`-gated like every artifact. */
+    * artifacts root; built once, `_LADDER_DONE`-gated like every
+    * artifact. The perturbation must make replicas DISSIMILAR TO EACH
+    * OTHER at the unit every near-dup operator keys on, or replication
+    * plants duplicate groups that grow with the factor and candidate
+    * pairs grow QUADRATICALLY — the ladder then measures the planted
+    * corruption, not the operator (a lead-token variant of this dir
+    * did exactly that: replicas stayed ~98% 3-shingle-identical and
+    * the x10 prefix join OOMed on cross-replica candidate pairs):
+    *  - documents: a replica-unique filler token is interleaved
+    *    between EVERY pair of tokens, so every 3-shingle carries the
+    *    filler and replica shingle sets are pairwise disjoint; docs
+    *    WITHIN one replica keep their natural near-dup structure
+    *    (they share the filler), so the duplication RATE stays at the
+    *    source corpus's level while group counts scale — the shape of
+    *    a genuinely larger crawl.
+    *  - embeddings: a deterministic (vec_id, dim)-keyed offset of
+    *    ±0.25/dim (the corpus is unit-norm, mean pairwise L2 ≈ 1.4),
+    *    so a replica lands as an unrelated point instead of its
+    *    source's nearest neighbor ×(factor−1).
+    * Replica 0 stays byte-identical to the source in both tables. */
   private def ladderDir(spark: SparkSession, src: String,
                         factor: Int): String = {
-    val dir = s"${graft.sources.Artifacts.root(spark)}/ladder_x$factor"
+    val dir = s"${graft.sources.Artifacts.root(spark)}/ladder2_x$factor"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val done = new org.apache.hadoop.fs.Path(s"$dir/_LADDER_DONE")
@@ -61,7 +80,8 @@ object BenchLadder {
         .withColumn("doc_id", col("doc_id") + col("rep") * nd)
         .withColumn("text",
           when(col("rep") === 0, col("text"))
-            .otherwise(concat(lit("r"), col("rep"), lit(" "), col("text"))))
+            .otherwise(regexp_replace(col("text"), lit(" "),
+              concat(lit(" zq"), col("rep"), lit(" ")))))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
@@ -71,8 +91,8 @@ object BenchLadder {
         .withColumn("embedding",
           when(col("rep") === 0, col("embedding"))
             .otherwise(transform(col("embedding"), (x, i) =>
-              x + (((col("rep") * 7 + i) % 11 - 5) * lit(0.003d))
-                .cast("float"))))
+              (x + ((col("vec_id") * 1315423911L + i * 40503L) % 1001L
+                - 500L).cast("double") * lit(0.0005d)).cast("float"))))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       fs.create(done).close()
@@ -115,13 +135,22 @@ object BenchLadder {
       System.err.println(f"[ladder] $fam%-22s $point%-8s $sec%8.2f s")
     }
 
-    for ((sfName, dir) <- sfDirs; fam <- graphFams)
-      record(fam, sfName, timeQuery(spark, fam, dir))
+    // optional arg list selects points to (re)run — the full ladder
+    // takes over an hour, so partial runs merge their JSONs offline.
+    // The x100 rung reports a single warm run (not a median of 3):
+    // its per-run times are large enough that scheduler noise is
+    // amortized, and 2 runs instead of 4 halves a multi-hour rung.
+    val wanted = args.toSet
+    def on(p: String) = wanted.isEmpty || wanted.contains(p)
 
-    val xPoints = Seq(1, 10, 100)
+    for ((sfName, dir) <- sfDirs; fam <- graphFams if on(sfName))
+      record(fam, sfName, timeQuery(spark, fam, dir, 3))
+
+    val xPoints = Seq(1, 10, 100).filter(f => on(s"x$f"))
       .map(f => s"x$f" -> ladderDir(spark, "/root/testdata/sf0.1", f))
     for ((pName, dir) <- xPoints; fam <- xFams)
-      record(fam, pName, timeQuery(spark, fam, dir))
+      record(fam, pName,
+        timeQuery(spark, fam, dir, if (pName == "x100") 1 else 3))
 
     // last-step growth factor per family, normalized by the 10× input
     // step: ~1.0 = linear, >1 = super-linear

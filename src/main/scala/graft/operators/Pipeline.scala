@@ -1391,6 +1391,71 @@ object Pipeline {
         col("n_range"), col("sum_range"))
   }
 
+  /** Z-ORDER REWRITE + 2-D BOX SKIPPING as a hash-checkable query —
+    * the multi-dimensional OPTIMIZE
+    * ([[graft.sources.SnapshotTable.rewriteZorder]]) witnessed against
+    * both degenerate layouts on one history: three round-robin
+    * commits (every set spans both key ranges — nothing prunes), a
+    * 1-D sort rewrite (tight on x, blind on y — the box still scans a
+    * full x-stripe), then the Z-order rewrite into a 4×4 grid with
+    * per-set min/max on BOTH keys. The second key is a deterministic
+    * bijective scramble of doc_id (golden-ratio multiplier mod n, n
+    * coprime to it), so both dimensions are dense [0,n) and the grid
+    * geometry is closed-form: cell width w = (n-1)/4+1 for both
+    * rewrites. The output pins sets-read AND rows-scanned for the
+    * same box under all three layouts (3/3 · n rows → 1/4 · w rows →
+    * 1/16 · |cell| rows — the Z-curve's 4× cut is the point), plus
+    * exact count/sum over the box from the z-pruned read, so a
+    * rewrite that lost rows, stats that prune wrongly, or a reader
+    * that skips a matching set all break the hash. The box is shrunk
+    * 3 keys inside its grid cell, so the residual filter after the
+    * prune does real work (n_box < rows_scanned_z). */
+  def pipelineSnapshotZorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${graft.sources.Artifacts.root(spark)}/snapzo_${key}_n$n"
+    if (!SnapshotTable.latestVersion(spark, root).contains(5)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(spark, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id").cast("long") * lit(2654435761L) % lit(n))
+            .as("y_key"),
+          col("text"))
+      (0 until 3).foreach { c =>
+        SnapshotTable.commit(spark, root,
+          docs.where(col("doc_id") % 3 === c), statsKey = Some("doc_id"))
+      }
+      SnapshotTable.rewriteSorted(spark, root, "doc_id", numSets = 4)
+      SnapshotTable.rewriteZorder(spark, root, "doc_id", "y_key",
+        numSets = 16)
+    }
+    val w = (n - 1) / 4 + 1
+    val (xLo, xHi, yLo, yHi) = (w + 3, 2 * w - 4, 2 * w + 3, 3 * w - 4)
+    def box(v: Int) = SnapshotTable.readPrunedBox(spark, root, v,
+      "doc_id", xLo, xHi, "y_key", yLo, yHi)
+    val pre = box(3)    // round-robin layout: nothing prunes
+    val srt = box(4)    // 1-D sorted: x prunes, y stats absent
+    val zo = box(5)     // z-ordered: both dimensions prune
+    zo.df.where(col("doc_id").between(xLo, xHi) &&
+        col("y_key").between(yLo, yHi))
+      .agg(count(lit(1)).as("n_box"),
+        sum(col("doc_id")).cast("long").as("sum_box"))
+      .select(
+        lit(pre.dirsRead).as("sets_read_pre"),
+        lit(pre.dirsTotal).as("sets_total_pre"),
+        lit(pre.rowsScanned).as("rows_scanned_pre"),
+        lit(srt.dirsRead).as("sets_read_sorted"),
+        lit(srt.dirsTotal).as("sets_total_sorted"),
+        lit(srt.rowsScanned).as("rows_scanned_sorted"),
+        lit(zo.dirsRead).as("sets_read_z"),
+        lit(zo.dirsTotal).as("sets_total_z"),
+        lit(zo.rowsScanned).as("rows_scanned_z"),
+        col("n_box"), col("sum_box"))
+  }
+
   /** SCHEMA EVOLUTION across snapshot versions — the Iceberg
     * add-column semantic on [[graft.sources.SnapshotTable]]: v1
     * commits (doc_id, text) for even ids; v2 APPENDS the odd ids
@@ -1912,6 +1977,7 @@ object Pipeline {
     "pipeline_snapshot_scan" -> pipelineSnapshotScan,
     "pipeline_snapshot_compact" -> pipelineSnapshotCompact,
     "pipeline_snapshot_cluster" -> pipelineSnapshotCluster,
+    "pipeline_snapshot_zorder" -> pipelineSnapshotZorder,
     "pipeline_snapshot_mor" -> pipelineSnapshotMor,
     "pipeline_snapshot_point" -> pipelineSnapshotPoint,
     "pipeline_snapshot_rollback" -> pipelineSnapshotRollback,
@@ -2347,6 +2413,35 @@ object Pipeline {
         |       CAST(sum(doc_id) AS BIGINT) AS sum_range
         |FROM documents, n
         |WHERE doc_id BETWEEN n.c // 8 AND n.c // 5""".stripMargin,
+    // the three layouts' skipping facts are pinned as literals; both
+    // rows-scanned figures and the box aggregate replay closed-form
+    // over the plain table (y = the same bijective scramble, w = the
+    // same grid width) — lost rows, wrong stats, or wrong pruning all
+    // break the hash
+    "pipeline_snapshot_zorder" ->
+      """WITH p AS (SELECT count(*) AS n,
+        |                  (count(*) - 1) // 4 + 1 AS w FROM documents),
+        |d AS (SELECT doc_id,
+        |             (doc_id * 2654435761) % (SELECT n FROM p) AS y
+        |      FROM documents)
+        |SELECT CAST(3 AS INT) AS sets_read_pre,
+        |       CAST(3 AS INT) AS sets_total_pre,
+        |       (SELECT n FROM p) AS rows_scanned_pre,
+        |       CAST(1 AS INT) AS sets_read_sorted,
+        |       CAST(4 AS INT) AS sets_total_sorted,
+        |       (SELECT count(*) FROM d, p
+        |        WHERE doc_id // w = 1) AS rows_scanned_sorted,
+        |       CAST(1 AS INT) AS sets_read_z,
+        |       CAST(16 AS INT) AS sets_total_z,
+        |       (SELECT count(*) FROM d, p
+        |        WHERE doc_id // w = 1 AND y // w = 2) AS rows_scanned_z,
+        |       (SELECT count(*) FROM d, p
+        |        WHERE doc_id BETWEEN w + 3 AND 2 * w - 4
+        |          AND y BETWEEN 2 * w + 3 AND 3 * w - 4) AS n_box,
+        |       CAST((SELECT sum(doc_id) FROM d, p
+        |        WHERE doc_id BETWEEN w + 3 AND 2 * w - 4
+        |          AND y BETWEEN 2 * w + 3 AND 3 * w - 4) AS BIGINT) AS sum_box
+        |""".stripMargin,
     "pipeline_snapshot_compact" ->
       """WITH d AS (SELECT doc_id FROM documents),
         |n AS (SELECT count(*) AS c FROM d)

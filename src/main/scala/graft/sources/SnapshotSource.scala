@@ -176,19 +176,26 @@ final class SnapshotFileIndex(spark: SparkSession, root: String,
   }
 
   /** Conservative manifest pruning from catalyst predicates: collect
-    * [lo, hi] bounds (strict comparisons relaxed to inclusive — still
-    * a superset) and an equality point on `c`, keep every entry whose
-    * recorded range intersects and whose bloom (point case) might
-    * contain the key. Unknown filter shapes contribute no bounds;
-    * entries without stats are always kept. */
+    * per-column [lo, hi] bounds (strict comparisons relaxed to
+    * inclusive — still a superset) and equality points, keep every
+    * entry whose recorded ranges intersect and whose bloom (point
+    * case on the primary key) might contain the key. The PRIMARY test
+    * uses `statsColumn` bounds against min/max (+ bloom); a
+    * [[SnapshotTable.rewriteZorder]] entry also carries a SECOND
+    * column's envelope (`key2`/`minKey2`/`maxKey2`), tested against
+    * that column's bounds — so after a z rewrite a 2-D box predicate
+    * prunes on both dimensions straight from the query plan. Unknown
+    * filter shapes contribute no bounds; entries without stats for a
+    * dimension are kept on that dimension. */
   private def prune(filters: Seq[Expression],
                     c: String): Seq[SnapshotTable.Entry] = {
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
+    // bounds per lowercased column name
+    val lo = scala.collection.mutable.Map.empty[String, Long]
+    val hi = scala.collection.mutable.Map.empty[String, Long]
     var pt: Option[Long] = None
-    def isKey(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name.equalsIgnoreCase(c)
-      case _ => false
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name.toLowerCase)
+      case _ => None
     }
     def longOf(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
@@ -197,37 +204,53 @@ final class SnapshotFileIndex(spark: SparkSession, root: String,
       case b: Byte => Some(b.toLong)
       case _ => None
     }
+    def raiseLo(k: String, x: Long): Unit =
+      lo.update(k, lo.get(k).fold(x)(_ max x))
+    def lowerHi(k: String, x: Long): Unit =
+      hi.update(k, hi.get(k).fold(x)(_ min x))
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
-      case EqualTo(a, Literal(v, _)) if isKey(a) =>
-        longOf(v).foreach { x => pt = Some(x); lo = lo.max(x); hi = hi.min(x) }
-      case EqualTo(Literal(v, _), a) if isKey(a) =>
-        longOf(v).foreach { x => pt = Some(x); lo = lo.max(x); hi = hi.min(x) }
-      case GreaterThanOrEqual(a, Literal(v, _)) if isKey(a) =>
-        longOf(v).foreach(x => lo = lo.max(x))
-      case GreaterThan(a, Literal(v, _)) if isKey(a) =>
-        longOf(v).foreach(x => lo = lo.max(x))
-      case LessThanOrEqual(a, Literal(v, _)) if isKey(a) =>
-        longOf(v).foreach(x => hi = hi.min(x))
-      case LessThan(a, Literal(v, _)) if isKey(a) =>
-        longOf(v).foreach(x => hi = hi.min(x))
-      case GreaterThanOrEqual(Literal(v, _), a) if isKey(a) => // v >= key
-        longOf(v).foreach(x => hi = hi.min(x))
-      case GreaterThan(Literal(v, _), a) if isKey(a) =>
-        longOf(v).foreach(x => hi = hi.min(x))
-      case LessThanOrEqual(Literal(v, _), a) if isKey(a) => // v <= key
-        longOf(v).foreach(x => lo = lo.max(x))
-      case LessThan(Literal(v, _), a) if isKey(a) =>
-        longOf(v).foreach(x => lo = lo.max(x))
+      case EqualTo(a, Literal(v, _)) if nameOf(a).isDefined =>
+        for (k <- nameOf(a); x <- longOf(v)) {
+          if (k == c.toLowerCase) pt = Some(x)
+          raiseLo(k, x); lowerHi(k, x)
+        }
+      case EqualTo(Literal(v, _), a) if nameOf(a).isDefined =>
+        for (k <- nameOf(a); x <- longOf(v)) {
+          if (k == c.toLowerCase) pt = Some(x)
+          raiseLo(k, x); lowerHi(k, x)
+        }
+      case GreaterThanOrEqual(a, Literal(v, _)) if nameOf(a).isDefined =>
+        for (k <- nameOf(a); x <- longOf(v)) raiseLo(k, x)
+      case GreaterThan(a, Literal(v, _)) if nameOf(a).isDefined =>
+        for (k <- nameOf(a); x <- longOf(v)) raiseLo(k, x)
+      case LessThanOrEqual(a, Literal(v, _)) if nameOf(a).isDefined =>
+        for (k <- nameOf(a); x <- longOf(v)) lowerHi(k, x)
+      case LessThan(a, Literal(v, _)) if nameOf(a).isDefined =>
+        for (k <- nameOf(a); x <- longOf(v)) lowerHi(k, x)
+      case GreaterThanOrEqual(Literal(v, _), a) if nameOf(a).isDefined =>
+        for (k <- nameOf(a); x <- longOf(v)) lowerHi(k, x) // v >= key
+      case GreaterThan(Literal(v, _), a) if nameOf(a).isDefined =>
+        for (k <- nameOf(a); x <- longOf(v)) lowerHi(k, x)
+      case LessThanOrEqual(Literal(v, _), a) if nameOf(a).isDefined =>
+        for (k <- nameOf(a); x <- longOf(v)) raiseLo(k, x) // v <= key
+      case LessThan(Literal(v, _), a) if nameOf(a).isDefined =>
+        for (k <- nameOf(a); x <- longOf(v)) raiseLo(k, x)
       case _ => () // unknown shape: contributes no pruning
     }
     filters.foreach(walk)
-    entries.filter { e =>
-      val inRange = (e.minKey, e.maxKey) match {
-        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+    def intersects(k: String, mn: Option[Long], mx: Option[Long]): Boolean =
+      (mn, mx) match {
+        case (Some(a), Some(b)) =>
+          b >= lo.getOrElse(k, Long.MinValue) &&
+            a <= hi.getOrElse(k, Long.MaxValue)
         case _ => true // no stats: must read
       }
-      inRange && pt.forall(k => e.keyBloom.forall(b =>
+    entries.filter { e =>
+      val primary = intersects(c.toLowerCase, e.minKey, e.maxKey)
+      val secondary = e.key2.forall(k2 =>
+        intersects(k2.toLowerCase, e.minKey2, e.maxKey2))
+      primary && secondary && pt.forall(k => e.keyBloom.forall(b =>
         org.apache.spark.util.sketch.BloomFilter
           .readFrom(new java.io.ByteArrayInputStream(b))
           .mightContainLong(k)))

@@ -88,7 +88,10 @@ object SnapshotTable {
   final case class Entry(dir: String, addedIn: Int, nRows: Long,
                          minKey: Option[Long], maxKey: Option[Long],
                          keyBloom: Option[Array[Byte]],
-                         kind: String = "data")
+                         kind: String = "data",
+                         key2: Option[String] = None,
+                         minKey2: Option[Long] = None,
+                         maxKey2: Option[Long] = None)
 
   /** False-positive rate of the per-file-set key blooms: ~29
     * bits/key, small enough to ride the manifest, tight enough that
@@ -158,9 +161,12 @@ object SnapshotTable {
     entries.map(e => (e.dir, e.addedIn, e.nRows,
         e.minKey.map(java.lang.Long.valueOf).orNull,
         e.maxKey.map(java.lang.Long.valueOf).orNull,
-        e.keyBloom.orNull, e.kind, committedAt))
+        e.keyBloom.orNull, e.kind, committedAt,
+        e.key2.orNull,
+        e.minKey2.map(java.lang.Long.valueOf).orNull,
+        e.maxKey2.map(java.lang.Long.valueOf).orNull))
       .toDF("dir", "added_in", "n_rows", "min_key", "max_key", "key_bloom",
-        "kind", "committed_at")
+        "kind", "committed_at", "key2", "min_key2", "max_key2")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/manifests/_tmp_v$next")
     val src = new org.apache.hadoop.fs.Path(s"$root/manifests/_tmp_v$next")
@@ -236,13 +242,18 @@ object SnapshotTable {
       else lit(null).cast(tpe).as(name)
     df.select(col("dir"), col("added_in"), col("n_rows"),
         opt("min_key", "long"), opt("max_key", "long"),
-        opt("key_bloom", "binary"), opt("kind", "string"))
+        opt("key_bloom", "binary"), opt("kind", "string"),
+        opt("key2", "string"), opt("min_key2", "long"),
+        opt("max_key2", "long"))
       .collect()
       .map(r => Entry(r.getString(0), r.getInt(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
         if (r.isNullAt(4)) None else Some(r.getLong(4)),
         if (r.isNullAt(5)) None else Some(r.getAs[Array[Byte]](5)),
-        if (r.isNullAt(6)) "data" else r.getString(6)))
+        if (r.isNullAt(6)) "data" else r.getString(6),
+        if (r.isNullAt(7)) None else Some(r.getString(7)),
+        if (r.isNullAt(8)) None else Some(r.getLong(8)),
+        if (r.isNullAt(9)) None else Some(r.getLong(9))))
       .toSeq.sortBy(_.addedIn)
   }
 
@@ -840,6 +851,123 @@ object SnapshotTable {
     }
     publish(spark, root, next, entries)
     next
+  }
+
+  /** Z-ORDER REWRITE — the multi-dimensional OPTIMIZE (Delta
+    * `OPTIMIZE … ZORDER BY (x, y)`): rewrite the latest version's
+    * live rows into `numSets` file sets clustered by the MORTON
+    * INTERLEAVE of both keys' quantized bits, and publish each set
+    * with min/max stats on BOTH dimensions. A 1-D sort
+    * ([[rewriteSorted]]) makes sets tight on one key and useless on
+    * every other — each x-stripe spans the full y range, so a y (or
+    * box) predicate reads everything the x predicate kept. The
+    * Z-curve keeps rows close in BOTH keys inside the same set, so
+    * both min/max envelopes stay tight simultaneously and a 2-D box
+    * read ([[readPrunedBox]]) prunes to ~the sets whose grid cell the
+    * box overlaps — the Delta/Iceberg model exactly: the curve is a
+    * WRITE-time layout device, read-time skipping needs only the
+    * per-set per-column stats in the manifest.
+    *
+    * One data pass, like [[rewriteSorted]]: both quantizations and
+    * the interleave are in-plan arithmetic over exact min/max (no
+    * sampled boundaries), `partitionBy` fans out one subdir per
+    * non-empty grid cell, then one tiny stats job per subdir. NULLs
+    * in either key quantize to cell 0 (same rationale as
+    * [[rewriteSorted]]: range predicates never match NULL, stats
+    * ignore them). `numSets` must be a power of 4 (a g×g grid with
+    * g = √numSets cells per dimension). */
+  def rewriteZorder(spark: SparkSession, root: String, keyX: String,
+                    keyY: String, numSets: Int): Int = {
+    val bitsPerDim = (math.log(numSets.toDouble) / math.log(4.0)).round.toInt
+    require(numSets == (1 << (2 * bitsPerDim)) && bitsPerDim >= 1,
+      s"numSets must be a power of 4 >= 4, got $numSets")
+    val g = 1 << bitsPerDim
+    val base = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    val df = read(spark, root, base)
+    val r = df.agg(min(col(keyX)).cast("long"), max(col(keyX)).cast("long"),
+      min(col(keyY)).cast("long"), max(col(keyY)).cast("long")).collect()(0)
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"$keyX/$keyY need non-null keys to cluster on")
+    val (loX, hiX, loY, hiY) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def quant(k: String, lo: Long, hi: Long) = {
+      val w = math.max(1L, (hi - lo) / g + 1)
+      coalesce(
+        least(((col(k).cast("long") - lo) / w).cast("long"), lit(g - 1L)),
+        lit(0L))
+    }
+    val qx = quant(keyX, loX, hiX)
+    val qy = quant(keyY, loY, hiY)
+    // Morton interleave of the two cell coordinates: x bits at even
+    // positions, y at odd — a static unroll over bitsPerDim ≤ 4
+    val zCell = (0 until bitsPerDim).map { i =>
+      (shiftright(qx, i) % 2) * lit(1L << (2 * i)) +
+        (shiftright(qy, i) % 2) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    val next = base + 1
+    val dataRel =
+      s"data/z$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn("__rb", zCell)
+      .write.partitionBy("__rb").parquet(s"$root/$dataRel")
+    val fs = fsOf(spark, root)
+    val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$dataRel"))
+      .toSeq.map(_.getPath.getName).filter(_.startsWith("__rb="))
+      .sortBy(_.stripPrefix("__rb=").toLong)
+    val entries = subdirs.map { sub =>
+      val (nRows, minK, maxK, bloom) =
+        statsOf(spark, s"$root/$dataRel/$sub", Some(keyX))
+      val r2 = spark.read.parquet(s"$root/$dataRel/$sub")
+        .agg(min(col(keyY)).cast("long"), max(col(keyY)).cast("long"))
+        .collect()(0)
+      Entry(s"$dataRel/$sub", next, nRows, minK, maxK, bloom,
+        key2 = Some(keyY),
+        minKey2 = if (r2.isNullAt(0)) None else Some(r2.getLong(0)),
+        maxKey2 = if (r2.isNullAt(1)) None else Some(r2.getLong(1)))
+    }
+    publish(spark, root, next, entries)
+    next
+  }
+
+  /** A 2-D box-pruned read: the data frame, sets read/total, and the
+    * pre-filter rows the kept sets hold (the IO the prune did NOT
+    * save — the honest cost metric, since two layouts can both read
+    * "1 set" of very different sizes). */
+  final case class PrunedBox(df: DataFrame, dirsRead: Int, dirsTotal: Int,
+                             rowsScanned: Long)
+
+  /** 2-D BOX DATA SKIPPING — prune file sets against a rectangle
+    * `[xLo,xHi] × [yLo,yHi]` using the per-set min/max of BOTH keys.
+    * The x test uses the primary stats key ([[readPruned]]'s rule);
+    * the y test uses the SECONDARY stats a [[rewriteZorder]] entry
+    * carries, and is CONSERVATIVE in exactly the same way: a set
+    * without y stats, or whose y stats were recorded for a different
+    * column, cannot be y-pruned and is read — skipping degrades to
+    * reading, never to wrong pruning (1-D sorted or pre-stats
+    * lineages thus fall back to x-only pruning through this same
+    * API). Driver-side manifest walk, no data IO; callers apply the
+    * exact box predicate to the returned frame as usual. */
+  def readPrunedBox(spark: SparkSession, root: String, version: Int,
+                    keyX: String, xLo: Long, xHi: Long,
+                    keyY: String, yLo: Long, yHi: Long): PrunedBox = {
+    val all = manifestEntries(spark, root, version)
+    require(all.nonEmpty, s"version $version not published at $root")
+    val (dels, dirs) = all.partition(_.kind == "delete")
+    val hit = dirs.filter { e =>
+      val xHit = (e.minKey, e.maxKey) match {
+        case (Some(mn), Some(mx)) => mx >= xLo && mn <= xHi
+        case _ => true // unknown stats: must read
+      }
+      val yHit = (e.key2, e.minKey2, e.maxKey2) match {
+        case (Some(k2), Some(mn), Some(mx)) if k2 == keyY =>
+          mx >= yLo && mn <= yHi
+        case _ => true // no stats for THIS y column: must read
+      }
+      xHit && yHit
+    }
+    val df = if (hit.isEmpty) unionSets(spark, root, dirs).limit(0)
+             else applyDeletes(spark, root, dels, hit)
+    PrunedBox(df, hit.size, dirs.size, hit.map(_.nRows).sum)
   }
 
   /** Vacuum report: data dirs removed (crash/conflict debris) vs

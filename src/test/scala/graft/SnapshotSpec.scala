@@ -612,6 +612,89 @@ class SnapshotSpec extends SparkSessionSpec {
       .as[(Long, String)].collect().toSet == allRows)
   }
 
+  test("z-order rewrite prunes a 2-D box on both keys; 1-D layouts " +
+       "degrade to x-only pruning through the same read, never to " +
+       "wrong rows") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    // y = bijective scramble of x (gcd(7,300)=1): dense [0,300) on
+    // both axes, decorrelated — the layout where a 1-D sort is blind
+    (0 until 3).foreach { c =>
+      SnapshotTable.commit(spark, root,
+        (0L until 300L).filter(_ % 3 == c)
+          .map(k => (k, k * 7L % 300L, s"d$k"))
+          .toDF("doc_id", "y_key", "text"), statsKey = Some("doc_id"))
+    }
+    val allRows = SnapshotTable.read(spark, root, 3)
+      .as[(Long, Long, String)].collect().toSet
+    SnapshotTable.rewriteSorted(spark, root, "doc_id", numSets = 4)
+    val v5 = SnapshotTable.rewriteZorder(spark, root, "doc_id", "y_key",
+      numSets = 16)
+    assert(v5 == 5)
+    // the rewrite is a pure re-layout
+    assert(SnapshotTable.read(spark, root, 5)
+      .as[(Long, Long, String)].collect().toSet == allRows)
+    // box inside x-cell 1 × y-cell 2 (w = 75): round-robin layout
+    // reads everything, the x-sort reads one full stripe (75 rows),
+    // z-order reads one grid cell — both dims prune
+    def box(v: Int) = SnapshotTable.readPrunedBox(spark, root, v,
+      "doc_id", 80L, 140L, "y_key", 160L, 220L)
+    val pre = box(3)
+    assert(pre.dirsRead == 3 && pre.dirsTotal == 3 &&
+      pre.rowsScanned == 300L)
+    val srt = box(4)
+    assert(srt.dirsRead == 1 && srt.dirsTotal == 4 &&
+      srt.rowsScanned == 75L,
+      s"x-sort must scan exactly the one stripe, got ${srt.rowsScanned}")
+    val zo = box(5)
+    assert(zo.dirsTotal == 16, s"expected 16 grid cells, ${zo.dirsTotal}")
+    assert(zo.dirsRead == 1, s"box inside one cell must read 1 set, " +
+      s"read ${zo.dirsRead}")
+    assert(zo.rowsScanned < srt.rowsScanned,
+      "the z-cell must be strictly smaller than the x-stripe")
+    // every layout returns the same exact-box rows after the residual
+    val expect = allRows.filter(r =>
+      r._1 >= 80L && r._1 <= 140L && r._2 >= 160L && r._2 <= 220L)
+    Seq(pre, srt, zo).foreach { p =>
+      assert(p.df.where(col("doc_id").between(80L, 140L) &&
+          col("y_key").between(160L, 220L))
+        .as[(Long, Long, String)].collect().toSet == expect)
+    }
+    // a box straddling cells is still exactly right (superset + filter)
+    val wide = SnapshotTable.readPrunedBox(spark, root, 5,
+      "doc_id", 60L, 90L, "y_key", 0L, 299L)
+    assert(wide.dirsRead > 1 && wide.dirsRead < 16)
+    assert(wide.df.where(col("doc_id").between(60L, 90L))
+      .as[(Long, Long, String)].collect().toSet ==
+      allRows.filter(r => r._1 >= 60L && r._1 <= 90L))
+    // expire through the z layout: the subdir parent survives
+    val rep = SnapshotTable.expire(spark, root, keepFrom = 5)
+    assert(SnapshotTable.read(spark, root, 5)
+      .as[(Long, Long, String)].collect().toSet == allRows)
+    assert(rep.versionsExpired == 4)
+  }
+
+  test("z-order rewrite routes NULL second keys to cell 0; box reads " +
+       "never return them, full reads never lose them") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    val rows = (0L until 100L).map(k => (k, Some(k * 7L % 100L), s"d$k")) ++
+      Seq((100L, None, "n0"), (101L, None, "n1"))
+    SnapshotTable.commit(spark, root,
+      rows.toDF("doc_id", "y_key", "text"), statsKey = Some("doc_id"))
+    SnapshotTable.rewriteZorder(spark, root, "doc_id", "y_key", 4)
+    val all = SnapshotTable.read(spark, root, 2)
+      .as[(Long, Option[Long], String)].collect().toSet
+    assert(all == rows.toSet, "null-keyed rows must survive the rewrite")
+    // a y-range box can never match NULL y (SQL semantics); the read
+    // must not resurrect them via cell-0 stats
+    val b = SnapshotTable.readPrunedBox(spark, root, 2,
+      "doc_id", 0L, 101L, "y_key", 0L, 99L)
+    assert(b.df.where(col("y_key").between(0L, 99L))
+      .as[(Long, Option[Long], String)].collect()
+      .forall(_._2.nonEmpty))
+  }
+
   test("upsertBatch crash windows: unpublished attempt dirs are " +
        "rewritten by the replay; published batches no-op") {
     val root = tmpRoot()
@@ -830,5 +913,47 @@ class SnapshotSpec extends SparkSessionSpec {
         org.apache.spark.sql.functions.sum(col("doc_id")))
       .as[(Long, Long)].head()
     assert(out == ((50L, (100L until 150L).sum)))
+  }
+
+  test("snapshot FileIndex prunes a 2-D box on z-ordered entries' " +
+       "second-key stats; other columns' bounds never mis-prune") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.SnapshotFileIndex
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (0L until 300L).map(k => (k, k * 7L % 300L, s"d$k"))
+        .toDF("doc_id", "y_key", "text"), statsKey = Some("doc_id"))
+    SnapshotTable.rewriteZorder(spark, root, "doc_id", "y_key", 16)
+    val x = AttributeReference("doc_id", LongType)()
+    val y = AttributeReference("y_key", LongType)()
+    val idx = new SnapshotFileIndex(spark, root, 2, Some("doc_id"))
+    val all = idx.listFiles(Nil, Nil).head.files.size
+    def filesFor(es: Expression*) =
+      idx.listFiles(Nil, es.toSeq).head.files.size
+    // the box inside x-cell 1 × y-cell 2 (w = 75) keeps 1 of 16 cells
+    val xband = And(GreaterThanOrEqual(x, Literal(80L)),
+      LessThanOrEqual(x, Literal(140L)))
+    val yband = And(GreaterThanOrEqual(y, Literal(160L)),
+      LessThanOrEqual(y, Literal(220L)))
+    val boxFiles = filesFor(And(xband, yband))
+    val xFiles = filesFor(xband)
+    val yFiles = filesFor(yband)
+    assert(xFiles < all && yFiles < all,
+      s"each dimension must prune alone: x=$xFiles y=$yFiles all=$all")
+    assert(boxFiles < xFiles && boxFiles < yFiles && boxFiles > 0,
+      s"the box must out-prune either band: $boxFiles vs $xFiles/$yFiles")
+    // bounds on a column with no recorded stats never prune
+    val t = AttributeReference("text", LongType)()
+    assert(filesFor(GreaterThanOrEqual(t, Literal(999L))) == all)
+    // the declarative end-to-end box stays exact through the prune
+    val got = SnapshotTable.readIndexed(spark, root, 2, Some("doc_id"))
+      .where(col("doc_id").between(80L, 140L) &&
+        col("y_key").between(160L, 220L))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == (0L until 300L).map(k => (k, k * 7L % 300L, s"d$k"))
+      .filter(r => r._1 >= 80 && r._1 <= 140 && r._2 >= 160 && r._2 <= 220)
+      .toSet)
   }
 }
