@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *  - `codes_sq8/` — (vec_id, codes): 64 B/vector affine int8
   *  - `params_sq8/` — 1 row: (mn, mx, step)
   *  - `graph/` — the kNN navigation edges (n·K rows)
+  *  - `params_ivfpqr_cents/`, `params_ivfpqr_cb/`, `codes_ivfpqr/` —
+  *    the residual IVF-PQ's Lloyd-trained quantizers + 4 B/vector
+  *    residual codes
   *  - `deletes/` — thin (vec_id) tombstones; ABSENT until a delete
   *
   * Scale posture: identical to [[AnnIndex]] — the code tables are the
@@ -111,6 +114,7 @@ object AnnTiers {
       }
     rewrite("codes_bq", _.join(dead, Seq("vec_id"), "left_anti"))
     rewrite("codes_sq8", _.join(dead, Seq("vec_id"), "left_anti"))
+    rewrite("codes_ivfpqr", _.join(dead, Seq("vec_id"), "left_anti"))
     rewrite("graph", df => df
       .join(dead.select(col("vec_id").as("query_id")),
         Seq("query_id"), "left_anti")

@@ -653,36 +653,91 @@ object Similarity {
     * first-[[PqKsub]]-residual seed — every round's means 6dp-rounded
     * (the kmeans_full cross-engine parity rule) so the DuckDB oracle
     * replays the ENTIRE training as chained CTEs and lands on
-    * bit-identical quantizers. Same ADC join shape as [[annIvfPq]];
+    * bit-identical quantizers. Training runs ONCE per corpus: the
+    * trained centroids, sub-codebooks and the encoded code table are
+    * [[AnnTiers]] segments (tombstone-governed like every tier), so
+    * a warm search reads them back instead of re-paying the ~7
+    * corpus passes of the build. Same ADC join shape as [[annIvfPq]];
     * the geometry (residual) AND the quantizers (trained) changed,
     * which is what lets the spec pin recall ≥ raw IVF-PQ rather than
     * just distance-estimation error. */
-  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+  /** Residual assignment against a given trained coarse quantizer —
+    * shared by the codebook training build and the code-segment
+    * encode build (both run at most once per corpus). */
+  private def ivfpqrAssigned(spark: SparkSession, dir: String,
+      cents: Array[Array[Double]]): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val cents = trainedCoarseCentroids(spark, dir)
     val centDf = broadcast(cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("c_cl", "cent"))
-    val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
+    KMeansOps.assignDyn(emb(spark, dir), "v", cents)
       .join(centDf, col("cluster") === col("c_cl"))
       .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
       .drop("c_cl", "cent")
-    // seed AFTER the centroid vectors: the first coarseK vectors ARE
-    // the coarse centroids, so their residuals are zero — seeding on
-    // them wastes codes on the origin
-    val ck = cents.length
-    val seedRs = assigned
-      .where(col("vec_id") >= ck && col("vec_id") < ck + PqKsub)
-      .select(col("vec_id"), col("r")).collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray)
-    val cb = trainResidualCodebook(assigned, Array.tabulate(PqM)(m =>
-      seedRs.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))))
-    val encoded = withBlockDists(assigned, "r", cb, "ds_")
-      .select(col("vec_id") +: col("cluster") +:
-        (0 until PqM).map(m =>
-          (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
-            .cast("int").as(s"code_$m")): _*)
+  }
+
+  /** The residual index's TRAINED coarse centroids as a persisted
+    * tier segment (the quantizer-is-part-of-the-index rule): the
+    * [[CoarseTrainRounds]]-round Lloyd training runs once per corpus;
+    * every later search reads k rows back. */
+  private def ivfpqrCents(spark: SparkSession, dir: String)
+      : Array[Array[Double]] = {
+    val spark2 = spark
+    import spark2.implicits._
+    AnnTiers.ensureSegment(spark, dir, "params_ivfpqr_cents", 1) {
+      trainedCoarseCentroids(spark, dir).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "c")
+    }.collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+  }
+
+  /** The trained residual sub-codebooks, persisted the same way:
+    * [[PqTrainRounds]] rounds of per-block k-means run once; serves
+    * as [[PqM]]·[[PqKsub]] rows ever after. */
+  private def ivfpqrCodebook(spark: SparkSession, dir: String,
+      cents: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = AnnTiers.ensureSegment(spark, dir, "params_ivfpqr_cb", 1) {
+      val assigned = ivfpqrAssigned(spark, dir, cents)
+      // seed AFTER the centroid vectors: the first coarseK vectors
+      // ARE the coarse centroids, so their residuals are zero —
+      // seeding on them wastes codes on the origin
+      val ck = cents.length
+      val seedRs = assigned
+        .where(col("vec_id") >= ck && col("vec_id") < ck + PqKsub)
+        .select(col("vec_id"), col("r")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+      val cb = trainResidualCodebook(assigned, Array.tabulate(PqM)(m =>
+        seedRs.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))))
+      (for { m <- 0 until PqM; j <- 0 until PqKsub }
+        yield (m, j, cb(m)(j).toSeq)).toDF("m", "j", "c")
+    }
+    val arr = Array.fill(PqM, PqKsub)(Array.empty[Double])
+    df.collect().foreach(r =>
+      arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    arr
+  }
+
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    // train once, serve from segments ever after (the [[AnnTiers]]
+    // rule): a warm search reads the k-row centroids, the 128-row
+    // codebook and the 10-column code table — it never re-runs the
+    // 7-corpus-pass Lloyd training the first build pays
+    val cents = ivfpqrCents(spark, dir)
+    val cb = ivfpqrCodebook(spark, dir, cents)
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("c_cl", "cent"))
+    val encoded = AnnTiers.minusDeletes(spark, dir,
+      AnnTiers.ensureSegment(spark, dir, "codes_ivfpqr", 0) {
+        withBlockDists(ivfpqrAssigned(spark, dir, cents), "r", cb, "ds_")
+          .select(col("vec_id") +: col("cluster") +:
+            (0 until PqM).map(m =>
+              (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
+                .cast("int").as(s"code_$m")): _*)
+      })
     val probedQ = queriesDf(spark, dir)
       .select(col("query_id"), col("qv"))
       .withColumn("probe_cell",

@@ -26,6 +26,7 @@ class AnnTiersSpec extends SparkSessionSpec {
         "bq" -> neighborsOf(Similarity.annBq(spark, sf)),
         "bq_refine" -> neighborsOf(Similarity.annBqRefine(spark, sf)),
         "sq8" -> neighborsOf(Similarity.annSq8(spark, sf)),
+        "ivfpqr" -> neighborsOf(Similarity.annIvfPqResidual(spark, sf)),
         "graph" -> neighborsOf(Similarity.annGraphSearch(spark, sf)))
       // a victim every tier currently returns would be the strongest
       // witness but need not exist; any returned non-query vector
@@ -42,6 +43,7 @@ class AnnTiersSpec extends SparkSessionSpec {
         "bq" -> neighborsOf(Similarity.annBq(spark, sf)),
         "bq_refine" -> neighborsOf(Similarity.annBqRefine(spark, sf)),
         "sq8" -> neighborsOf(Similarity.annSq8(spark, sf)),
+        "ivfpqr" -> neighborsOf(Similarity.annIvfPqResidual(spark, sf)),
         "graph" -> neighborsOf(Similarity.annGraphSearch(spark, sf)))
       after.foreach { case (tier, ids) =>
         assert(!ids.contains(victim),
@@ -59,7 +61,8 @@ class AnnTiersSpec extends SparkSessionSpec {
       val compacted = Map(
         "bq" -> neighborsOf(Similarity.annBq(spark, sf)),
         "bq_refine" -> neighborsOf(Similarity.annBqRefine(spark, sf)),
-        "sq8" -> neighborsOf(Similarity.annSq8(spark, sf)))
+        "sq8" -> neighborsOf(Similarity.annSq8(spark, sf)),
+        "ivfpqr" -> neighborsOf(Similarity.annIvfPqResidual(spark, sf)))
       compacted.foreach { case (tier, ids) =>
         assert(ids == after(tier),
           s"tier $tier results moved across compaction")
