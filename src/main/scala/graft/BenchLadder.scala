@@ -54,13 +54,17 @@ object BenchLadder {
     * corruption, not the operator (a lead-token variant of this dir
     * did exactly that: replicas stayed ~98% 3-shingle-identical and
     * the x10 prefix join OOMed on cross-replica candidate pairs):
-    *  - documents: a replica-unique filler token is interleaved
-    *    between EVERY pair of tokens, so every 3-shingle carries the
-    *    filler and replica shingle sets are pairwise disjoint; docs
-    *    WITHIN one replica keep their natural near-dup structure
-    *    (they share the filler), so the duplication RATE stays at the
-    *    source corpus's level while group counts scale — the shape of
-    *    a genuinely larger crawl.
+    *  - documents: every TOKEN gets a replica-unique suffix, so the
+    *    per-replica 3-shingle DF HISTOGRAM is byte-for-byte the
+    *    source corpus's (prefix-filter selectivity, banding bucket
+    *    sizes and token counts are all preserved — an interleaved-
+    *    filler variant was tried first and collapsed half the
+    *    shingles to unigram/bigram keys, densifying the candidate
+    *    structure until the x10 verification join spilled the disk
+    *    full) while replica shingle sets stay pairwise disjoint; docs
+    *    WITHIN one replica keep their natural near-dup structure, so
+    *    the duplication RATE stays at the source corpus's level while
+    *    group counts scale — the shape of a genuinely larger crawl.
     *  - embeddings: a deterministic (vec_id, dim)-keyed offset of
     *    ±0.25/dim (the corpus is unit-norm, mean pairwise L2 ≈ 1.4),
     *    so a replica lands as an unrelated point instead of its
@@ -68,7 +72,7 @@ object BenchLadder {
     * Replica 0 stays byte-identical to the source in both tables. */
   private def ladderDir(spark: SparkSession, src: String,
                         factor: Int): String = {
-    val dir = s"${graft.sources.Artifacts.root(spark)}/ladder2_x$factor"
+    val dir = s"${graft.sources.Artifacts.root(spark)}/ladder3_x$factor"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val done = new org.apache.hadoop.fs.Path(s"$dir/_LADDER_DONE")
@@ -80,8 +84,8 @@ object BenchLadder {
         .withColumn("doc_id", col("doc_id") + col("rep") * nd)
         .withColumn("text",
           when(col("rep") === 0, col("text"))
-            .otherwise(regexp_replace(col("text"), lit(" "),
-              concat(lit(" zq"), col("rep"), lit(" ")))))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1zq"), col("rep")))))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val emb = spark.read.parquet(s"$src/embeddings.parquet")

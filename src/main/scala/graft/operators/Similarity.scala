@@ -1167,6 +1167,65 @@ object Similarity {
         round(col("micros") / lit(1e6d), 6).as("score"))
   }
 
+  /** RRF rank constant — the k=60 every production deployment uses
+    * (Cormack/Clarke/Buettcher SIGIR'09; the Elasticsearch default). */
+  val RrfK = 60
+
+  /** RECIPROCAL RANK FUSION — the OTHER standard hybrid-retrieval
+    * combiner (beside [[retrievalHybrid]]'s score blend): each leg
+    * contributes 1/([[RrfK]] + rank) and the legs' raw scores never
+    * mix, so BM25's unbounded scale and cosine's [−1, 1] need no
+    * calibration — the reason RRF is the default fusion in production
+    * search stacks. Legs: the full Okapi ranking ([[bm25Scores]] — a
+    * doc sharing no term has no lexical rank and contributes 0) and
+    * the full cosine ranking over the embedded corpus; both rank by
+    * (rounded score DESC, id), the fused score rounds BEFORE the final
+    * cut (ties broken by id — total order, so both engines agree).
+    * Queries are the doc_id % 997 == 0 docs that also carry an
+    * embedding (both legs must exist for fusion to mean anything).
+    * Scale shape: both legs are the broadcast-query formulation
+    * (queries tiny, corpus streams once; windows partition per query);
+    * at corpus scale each leg hands off to its index form — inverted
+    * postings / IVF probe — and RRF's fusion join stays ≤ 2·q·n rows
+    * keyed by (query, doc). */
+  def retrievalRrf(spark: SparkSession, dir: String): DataFrame = {
+    val nv = graft.Tables.cachedCount(spark, dir, "embeddings")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val lexRank = bm25Scores(docs,
+        col("doc_id") % 997 === 0 && col("doc_id") < nv)
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .select(col("query_id"), col("neighbor_id"), col("lex_rank"))
+    val qs = emb(spark, dir).where(col("vec_id") % 997 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val vecRank = emb(spark, dir)
+      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineScore.as("score"))
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .select(col("query_id"), col("neighbor_id"), col("vec_rank"))
+    val fused = lexRank
+      .join(vecRank, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        round(
+          coalesce(lit(1.0d) / (lit(RrfK) + col("lex_rank")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(RrfK) + col("vec_rank")), lit(0.0d)),
+          9).as("rrf_score"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(fused,
+      Seq("query_id"), Seq("rrf_score" -> false, "neighbor_id" -> true),
+      HybridTopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("rrf_score"))
+  }
+
   /** FILTERED vector search — metadata-constrained ANN, the vector-DB
     * capability RAG stacks rely on ("neighbors from MY tenant/category
     * only"): each query retrieves its top-k among corpus vectors
@@ -1410,6 +1469,7 @@ object Similarity {
     "ann_filtered" -> annFiltered,
     "retrieval_hybrid" -> retrievalHybrid,
     "retrieval_bm25" -> retrievalBm25,
+    "retrieval_rrf" -> retrievalRrf,
     "retrieval_phrase" -> retrievalPhrase,
     "ann_cell_drift" -> annCellDrift,
     "ann_knn_graph" -> annKnnGraph,
@@ -1843,6 +1903,73 @@ object Similarity {
          |  FROM agg
          |)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+         |FROM ranked WHERE rank <= $HybridTopK""".stripMargin,
+    // both legs replayed in full (the bm25 CTE chain verbatim + the
+    // brute cosine ranking), fused 1/(k+rank) with missing legs
+    // contributing 0, rounded BEFORE the final rank — the same total
+    // order as the engine
+    "retrieval_rrf" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), postings AS (
+         |  SELECT tok, doc_id, dl, count(*) AS tf FROM (
+         |    SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM d)
+         |  GROUP BY tok, doc_id, dl
+         |), dfreq AS (
+         |  SELECT tok, count(*) AS df FROM postings GROUP BY tok
+         |), st AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(t)) AS avgdl
+         |  FROM d
+         |), q AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS tok
+         |  FROM d WHERE doc_id % 997 = 0
+         |    AND doc_id < (SELECT count(*) FROM embeddings)
+         |), terms AS (
+         |  SELECT q.query_id, p.doc_id AS neighbor_id,
+         |    CAST(round(
+         |      ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         |      * (p.tf * ${Bm25K1 + 1} / (p.tf + $Bm25K1
+         |         * (${1 - Bm25B} + $Bm25B * p.dl / st.avgdl)))
+         |      * 1e6) AS BIGINT) AS term_micros
+         |  FROM postings p JOIN dfreq USING (tok) JOIN q USING (tok)
+         |       CROSS JOIN st
+         |  WHERE p.doc_id <> q.query_id
+         |), agg AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(CAST(sum(term_micros) AS DOUBLE) / 1e6, 6) AS score
+         |  FROM terms GROUP BY query_id, neighbor_id
+         |), lex AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, neighbor_id)
+         |           AS lex_rank
+         |  FROM agg
+         |), vec AS (
+         |  SELECT q2.query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q2.query_id
+         |      ORDER BY round(list_cosine_similarity(q2.qv,
+         |                CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id)
+         |      AS vec_rank
+         |  FROM embeddings e CROSS JOIN
+         |    (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |     FROM embeddings WHERE vec_id % 997 = 0) q2
+         |  WHERE e.vec_id <> q2.query_id
+         |), fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |         coalesce(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+         |         round(coalesce(1.0 / ($RrfK + l.lex_rank), 0)
+         |             + coalesce(1.0 / ($RrfK + v.vec_rank), 0), 9)
+         |           AS rrf_score
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, rrf_score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY rrf_score DESC, neighbor_id)
+         |           AS rank
+         |  FROM fused
+         |)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf_score
          |FROM ranked WHERE rank <= $HybridTopK""".stripMargin,
     "ann_pq_codes" -> {
       val cols = (0 until PqM).map(m => s"code_$m").mkString(", ")

@@ -1939,6 +1939,46 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(out(1L) > out(2L), "two shared terms must outrank one")
   }
 
+  test("retrievalRrf: fused scores decompose into the legs' reciprocal " +
+       "ranks, ranks are contiguous per query, and both-leg hits " +
+       "outrank equal single-leg hits") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Similarity.retrievalRrf(spark, sf0001)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val k = Similarity.RrfK
+    // every possible fused value is 1/(k+a), or 1/(k+a)+1/(k+b), for
+    // leg ranks a,b >= 1 — a returned score outside that set means the
+    // fusion arithmetic (or a missing-leg coalesce) is wrong
+    val nMax = 600 // > corpus size at sf0.001
+    val singles = (1 to nMax).map(a => 1.0 / (k + a)).toSet
+    def representable(s: Double): Boolean =
+      singles.exists(x => math.abs(s - x) < 1e-9) ||
+        (1 to nMax).exists { a =>
+          val rest = s - 1.0 / (k + a)
+          rest > 0 && singles.exists(x => math.abs(rest - x) < 1e-9)
+        }
+    out.foreach { case (q, r, n, s) =>
+      assert(s > 0, s"($q,$n) fused score must be positive")
+      assert(representable(s), s"($q,$n) score $s is not a sum of " +
+        "reciprocal ranks")
+    }
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val ranks = rows.map(_._2).sorted
+      assert(ranks.toSeq == (1 to rows.length).toSeq,
+        s"query $q ranks not contiguous: ${ranks.toSeq}")
+      // scores non-increasing in rank
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // deterministic across invocations (window ties are id-broken)
+    val again = Similarity.retrievalRrf(spark, sf0001)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("textChunk covers every token with stride-aligned overlapping windows") {
     val spark2 = spark
     import spark2.implicits._
