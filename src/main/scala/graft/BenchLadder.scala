@@ -139,20 +139,29 @@ object BenchLadder {
       System.err.println(f"[ladder] $fam%-22s $point%-8s $sec%8.2f s")
     }
 
-    // optional arg list selects points to (re)run — the full ladder
-    // takes over an hour, so partial runs merge their JSONs offline.
+    // optional arg list selects points to (re)run (a point may carry a
+    // family filter: "x100:fam1,fam2") — the full ladder takes over an
+    // hour, so partial runs merge their JSONs offline
+    // (scripts/merge_ladder.py), and running the heaviest families in
+    // their own invocation means a crash never loses finished points.
     // The x100 rung reports a single warm run (not a median of 3):
     // its per-run times are large enough that scheduler noise is
     // amortized, and 2 runs instead of 4 halves a multi-hour rung.
-    val wanted = args.toSet
+    val wanted = args.map(_.split(":", 2)).map {
+      case Array(p) => p -> Set.empty[String]
+      case Array(p, fams) => p -> fams.split(",").toSet
+    }.toMap
     def on(p: String) = wanted.isEmpty || wanted.contains(p)
+    def onFam(p: String, fam: String) =
+      wanted.get(p).forall(fs => fs.isEmpty || fs.contains(fam))
 
-    for ((sfName, dir) <- sfDirs; fam <- graphFams if on(sfName))
+    for ((sfName, dir) <- sfDirs; fam <- graphFams
+         if on(sfName) && onFam(sfName, fam))
       record(fam, sfName, timeQuery(spark, fam, dir, 3))
 
     val xPoints = Seq(1, 10, 100).filter(f => on(s"x$f"))
       .map(f => s"x$f" -> ladderDir(spark, "/root/testdata/sf0.1", f))
-    for ((pName, dir) <- xPoints; fam <- xFams)
+    for ((pName, dir) <- xPoints; fam <- xFams if onFam(pName, fam))
       record(fam, pName,
         timeQuery(spark, fam, dir, if (pName == "x100") 1 else 3))
 
