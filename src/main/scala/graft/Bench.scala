@@ -56,6 +56,7 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -136,6 +137,7 @@ object Bench {
     def gridPoint(n: Long): Double = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
+        .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")

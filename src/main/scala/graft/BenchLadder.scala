@@ -15,16 +15,15 @@ import org.apache.spark.sql.functions._
   *  - The document/embedding families CANNOT ladder the driver SFs
   *    (documents: 500 → 500 → 5000; embeddings: 500 → 500 → 2000), so
   *    they ladder ×1/×10/×100 replications of sf0.1 written once under
-  *    the artifacts root. Replicas are PERTURBED — texts get a
-  *    replica-unique lead token, embeddings a small deterministic
-  *    per-replica offset — because exact replication would plant
-  *    pathological duplicate structure (every doc ×100 → banding
-  *    buckets grow quadratically for DATA reasons) and the ladder
-  *    would measure the corruption, not the operator. Replica 0 is
+  *    the artifacts root. Replicas are PERTURBED to be dissimilar to
+  *    each other at every near-dup unit (see [[ladderDir]] — getting
+  *    this wrong makes candidate pairs grow quadratically and the
+  *    ladder measures the corruption, not the operator). Replica 0 is
   *    byte-identical to the source.
   *
-  * Timing mirrors graft.Bench: per point 1 cold + 3 warm runs with
-  * ContextCleaner drains between, median warm reported. */
+  * Timing mirrors graft.Bench: per point 1 cold + warm runs with
+  * ContextCleaner drains between, median warm reported (3 warm runs,
+  * 1 at the x100 rung — see main). */
 object BenchLadder {
 
   private def drain(): Unit = {
@@ -109,6 +108,7 @@ object BenchLadder {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

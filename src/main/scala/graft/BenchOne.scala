@@ -15,6 +15,7 @@ object BenchOne {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
