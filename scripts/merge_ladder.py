@@ -27,10 +27,19 @@ def main() -> None:
     order = ["sf0.001", "sf0.01", "sf0.1", "x1", "x10", "x100"]
     growth = {}
     for fam, pts in points.items():
-        seq = [pts[k] for k in order if k in pts]
-        growth[fam] = round(seq[-1] / seq[-2] / 10.0, 4) \
-            if len(seq) >= 2 and seq[-2] > 0 else -1.0
-        points[fam] = {k: pts[k] for k in order if k in pts}
+        have = [k for k in order if k in pts]
+        seq = [pts[k] for k in have]
+        if len(seq) >= 2 and seq[-2] > 0:
+            # the last two rungs are one decade apart only when they
+            # are ADJACENT in the ladder order: a partial union missing
+            # a middle rung (x1 + x100, no x10) spans two decades, so
+            # normalize by the actual input growth between the rungs
+            decades = order.index(have[-1]) - order.index(have[-2])
+            growth[fam] = round((seq[-1] / seq[-2]) ** (1.0 / decades)
+                                / 10.0, 4)
+        else:
+            growth[fam] = -1.0
+        points[fam] = dict(zip(have, seq))
     with open(out_path, "w") as f:
         json.dump({"points": points, "growth_per_decade": growth,
                    "note": note}, f, indent=1)

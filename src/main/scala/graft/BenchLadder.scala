@@ -165,12 +165,19 @@ object BenchLadder {
       record(fam, pName,
         timeQuery(spark, fam, dir, if (pName == "x100") 1 else 3))
 
-    // last-step growth factor per family, normalized by the 10× input
-    // step: ~1.0 = linear, >1 = super-linear
+    // last-step growth factor per family, normalized by the input
+    // growth between the last two MEASURED rungs (a partial run can
+    // skip a middle rung, making them 2+ decades apart): ~1.0 =
+    // linear, >1 = super-linear
+    val rungOrder = Seq("sf0.001", "sf0.01", "sf0.1", "x1", "x10", "x100")
     val growth = out.map { case (fam, pts) =>
-      val v = pts.values.toSeq
-      fam -> (if (v.size >= 2 && v(v.size - 2) > 0)
-        v.last / v(v.size - 2) / 10.0 else -1.0)
+      val keys = rungOrder.filter(pts.contains)
+      fam -> (if (keys.size >= 2 && pts(keys(keys.size - 2)) > 0) {
+        val decades =
+          rungOrder.indexOf(keys.last) - rungOrder.indexOf(keys(keys.size - 2))
+        math.pow(pts(keys.last) / pts(keys(keys.size - 2)),
+          1.0 / decades) / 10.0
+      } else -1.0)
     }
     def m2j(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s""""$k": ${f"$v%.4f"}""" }.mkString("{", ", ", "}")

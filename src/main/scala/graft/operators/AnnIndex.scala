@@ -442,6 +442,58 @@ object AnnIndex {
         Seq("vec_id"), "left_anti")
     else codes
 
+  /** Append ONE delete batch as its own `deletes/batch_id=<n>/`
+    * subtree — the same per-batch layout the streaming delete sink
+    * produces, which every reader already unions
+    * ([[streamProduced]] / [[readSegment]]). This is the scale-safe
+    * tombstone write: cost is O(batch) — no driver collect of the
+    * existing set, no rewrite of prior batches — and crash-atomic:
+    * the batch is written to a sibling tmp dir first, then one
+    * atomic rename publishes it (a crash before the rename leaves
+    * only an ignored `deletes_batch_tmp_*` sibling; prior batches
+    * and their commit markers are never touched, so tombstones can
+    * never silently resurrect the way a torn full-set overwrite
+    * could). A legacy single-segment `deletes/` (root `_SUCCESS`
+    * layout) is migrated once into `batch_id=0` by metadata-only
+    * renames before the first append. Single-writer maintenance
+    * flow, like every segment writer here. */
+  private[operators] def appendDeleteBatch(spark: SparkSession,
+      path: String, batch: DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    val segRoot = p("deletes")
+    val fs = segRoot.getFileSystem(conf)
+    if (committed(spark, path, "deletes") &&
+        !streamProduced(spark, path, "deletes")) {
+      val b0 = new org.apache.hadoop.fs.Path(segRoot, "batch_id=0")
+      fs.mkdirs(b0)
+      fs.listStatus(segRoot).filter(_.isFile).foreach { st =>
+        if (!fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(b0, st.getPath.getName)))
+          throw new java.io.IOException(
+            s"tombstone layout migration failed: cannot move " +
+              s"${st.getPath} into $b0")
+      }
+    }
+    val next =
+      if (!fs.exists(segRoot)) 0L
+      else fs.listStatus(segRoot).iterator
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch_id=") =>
+          n.stripPrefix("batch_id=").toLong }
+        .foldLeft(-1L)(math.max) + 1
+    val tmp = p(s"deletes_batch_tmp_$next")
+    batch.select(col("vec_id")).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(segRoot)
+    if (!fs.rename(tmp,
+        new org.apache.hadoop.fs.Path(segRoot, s"batch_id=$next")))
+      throw new java.io.IOException(
+        s"tombstone batch publish failed: rename $tmp -> " +
+          s"$segRoot/batch_id=$next; the batch was not recorded and " +
+          "the append can be retried")
+  }
+
   /** The tombstone set as a JOINABLE unit relation: deduplicated on
     * vec_id, because the streamed layout can legitimately carry the
     * same id twice (a delete replayed in two micro-batches, or two

@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   *  - `params_ivfpqr_cents/`, `params_ivfpqr_cb/`, `codes_ivfpqr/` —
   *    the residual IVF-PQ's Lloyd-trained quantizers + 4 B/vector
   *    residual codes
-  *  - `deletes/` — thin (vec_id) tombstones; ABSENT until a delete
+  *  - `deletes/` — thin (vec_id) tombstones, one `batch_id=<n>/`
+  *    subtree per delete call (append-only); ABSENT until a delete
   *
   * Scale posture: identical to [[AnnIndex]] — the code tables are the
   * big artifacts, written once per (corpus, size) and served from
@@ -76,21 +77,20 @@ object AnnTiers {
 
   /** Record tombstones for `ids` — deletion writes ids, never touches
     * a code segment (the Lucene .liv shape [[AnnIndex]] documents).
-    * Existing tombstones are carried (the set unions); the tiny id
-    * set is driver-held, so read-then-overwrite is race-free for the
-    * single-writer maintenance flow this API serves. */
+    * Each call appends its OWN `batch_id=<n>` delete segment
+    * ([[AnnIndex.appendDeleteBatch]]): cost is O(batch) — prior
+    * tombstones are never read, collected, or rewritten, so a 100 TB
+    * index under heavy retraction churn pays per-batch, not
+    * O(total-deletes-ever), and a crash mid-write can only lose the
+    * in-flight batch, never the committed ones. Readers union the
+    * batches ([[minusDeletes]] dedups at the anti join); compaction
+    * folds them away. */
   def deleteVectors(spark: SparkSession, dir: String,
                     ids: Seq[Long]): Unit = {
     val spark2 = spark
     import spark2.implicits._
-    val path = root(spark, dir)
-    val existing =
-      if (AnnIndex.segmentAvailable(spark, path, "deletes"))
-        AnnIndex.readSegment(spark, path, "deletes")
-          .select(col("vec_id")).as[Long].collect().toSeq
-      else Seq.empty[Long]
-    (existing ++ ids).distinct.toDF("vec_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/deletes")
+    AnnIndex.appendDeleteBatch(spark, root(spark, dir),
+      ids.toDF("vec_id"))
   }
 
   /** Physical reclamation: rewrite every code/graph segment without

@@ -959,7 +959,10 @@ object SnapshotTable {
         case _ => true // unknown stats: must read
       }
       val yHit = (e.key2, e.minKey2, e.maxKey2) match {
-        case (Some(k2), Some(mn), Some(mx)) if k2 == keyY =>
+        // case-insensitive, matching SnapshotFileIndex.prune's
+        // convention — a differently-cased caller column must not
+        // silently degrade the skip to x-only
+        case (Some(k2), Some(mn), Some(mx)) if k2.equalsIgnoreCase(keyY) =>
           mx >= yLo && mn <= yHi
         case _ => true // no stats for THIS y column: must read
       }

@@ -79,4 +79,52 @@ class AnnTiersSpec extends SparkSessionSpec {
       spark.conf.unset("spark.graft.artifacts.dir")
     }
   }
+
+  test("deleteVectors appends per-batch tombstone segments: O(batch) " +
+       "writes, batches union at read, legacy layout migrates, torn " +
+       "tmp dirs are ignored") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tiers_batches").toString
+    spark.conf.set("spark.graft.artifacts.dir", tmp)
+    try {
+      val before = neighborsOf(Similarity.annBq(spark, sf))
+      val victims = before.filter(_ >= Similarity.NQueries)
+        .toSeq.sorted.take(2)
+      assert(victims.size == 2, "need two deletable BQ neighbors")
+      val root = AnnTiers.root(spark, sf)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def path(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+
+      // seed a LEGACY root-layout tombstone segment (pre-batch
+      // format: files + _SUCCESS at the segment root) holding
+      // victim 0 — the first append must migrate it, not clobber it
+      val spark2 = spark
+      import spark2.implicits._
+      Seq(victims(0)).toDF("vec_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/deletes")
+      assert(fs.exists(path("deletes/_SUCCESS")), "legacy seed")
+
+      AnnTiers.deleteVectors(spark, sf, Seq(victims(1)))
+      assert(fs.exists(path("deletes/batch_id=0")),
+        "legacy segment must migrate into batch_id=0")
+      assert(fs.exists(path("deletes/batch_id=1")),
+        "the append must land as its own batch")
+      assert(!fs.listStatus(path("deletes"))
+          .exists(s => s.isFile && s.getPath.getName != "_SUCCESS"),
+        "no loose data files may remain at the segment root")
+
+      // a torn in-flight batch (crash before the publishing rename)
+      // must be invisible to readers
+      fs.mkdirs(path("deletes_batch_tmp_99"))
+      fs.create(path("deletes_batch_tmp_99/part-junk.parquet"), true)
+        .close()
+
+      val after = neighborsOf(Similarity.annBq(spark, sf))
+      victims.foreach(v => assert(!after.contains(v),
+        s"tombstoned vector $v still served after batched deletes"))
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+    }
+  }
 }
