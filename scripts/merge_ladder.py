@@ -29,7 +29,10 @@ def main() -> None:
     for fam, pts in points.items():
         have = [k for k in order if k in pts]
         seq = [pts[k] for k in have]
-        if len(seq) >= 2 and seq[-2] > 0:
+        # both endpoints must be positive: a non-positive newer rung
+        # would raise a fractional power of a negative ratio (complex
+        # in Python, NaN in the Scala twin) instead of the sentinel
+        if len(seq) >= 2 and seq[-2] > 0 and seq[-1] > 0:
             # the last two rungs are one decade apart only when they
             # are ADJACENT in the ladder order: a partial union missing
             # a middle rung (x1 + x100, no x10) spans two decades, so

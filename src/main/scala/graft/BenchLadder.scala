@@ -172,7 +172,10 @@ object BenchLadder {
     val rungOrder = Seq("sf0.001", "sf0.01", "sf0.1", "x1", "x10", "x100")
     val growth = out.map { case (fam, pts) =>
       val keys = rungOrder.filter(pts.contains)
-      fam -> (if (keys.size >= 2 && pts(keys(keys.size - 2)) > 0) {
+      // both endpoints positive, like the merge-script twin: a
+      // non-positive newer rung would NaN the fractional power
+      fam -> (if (keys.size >= 2 && pts(keys(keys.size - 2)) > 0 &&
+          pts(keys.last) > 0) {
         val decades =
           rungOrder.indexOf(keys.last) - rungOrder.indexOf(keys(keys.size - 2))
         math.pow(pts(keys.last) / pts(keys(keys.size - 2)),

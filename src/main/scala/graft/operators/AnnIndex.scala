@@ -17,11 +17,15 @@ import graft.sources.ParquetSink
   * Build ([[annIndexBuild]]) writes three artifacts under a
   * deterministic per-corpus path:
   *  - `codes/` — one row per corpus vector: (vec_id, code_0..7,
-  *    packed), HIVE-PARTITIONED BY COARSE CELL via
-  *    [[ParquetSink.writePartitioned]] and sorted by vec_id within
-  *    each cell, so a probe-pruned search reads ONLY the probed cell
-  *    directories (partition pruning) at 4 packed bytes per vector —
-  *    the corpus's raw embeddings are never touched again;
+  *    packed), in the BUCKETED CELL LAYOUT
+  *    ([[ParquetSink.writeCellBucketed]]): hive dirs on
+  *    `bucket = cell % CellBuckets` (a CONSTANT fan-out — one dir per
+  *    cell would be ~400M directories at 100 TB), files sorted by
+  *    (cell, vec_id), so a probe-pruned search skips non-probed
+  *    bucket dirs before any IO and parquet row-group stats resolve
+  *    the probed cells inside the surviving files, at 4 packed bytes
+  *    per vector — the corpus's raw embeddings are never touched
+  *    again;
   *  - `cents/` — the k coarse centroids (k rows);
   *  - `codebook/` — the PQ sub-codebooks (PqM·PqKsub rows).
   *
@@ -47,20 +51,29 @@ object AnnIndex {
     // v2: codes carry the label metadata column (filtered search);
     // the version bump keeps a stale label-less artifact from being
     // reused by the build-once gate
-    s"${graft.sources.Artifacts.root(spark)}/ivfpq2_${key}_n$n"
+    s"${graft.sources.Artifacts.root(spark)}/ivfpq3_${key}_n$n"
   }
 
   /** Assignment + PQ encode of one (vec_id, v) corpus against a given
     * centroid set and codebook — narrow projections over the scan,
-    * shared by the base build and the frozen-codebook delta append. */
+    * shared by the base build and the frozen-codebook delta append.
+    *
+    * The per-block argmin runs as the native codegen
+    * [[graft.expressions.PqEncodeCodes]] expression, not the
+    * declarative [[Similarity.withBlockDists]] + array_position form
+    * the from-scratch queries keep: Spark's higher-order functions are
+    * interpreted, and their M·K per-row lambda evaluations were ~40 of
+    * the 69 s of the r13 x100 index-build rung — the dominant
+    * per-row constant on the one corpus-sized job of the index
+    * lifecycle. Code-for-code equality of the two forms is spec-pinned
+    * (PqEncodeSpec), so the oracle replay is unchanged. */
   private[graft] def encode(corpus: DataFrame, cents: Array[Array[Double]],
                      cb: Array[Array[Array[Double]]]): DataFrame =
-    Similarity.withBlockDists(
-      KMeansOps.assignDyn(corpus, "v", cents), "v", cb, "ds_")
+    KMeansOps.assignDyn(corpus, "v", cents)
+      .withColumn("pq_codes", graft.expressions.PqEncodeCodes(col("v"), cb))
       .select(col("vec_id") +: col("label") +: col("cluster") +:
         (0 until PqM).map(m =>
-          (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
-            .cast("int").as(s"code_$m")): _*)
+          element_at(col("pq_codes"), m + 1).as(s"code_$m")): _*)
       .withColumn("packed",
         (0 until PqM).map(m => col(s"code_$m").cast("long") *
           (1L << (4 * m))).reduce(_ + _))
@@ -77,8 +90,8 @@ object AnnIndex {
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"),
         col("label"))
     val encoded = encode(emb, cents, cb)
-    ParquetSink.writePartitioned(encoded, s"$path/codes",
-      partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
+    ParquetSink.writeCellBucketed(encoded, s"$path/codes",
+      sortCols = Seq("vec_id"))
     val spark2 = spark
     import spark2.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -166,8 +179,8 @@ object AnnIndex {
     val cents = readCents(spark, path)
     val cb = readCodebook(spark, path)
     val encoded = encode(deltaCorpus(spark, dir), cents, cb)
-    ParquetSink.writePartitioned(encoded, s"$path/codes_delta",
-      partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
+    ParquetSink.writeCellBucketed(encoded, s"$path/codes_delta",
+      sortCols = Seq("vec_id"))
     path
   }
 
@@ -256,8 +269,8 @@ object AnnIndex {
     val path = ensureDelta(spark, dir)
     ensureDeletes(spark, dir)
     val merged = minusDeletes(spark, path, committedSegments(spark, path))
-    ParquetSink.writePartitioned(merged, s"$path/codes_compacted",
-      partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
+    ParquetSink.writeCellBucketed(merged, s"$path/codes_compacted",
+      sortCols = Seq("vec_id"))
     spark.read.parquet(s"$path/codes_compacted")
       .groupBy(col("cluster").cast("int").as("cluster"))
       .agg(count(lit(1)).as("n_vectors"),
@@ -296,8 +309,8 @@ object AnnIndex {
   def compactInPlace(spark: SparkSession, path: String): Unit = {
     recoverCompaction(spark, path) // debris from an earlier crash
     val merged = minusDeletes(spark, path, committedSegments(spark, path))
-    ParquetSink.writePartitioned(merged, s"$path/codes_merge_tmp",
-      partitionCols = Seq("cluster"), sortCols = Seq("vec_id"))
+    ParquetSink.writeCellBucketed(merged, s"$path/codes_merge_tmp",
+      sortCols = Seq("vec_id"))
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -369,14 +382,35 @@ object AnnIndex {
   /** Every COMMITTED code segment at `path`: the base segment plus the
     * `codes_delta` segment when its `_SUCCESS` marker exists — the
     * Lucene/FAISS segment rule that a reader sees base ∪ deltas, never
-    * the base alone. Same union the compaction folds; both segments
-    * are hive-partitioned by cell, so a cell filter over the union
-    * still prunes directories in each segment independently. */
-  private[graft] def committedSegments(spark: SparkSession,
-                                       path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/codes")
+    * the base alone. Same union the compaction folds.
+    *
+    * `probeCells` pushes a cell filter into EACH segment scan before
+    * layout columns are normalized away: bucket-dir pruning first
+    * (the batch layout's `bucket = cell % CellBuckets` hive dirs —
+    * whole directories skipped before any IO), then the cell equality
+    * itself, which parquet row-group min/max stats resolve inside the
+    * surviving files because every file is sorted by cell
+    * ([[ParquetSink.writeCellBucketed]]). Segments in other layouts
+    * (a streamed delta hive-partitioned by `cluster`) get the same
+    * cell filter as plain partition pruning. */
+  private[graft] def committedSegments(spark: SparkSession, path: String,
+      probeCells: Option[Seq[Int]] = None): DataFrame = {
+    def seg(name: String): DataFrame = {
+      val raw = spark.read.parquet(s"$path/$name")
+      val filtered = probeCells.fold(raw) { cs =>
+        val bucketPruned =
+          if (raw.columns.contains("bucket"))
+            raw.where(col("bucket").isin(cs.map(c =>
+              Int.box(ParquetSink.bucketOf(c))).distinct: _*))
+          else raw
+        bucketPruned.where(col("cluster").isin(cs.map(Int.box): _*))
+      }
+      filtered.drop(
+        Seq("batch_id", "bucket").filter(filtered.columns.contains(_)): _*)
+    }
+    val base = seg("codes")
     if (segmentAvailable(spark, path, "codes_delta"))
-      base.unionByName(readSegment(spark, path, "codes_delta")
+      base.unionByName(seg("codes_delta")
         .select(base.columns.toIndexedSeq.map(col): _*))
     else base
   }
@@ -417,15 +451,16 @@ object AnnIndex {
         compactionPending(spark, path))
 
   /** Read a segment regardless of which layout produced it. The
-    * streamed layout surfaces `batch_id` as a discovered partition
-    * column — an ingest bookkeeping detail, not segment data — so it
-    * is dropped here; `cluster` stays a partition column in BOTH
-    * layouts, so cell pruning reaches the directory level either
-    * way. */
+    * streamed layout surfaces `batch_id` and the bucketed batch
+    * layout `bucket` as discovered partition columns — physical
+    * bookkeeping, not segment data — so both are dropped here;
+    * `cluster` stays (as a data column in the bucketed layout, a
+    * partition column in a streamed one), so cell filters keep their
+    * pruning power either way (row-group stats vs directories). */
   private[graft] def readSegment(spark: SparkSession, path: String,
                                  seg: String): DataFrame = {
     val df = spark.read.parquet(s"$path/$seg")
-    if (df.columns.contains("batch_id")) df.drop("batch_id") else df
+    df.drop(Seq("batch_id", "bucket").filter(df.columns.contains(_)): _*)
   }
 
   /** Apply the committed tombstone set (when one exists) to a code
@@ -453,45 +488,115 @@ object AnnIndex {
     * only an ignored `deletes_batch_tmp_*` sibling; prior batches
     * and their commit markers are never touched, so tombstones can
     * never silently resurrect the way a torn full-set overwrite
-    * could). A legacy single-segment `deletes/` (root `_SUCCESS`
-    * layout) is migrated once into `batch_id=0` by metadata-only
-    * renames before the first append. Single-writer maintenance
-    * flow, like every segment writer here. */
+    * could). A legacy single-segment `deletes/` (root-level part
+    * files) is migrated once into `batch_id=<MaintBatchBase>` by
+    * metadata-only renames before the first append. Single-writer
+    * maintenance flow, like every segment writer here. */
+  /** Batch count above which [[appendDeleteBatch]] folds the tombstone
+    * set into one superset batch: bounds both the per-append
+    * listStatus cost and the reader's union fan-in between
+    * compactions at ~O(threshold) whatever the retraction churn.
+    * Amortized fold cost per append is O(total-tombstones/threshold). */
+  private[graft] val DeleteFoldThreshold = 32
+
+  /** Floor of the MAINTENANCE tombstone-batch id range. Stream-written
+    * delete batches carry the query's checkpointed micro-batch id —
+    * small monotone ints replayed in overwrite mode — so maintenance
+    * appends claim ids ≥ 2⁴⁰: the two writers can never collide on a
+    * `batch_id=` directory, which is what makes a maintenance delete
+    * safe on a root a stream also feeds (a resumed stream replaying
+    * id N only ever overwrites its own batch N). */
+  private[graft] val MaintBatchBase = 1L << 40
+
   private[operators] def appendDeleteBatch(spark: SparkSession,
       path: String, batch: DataFrame): Unit = {
+    // writer rule (same as ensureDelta/ensureDeletes): finish any
+    // crashed compaction FIRST. Appending under a standing
+    // CompactedFlag would land the batch in dead debris — invisible to
+    // readers via the segmentAvailable gate and physically deleted by
+    // the next recovery: a silently lost delete. No-op when the root
+    // has no codes/ segment (the AnnTiers shape).
+    recoverCompaction(spark, path)
     val conf = spark.sessionState.newHadoopConf()
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
     val segRoot = p("deletes")
     val fs = segRoot.getFileSystem(conf)
-    if (committed(spark, path, "deletes") &&
-        !streamProduced(spark, path, "deletes")) {
-      val b0 = new org.apache.hadoop.fs.Path(segRoot, "batch_id=0")
-      fs.mkdirs(b0)
-      fs.listStatus(segRoot).filter(_.isFile).foreach { st =>
+    // one-time legacy migration: root-level part files →
+    // batch_id=<MaintBatchBase>. Keyed on the presence of loose DATA
+    // files — NOT on committed(): a crash mid-migration may already
+    // have moved _SUCCESS into the batch dir (listStatus order), so a
+    // marker-keyed retry would skip the remaining files and leave a
+    // mixed-depth layout that breaks partition discovery for every
+    // subsequent read of deletes/, permanently. Data files move FIRST
+    // and _SUCCESS LAST, so any interrupted migration is completed by
+    // the next append — never half-abandoned.
+    val legacyDst =
+      new org.apache.hadoop.fs.Path(segRoot, s"batch_id=$MaintBatchBase")
+    if (fs.exists(segRoot)) {
+      val loose = fs.listStatus(segRoot).filter(_.isFile)
+      val (markers, data) = loose.partition(_.getPath.getName.startsWith("_"))
+      val moves =
+        if (data.nonEmpty) data ++ markers
+        // only _SUCCESS left loose next to the dir it belongs in: the
+        // tail of a torn migration — finish it
+        else if (markers.nonEmpty && fs.exists(legacyDst)) markers
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
+      if (moves.nonEmpty) fs.mkdirs(legacyDst)
+      moves.foreach { st =>
         if (!fs.rename(st.getPath,
-            new org.apache.hadoop.fs.Path(b0, st.getPath.getName)))
+            new org.apache.hadoop.fs.Path(legacyDst, st.getPath.getName)))
           throw new java.io.IOException(
             s"tombstone layout migration failed: cannot move " +
-              s"${st.getPath} into $b0")
+              s"${st.getPath} into $legacyDst")
       }
     }
-    val next =
-      if (!fs.exists(segRoot)) 0L
+    def batchIds(): Seq[Long] =
+      if (!fs.exists(segRoot)) Seq.empty
       else fs.listStatus(segRoot).iterator
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("batch_id=") =>
           n.stripPrefix("batch_id=").toLong }
-        .foldLeft(-1L)(math.max) + 1
-    val tmp = p(s"deletes_batch_tmp_$next")
-    batch.select(col("vec_id")).coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.mkdirs(segRoot)
-    if (!fs.rename(tmp,
-        new org.apache.hadoop.fs.Path(segRoot, s"batch_id=$next")))
-      throw new java.io.IOException(
-        s"tombstone batch publish failed: rename $tmp -> " +
-          s"$segRoot/batch_id=$next; the batch was not recorded and " +
-          "the append can be retried")
+        .toSeq
+    def publish(df: DataFrame, tmpName: String, id: Long): Unit = {
+      val tmp = p(tmpName)
+      df.select(col("vec_id")).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.mkdirs(segRoot)
+      if (!fs.rename(tmp,
+          new org.apache.hadoop.fs.Path(segRoot, s"batch_id=$id")))
+        throw new java.io.IOException(
+          s"tombstone batch publish failed: rename $tmp -> " +
+            s"$segRoot/batch_id=$id; the batch was not recorded and " +
+            "the append can be retried")
+    }
+    // maintenance ids live at MaintBatchBase and above — disjoint by
+    // construction from annDeleteStream's checkpointed micro-batch ids
+    // (small monotone ints written in OVERWRITE mode), so a stream
+    // resuming after a maintenance append can never clobber a
+    // maintenance batch and resurrect its tombstones, and maintenance
+    // deletes stay usable on a stream-fed root (no single-owner
+    // refusal needed — readers union both id ranges)
+    val next = batchIds().foldLeft(MaintBatchBase - 1)(math.max) + 1
+    publish(batch, s"deletes_batch_tmp_$next", next)
+    // auto-fold: union-distinct every MAINTENANCE batch into one
+    // superset batch published under a fresh id, then drop the
+    // now-redundant ones. Monotone-safe at every crash point —
+    // tombstones only accumulate, so old-batches ∪ superset ≡ superset
+    // and a reader (which dedups at the anti join) sees the same live
+    // set whether the fold dies before, during, or after the drops.
+    // Stream-owned batches are left alone (their replay contract
+    // re-creates dropped dirs); compaction is what folds those.
+    val maintIds = batchIds().filter(_ >= MaintBatchBase)
+    if (maintIds.length > DeleteFoldThreshold) {
+      val folded = spark.read.parquet(segRoot.toString)
+        .where(col("batch_id") >= MaintBatchBase)
+        .select(col("vec_id")).distinct()
+      val foldId = maintIds.max + 1
+      publish(folded, s"deletes_fold_tmp_$foldId", foldId)
+      maintIds.foreach(i =>
+        fs.delete(new org.apache.hadoop.fs.Path(segRoot, s"batch_id=$i"),
+          true))
+    }
   }
 
   /** The tombstone set as a JOINABLE unit relation: deduplicated on
@@ -551,13 +656,14 @@ object AnnIndex {
       .flatMap(r => Similarity.probeCells(cents,
         r.getAs[Seq[Double]]("qv").toArray, NProbe))
       .distinct.sorted
-    // cell pruning FIRST (partition filters reach both segment scans),
-    // then the live-docs subtraction on the already-pruned rows
+    // cell pruning FIRST (bucket-dir pruning + row-group stats reach
+    // both segment scans, inside committedSegments), then the
+    // live-docs subtraction on the already-pruned rows
     // (`applyDeletes = false` is spec-only: the tombstone-contrast
     // test proves the delete is what hides a vector, not candidate
     // generation)
-    val pruned = committedSegments(spark, path)
-      .where(col("cluster").isin(probedAll.toIndexedSeq.map(Int.box): _*))
+    val pruned =
+      committedSegments(spark, path, Some(probedAll.toIndexedSeq))
     val codes =
       if (applyDeletes) minusDeletes(spark, path, pruned) else pruned
     val probedLuts = Similarity.withBlockDists(qs, "qv", cb, "lut_")

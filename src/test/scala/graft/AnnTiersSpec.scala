@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AnnTiers, Similarity}
+import graft.operators.{AnnIndex, AnnTiers, Similarity}
 
 /** The unified tier index's delete contract: ONE tombstone hides a
   * vector from EVERY quantized tier (BQ, BQ+refine, SQ8, graph), and
@@ -106,13 +106,16 @@ class AnnTiersSpec extends SparkSessionSpec {
       assert(fs.exists(path("deletes/_SUCCESS")), "legacy seed")
 
       AnnTiers.deleteVectors(spark, sf, Seq(victims(1)))
-      assert(fs.exists(path("deletes/batch_id=0")),
-        "legacy segment must migrate into batch_id=0")
-      assert(fs.exists(path("deletes/batch_id=1")),
+      val base = AnnIndex.MaintBatchBase
+      assert(fs.exists(path(s"deletes/batch_id=$base")),
+        "legacy segment must migrate into the maintenance id range " +
+          "(stream micro-batch ids can never collide with it)")
+      assert(fs.exists(path(s"deletes/batch_id=${base + 1}")),
         "the append must land as its own batch")
-      assert(!fs.listStatus(path("deletes"))
-          .exists(s => s.isFile && s.getPath.getName != "_SUCCESS"),
-        "no loose data files may remain at the segment root")
+      assert(!fs.listStatus(path("deletes")).exists(_.isFile),
+        "no loose files may remain at the segment root (data AND " +
+          "_SUCCESS move — _SUCCESS last, so a torn migration is " +
+          "finished by the next append, never read as committed)")
 
       // a torn in-flight batch (crash before the publishing rename)
       // must be invisible to readers
