@@ -88,13 +88,28 @@ object Similarity {
       (d, i)
     }.toSeq.sortBy(identity).take(n).map(_._2)
 
-  /** The `n` nearest cell ids as a COLUMN: per-cell squared distances
-    * zip with their indices, struct-sort (distance asc, cid asc — the
-    * strict-< tie-break), slice n. Runs inside codegen on the query
-    * rows, so routing scales with the query batch distributively — no
-    * driver collect. */
+  /** The `n` nearest cell ids as a COLUMN (distance asc, cid asc — the
+    * strict-< tie-break), lowered to the native codegen
+    * [[graft.expressions.ProbeCells]] expression: one fused O(k·d)
+    * primitive loop per row plus an O(k·n) insertion-select, instead
+    * of the declarative form's interpreted k-struct sort — which, with
+    * k scaling as ⌈n/256⌉, was the measured super-linear term of the
+    * corpus-side KNN-graph routing (dedup_embed_cluster, BENCH_LADDER
+    * r13). Bitwise-identical output ([[probeCellsColDeclarative]]
+    * equivalence is spec-pinned), so oracle replay is unchanged at
+    * every scale. Runs on the query rows distributively — no driver
+    * collect. */
   def probeCellsCol(vec: Column, cents: Array[Array[Double]],
-                    n: Int): Column = {
+                    n: Int): Column =
+    graft.expressions.ProbeCells(vec, cents, n)
+
+  /** The declarative composition [[probeCellsCol]] replaced (per-cell
+    * distances zip with indices, struct-sort, slice n) — kept as the
+    * built-ins-only reference the native expression is asserted
+    * bitwise-equal to (OperatorsSpec), the same contract pairing as
+    * assignDyn/NearestCentroid. */
+  private[graft] def probeCellsColDeclarative(
+      vec: Column, cents: Array[Array[Double]], n: Int): Column = {
     val ds = KMeansOps.distancesDyn(vec, cents)
     transform(
       slice(array_sort(zip_with(ds,

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, rand}
+import org.apache.spark.sql.functions.{col, lit, pmod, rand}
 
 /** Partition-layout-aware parquet sink — the write side of the 100 TB
   * posture. Hive-style `partitionBy` directories turn equality filters
@@ -39,5 +39,41 @@ object ParquetSink {
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
+  }
+
+  /** Fixed directory fan-out for cell-keyed index segments: dirs are
+    * `bucket = cell % CellBuckets`, NEVER one per cell. Hive
+    * partitioning directly on an n-SCALED key (IVF cells grow as
+    * ⌈n/256⌉, [[graft.operators.KMeansQueries.coarseK]]) is the
+    * classic metadata bomb: at 100 TB that is ~400M directories of
+    * 256-row files, and the r13 ladder measured it as the
+    * ann_index_build super-linear term (directory/commit cost ∝ k —
+    * 50 of the 69 s at the x100 rung were the 782-dir write). The
+    * modulo keeps the dir count CONSTANT in corpus size while staying
+    * self-describing (readers derive a cell's bucket without knowing
+    * k). At the oracle SFs (k = 8 ≤ CellBuckets) every cell still owns
+    * its own directory, so pruning there is unchanged. */
+  val CellBuckets = 64
+
+  /** The directory a cell's rows live in ([[writeCellBucketed]]). */
+  def bucketOf(cell: Int): Int = math.floorMod(cell, CellBuckets)
+
+  /** Write a cell-keyed segment in the bucketed layout: hive dirs on
+    * the derived `bucket`, rows sorted by (bucket, cell, sortCols)
+    * within each file. An equality/IN filter on the cell column prunes
+    * at TWO levels: bucket dirs first (partition pruning — skipped
+    * before any IO), then row groups inside the surviving files (the
+    * sort gives parquet min/max stats a monotone cell layout, so a
+    * probed cell touches ~one row group however big the bucket gets).
+    * The cell column stays a DATA column — readers never depend on
+    * directory names for it. */
+  def writeCellBucketed(df: DataFrame, path: String,
+                        cellCol: String = "cluster",
+                        sortCols: Seq[String] = Nil,
+                        filesPerDir: Int = 1): Unit = {
+    val bucketed = df.withColumn("bucket",
+      pmod(col(cellCol), lit(CellBuckets)).cast("int"))
+    writePartitioned(bucketed, path, partitionCols = Seq("bucket"),
+      sortCols = cellCol +: sortCols, filesPerDir = filesPerDir)
   }
 }

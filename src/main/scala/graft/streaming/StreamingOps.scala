@@ -566,13 +566,17 @@ object StreamingOps {
         // same batchId — rewriting its own batch_id=<id> subtree is a
         // no-op the second time, where a blind append would duplicate
         // every code row (round-7 advice). Readers treat batch_id as
-        // ingest bookkeeping (AnnIndex.readSegment drops it); cluster
-        // stays a partition dir under the batch, so cell pruning holds.
-        graft.operators.AnnIndex.encode(rows, cents, cb)
-          .repartition(col("cluster"))
-          .sortWithinPartitions(col("cluster"), col("vec_id"))
-          .write.mode("overwrite").partitionBy("cluster")
-          .parquet(s"$indexPath/codes_delta/batch_id=$batchId")
+        // ingest bookkeeping (AnnIndex.readSegment drops it); inside
+        // the batch the rows take the same bucketed layout as the
+        // batch-written segments (dirs = cell % CellBuckets, files
+        // sorted by cell — writeCellBucketed's rationale): a micro-
+        // batch touching a thousand cells writes ≤ CellBuckets dirs,
+        // not a thousand, and cell pruning still reaches bucket dirs
+        // plus row-group stats.
+        graft.sources.ParquetSink.writeCellBucketed(
+          graft.operators.AnnIndex.encode(rows, cents, cb),
+          s"$indexPath/codes_delta/batch_id=$batchId",
+          sortCols = Seq("vec_id"))
         ()
       }
   }

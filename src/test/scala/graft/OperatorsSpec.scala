@@ -226,6 +226,32 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(viaCol == viaDriver)
   }
 
+  test("native ProbeCells is bitwise-equal to the declarative probe") {
+    // large n-scaled cell set (not just the K=8 oracle set): 100 cells
+    // from sf0.001's own vectors, probed at every topN the engine uses
+    // plus n > k — the contract the dedup_embed_cluster ladder fix
+    // rides on (distance asc, cid asc, identical fold order)
+    val cents = operators.KMeansQueries.firstKCentroids(spark, sf0001, 100)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    for (n <- Seq(1, 2, 4, 5, 200)) {
+      val native = emb.select(col("vec_id"),
+        operators.Similarity.probeCellsCol(col("v"), cents, n).as("p"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val decl = emb.select(col("vec_id"),
+        operators.Similarity.probeCellsColDeclarative(col("v"), cents, n).as("p"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(native == decl, s"topN=$n")
+    }
+    // tie-break: duplicate centroids at equal distance keep the lower
+    // cell id, the strict-< scan NearestCentroid pins for top-1
+    val dup = Array(Array(1.0, 0.0), Array(0.0, 3.0), Array(1.0, 0.0))
+    val probed = Seq(Seq(1.0, 0.0)).toDF("v")
+      .select(operators.Similarity.probeCellsCol(col("v"), dup, 2).as("p"))
+      .as[Seq[Int]].head()
+    assert(probed == Seq(0, 2))
+  }
+
   test("brute-force ANN: nearest neighbor of a query is its duplicate") {
     // embed a duplicate of vec_id 0 and check it ranks first
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
@@ -426,11 +452,16 @@ class OperatorsSpec extends SparkSessionSpec {
       // corpus side reads the codes artifact with partition pruning; the
       // only raw-embeddings scan is the pushed-down query batch
       val plan = search.queryExecution.executedPlan.toString
-      // ivfpq2_ is the artifact dir marker (the full /codes suffix can
+      // ivfpq3_ is the artifact dir marker (the full /codes suffix can
       // fall past the FileScan location-string truncation)
-      assert(plan.contains("ivfpq2_"), "corpus side must scan the index artifact")
-      assert(plan.contains("PartitionFilters: [cluster"),
-        "codes scan must prune on the probed cells")
+      assert(plan.contains("ivfpq3_"), "corpus side must scan the index artifact")
+      // bucketed layout prunes at two levels: bucket dirs (partition
+      // filter) then the probed cells as a parquet-pushed data filter
+      // resolved by row-group stats (files are cell-sorted)
+      assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).nonEmpty,
+        "codes scan must prune bucket directories")
+      assert(plan.contains("In(cluster") || plan.contains("EqualTo(cluster"),
+        "probed cells must reach the parquet scan as a pushed filter")
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
@@ -504,12 +535,15 @@ class OperatorsSpec extends SparkSessionSpec {
     val rows = search.collect()
     assert(rows.exists(_.getAs[Long]("neighbor_id") >= nBase),
       "appended (delta-segment) vectors must appear among the neighbors")
-    // both segments are scanned, each with cell partition pruning
+    // both segments are scanned, each with bucket-dir pruning and the
+    // probed cells pushed into the parquet scan (row-group stats)
     val plan = search.queryExecution.executedPlan.toString
     assert(plan.contains("/codes_delta"),
       "search must scan the committed delta segment")
-    assert(plan.contains("PartitionFilters: [cluster"),
-      "codes scans must prune on the probed cells")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).nonEmpty,
+      "codes scans must prune bucket directories")
+    assert(plan.contains("In(cluster") || plan.contains("EqualTo(cluster"),
+      "probed cells must reach the parquet scans as a pushed filter")
     // filtered search honors the segment union under the label rule
     val filtered = AnnIndex.annIndexSearchFiltered(spark, sf0001).collect()
     assert(filtered.exists(_.getAs[Long]("neighbor_id") >= nBase),
