@@ -108,6 +108,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RewriteNearestCentroid)
     e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+    // SQL lowering for SnapshotCatalog tables (reads incl. time
+    // travel, MERGE INTO) onto the programmatic snapshot engine
+    e.injectResolutionRule(session =>
+      new graft.sources.ResolveSnapshotSql(session))
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -1574,6 +1574,74 @@ object Pipeline {
     }.reduce(_ unionByName _)
   }
 
+  /** THE SQL FRONT DOOR, end to end — the same upsert lifecycle as
+    * [[pipelineSnapshotMerge]] but with every operation AFTER the v1
+    * seed driven through `spark.sql` TEXT against a
+    * [[graft.sources.SnapshotCatalog]] table: the `MERGE INTO … WHEN
+    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+    * statement commits v2 ([[graft.sources.ResolveSnapshotSql]]
+    * lowers it onto the stats-scoped COW merge), and the readback
+    * aggregates v1 via `VERSION AS OF 1`, latest via the bare name,
+    * and v1 again via `TIMESTAMP AS OF` its commit instant (reported
+    * as version 3, proving the timestamp overload resolves through
+    * the catalog too). The oracle replays the identical closed-form
+    * update rule — a drift anywhere in catalog resolution, merge
+    * lowering, or time travel shows up as a value mismatch. */
+  def pipelineSnapshotSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val wh = s"${graft.sources.Artifacts.root(spark)}/sqlwh_${key}_n$n"
+    spark.conf.set("spark.sql.catalog.lakesql",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.lakesql.warehouse", wh)
+    val root = s"$wh/raw/docs"
+    if (!SnapshotTable.latestVersion(spark, root).contains(2)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      SnapshotTable.commit(spark, root, docs)
+      docs.where(col("doc_id") % 11 === 5)
+        .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + lit(n)).as("doc_id"), col("text")))
+        .createOrReplaceTempView("snapshot_sql_updates")
+      // commit times are millisecond-resolution; the TIMESTAMP AS OF
+      // readback below pins v1 by ITS instant, so v2 must land in a
+      // strictly later millisecond or the seeded artifact would replay
+      // wrong forever
+      Thread.sleep(10)
+      spark.sql(
+        """MERGE INTO lakesql.raw.docs t
+          |USING snapshot_sql_updates s ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    // rendered in UTC explicitly: the session TZ is UTC, and
+    // java.sql.Timestamp.toString would use the JVM default zone
+    val v1At = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(
+        SnapshotTable.commitTime(spark, root, 1).getOrElse(
+          throw new IllegalStateException(
+            s"v1 commit time missing at $root"))))
+    spark.sql(
+      s"""SELECT 1 AS version, count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+         |       CAST(sum(length(text)) AS BIGINT) AS sum_len
+         |FROM lakesql.raw.docs VERSION AS OF 1
+         |UNION ALL
+         |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+         |       CAST(sum(length(text)) AS BIGINT)
+         |FROM lakesql.raw.docs
+         |UNION ALL
+         |SELECT 3, count(*), CAST(sum(doc_id) AS BIGINT),
+         |       CAST(sum(length(text)) AS BIGINT)
+         |FROM lakesql.raw.docs TIMESTAMP AS OF '$v1At'""".stripMargin)
+  }
+
   /** Per-domain document cap for [[pipelineDomainCap]] — the crawl
     * curation rule that stops one prolific host from dominating the
     * mixture. */
@@ -1971,6 +2039,7 @@ object Pipeline {
     "pipeline_snapshot_evolve" -> pipelineSnapshotEvolve,
     "pipeline_snapshot_expire" -> pipelineSnapshotExpire,
     "pipeline_snapshot_merge" -> pipelineSnapshotMerge,
+    "pipeline_snapshot_sql" -> pipelineSnapshotSql,
     "pipeline_snapshot_changes" -> pipelineSnapshotChanges,
     "pipeline_snapshot_incr_agg" -> pipelineSnapshotIncrAgg,
     "pipeline_snapshot_skip" -> pipelineSnapshotSkip,
@@ -2545,6 +2614,32 @@ object Pipeline {
         |            + 7 * (SELECT count(*) FROM d WHERE doc_id % 11 = 5)
         |            + (SELECT sum(len) FROM d WHERE doc_id % 13 = 2)
         |            AS BIGINT)""".stripMargin,
+    // same update rule as pipeline_snapshot_merge, driven through SQL
+    // text (MERGE INTO / VERSION AS OF / TIMESTAMP AS OF): row 1 =
+    // pre-merge v1, row 2 = latest (post-merge), row 3 = v1 again
+    // resolved by commit timestamp
+    "pipeline_snapshot_sql" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
+        |n AS (SELECT count(*) AS c FROM d),
+        |v1 AS (SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
+        |              CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |              CAST(sum(len) AS BIGINT) AS sum_len
+        |       FROM d),
+        |v2 AS (SELECT CAST(2 AS INT) AS version,
+        |       (SELECT count(*) FROM d)
+        |         + (SELECT count(*) FROM d WHERE doc_id % 13 = 2)
+        |         AS n_docs,
+        |       CAST((SELECT sum(doc_id) FROM d)
+        |            + (SELECT sum(doc_id + (SELECT c FROM n)) FROM d
+        |               WHERE doc_id % 13 = 2) AS BIGINT) AS sum_id,
+        |       CAST((SELECT sum(len) FROM d)
+        |            + 7 * (SELECT count(*) FROM d WHERE doc_id % 11 = 5)
+        |            + (SELECT sum(len) FROM d WHERE doc_id % 13 = 2)
+        |            AS BIGINT) AS sum_len)
+        |SELECT * FROM v1
+        |UNION ALL SELECT * FROM v2
+        |UNION ALL SELECT CAST(3 AS INT), n_docs, sum_id, sum_len
+        |FROM v1""".stripMargin,
     // integer-exact share chain replayed: exact counts → correctly-
     // rounded sqrt micros → exact integer totals → integer-ratio
     // divisions (boost from the already-rounded share columns, exactly

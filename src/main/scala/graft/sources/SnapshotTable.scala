@@ -477,6 +477,20 @@ object SnapshotTable {
       .baseRelationToDataFrame(
         SnapshotSource.relationFor(spark, root, version, statsColumn))
 
+  /** The read the SQL surface lowers a snapshot relation onto
+    * ([[ResolveSnapshotSql]]): the stats-pruned manifest file index
+    * ([[readIndexed]] — file-set skipping, parquet pushdown, codegen)
+    * whenever the version carries no MOR delete vectors, else the
+    * delete-applying union ([[read]]) whose anti joins the file-index
+    * form cannot express. Same rows either way — the split only picks
+    * the faster physical plan for the common (fully-compacted/COW)
+    * case. */
+  private[sources] def sqlRead(spark: SparkSession, root: String,
+                               version: Int): DataFrame =
+    if (manifestEntries(spark, root, version).exists(_.kind == "delete"))
+      read(spark, root, version)
+    else readIndexed(spark, root, version)
+
   /** Retention report from [[expire]]. Counts are data DIRS (file
     * sets), not files — the manifest's unit of reference. */
   final case class ExpireReport(versionsExpired: Int, versionsKept: Int,

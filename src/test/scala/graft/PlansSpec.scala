@@ -261,9 +261,24 @@ class PlansSpec extends SparkSessionSpec {
         if s.dataFilters.nonEmpty => ()
     }.nonEmpty
 
+    // lint the plans PRODUCTION builds: every entry point registers
+    // GraftExtensions (Verify/Bench/CLI/BenchLadder), and the SQL
+    // catalog queries cannot even resolve without its rules — so the
+    // sweep runs on an extensions-enabled session over the suite's
+    // SparkContext (the ExtensionsSpec pattern), restored after.
+    val prev = org.apache.spark.sql.SparkSession.getDefaultSession
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val sx = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.expressions.GraftExtensions)
+      .getOrCreate()
+    try {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, sf0001).queryExecution.sparkPlan
+        val plan = fn(sx, sf0001).queryExecution.sparkPlan
         plan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty =>
             s"$name: un-partitioned Window (single-task global sort)"
@@ -277,6 +292,11 @@ class PlansSpec extends SparkSessionSpec {
         }
     }
     assert(violations.isEmpty, violations.mkString("\n"))
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      prev.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+    }
 
     // negative control: the exact round-4 pattern must trip the detector
     val bad = spark.range(100).toDF("id")

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.SnapshotTable
+
+/** The snapshot store's SQL front door ([[graft.sources.SnapshotCatalog]]
+  * + [[graft.sources.ResolveSnapshotSql]]): every lifecycle step a real
+  * lakehouse user drives through `spark.sql` TEXT must hit the SAME
+  * engine paths the programmatic API runs — catalog resolution, time
+  * travel by version and timestamp, MERGE upsert (stats-scoped COW),
+  * MERGE delete (MOR delete vectors), and CALL maintenance procedures.
+  * A fresh extensions-enabled session per suite, like ExtensionsSpec:
+  * the resolution rule only exists in sessions built with
+  * GraftExtensions. */
+class SnapshotSqlSpec extends SparkSessionSpec {
+
+  private lazy val s2: SparkSession = {
+    spark.sparkContext // force the shared context up first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.expressions.GraftExtensions)
+      .getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqlwh").toString
+    s.conf.set("spark.sql.catalog.lakecat", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.lakecat.warehouse", wh)
+    s
+  }
+  private def wh = s2.conf.get("spark.sql.catalog.lakecat.warehouse")
+
+  private def seed(name: String): String = {
+    import s2.implicits._
+    val root = s"$wh/ns/$name"
+    SnapshotTable.commit(s2, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    root
+  }
+
+  private def rows(sql: String): Set[(Long, String)] =
+    s2.sql(sql).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("SELECT resolves latest, VERSION AS OF, and TIMESTAMP AS OF " +
+       "through the catalog") {
+    val root = seed("tt")
+    import s2.implicits._
+    Thread.sleep(10) // commit times are ms-resolution; v2 must be later
+    SnapshotTable.commit(s2, root, Seq((4L, "d")).toDF("id", "v"),
+      append = true)
+    assert(rows("SELECT id, v FROM lakecat.ns.tt") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(rows("SELECT id, v FROM lakecat.ns.tt VERSION AS OF 1") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val v1At = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(
+        SnapshotTable.commitTime(s2, root, 1).get))
+    assert(rows(
+      s"SELECT id, v FROM lakecat.ns.tt TIMESTAMP AS OF '$v1At'") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "timestamp travel must resolve the version committed at-or-before")
+  }
+
+  test("MERGE INTO upsert lowers onto the stats-scoped COW merge; " +
+       "old versions stay readable") {
+    val root = seed("up")
+    import s2.implicits._
+    Seq((2L, "B"), (9L, "i")).toDF("id", "v")
+      .createOrReplaceTempView("up_src")
+    val v = s2.sql(
+      """MERGE INTO lakecat.ns.up t USING up_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .head().getInt(0)
+    assert(v == 2, "the command must report the published version")
+    assert(rows("SELECT id, v FROM lakecat.ns.up") ==
+      Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "i")))
+    assert(rows("SELECT id, v FROM lakecat.ns.up VERSION AS OF 1") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(SnapshotTable.versions(s2, root) == Seq(1, 2))
+  }
+
+  test("MERGE INTO ... WHEN MATCHED THEN DELETE lowers onto a MOR " +
+       "delete-vector commit, and SQL reads apply it") {
+    val root = seed("del")
+    import s2.implicits._
+    val dataBefore = SnapshotTable.read(s2, root, 1).inputFiles.toSet
+    Seq(Tuple1(2L)).toDF("id").createOrReplaceTempView("del_src")
+    s2.sql(
+      """MERGE INTO lakecat.ns.del t USING del_src s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+    assert(rows("SELECT id, v FROM lakecat.ns.del") ==
+      Set((1L, "a"), (3L, "c")))
+    // the commit is MOR: a delete vector, never a data rewrite — v1's
+    // data files are untouched and still serve the pre-delete rows
+    assert(SnapshotTable.read(s2, root, 1).inputFiles.toSet == dataBefore,
+      "the SQL delete must commit a delete vector, not rewrite files")
+    assert(rows("SELECT id, v FROM lakecat.ns.del VERSION AS OF 1") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("CALL procedures run maintenance: rollback, expire_snapshots, " +
+       "vacuum report through result rows") {
+    seed("mt")
+    import s2.implicits._
+    Seq((1L, "A")).toDF("id", "v").createOrReplaceTempView("mt_src")
+    s2.sql(
+      """MERGE INTO lakecat.ns.mt t USING mt_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(rows("SELECT id, v FROM lakecat.ns.mt") contains (1L, "A"))
+    val rb = s2.sql("CALL lakecat.system.rollback('ns.mt', 1)").head()
+    assert(rb.getInt(0) == 3, "rollback publishes a NEW version")
+    assert(rows("SELECT id, v FROM lakecat.ns.mt") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "post-rollback latest must equal v1")
+    val ex = s2.sql("CALL lakecat.system.expire_snapshots('ns.mt', 3)")
+      .head()
+    assert(ex.getAs[Int]("versions_expired") == 2 &&
+      ex.getAs[Int]("versions_kept") == 1)
+    val vac = s2.sql("CALL lakecat.system.vacuum('ns.mt')").head()
+    assert(vac.getAs[Int]("dirs_kept") >= 1)
+    assert(rows("SELECT id, v FROM lakecat.ns.mt") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "maintenance must never change the visible table")
+  }
+
+  test("CREATE TABLE publishes an empty v1 a first MERGE can land on; " +
+       "unsupported shapes raise, wrong versions are missing tables") {
+    import s2.implicits._
+    s2.sql("CREATE TABLE lakecat.ns.fresh (id BIGINT, v STRING)")
+    assert(s2.sql("SELECT * FROM lakecat.ns.fresh").count() == 0)
+    Seq((5L, "e")).toDF("id", "v").createOrReplaceTempView("fresh_src")
+    s2.sql(
+      """MERGE INTO lakecat.ns.fresh t USING fresh_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(rows("SELECT id, v FROM lakecat.ns.fresh") == Set((5L, "e")))
+    // non-upsert merge shapes must refuse loudly, not answer wrong
+    val e = intercept[Exception](s2.sql(
+      """MERGE INTO lakecat.ns.fresh t USING fresh_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = 'x'""".stripMargin).collect())
+    assert(e.getMessage.contains("MERGE INTO"))
+    assertThrows[Exception](
+      s2.sql("SELECT * FROM lakecat.ns.fresh VERSION AS OF 99").collect())
+  }
+}
