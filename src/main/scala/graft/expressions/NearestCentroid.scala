@@ -94,6 +94,22 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
        """.stripMargin
     })
 
+  // VALUE equality over the centroid matrix (see ProbeCells — Array
+  // fields default to reference equality, which breaks plan-cache and
+  // exchange-reuse matching on any subtree containing this node)
+  override def equals(other: Any): Boolean = other match {
+    case p: NearestCentroid =>
+      child == p.child &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]],
+          p.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child,
+    Integer.valueOf(java.util.Arrays.deepHashCode(
+      centroids.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -115,6 +115,22 @@ case class PqEncodeCodes(child: Expression,
        """.stripMargin
     })
 
+  // VALUE equality over the codebook (see ProbeCells — Array fields
+  // default to reference equality, which breaks plan-cache and
+  // exchange-reuse matching on any subtree containing this node)
+  override def equals(other: Any): Boolean = other match {
+    case p: PqEncodeCodes =>
+      child == p.child &&
+        java.util.Arrays.deepEquals(
+          codebook.asInstanceOf[Array[AnyRef]],
+          p.codebook.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child,
+    Integer.valueOf(java.util.Arrays.deepHashCode(
+      codebook.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

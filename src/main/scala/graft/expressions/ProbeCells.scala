@@ -126,6 +126,26 @@ case class ProbeCells(child: Expression, centroids: Array[Array[Double]],
        """.stripMargin
     })
 
+  // VALUE equality over the centroid matrix (case-class equality on an
+  // Array field is reference equality): plan-cache lookup and exchange
+  // reuse compare ANALYZED/canonicalized trees with ==, and every call
+  // site collects a fresh centroid array — reference equality made two
+  // builds of the same probe never match, so a persisted subtree
+  // (dedup_embed_cluster's edge set) recomputed on every reuse instead
+  // of hitting its cache. Same contract as NearestCentroid/PqEncodeCodes.
+  override def equals(other: Any): Boolean = other match {
+    case p: ProbeCells =>
+      topN == p.topN && child == p.child &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]],
+          p.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Integer.valueOf(topN),
+    Integer.valueOf(java.util.Arrays.deepHashCode(
+      centroids.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
