@@ -69,6 +69,38 @@ object BenchLadder {
     *    so a replica lands as an unrelated point instead of its
     *    source's nearest neighbor ×(factor−1).
     * Replica 0 stays byte-identical to the source in both tables. */
+  /** Documents replicated `factor`× with the per-replica token-suffix
+    * perturbation described above (replica 0 byte-identical). Shared
+    * with [[FullDir]], which scales the WHOLE star schema. */
+  private[graft] def replicateDocs(docs: org.apache.spark.sql.DataFrame,
+                                   factor: Int): org.apache.spark.sql.DataFrame = {
+    val nd = docs.count()
+    val reps = docs.sparkSession.range(factor).select(col("id").as("rep"))
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * nd)
+      .withColumn("text",
+        when(col("rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1zq"), col("rep")))))
+      .drop("rep")
+  }
+
+  /** Embeddings replicated `factor`× with the deterministic per-(id,
+    * dim) offset described above (replica 0 byte-identical). */
+  private[graft] def replicateEmb(emb: org.apache.spark.sql.DataFrame,
+                                  factor: Int): org.apache.spark.sql.DataFrame = {
+    val ne = emb.count()
+    val reps = emb.sparkSession.range(factor).select(col("id").as("rep"))
+    emb.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("rep") * ne)
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            (x + ((col("vec_id") * 1315423911L + i * 40503L) % 1001L
+              - 500L).cast("double") * lit(0.0005d)).cast("float"))))
+      .drop("rep")
+  }
+
   private def ladderDir(spark: SparkSession, src: String,
                         factor: Int): String = {
     val dir = s"${graft.sources.Artifacts.root(spark)}/ladder3_x$factor"
@@ -76,27 +108,9 @@ object BenchLadder {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val done = new org.apache.hadoop.fs.Path(s"$dir/_LADDER_DONE")
     if (!fs.exists(done)) {
-      val docs = spark.read.parquet(s"$src/documents.parquet")
-      val nd = docs.count()
-      val reps = spark.range(factor).select(col("id").as("rep"))
-      docs.crossJoin(reps)
-        .withColumn("doc_id", col("doc_id") + col("rep") * nd)
-        .withColumn("text",
-          when(col("rep") === 0, col("text"))
-            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("$1zq"), col("rep")))))
-        .drop("rep")
+      replicateDocs(spark.read.parquet(s"$src/documents.parquet"), factor)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val emb = spark.read.parquet(s"$src/embeddings.parquet")
-      val ne = emb.count()
-      emb.crossJoin(reps)
-        .withColumn("vec_id", col("vec_id") + col("rep") * ne)
-        .withColumn("embedding",
-          when(col("rep") === 0, col("embedding"))
-            .otherwise(transform(col("embedding"), (x, i) =>
-              (x + ((col("vec_id") * 1315423911L + i * 40503L) % 1001L
-                - 500L).cast("double") * lit(0.0005d)).cast("float"))))
-        .drop("rep")
+      replicateEmb(spark.read.parquet(s"$src/embeddings.parquet"), factor)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       fs.create(done).close()
     }
