@@ -239,14 +239,23 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel
     val e = emb(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val cents = KMeansQueries.coarseCentroids(spark, dir)
-    // the cell assignment feeds the IVF seed (and, on the very first
-    // call, the graph build inside the artifact gate)
-    val assigned = KMeansOps.assignDyn(e, "v", cents)
+    // build-once: the seed-cells segment persists the corpus cell
+    // assignment (vec_id, v, nrm, cluster) in the bucketed layout —
+    // the DiskANN-shaped artifact that lets serving seed from probed
+    // cells WITHOUT the corpus-wide O(n·k·d) nearest-centroid pass
+    // (which was 14.6 of the 17.1 s x100 warm search as an in-plan
+    // assignment); the graph build consumes the same segment in full,
+    // so assignment runs exactly once per (corpus, size)
+    AnnTiers.ensureCellSegment(spark, dir, "cells") {
+      KMeansOps.assignDyn(e, "v", cents)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+    }
     // the navigation graph IS the index artifact (the AnnIndex rule):
     // built once per (corpus, size), persisted as parquet, served
     // from disk ever after — a searcher never pays the n·K kNN join
     val edges = AnnTiers.ensureSegment(spark, dir, "graph", 0) {
-      knnGraphFrom(e, assigned, cents)
+      knnGraphFrom(e, AnnTiers.readCellSegment(spark, dir, "cells"),
+        cents)
     }.select(col("query_id").as("node"), col("neighbor_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val queries = e.where(col("vec_id") < NQueries)
@@ -254,13 +263,23 @@ object Similarity {
         col("nrm").as("qnrm"))
     // IVF-seeded entry: the query's top-BeamWidth candidates from its
     // SeedProbe nearest coarse cells (the query's own vector may seed
-    // its beam — it navigates well and the final cut excludes it)
+    // its beam — it navigates well and the final cut excludes it).
+    // The probed cell union is computed driver-side from the NQueries
+    // query vectors (a tiny collect — the AnnIndex.searchSegments
+    // pattern) so it reaches the cells scan as bucket-dir pruning +
+    // a pushed row-group filter; per-query exactness comes from the
+    // probe_cell = cluster equi join on the pruned superset.
     val probedQ = queries.withColumn("probe_cell",
       explode(probeCellsCol(col("qv"), cents, SeedProbe)))
-    val seedScored = assigned
-      .join(broadcast(probedQ), col("probe_cell") === col("cluster"))
-      .select(col("query_id"), col("vec_id").as("node"),
-        cosineScore.as("score"))
+    val probedAll = queries.select(col("qv")).collect()
+      .flatMap(r => probeCells(cents, r.getSeq[Double](0).toArray,
+        SeedProbe))
+      .distinct.sorted.toIndexedSeq
+    val seedScored =
+      AnnTiers.readCellSegment(spark, dir, "cells", Some(probedAll))
+        .join(broadcast(probedQ), col("probe_cell") === col("cluster"))
+        .select(col("query_id"), col("vec_id").as("node"),
+          cosineScore.as("score"))
     var frontier: DataFrame = graft.plans.TopKPerKey.topKPerKey(seedScored,
       Seq("query_id"), Seq("score" -> false, "node" -> true), BeamWidth)
       .select(col("query_id"), col("node"))
