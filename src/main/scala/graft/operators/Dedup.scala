@@ -829,41 +829,70 @@ object Dedup {
 
   // -------------------------------------------------------------------
   // Sign-bit LSH embedding dedup (the candidate-generation alternative
-  // to cell blocking: no centroids, no count() pre-pass, fully
-  // data-independent — the hyperplanes are compile-time constants)
+  // to cell blocking: no centroids, no sample pre-pass — the
+  // hyperplanes are compile-time constants, and the only corpus
+  // statistic consulted is a metadata-only row count that sizes the
+  // band width)
   // -------------------------------------------------------------------
 
   val LshBands = 2
+  /** Band-width floor: the bit count used at test scale, and the
+    * minimum whatever the corpus (a narrower band would put half the
+    * corpus in one bucket). */
   val LshBitsPerBand = 4
+  /** Band-width ceiling = planes generated per band; 128·2^24 ≈ 2.1B
+    * vectors before the clamp binds (beyond that, widen here). */
+  val LshMaxBits = 24
+  /** Expected bucket population the adaptive width targets: with
+    * pop ≤ 128 per (band, bucket), candidate pairs are ≤ 64·n per band
+    * — linear in the corpus at every scale. */
+  val LshTargetBucketPop = 128L
   val LshDim = 64
+
+  /** Adaptive band width: the smallest b in [[[LshBitsPerBand]],
+    * [[LshMaxBits]]] with `LshTargetBucketPop · 2^b >= n`. Pure integer
+    * comparisons — no floating log2 whose ceil could disagree between
+    * the JVM and DuckDB at exact powers of two; the oracle SQL replays
+    * the identical `128 · 2^b >= count(*)` scan. */
+  def lshBits(n: Long): Int = {
+    var b = LshBitsPerBand
+    while (b < LshMaxBits && (LshTargetBucketPop << b) < n) b += 1
+    b
+  }
 
   /** Seeded random hyperplanes, shared VERBATIM with the oracle SQL
     * (the literals are interpolated into both plans, so sign decisions
-    * agree bit-for-bit). */
+    * agree bit-for-bit). [[LshMaxBits]] planes per band are generated;
+    * a corpus uses the first [[lshBits]](n) of each band's block. */
   lazy val lshPlanes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(1234567L)
-    Array.fill(LshBands * LshBitsPerBand)(Array.fill(LshDim)(rnd.nextGaussian()))
+    Array.fill(LshBands * LshMaxBits)(Array.fill(LshDim)(rnd.nextGaussian()))
   }
 
   /** Embedding near-dup via banded sign-bit LSH: each vector gets
-    * `LshBands` bucket ids (4 sign bits each — the OR-of-ANDs recall
-    * structure of [[dedupMinhash]]'s banding), candidates share any
-    * band bucket, cosine is verified exactly on candidates only. Unlike
-    * the cell-blocked [[dedupEmbedCosine]] this needs NO corpus
-    * statistics at plan time (no count, no centroid sample): the
-    * hyperplanes are constants, the signature pass is narrow, and the
-    * only shuffles are the (band, bucket) self-join and the verify
-    * joins — all equi-keyed. Expected bucket population is n/2^bits per
-    * band, so candidate pairs stay near-linear for honest bit counts
-    * (bits ∝ log n at extreme scale). */
+    * `LshBands` bucket ids ([[lshBits]](n) sign bits each — the
+    * OR-of-ANDs recall structure of [[dedupMinhash]]'s banding),
+    * candidates share any band bucket, cosine is verified exactly on
+    * candidates only. Unlike the cell-blocked [[dedupEmbedCosine]] this
+    * needs no centroid sample at plan time: the hyperplanes are
+    * constants, the signature pass is narrow, and the only shuffles are
+    * the (band, bucket) self-join and the verify joins — all equi-keyed.
+    * The band width scales with the corpus (a parquet-footer count(),
+    * the one statistic consulted) so expected bucket population stays
+    * ≤ [[LshTargetBucketPop]] and candidate pairs stay LINEAR in n —
+    * a fixed width is quadratic the moment n outgrows 2^bits·pop
+    * (measured: 191 s at 20k vectors with the old fixed 4 bits, from
+    * ~25M candidate pairs). */
   def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    // metadata-only: parquet row count from footers, no column IO
+    val bits = lshBits(t(spark, dir, "embeddings").count())
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until LshBands).map { band =>
-      val bucket = (0 until LshBitsPerBand).map { r =>
-        val plane = lshPlanes(band * LshBitsPerBand + r)
+      val bucket = (0 until bits).map { r =>
+        val plane = lshPlanes(band * LshMaxBits + r)
         when(dot(col("v"), typedLit(plane.toSeq)) > 0, lit(1L << r))
           .otherwise(lit(0L))
       }.reduce(_ + _)
@@ -1100,14 +1129,27 @@ object Dedup {
   private def planeSql(p: Array[Double]): String =
     p.mkString("[", ", ", "]")
 
+  // every plane's term is emitted, masked by `r < nb.b` — terms at or
+  // beyond the adaptive width contribute 0 on both engines, so the
+  // bucket value matches the Spark plan's bits-term sum exactly
   private def bucketSql(band: Int): String =
-    (0 until LshBitsPerBand).map { r =>
-      s"(CASE WHEN list_inner_product(v, ${planeSql(lshPlanes(band * LshBitsPerBand + r))}) > 0 THEN ${1L << r} ELSE 0 END)"
+    (0 until LshMaxBits).map { r =>
+      s"(CASE WHEN $r < nb.b AND list_inner_product(v, ${planeSql(lshPlanes(band * LshMaxBits + r))}) > 0 THEN ${1L << r} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** The adaptive band width as SQL: the same integer-exact smallest-b
+    * scan [[lshBits]] runs (128·2^b ≥ n over b in [4, 24], else 24). */
+  private val lshBitsCte: String =
+    s"""nb AS (
+       |  SELECT coalesce(
+       |    (SELECT min(b) FROM generate_series($LshBitsPerBand, $LshMaxBits) s(b)
+       |     WHERE $LshTargetBucketPop * power(2, b) >= (SELECT count(*) FROM e)),
+       |    $LshMaxBits) AS b
+       |)""".stripMargin
 
   private val lshSigCte: String =
     (0 until LshBands).map { band =>
-      s"SELECT vec_id, $band AS band, ${bucketSql(band)} AS bucket FROM e"
+      s"SELECT vec_id, $band AS band, ${bucketSql(band)} AS bucket FROM e CROSS JOIN nb"
     }.mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
@@ -1166,7 +1208,7 @@ object Dedup {
     "dedup_embed_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), sig AS (
+         |), $lshBitsCte, sig AS (
          |$lshSigCte
          |), pairs AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

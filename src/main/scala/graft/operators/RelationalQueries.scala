@@ -1133,9 +1133,18 @@ object RelationalQueries {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct(), TriCapDeg)
       .localCheckpoint()
-    val a = cs.select(col("c"), col("s").as("sa"))
-    val b = cs.select(col("c").as("cb"), col("s").as("sb"))
-    val w = a.join(b, col("c") === col("cb") && col("sa") < col("sb"))
+    // The wedge self-join fans out deg²/2 per customer (measured 125M
+    // wedge rows at sf1 from a ~5M-row input): AQE sizes post-shuffle
+    // partitions from the small INPUT bytes and coalesces the join —
+    // and with it the map-side (s1,s2) partial agg — onto one core.
+    // Pin both arms to an explicit c-hash partitioning (AQE never
+    // coalesces a user repartition); per-customer work is bounded by
+    // the degree cap, so partitions stay balanced at any scale.
+    val wedgeParts = 4 * spark.sparkContext.defaultParallelism
+    val a = cs.repartition(wedgeParts, col("c"))
+    val b = a.select(col("c").as("cb"), col("s").as("sb"))
+    val w = a.select(col("c"), col("s").as("sa"))
+      .join(b, col("c") === col("cb") && col("sa") < col("sb"))
       .groupBy(col("sa").as("s1"), col("sb").as("s2"))
       .agg(count(lit(1)).as("w"))
     val und = w.select(col("s1").as("src"), col("s2").as("dst"), col("w"))

@@ -172,12 +172,29 @@ object Similarity {
     * of recomputing both. */
   private def knnGraphFrom(corpus: DataFrame, assigned: DataFrame,
                            cents: Array[Array[Double]]): DataFrame = {
+    // The cell equi join EXPLODES ~NProbe·pop× its input: AQE sizes
+    // post-shuffle partitions from the tiny INPUT bytes (a few MB of
+    // vectors) and coalesces the join to one partition, serializing
+    // the candidate scoring and the top-k heaps on a single core
+    // (measured at 20k vectors: 19 s single-threaded vs 2.6 GFLOP of
+    // actual work). Per-cell work is ~constant by construction
+    // (pop ≈ 256, probers ≈ NProbe·256), so the cell count itself is
+    // the right parallelism unit: pin BOTH sides to an explicit
+    // hash partitioning on the cell key — EnsureRequirements reuses it
+    // for the join, and AQE never coalesces a user-specified
+    // repartition — capped at 4× the cluster's parallelism so huge
+    // corpora don't fragment into per-cell tasks.
+    val sc = corpus.sparkSession.sparkContext
+    val p = math.max(sc.defaultParallelism,
+      math.min(cents.length, 4 * sc.defaultParallelism))
     val probed = corpus
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
       .withColumn("probe_cell",
         explode(probeCellsCol(col("qv"), cents, NProbe)))
+      .repartition(p, col("probe_cell"))
     val scored = assigned
+      .repartition(p, col("cluster"))
       .join(probed,
         col("probe_cell") === col("cluster") &&
           col("vec_id") =!= col("query_id"))
