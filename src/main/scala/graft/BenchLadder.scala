@@ -136,10 +136,10 @@ object BenchLadder {
     val graphFams = Seq("graph_pagerank", "graph_communities",
       "graph_sssp", "graph_triangles")
     val xFams = Seq("kmeans_full", "kmeans_par_init",
-      "dedup_prefix_join", "dedup_embed_cluster", "retrieval_bm25",
-      "text_langid_nb", "ann_graph_search", "ann_index_build",
-      "ann_index_append", "ann_index_compact", "ann_index_search",
-      "pipeline_crawl_e2e")
+      "dedup_prefix_join", "dedup_embed_cluster", "dedup_embed_lsh",
+      "retrieval_bm25", "text_langid_nb", "ann_graph_search",
+      "ann_knn_graph", "ann_index_build", "ann_index_append",
+      "ann_index_compact", "ann_index_search", "pipeline_crawl_e2e")
 
     // warmup: session + codegen paths
     SparkEntry.queries("km_sizes")(spark, sfDirs.last._2).count()

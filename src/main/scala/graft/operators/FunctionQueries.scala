@@ -178,17 +178,29 @@ object FunctionQueries {
     * needed whenever a nullable dimension key is a legitimate "unknown"
     * bucket. Null keys are manufactured via nullif so the null-match
     * path is actually exercised; a plain equi-join would silently drop
-    * those rows (OperatorsSpec asserts the difference). */
+    * those rows (OperatorsSpec asserts the difference).
+    *
+    * Aggregates are pushed BELOW the join: the key has 5 values, so
+    * materializing the raw pair fan-out is Θ(|cust|·|supp|) — 600M
+    * rows at sf1, quadratic in the scale factor — while every output
+    * column is computable per-side (keys are unique per side, and the
+    * pair count is the product of the per-key side counts). The
+    * null-safe join itself runs over the two 5-row aggregates — same
+    * result, same `<=>` semantics, constant join cost at any scale. */
   def qNullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val cust = t(spark, dir, "customer")
+    val custAgg = t(spark, dir, "customer")
       .select(col("c_custkey"), nullif(col("c_nationkey") % 5, lit(2)).as("k"))
-    val supp = t(spark, dir, "supplier")
-      .select(col("s_suppkey"), nullif(col("s_nationkey") % 5, lit(2)).as("sk"))
-    cust.join(supp, cust("k") <=> supp("sk"))
       .groupBy(col("k"))
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("c_custkey")).as("n_cust"),
+      .agg(count(lit(1)).as("cust_rows"),
+        countDistinct(col("c_custkey")).as("n_cust"))
+    val suppAgg = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), nullif(col("s_nationkey") % 5, lit(2)).as("sk"))
+      .groupBy(col("sk"))
+      .agg(count(lit(1)).as("supp_rows"),
         countDistinct(col("s_suppkey")).as("n_supp"))
+    custAgg.join(suppAgg, col("k") <=> col("sk"))
+      .select(col("k"), (col("cust_rows") * col("supp_rows")).as("n_pairs"),
+        col("n_cust"), col("n_supp"))
   }
 
   /** LATERAL correlated-aggregate subquery (per-customer stats over its

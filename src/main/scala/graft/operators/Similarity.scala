@@ -47,7 +47,8 @@ object Similarity {
         col("nrm").as("qnrm"))
 
   private def cosineScore: Column =
-    round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+    graft.expressions.RoundHalfUp(
+      dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
 
   /** Per-query top-k + rank. The cut runs through the native
     * [[graft.plans.TopKPerKey]] operator — map-side bounded heaps, so
