@@ -39,11 +39,23 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 
   override def prettyName: String = "nearest_centroid"
 
+  // Above this many centroids, the k·d inner loop reads the vector
+  // from a LOCAL double[] (one bulk toDoubleArray copy per row)
+  // instead of k·d ArrayData.getDouble calls — the call site is
+  // megamorphic in real plans (Unsafe, Generic and Columnar arrays all
+  // flow through), so the JIT neither inlines nor vectorizes it; the
+  // copy amortizes once the matrix is reread k times. Small-k callers
+  // (the k-means kernel, k=4..16) keep the direct reads: there the
+  // per-row allocation costs more than the dispatch. Results are
+  // bitwise identical either way (same operations, same order).
+  private def bulkCopy: Boolean = centroids.length >= 16
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val nElems = arr.numElements()
     var best = -1
     var bestD = Double.MaxValue
+    val local: Array[Double] = if (bulkCopy) arr.toDoubleArray() else null
     var i = 0
     while (i < centroids.length) {
       val c = centroids(i)
@@ -53,10 +65,18 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       val m = math.min(nElems, c.length)
       var d = 0.0
       var j = 0
-      while (j < m) {
-        val diff = arr.getDouble(j) - c(j)
-        d += diff * diff
-        j += 1
+      if (local != null) {
+        while (j < m) {
+          val diff = local(j) - c(j)
+          d += diff * diff
+          j += 1
+        }
+      } else {
+        while (j < m) {
+          val diff = arr.getDouble(j) - c(j)
+          d += diff * diff
+          j += 1
+        }
       }
       if (d < bestD) { bestD = d; best = i } // strict <: first index wins
       i += 1
@@ -76,16 +96,20 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       val diff = ctx.freshName("diff")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
+      val v = ctx.freshName("v")
+      val read = if (bulkCopy) s"$v[$j]" else s"$arr.getDouble($j)"
+      val copy = if (bulkCopy) s"double[] $v = $arr.toDoubleArray();" else ""
       s"""
          |int $best = -1;
          |double $bestD = Double.MAX_VALUE;
          |int $nElems = $arr.numElements();
+         |$copy
          |for (int $i = 0; $i < $cents.length; $i++) {
          |  double[] $c = $cents[$i];
          |  int $m = java.lang.Math.min($nElems, $c.length);
          |  double $d = 0.0;
          |  for (int $j = 0; $j < $m; $j++) {
-         |    double $diff = $arr.getDouble($j) - $c[$j];
+         |    double $diff = $read - $c[$j];
          |    $d += $diff * $diff;
          |  }
          |  if ($d < $bestD) { $bestD = $d; $best = $i; }
@@ -97,9 +121,18 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   // VALUE equality over the centroid matrix (see ProbeCells — Array
   // fields default to reference equality, which breaks plan-cache and
   // exchange-reuse matching on any subtree containing this node)
+  // the matrix hash is cached per instance: Catalyst calls
+  // hashCode/equals constantly during planning (rule memoization, set
+  // dedup, canonicalized-plan compare), and an O(k·d) deepHashCode per
+  // call turned AQE replanning into the measured bottleneck of the
+  // x100 knn-graph build (executors idle, driver hashing)
+  @transient private lazy val matrixHash: Int =
+    java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+
   override def equals(other: Any): Boolean = other match {
     case p: NearestCentroid =>
       child == p.child &&
+        matrixHash == p.matrixHash &&
         java.util.Arrays.deepEquals(
           centroids.asInstanceOf[Array[AnyRef]],
           p.centroids.asInstanceOf[Array[AnyRef]])
@@ -107,8 +140,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   }
   override def hashCode(): Int = java.util.Objects.hash(
     getClass, child,
-    Integer.valueOf(java.util.Arrays.deepHashCode(
-      centroids.asInstanceOf[Array[AnyRef]])))
+    Integer.valueOf(matrixHash))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -47,6 +47,10 @@ case class PqEncodeCodes(child: Expression,
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val nElems = arr.numElements()
+    // one bulk copy per row — the M·K·subDim inner loops then read a
+    // local double[] instead of megamorphic ArrayData.getDouble calls
+    // (see NearestCentroid.bulkCopy; M·K always amortizes the copy)
+    val v = arr.toDoubleArray()
     val out = new Array[Int](m)
     var b = 0
     while (b < m) {
@@ -61,7 +65,7 @@ case class PqEncodeCodes(child: Expression,
         var d = 0.0
         var t = 0
         while (t < lim) {
-          val diff = arr.getDouble(off + t) - c(t)
+          val diff = v(off + t) - c(t)
           d += diff * diff
           t += 1
         }
@@ -90,8 +94,10 @@ case class PqEncodeCodes(child: Expression,
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
       val nElems = ctx.freshName("nElems")
+      val v = ctx.freshName("v")
       s"""
          |int $nElems = $arr.numElements();
+         |double[] $v = $arr.toDoubleArray();
          |int[] $out = new int[$m];
          |for (int $b = 0; $b < $m; $b++) {
          |  double[][] $cents = $cb[$b];
@@ -104,7 +110,7 @@ case class PqEncodeCodes(child: Expression,
          |      java.lang.Math.max(0, $nElems - $off));
          |    double $d = 0.0;
          |    for (int $t = 0; $t < $lim; $t++) {
-         |      double $diff = $arr.getDouble($off + $t) - $c[$t];
+         |      double $diff = $v[$off + $t] - $c[$t];
          |      $d += $diff * $diff;
          |    }
          |    if ($d < $bestD) { $bestD = $d; $best = $j; }
@@ -118,9 +124,18 @@ case class PqEncodeCodes(child: Expression,
   // VALUE equality over the codebook (see ProbeCells — Array fields
   // default to reference equality, which breaks plan-cache and
   // exchange-reuse matching on any subtree containing this node)
+  // the matrix hash is cached per instance: Catalyst calls
+  // hashCode/equals constantly during planning (rule memoization, set
+  // dedup, canonicalized-plan compare), and an O(k·d) deepHashCode per
+  // call turned AQE replanning into the measured bottleneck of the
+  // x100 knn-graph build (executors idle, driver hashing)
+  @transient private lazy val matrixHash: Int =
+    java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])
+
   override def equals(other: Any): Boolean = other match {
     case p: PqEncodeCodes =>
       child == p.child &&
+        matrixHash == p.matrixHash &&
         java.util.Arrays.deepEquals(
           codebook.asInstanceOf[Array[AnyRef]],
           p.codebook.asInstanceOf[Array[AnyRef]])
@@ -128,8 +143,7 @@ case class PqEncodeCodes(child: Expression,
   }
   override def hashCode(): Int = java.util.Objects.hash(
     getClass, child,
-    Integer.valueOf(java.util.Arrays.deepHashCode(
-      codebook.asInstanceOf[Array[AnyRef]])))
+    Integer.valueOf(matrixHash))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

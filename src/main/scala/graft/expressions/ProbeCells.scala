@@ -46,6 +46,11 @@ case class ProbeCells(child: Expression, centroids: Array[Array[Double]],
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val nElems = arr.numElements()
+    // one bulk copy per row: the k·d inner loop then reads a local
+    // double[] instead of k·d megamorphic ArrayData.getDouble calls
+    // (see NearestCentroid.bulkCopy — here k is the n-scaled cell
+    // count, so the copy always amortizes)
+    val v = arr.toDoubleArray()
     val k = centroids.length
     val nSel = math.min(topN, k)
     val selD = new Array[Double](nSel)
@@ -58,7 +63,7 @@ case class ProbeCells(child: Expression, centroids: Array[Array[Double]],
       var d = 0.0
       var j = 0
       while (j < m) {
-        val diff = arr.getDouble(j) - c(j)
+        val diff = v(j) - c(j)
         d += diff * diff
         j += 1
       }
@@ -95,6 +100,7 @@ case class ProbeCells(child: Expression, centroids: Array[Array[Double]],
       val diff = ctx.freshName("diff")
       val p = ctx.freshName("p")
       val boxed = ctx.freshName("boxed")
+      val v = ctx.freshName("v")
       s"""
          |int $k = $cents.length;
          |int $nSel = java.lang.Math.min($topN, $k);
@@ -102,12 +108,13 @@ case class ProbeCells(child: Expression, centroids: Array[Array[Double]],
          |int[] $selI = new int[$nSel];
          |int $filled = 0;
          |int $nElems = $arr.numElements();
+         |double[] $v = $arr.toDoubleArray();
          |for (int $i = 0; $i < $k; $i++) {
          |  double[] $c = $cents[$i];
          |  int $m = java.lang.Math.min($nElems, $c.length);
          |  double $d = 0.0;
          |  for (int $j = 0; $j < $m; $j++) {
-         |    double $diff = $arr.getDouble($j) - $c[$j];
+         |    double $diff = $v[$j] - $c[$j];
          |    $d += $diff * $diff;
          |  }
          |  if ($filled < $nSel || $d < $selD[$nSel - 1]) {
@@ -133,9 +140,18 @@ case class ProbeCells(child: Expression, centroids: Array[Array[Double]],
   // builds of the same probe never match, so a persisted subtree
   // (dedup_embed_cluster's edge set) recomputed on every reuse instead
   // of hitting its cache. Same contract as NearestCentroid/PqEncodeCodes.
+  // the matrix hash is cached per instance: Catalyst calls
+  // hashCode/equals constantly during planning (rule memoization, set
+  // dedup, canonicalized-plan compare), and an O(k·d) deepHashCode per
+  // call turned AQE replanning into the measured bottleneck of the
+  // x100 knn-graph build (executors idle, driver hashing)
+  @transient private lazy val matrixHash: Int =
+    java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+
   override def equals(other: Any): Boolean = other match {
     case p: ProbeCells =>
       topN == p.topN && child == p.child &&
+        matrixHash == p.matrixHash &&
         java.util.Arrays.deepEquals(
           centroids.asInstanceOf[Array[AnyRef]],
           p.centroids.asInstanceOf[Array[AnyRef]])
@@ -143,8 +159,7 @@ case class ProbeCells(child: Expression, centroids: Array[Array[Double]],
   }
   override def hashCode(): Int = java.util.Objects.hash(
     getClass, child, Integer.valueOf(topN),
-    Integer.valueOf(java.util.Arrays.deepHashCode(
-      centroids.asInstanceOf[Array[AnyRef]])))
+    Integer.valueOf(matrixHash))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

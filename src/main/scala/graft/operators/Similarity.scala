@@ -143,6 +143,10 @@ object Similarity {
   }
 
   val GraphK = 5
+  /** Skew salt for the all-vectors candidate join: sub-blocks per
+    * cell. Bounds the hottest cell's per-task candidate block at
+    * pop·probers/KnnSalt whatever the cell-population skew. */
+  val KnnSalt = 8
 
   /** ALL-VECTORS KNN GRAPH — the corpus-wide neighbor structure that
     * powers near-dup clustering, diversity sampling and
@@ -178,26 +182,40 @@ object Similarity {
     // vectors) and coalesces the join to one partition, serializing
     // the candidate scoring and the top-k heaps on a single core
     // (measured at 20k vectors: 19 s single-threaded vs 2.6 GFLOP of
-    // actual work). Per-cell work is ~constant by construction
-    // (pop ≈ 256, probers ≈ NProbe·256), so the cell count itself is
-    // the right parallelism unit: pin BOTH sides to an explicit
-    // hash partitioning on the cell key — EnsureRequirements reuses it
-    // for the join, and AQE never coalesces a user-specified
-    // repartition — capped at 4× the cluster's parallelism so huge
-    // corpora don't fragment into per-cell tasks.
+    // actual work). Pin BOTH sides to an explicit hash partitioning —
+    // EnsureRequirements reuses it for the join, and AQE never
+    // coalesces a user-specified repartition — capped at 4× the
+    // cluster's parallelism so huge corpora don't fragment into
+    // per-cell tasks.
+    //
+    // The cell key alone is NOT enough: real embedding corpora are
+    // anisotropic, the coarse cells are untrained (first-k), and the
+    // densest cell's candidate block grows as pop² — profiled at the
+    // x100 rung as ONE straggler task holding the stage while 31 cores
+    // idled (an explicit repartition also opts out of AQE's skew-join
+    // splitting, which keys on ENSURE_REQUIREMENTS exchanges). So the
+    // corpus side is SALTED: each corpus row lands in one of
+    // [[KnnSalt]] sub-blocks of its cell, each prober replicates to
+    // every salt, and the join keys on (cell, salt) — the same
+    // candidate set, scored once each (a corpus row has exactly one
+    // salt), with the hottest cell spread over KnnSalt tasks.
     val sc = corpus.sparkSession.sparkContext
     val p = math.max(sc.defaultParallelism,
-      math.min(cents.length, 4 * sc.defaultParallelism))
+      math.min(cents.length * KnnSalt, 4 * sc.defaultParallelism))
+    val salts = array((0 until KnnSalt).map(lit): _*)
     val probed = corpus
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
       .withColumn("probe_cell",
         explode(probeCellsCol(col("qv"), cents, NProbe)))
-      .repartition(p, col("probe_cell"))
+      .withColumn("salt", explode(salts))
+      .repartition(p, col("probe_cell"), col("salt"))
     val scored = assigned
-      .repartition(p, col("cluster"))
+      .withColumn("salt_c", pmod(col("vec_id"), lit(KnnSalt)).cast("int"))
+      .repartition(p, col("cluster"), col("salt_c"))
       .join(probed,
         col("probe_cell") === col("cluster") &&
+          col("salt") === col("salt_c") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineScore.as("score"))
