@@ -14,9 +14,13 @@ object TimeQuery {
     val warm = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
+    // bisect aid: SPARK_GRAFT_NO_EXT=1 builds the session with no
+    // extensions, isolating per-plan extension-rule overhead
+    val b1 = if (sys.env.contains("SPARK_GRAFT_NO_EXT")) b0
+      else b0.config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+    val spark = b1
       .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
