@@ -107,6 +107,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteNearestCentroid)
     e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    // eager aggregation: keyed fan-out statistics written as
+    // join-then-aggregate collapse to per-side aggregates
+    e.injectOptimizerRule(_ => graft.plans.PushAggThroughJoin)
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     // SQL lowering for SnapshotCatalog tables (reads incl. time
     // travel, MERGE INTO) onto the programmatic snapshot engine

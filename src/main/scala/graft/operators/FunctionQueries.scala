@@ -180,28 +180,28 @@ object FunctionQueries {
     * path is actually exercised; a plain equi-join would silently drop
     * those rows (OperatorsSpec asserts the difference).
     *
-    * Aggregates are pushed BELOW the join: the key has 5 values, so
-    * materializing the raw pair fan-out is Θ(|cust|·|supp|) — 600M
-    * rows at sf1, quadratic in the scale factor — while every output
-    * column is computable per-side (keys are unique per side, and the
-    * pair count is the product of the per-key side counts). The
-    * null-safe join itself runs over the two 5-row aggregates — same
-    * result, same `<=>` semantics, constant join cost at any scale. */
-  def qNullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val custAgg = t(spark, dir, "customer")
+    * Written in the NATURAL form — join the raw sides, then aggregate
+    * — whose declarative plan materializes the Θ(|cust|·|supp|) pair
+    * fan-out (600M rows at sf1 for a 5-row answer, quadratic in the
+    * scale factor). The engine's [[graft.plans.PushAggThroughJoin]]
+    * eager-aggregation rule collapses it to per-side aggregates
+    * joined 1:1 per key — count(*) = cntL·cntR, distinct counts
+    * per side — so the fan-out never exists at ANY scale while the
+    * user keeps the textbook query. PlansSpec pins the rewrite
+    * (aggregates BELOW the join in the optimized plan) and its value
+    * equality against the unoptimized plan. */
+  def qNullSafeJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
       .select(col("c_custkey"), nullif(col("c_nationkey") % 5, lit(2)).as("k"))
+      .join(t(spark, dir, "supplier")
+        .select(col("s_suppkey"),
+          nullif(col("s_nationkey") % 5, lit(2)).as("sk")),
+        col("k") <=> col("sk"))
       .groupBy(col("k"))
-      .agg(count(lit(1)).as("cust_rows"),
-        countDistinct(col("c_custkey")).as("n_cust"))
-    val suppAgg = t(spark, dir, "supplier")
-      .select(col("s_suppkey"), nullif(col("s_nationkey") % 5, lit(2)).as("sk"))
-      .groupBy(col("sk"))
-      .agg(count(lit(1)).as("supp_rows"),
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_custkey")).as("n_cust"),
         countDistinct(col("s_suppkey")).as("n_supp"))
-    custAgg.join(suppAgg, col("k") <=> col("sk"))
-      .select(col("k"), (col("cust_rows") * col("supp_rows")).as("n_pairs"),
-        col("n_cust"), col("n_supp"))
-  }
+      .select(col("k"), col("n_pairs"), col("n_cust"), col("n_supp"))
 
   /** LATERAL correlated-aggregate subquery (per-customer stats over its
     * own big orders): the SQL-surface form of a dependent join.
