@@ -35,9 +35,19 @@ object BenchLadder {
     val fn = SparkEntry.queries(name)
     def once(): Double = {
       drain()
+      val df = fn(spark, dir)
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // surface any Dataset.observe counters the query carries (the
+      // prefix-join candidate instrumentation): the ladder's whole
+      // point is separating "the plan holds" from "the constants got
+      // lucky", and candidate counts are the plan-holds witness
+      val om = df.queryExecution.observedMetrics
+      if (om.nonEmpty) System.err.println(
+        s"[ladder] $name observed: " + om.map { case (k, r) =>
+          s"$k=${r.toSeq.mkString(",")}" }.mkString(" "))
+      dt
     }
     once() // cold
     val runs = Seq.fill(warmRuns)(once()).sorted

@@ -16,17 +16,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * engine produces).
   *
   * Fast path: pure double arithmetic `floor(x·10^s + 0.5) / 10^s`,
-  * valid whenever the scaled value's fractional part is farther from
-  * the .5 rounding boundary than the worst-case gap between the double
-  * and its shortest-decimal value (|y|·2⁻⁵² — the guard band is 4.5×
-  * that). Inside the band — where binary-vs-decimal disagreement is
-  * possible — and for |y| ≥ 2⁵¹ (integer-resolution doubles), it falls
-  * back to the built-in's exact BigDecimal computation, so the result
-  * is equal to Spark's `round` for EVERY input (RoundHalfUpSpec
+  * valid whenever the scaled value y = x·10^s has a fractional part
+  * farther from the .5 rounding boundary than the worst-case gap
+  * between y and shortest-decimal(x)·10^s (< 4·ulp(y); the band is
+  * 8·ulp). Inside the band — where binary-vs-decimal disagreement is
+  * possible — and for |y| > 2⁴⁹ (the band swallows the unit interval;
+  * from 2⁵¹ the double grid is coarser than the boundary itself), it
+  * falls back to the built-in's exact BigDecimal computation, so the
+  * result is equal to Spark's `round` for EVERY input (RoundHalfUpSpec
   * fuzzes the equivalence across magnitudes, exact halves, negative
-  * halves and specials). The DuckDB oracles keep their `round(x, s)`
-  * replay unchanged — this expression changes no value the built-in
-  * would produce. */
+  * halves and specials). Large-magnitude regime spelled out: columns
+  * whose |x|·10^s routinely exceeds ~5.6e14 run at built-in speed,
+  * not fast-path speed — acceptable because the engine's call sites
+  * round SCORES (cosines, ratios, micro-nat logs: |y| ≤ ~1e9). The
+  * supported scale domain is [0, 15] (Pow table; negative scales and
+  * wider ones stay on Spark's Round). The DuckDB oracles keep their
+  * `round(x, s)` replay unchanged — this expression changes no value
+  * the built-in would produce. */
 case class RoundHalfUp(child: Expression, scale: Int)
   extends UnaryExpression {
 
@@ -59,9 +65,17 @@ object RoundHalfUp {
     // fast-path error analysis needs y+0.5 to be meaningful
     if (ay >= 2.251799813685248e15) return slow(x, scale)
     val f = y - math.floor(y)
-    // guard band: |shortest-decimal(x)·10^s − y| ≤ ~1.5·ulp(y); stay
-    // 4.5× clear of the boundary before trusting binary arithmetic
-    if (math.abs(f - 0.5) <= (ay + 1.0) * 4e-15) return slow(x, scale)
+    // guard band: the gap between shortest-decimal(x)·10^s and y is
+    // < 4·ulp(y) (≤0.5 ulp decimal-vs-binary on x, ≤2 ulp through the
+    // exact-power multiply, ≤1 ulp computing f) — 8·ulp(ay+1) keeps a
+    // 2× margin plus an absolute ~2e-15 floor for sub-unit y. ulp-
+    // scaled, not |y|-scaled: the previous |y|·4e-15 band (~18 ulp)
+    // crossed 0.5 at |y|≈1.2e14, silently sending EVERY larger row to
+    // the BigDecimal slow path; ulp scaling holds the band at 16 ulp
+    // of boundary width, so the slow-path regime starts at |y| > 2^49
+    // — and above there it is the honest choice, since the double
+    // grid is within a few bits of the 0.5 boundary resolution anyway
+    if (math.abs(f - 0.5) <= 8.0 * Math.ulp(ay + 1.0)) return slow(x, scale)
     math.floor(y + 0.5) / Pow(scale)
   }
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Caches.TrackedDataset
 import graft.Tables.t
 
 /** End-to-end training-data curation pipeline — the composition the
@@ -1745,7 +1746,7 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"), dsirBucket.as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val ratio = dsirRatioFromTokens(tok,
       tok.where(col("lang") === "en"))
     dsirScoreFromTokens(tok, ratio)
@@ -1918,7 +1919,7 @@ object Pipeline {
           txt <- Warc.htmlToText(new String(http.body, "UTF-8"))
         } yield (id, txt)
       }).toDF("doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val x = expr("(doc_id DIV 4) % 10").cast("string")
     val host = when(col("doc_id") % 4 === 0,
         concat(lit("cdn"), x, lit(".example.com")))

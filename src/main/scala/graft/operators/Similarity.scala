@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.Caches.TrackedDataset
 import graft.Tables.t
 import graft.functions.VectorFunctions._
 import graft.kmeans.KMeansOps
@@ -199,10 +200,21 @@ object Similarity {
     // every salt, and the join keys on (cell, salt) — the same
     // candidate set, scored once each (a corpus row has exactly one
     // salt), with the hottest cell spread over KnnSalt tasks.
+    //
+    // The salt is GATED on corpus size (estimated from the cell count
+    // — cells are ⌈n/256⌉ by construction, no count() job): below
+    // ~64k vectors even the most skewed cell is a sub-second block,
+    // and unconditional salting just octuples the prober shuffle
+    // volume (probers replicate across every salt). At and above the
+    // threshold the skew protection is worth the replication — the
+    // x100 straggler measurement that motivated it.
     val sc = corpus.sparkSession.sparkContext
+    val salt =
+      if (cents.length * KMeansQueries.CoarseCellTarget < 65536L) 1
+      else KnnSalt
     val p = math.max(sc.defaultParallelism,
-      math.min(cents.length * KnnSalt, 4 * sc.defaultParallelism))
-    val salts = array((0 until KnnSalt).map(lit): _*)
+      math.min(cents.length * salt, 4 * sc.defaultParallelism))
+    val salts = array((0 until salt).map(lit): _*)
     val probed = corpus
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
@@ -211,7 +223,7 @@ object Similarity {
       .withColumn("salt", explode(salts))
       .repartition(p, col("probe_cell"), col("salt"))
     val scored = assigned
-      .withColumn("salt_c", pmod(col("vec_id"), lit(KnnSalt)).cast("int"))
+      .withColumn("salt_c", pmod(col("vec_id"), lit(salt)).cast("int"))
       .repartition(p, col("cluster"), col("salt_c"))
       .join(probed,
         col("probe_cell") === col("cluster") &&
@@ -968,7 +980,7 @@ object Similarity {
     * distance, per-query heap cut. */
   def annBq(spark: SparkSession, dir: String): DataFrame = {
     val codes = bqCodes(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val qs = codes.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"),
         col("lo").as("q_lo"), col("hi").as("q_hi"))
@@ -993,7 +1005,7 @@ object Similarity {
     * query, the exact score runs only on those. */
   def annBqRefine(spark: SparkSession, dir: String): DataFrame = {
     val codes = bqCodes(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val qs = codes.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"),
         col("lo").as("q_lo"), col("hi").as("q_hi"))
@@ -1172,7 +1184,7 @@ object Similarity {
       .select(col("doc_id"),
         explode(Dedup.shinglePosCol(col("toks"), 3)).as("s"))
       .select(col("doc_id"), col("s.i").as("i"), col("s.span").as("span"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val top = inst.groupBy(col("span"))
       .agg(count(lit(1)).as("corpus_occ"))
       .orderBy(col("corpus_occ").desc, col("span")).limit(1)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Caches.TrackedDataset
 import graft.Tables.t
 
 /** Text-analysis operators over the `documents` table: quality scoring,
@@ -322,7 +323,7 @@ object TextAnalysis {
     * persisted (token totals and the count model both read it). */
   def nbModelOf(docs: DataFrame): (DataFrame, DataFrame) = {
     val occ = docs.select(col("lang"), explode(toks).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val vocab = occ.agg(count_distinct(col("tok")).cast("double")
       .as("v_size"))
     val tot = docs.agg(count(lit(1)).cast("double").as("tot_docs"))
@@ -426,7 +427,7 @@ object TextAnalysis {
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // tf is unique per (doc_id, tok) by construction: plain count ≡
     // count(DISTINCT doc_id), without the distinct expansion
     val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -461,7 +462,7 @@ object TextAnalysis {
         i => struct(element_at(col("toks"), i).as("w1"),
           element_at(col("toks"), i + 1).as("w2")))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .where(col("c12") >= CollocMinCount)
     val uni = bi.select(col("w1").as("w")) // first-position unigrams…
@@ -521,7 +522,7 @@ object TextAnalysis {
         explode(transform(sequence(lit(1), size(col("toks")) - 1),
           i => concat_ws(" ", element_at(col("toks"), i),
             element_at(col("toks"), i + 1)))).as("bg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val model = bi.groupBy(col("bg")).agg(count(lit(1)).as("c"))
     bi.join(model, "bg")
       .groupBy(col("doc_id"))
@@ -561,7 +562,7 @@ object TextAnalysis {
           i => struct(element_at(col("toks"), i).as("w1"),
             element_at(col("toks"), i + 1).as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // |V| over ALL documents (the unigram vocabulary, not just bigram
     // contexts) — a 1-row aggregate broadcast into the scoring plan
     val vocab = withToks.select(explode(col("toks")).as("tok"))
@@ -710,23 +711,42 @@ object TextAnalysis {
           .cast("long").as("redacted_len"))
 
   /** Character-bigram profile per language: the statistical signature a
-    * real language-ID model trains on. Explode bigrams → count per
-    * (lang, bigram) → top-5 per lang. One shuffle on (lang, bigram);
-    * partial aggregation compresses the explode map-side. The text is
-    * split to a char ARRAY once and bigrams are built with O(1)
-    * element_at — `substr(text, i, 2)` per position re-seeks the
-    * UTF8String from the start, O(len²) per document. */
+    * real language-ID model trains on. The bigram counting happens
+    * INSIDE a codegen projection per document — sort the doc's bigram
+    * array, find equal-run boundaries, emit one (bigram, run-length)
+    * pair per DISTINCT bigram (the [[repetitionOf]] sorted-runs
+    * device) — so the exploded stream carries one row per distinct
+    * bigram per doc instead of one row per CHARACTER POSITION (the
+    * char-level blow-up dominated the sf1 board at 15.3 s; natural
+    * text reuses a small bigram alphabet, so this is a ~5-10× row
+    * cut before the (lang, bigram) shuffle, whose partial aggregation
+    * then compresses what remains). The text is split to a char ARRAY
+    * once and bigrams are built with O(1) element_at — `substr(text,
+    * i, 2)` per position re-seeks the UTF8String from the start,
+    * O(len²) per document. Counts are exactly the per-position
+    * counts: run lengths in a sorted array partition the positions. */
   def textCharNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = t(spark, dir, "documents")
+    val runs = t(spark, dir, "documents")
       .withColumn("chars", split(col("text"), ""))
-      .select(col("lang"),
-        explode(transform(sequence(lit(1), size(col("chars")) - 1),
+      .where(size(col("chars")) >= 2)
+      .withColumn("st", array_sort(
+        transform(sequence(lit(1), size(col("chars")) - 1),
           i => concat(element_at(col("chars"), i),
-            element_at(col("chars"), i + 1)))).as("bg"))
+            element_at(col("chars"), i + 1)))))
+      .withColumn("n_bg", size(col("st")))
+      .withColumn("bounds", filter(sequence(lit(1), col("n_bg")),
+        i => i === 1 ||
+          element_at(col("st"), i) =!= element_at(col("st"), i - 1)))
+      .select(col("lang"),
+        explode(zip_with(col("bounds"),
+          concat(slice(col("bounds"), lit(2), size(col("bounds"))),
+            array(col("n_bg") + 1)),
+          (a, b) => struct(element_at(col("st"), a).as("bg"),
+            (b - a).cast("long").as("n")))).as("r"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n").desc, col("bg"))
-    bigrams.groupBy(col("lang"), col("bg"))
-      .agg(count(lit(1)).as("n"))
+    runs.groupBy(col("lang"), col("r.bg").as("bg"))
+      .agg(sum(col("r.n")).as("n"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("lang"), col("rank"), col("bg"), col("n"))
