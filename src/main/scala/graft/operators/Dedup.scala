@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.Caches.TrackedDataset
 import graft.Tables.t
 import graft.functions.VectorFunctions._
 
@@ -102,7 +103,7 @@ object Dedup {
       .where(size(col("toks")) >= SpanN)
       .select(col("doc_id"),
         explode(array_distinct(shingleCol(col("toks"), SpanN))).as("span"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // spans are distinct within a doc, so count(*) per span = carrier docs
     val carriers = spans.groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
     spans.join(carriers, "span")
@@ -139,7 +140,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(shinglePosCol(col("toks"), SpanN)).as("s"))
       .select(col("doc_id"), col("s.i").as("i"), col("s.span").as("span"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val carriers = inst.select(col("doc_id"), col("span")).distinct()
       .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
     val dupPos = inst.join(carriers.where(col("n_docs") >= 2), "span")
@@ -223,7 +224,7 @@ object Dedup {
 
   /** Core of [[dedupParagraphs]] over any (doc_id, text) frame. */
   def paragraphsOf(docs: DataFrame): DataFrame = {
-    val segs = segmentsOf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val segs = segmentsOf(docs).persistTracked()
     val dupHashes = segs.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
@@ -258,7 +259,7 @@ object Dedup {
     paragraphScreenAgainstBase(
       docs.where(col("doc_id") % 2 === 1),
       baseParagraphHashes(docs.where(col("doc_id") % 2 === 0))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persistTracked())
   }
 
   val MinhashBands = 4
@@ -317,11 +318,16 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     pairsMemo.computeIfAbsent((spark, dir), { case (s, d) =>
       candidatePairs(bandSignatures(s, d)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persistTracked())
     })
 
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // Caches.release must also forget the memoized handle: the memo's
+  // whole point is "this DataFrame is cached" — after a release it
+  // isn't, and handing it out would silently recompute the banded join
+  // per consumer instead of re-persisting once
+  graft.Caches.onRelease(s => pairsMemo.keySet.removeIf(_._1 eq s))
 
   /** EDIT-DISTANCE VERIFIED NEAR-DUP — the character-level verify
     * tier under the token-level family: LSH candidates (the SAME
@@ -366,13 +372,13 @@ object Dedup {
     * signatures. */
   def dedupCrossCorpus(spark: SparkSession, dir: String): DataFrame =
     crossCorpusOf(docsWithShingles(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK))
+      .persistTracked())
 
   /** Core of [[dedupCrossCorpus]] over any (doc_id, shingles) frame
     * (caller persists — signatures and verify both read it); exposed
     * for the planted-duplicate fixture spec. */
   def crossCorpusOf(sh: DataFrame): DataFrame = {
-    val sig = bandSignaturesFrom(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = bandSignaturesFrom(sh).persistTracked()
     val crawl = sig.where(col("doc_id") % 2 === 1)
       .select(col("band"), col("sig"), col("doc_id").as("new_doc"))
     val base = sig.where(col("doc_id") % 2 === 0)
@@ -443,9 +449,9 @@ object Dedup {
     * pipeline and the verify joins — nothing in the shingle→minhash
     * chain is derived twice. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docsWithShingles(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = docsWithShingles(spark, dir).persistTracked()
     val pairs = candidatePairs(
-      bandSignaturesFrom(sh).persist(StorageLevel.MEMORY_AND_DISK))
+      bandSignaturesFrom(sh).persistTracked())
     val dsh = sh.select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
     pairs
       .join(dsh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -488,7 +494,7 @@ object Dedup {
     * partitions on (band, value), so the whole query is
     * candidate-volume bound, never n². */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = dedupSimhash(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = dedupSimhash(spark, dir).persistTracked()
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(SimhashBands - 1))).as("b"))
       .withColumn("bv", expr("shiftright(simhash, b * 8)")
@@ -601,7 +607,7 @@ object Dedup {
       .where(col("vec_id") % col("ss") === 0)
       .select((col("vec_id") / col("ss")).cast("int").as("fid"),
         col("v").as("c"), col("stride"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val coarse = fine.where(col("fid") % col("stride") === 0)
       .select(col("fid").as("coid"), col("c").as("cc"))
     def routeToCoarse(df: DataFrame, id: Column, vec: Column): DataFrame =
@@ -625,7 +631,7 @@ object Dedup {
       .withColumn("nrm", l2Norm(col("v")))
       // persisted: the scoring pair join reads BOTH sides from this
       // cache — without it the whole two-level assignment runs twice
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
   }
 
   /** Near-dup CLUSTERS from the pair list: connected components over
@@ -640,8 +646,8 @@ object Dedup {
     * sees only the changed-count. */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     components(candidatePairs(
-      bandSignatures(spark, dir).persist(StorageLevel.MEMORY_AND_DISK),
-      dedup = false).persist(StorageLevel.MEMORY_AND_DISK))
+      bandSignatures(spark, dir).persistTracked(),
+      dedup = false).persistTracked())
 
   /** Exact-similarity-join threshold τ = [[PrefTauNum]]/[[PrefTauDen]]
     * (Jaccard ≥ 0.6), kept as a ratio so every threshold test is
@@ -681,7 +687,7 @@ object Dedup {
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(shingleCol(col("toks"), 3))).as("tok"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wD = Window.partitionBy(col("doc_id"))
     val ordered = tok.join(dfreq, "tok")
@@ -709,6 +715,15 @@ object Dedup {
     //     pair-dedup exchange or the verify joins.
     val alpha = expr(s"(($PrefTauNum * (na + nb)) + " +
       s"${PrefTauNum + PrefTauDen} - 1) DIV ${PrefTauNum + PrefTauDen}")
+    // instrumented (Dataset.observe, the observedGate device): the two
+    // candidate-stream counts that decide whether the filters hold at
+    // the next decade — shared-prefix-token pairs surviving the LENGTH
+    // filter, and those surviving the POSITIONAL bound. BenchLadder
+    // surfaces them per rung; if len-survivors turn super-linear while
+    // pos-survivors stay flat, the next lever is PPJoin+'s suffix
+    // filter (Xiao WWW'08 §4) inside this same join. CollectMetrics
+    // rides the existing stream — no extra job, no plan barrier that
+    // matters (both counts sit between shuffles either way).
     val cands = prefix.as("a")
       .join(prefix.as("b"), Seq("tok"))
       .where(col("a.doc_id") < col("b.doc_id") &&
@@ -717,8 +732,12 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"),
         col("a.rn").as("ra"), col("b.rn").as("rb"))
+      .observe("prefix_len_filter",
+        count(lit(1)).as("n_len_survivors"))
       .where(least(col("ra"), col("rb")) - 1 + lit(1) +
         least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
+      .observe("prefix_pos_filter",
+        count(lit(1)).as("n_pos_survivors"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .distinct()
     val inter = cands
@@ -781,7 +800,7 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // eager localCheckpoint per round: the pointer-jump self-join embeds
     // the previous round's plan TWICE, so without lineage truncation the
     // logical plan doubles every round (2^rounds nodes — OOM in plan
@@ -864,7 +883,19 @@ object Dedup {
     * is oracle-replayed bit-for-bit wherever it binds, so parity holds
     * at every scale; saturating the cap EARLY is what keeps the
     * measured growth linear instead of drifting through a
-    * pops-approaching-the-cap transition for a decade. */
+    * pops-approaching-the-cap transition for a decade.
+    *
+    * RECALL CONTRACT — the screen is lossy, deliberately: a pair
+    * whose ONLY shared bucket is population-capped emits NO candidate
+    * (witnessed by [[dedupEmbedLshStop]], whose planted 600-copy
+    * block yields zero pairs — exercised inside the driver's sf0.01
+    * oracle gate AND pinned small-scale by DedupSpec). What lives in
+    * a capped bucket is near-exclusively verbatim-flood mass, which
+    * the EXACT tier ([[dedupExact]], hash-keyed, no cap) already
+    * removes upstream in every real pipeline composition; the
+    * residual loss is near-dup pairs hiding inside a mega-bucket
+    * whose other bands ALSO saturate — raise [[LshBands]] (more
+    * OR-chances) rather than the cap if that tail matters. */
   val LshStopBucketPop = 4L * LshTargetBucketPop
   val LshDim = 64
 
@@ -903,12 +934,56 @@ object Dedup {
     * (measured: 191 s at 20k vectors with the old fixed 4 bits, from
     * ~25M candidate pairs). */
   def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
-    // metadata-only: parquet row count from footers, no column IO
-    val bits = lshBits(t(spark, dir, "embeddings").count())
-    val emb = t(spark, dir, "embeddings")
+    // session-memoized corpus count (Tables.cachedCount): the width
+    // statistic is corpus-keyed, so only the FIRST caller pays the
+    // footer-count job — re-invocations (warm bench runs, pipeline
+    // composition) plan with zero extra Spark jobs
+    val bits = lshBits(graft.Tables.cachedCount(spark, dir, "embeddings"))
+    embedLshPairsOf(
+      t(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("v")),
+      bits)
+  }
+
+  /** STOP-BUCKET SCREEN, FORCED TO BIND: [[dedupEmbedLsh]]'s exact
+    * pipeline over the corpus plus a PLANTED mega-bucket — 600
+    * verbatim copies of vec 0's vector (ids 1000000+i), enough that
+    * their shared bucket exceeds [[LshStopBucketPop]] in every band
+    * at EVERY scale factor, including the sf0.01 correctness gate
+    * where the organic corpus (n=200) can never reach the cap. The
+    * oracle replays the planting and the screen bit-for-bit, so the
+    * driver's DuckDB gate now exercises both implementations of the
+    * cap — previously it only ever ran with the screen a no-op.
+    *
+    * This is ALSO the family's recall-contract witness: the planted
+    * block is 600 TRUE duplicates (cosine 1.0) and the output
+    * contains ZERO pairs among them — the screen trades exactly this
+    * recall (pairs whose ONLY collision is a population-capped
+    * bucket) for linear candidate growth. Production guidance in the
+    * scaladoc of [[LshStopBucketPop]]: route capped buckets to the
+    * exact-dedup tier ([[dedupExact]] catches verbatim floods like
+    * this one) rather than widening the cap. */
+  def dedupEmbedLshStop(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val planted = spark.range(PlantedCopies)
+      .crossJoin(broadcast(base.where(col("vec_id") === 0).select(
+        col("v").as("v0"))))
+      .select((col("id") + PlantedBaseId).as("vec_id"), col("v0").as("v"))
+    val n = graft.Tables.cachedCount(spark, dir, "embeddings") +
+      PlantedCopies
+    embedLshPairsOf(base.unionByName(planted), lshBits(n))
+  }
+
+  val PlantedCopies = 600L
+  val PlantedBaseId = 1000000L
+
+  /** Core of [[dedupEmbedLsh]] over any (vec_id, v) frame at a given
+    * band width. */
+  private def embedLshPairsOf(emb0: DataFrame, bits: Int): DataFrame = {
+    val emb = emb0
       .withColumn("nrm", l2Norm(col("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val bandStructs = (0 until LshBands).map { band =>
       val bucket = (0 until bits).map { r =>
         val plane = lshPlanes(band * LshMaxBits + r)
@@ -1041,7 +1116,7 @@ object Dedup {
       .select(least(col("query_id"), col("neighbor_id")).as("doc_a"),
         greatest(col("query_id"), col("neighbor_id")).as("doc_b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     components(edges)
       .select(col("doc"), col("component"),
         (col("doc") === col("component")).cast("int").as("is_canonical"))
@@ -1065,9 +1140,9 @@ object Dedup {
   /** Core of [[dedupContainment]] over any (doc_id, shingles) frame;
     * exposed for the quoted-document asymmetry fixture spec. */
   def containmentOf(shingled: DataFrame): DataFrame = {
-    val sh = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shingled.persistTracked()
     val pairs = candidatePairs(
-      bandSignaturesFrom(sh).persist(StorageLevel.MEMORY_AND_DISK))
+      bandSignaturesFrom(sh).persistTracked())
     val dsh = sh.select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
     pairs
       .join(dsh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -1100,6 +1175,7 @@ object Dedup {
     "dedup_cross_embed" -> dedupCrossEmbed,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_embed_lsh" -> dedupEmbedLsh,
+    "dedup_embed_lsh_stop" -> dedupEmbedLshStop,
     "dedup_components" -> dedupComponents,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_prefix_join" -> dedupPrefixJoin)
@@ -1170,12 +1246,16 @@ object Dedup {
     }.mkString(" + ")
 
   /** The adaptive band width as SQL: the same integer-exact smallest-b
-    * scan [[lshBits]] runs (128·2^b ≥ n over b in [4, 24], else 24). */
+    * scan [[lshBits]] runs (128·2^b ≥ n over b in [4, 24], else 24).
+    * The threshold is an integer SHIFT, not power(2, b): the JVM scan
+    * compares longs, and a floating 2^b would only stay exact while
+    * 128·2^b fits a double's 53-bit mantissa — a latent divergence if
+    * the width cap or target population ever grows. */
   private val lshBitsCte: String =
     s"""nb AS (
        |  SELECT coalesce(
        |    (SELECT min(b) FROM generate_series($LshBitsPerBand, $LshMaxBits) s(b)
-       |     WHERE $LshTargetBucketPop * power(2, b) >= (SELECT count(*) FROM e)),
+       |     WHERE $LshTargetBucketPop * (CAST(1 AS BIGINT) << b) >= (SELECT count(*) FROM e)),
        |    $LshMaxBits) AS b
        |)""".stripMargin
 
@@ -1240,6 +1320,37 @@ object Dedup {
     "dedup_embed_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), $lshBitsCte, sig0 AS (
+         |$lshSigCte
+         |), sig AS (
+         |  SELECT vec_id, band, bucket FROM (
+         |    SELECT vec_id, band, bucket,
+         |           count(*) OVER (PARTITION BY band, bucket) AS pop
+         |    FROM sig0)
+         |  WHERE pop <= $LshStopBucketPop
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT p.id_a, p.id_b,
+         |       round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+         |FROM pairs p
+         |JOIN e ea ON ea.vec_id = p.id_a
+         |JOIN e eb ON eb.vec_id = p.id_b
+         |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.2""".stripMargin,
+    // the screen-binding variant: same pipeline, corpus ∪ planted
+    // mega-bucket; n for the width scan includes the planted rows on
+    // both engines
+    "dedup_embed_lsh_stop" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), e AS (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT $PlantedBaseId + s.i AS vec_id, b.v
+         |  FROM (SELECT v FROM base WHERE vec_id = 0) b
+         |  CROSS JOIN generate_series(0, ${PlantedCopies - 1}) s(i)
          |), $lshBitsCte, sig0 AS (
          |$lshSigCte
          |), sig AS (
