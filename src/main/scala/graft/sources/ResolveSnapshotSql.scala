@@ -40,15 +40,32 @@ import org.apache.spark.sql.types.IntegerType
 class ResolveSnapshotSql(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // a MERGE target must stay a RELATION until lowerMerge consumes it:
-    // transformUp visits it before its MergeIntoTable parent, and
+    // Fast bail-out for the 99% case: this rule sits in EVERY session's
+    // resolution batch and is re-invoked on every analyzer fixed-point
+    // iteration of every query — and analysis runs once per DataFrame
+    // transformation, not once per action, so a 30-step query pays it
+    // ~30×N times. A plan that contains no snapshot relation anywhere
+    // (every MERGE over a snapshot table necessarily contains one as
+    // its target) must cost ONE short-circuiting walk with no
+    // allocation — not the collect-into-Set + transformUp double walk
+    // below, whose per-node closure dispatch showed up as board-wide
+    // fixed cost on the 245-query bench.
+    val touchesSnapshot = plan.exists {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[SnapshotSqlTable]
+      case _ => false
+    }
+    if (!touchesSnapshot) return plan
+    // a MERGE or INSERT target must stay a RELATION until its consumer
+    // takes it: transformUp visits the relation before its parent, and
     // rewriting it to a read Project there would leave the merge
-    // unmatched forever — Spark's own row-level machinery would then
-    // reject it (no SupportsRowLevelOperations). Collected fresh each
-    // pass; once the merge lowers to SnapshotMergeCommand the set is
-    // empty and plain reads proceed.
+    // unmatched forever (no SupportsRowLevelOperations) or break the
+    // V1-write bridge (AppendData/Overwrite need the DSv2 relation's
+    // SupportsWrite table). Collected fresh each pass; once the merge
+    // lowers / the write plans, the set is empty and reads proceed.
     val mergeTargets: Set[LogicalPlan] = plan.collect {
       case m: MergeIntoTable => EliminateSubqueryAliases(m.targetTable)
+      case a: AppendData => EliminateSubqueryAliases(a.table)
+      case o: OverwriteByExpression => EliminateSubqueryAliases(o.table)
     }.toSet
     plan.transformUp {
       case m: MergeIntoTable if isSnapshotTarget(m.targetTable) &&

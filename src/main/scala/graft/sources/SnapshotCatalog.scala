@@ -136,11 +136,51 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
     loadTable(ident)
   }
 
+  /** ALTER TABLE … ADD COLUMN(S) — the SQL spelling of the store's
+    * ADDITIVE schema evolution: publishes one empty file set carrying
+    * the widened schema (append commit), so the resolved union schema
+    * gains the new columns and every pre-existing row null-fills
+    * through the parquet missing-column path — the exact semantics a
+    * programmatic wider-schema commit already has, never a parallel
+    * mechanism. Only nullable, top-level, position-free adds are
+    * legal (anything else would need a rewrite, which this store
+    * trades away); all other change kinds are rejected loudly. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution is additive and " +
-        "rides each commit's own schema")
+                          changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE on snapshot tables supports ADD COLUMN(S) only " +
+          s"(additive evolution); got ${other.getClass.getSimpleName}")
+    }
+    val root = rootOf(ident)
+    val v = SnapshotTable.latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"table $ident does not exist"))
+    val cur = SnapshotTable.read(spark, root, v).schema
+    val newFields = adds.map { a =>
+      if (a.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"nested ADD COLUMN ${a.fieldNames.mkString(".")} not supported")
+      if (a.position != null)
+        throw new UnsupportedOperationException(
+          "FIRST/AFTER positions not supported: additive evolution " +
+            "appends columns in commit order")
+      if (!a.isNullable)
+        throw new UnsupportedOperationException(
+          s"ADD COLUMN ${a.fieldNames.head} must be nullable: existing " +
+            "rows null-fill")
+      if (cur.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames.head)))
+        throw new IllegalArgumentException(
+          s"column ${a.fieldNames.head} already exists")
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, nullable = true)
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(cur.fields ++ newFields))
+    SnapshotTable.commit(spark, root, empty, append = true)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = new org.apache.hadoop.fs.Path(rootOf(ident))
@@ -188,16 +228,45 @@ object SnapshotCatalog {
   * catalog's resolution product. Carries name/schema only;
   * [[ResolveSnapshotSql]] lowers any relation over it onto the
   * programmatic read paths before physical planning, so the handle
-  * needs no DSv2 scan machinery of its own. */
+  * needs no DSv2 scan machinery of its own. WRITES (`INSERT INTO` /
+  * `INSERT OVERWRITE`) go through the V1-fallback write bridge: the
+  * builder hands Spark an [[org.apache.spark.sql.sources.InsertableRelation]]
+  * that calls [[SnapshotTable.commit]] — an insert is EXACTLY an
+  * append commit (overwrite = a replace commit; history stays
+  * readable), never a second write path. */
 final case class SnapshotSqlTable(tableName: String, root: String,
-                                  snapshotVersion: Int) extends Table {
+                                  snapshotVersion: Int)
+  extends Table
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = tableName
   override lazy val schema: StructType =
     SnapshotTable.read(SparkSession.active, root, snapshotVersion).schema
   override def capabilities(): util.Set[TableCapability] =
-    util.Collections.emptySet()
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def properties(): util.Map[String, String] =
     Map("root" -> root, "version" -> snapshotVersion.toString).asJava
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        replace = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              SnapshotTable.commit(data.sparkSession, root, data,
+                append = !(replace || overwrite))
+              ()
+            }
+        }
+    }
 }
 
 /** One maintenance procedure over a snapshot table, Iceberg-style:

@@ -359,16 +359,24 @@ object SnapshotTable {
     * its "changes" are its own additions (the rewrite is a new
     * dataset, not a delta — same as Iceberg's replace snapshots). */
   def changes(spark: SparkSession, root: String, fromVersion: Int,
-              toVersion: Int): DataFrame = {
+              toVersion: Int): DataFrame =
+    changesOrEmpty(spark, root, fromVersion, toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"no file sets added in ($fromVersion, $toVersion] at $root"))
+
+  /** [[changes]] tolerating an append-free window (delete-vector-only
+    * commits, compactions): None instead of an error — the shape the
+    * streaming commit reader needs, where an empty micro-batch is a
+    * normal event, not a bug. */
+  def changesOrEmpty(spark: SparkSession, root: String, fromVersion: Int,
+                     toVersion: Int): Option[DataFrame] = {
     require(fromVersion < toVersion,
       s"changes window must be ascending: ($fromVersion, $toVersion]")
     // changes() reports APPENDED rows; MOR delete vectors inside the
     // window are visible via [[deletedKeys]], not as phantom appends
     val added = manifestEntries(spark, root, toVersion)
       .filter(e => e.addedIn > fromVersion && e.kind == "data")
-    require(added.nonEmpty,
-      s"no file sets added in ($fromVersion, $toVersion] at $root")
-    unionSets(spark, root, added)
+    if (added.isEmpty) None else Some(unionSets(spark, root, added))
   }
 
   /** A data-skipping read: the rows, plus how much of the manifest

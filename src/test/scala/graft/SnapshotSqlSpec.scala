@@ -148,4 +148,42 @@ class SnapshotSqlSpec extends SparkSessionSpec {
     assertThrows[Exception](
       s2.sql("SELECT * FROM lakecat.ns.fresh VERSION AS OF 99").collect())
   }
+
+  test("INSERT INTO appends a version; INSERT OVERWRITE replaces; " +
+       "history stays readable") {
+    val root = seed("ins")
+    s2.sql("INSERT INTO lakecat.ns.ins VALUES (10, 'j'), (11, 'k')")
+    assert(rows("SELECT id, v FROM lakecat.ns.ins") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (10L, "j"), (11L, "k")))
+    // the insert is an ordinary append COMMIT: v1 still time-travels
+    assert(rows("SELECT id, v FROM lakecat.ns.ins VERSION AS OF 1") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    s2.sql("INSERT OVERWRITE lakecat.ns.ins VALUES (99, 'z')")
+    assert(rows("SELECT id, v FROM lakecat.ns.ins") == Set((99L, "z")))
+    assert(rows("SELECT id, v FROM lakecat.ns.ins VERSION AS OF 2") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (10L, "j"), (11L, "k")),
+      "overwrite must replace the visible table, not the history")
+    assert(SnapshotTable.latestVersion(s2, root).contains(3))
+  }
+
+  test("ALTER TABLE ADD COLUMN widens additively: old rows null-fill, " +
+       "non-additive changes refuse") {
+    seed("evo")
+    s2.sql("ALTER TABLE lakecat.ns.evo ADD COLUMN score DOUBLE")
+    val out = s2.sql("SELECT id, v, score FROM lakecat.ns.evo")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out == Set((1L, "a", None), (2L, "b", None), (3L, "c", None)),
+      "pre-evolution rows must null-fill the new column")
+    // the widened schema is writable immediately
+    s2.sql("INSERT INTO lakecat.ns.evo VALUES (4, 'd', 0.5)")
+    assert(s2.sql(
+      "SELECT score FROM lakecat.ns.evo WHERE id = 4").head().getDouble(0)
+      == 0.5)
+    // non-additive shapes refuse loudly
+    assertThrows[Exception](s2.sql(
+      "ALTER TABLE lakecat.ns.evo DROP COLUMN v").collect())
+    assertThrows[Exception](s2.sql(
+      "ALTER TABLE lakecat.ns.evo ADD COLUMN v STRING").collect())
+  }
 }
