@@ -711,45 +711,38 @@ object TextAnalysis {
           .cast("long").as("redacted_len"))
 
   /** Character-bigram profile per language: the statistical signature a
-    * real language-ID model trains on. The bigram counting happens
-    * INSIDE a codegen projection per document — sort the doc's bigram
-    * array, find equal-run boundaries, emit one (bigram, run-length)
-    * pair per DISTINCT bigram (the [[repetitionOf]] sorted-runs
-    * device) — so the exploded stream carries one row per distinct
-    * bigram per doc instead of one row per CHARACTER POSITION (the
-    * char-level blow-up dominated the sf1 board at 15.3 s; natural
-    * text reuses a small bigram alphabet, so this is a ~5-10× row
-    * cut before the (lang, bigram) shuffle, whose partial aggregation
-    * then compresses what remains). The text is split to a char ARRAY
-    * once and bigrams are built with O(1) element_at — `substr(text,
-    * i, 2)` per position re-seeks the UTF8String from the start,
-    * O(len²) per document. Counts are exactly the per-position
-    * counts: run lengths in a sorted array partition the positions. */
+    * real language-ID model trains on. The exploded stream carries
+    * PRIMITIVE LONG bigram codes — c₁·0x110000 + c₂ over the code
+    * points (`ascii` is code-point faithful; `split("")` never splits
+    * a surrogate pair) — instead of a freshly-allocated 2-char string
+    * per character position: the explode, the map-side combine hash
+    * and the (lang, code) exchange all run on longs (measured at
+    * sf1-equivalent: 15.3 s with per-position string concat, 6.5 s on
+    * codes; a per-row sorted-runs variant was tried first and LOST —
+    * 24 s — because an O(L log L) string sort per document costs more
+    * than the hash-agg rows it saves). The code is order-isomorphic
+    * to the bigram string (UTF-8 byte order = code-point order), so
+    * the (n DESC, bigram) rank ties identically, and only the ≤5·langs
+    * WINNERS pay the string reconstruction (format_string("%c%c") —
+    * Java's Formatter takes full code points). The text is split to a
+    * char ARRAY once; `substr(text, i, 2)` per position would re-seek
+    * the UTF8String from the start, O(len²) per document. */
   def textCharNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val runs = t(spark, dir, "documents")
-      .withColumn("chars", split(col("text"), ""))
-      .where(size(col("chars")) >= 2)
-      .withColumn("st", array_sort(
-        transform(sequence(lit(1), size(col("chars")) - 1),
-          i => concat(element_at(col("chars"), i),
-            element_at(col("chars"), i + 1)))))
-      .withColumn("n_bg", size(col("st")))
-      .withColumn("bounds", filter(sequence(lit(1), col("n_bg")),
-        i => i === 1 ||
-          element_at(col("st"), i) =!= element_at(col("st"), i - 1)))
+    val MaxCp = graft.expressions.CharBigramCodes.MaxCp
+    val codes = t(spark, dir, "documents")
       .select(col("lang"),
-        explode(zip_with(col("bounds"),
-          concat(slice(col("bounds"), lit(2), size(col("bounds"))),
-            array(col("n_bg") + 1)),
-          (a, b) => struct(element_at(col("st"), a).as("bg"),
-            (b - a).cast("long").as("n")))).as("r"))
+        explode(graft.expressions.CharBigramCodes(col("text"))).as("code"))
     val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n").desc, col("bg"))
-    runs.groupBy(col("lang"), col("r.bg").as("bg"))
-      .agg(sum(col("r.n")).as("n"))
+      .orderBy(col("n").desc, col("code"))
+    codes.groupBy(col("lang"), col("code"))
+      .agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
-      .select(col("lang"), col("rank"), col("bg"), col("n"))
+      .select(col("lang"), col("rank"),
+        format_string("%c%c",
+          expr(s"CAST(code DIV $MaxCp AS INT)"),
+          pmod(col("code"), lit(MaxCp)).cast("int")).as("bg"),
+        col("n"))
   }
 
   /** Normalization + scrubbing — the first narrow pass of every
