@@ -27,25 +27,39 @@ object Bench {
       array((0 until d).map(i =>
         randn(seed + i) + (col("id") % k).cast("double") * 10.0): _*).as("v"))
 
-  /** Average seconds/iteration of the Lloyd loop over `iters` rounds on
-    * a cached dataset (first round excluded — it pays codegen+cache
-    * population, which is a one-off at any scale). */
+  /** Median seconds/iteration of the Lloyd loop over the `iters` timed
+    * rounds on a cached dataset, after `warmup` discarded rounds (plus
+    * the always-discarded round 0, which pays cache population).
+    *
+    * The warmup exists because per-iteration wall time in a fresh (or
+    * post-gauntlet) context DECAYS for ~10–20 rounds before flattening
+    * — each round replans with new centroid literals, and the
+    * analyzer/optimizer/codegen stack only reaches its C2-compiled
+    * steady state after many plans (BenchKMeans 40-iter profile on a
+    * rebooted box: 0.53 s at iter 1 → 0.17–0.19 s flat from ~iter 23,
+    * zero GC — pure JIT decay). A 12-iteration window with no warmup
+    * medians the DECAY, not the steady state: the round-15 first
+    * sample recorded 0.333 s for the 100k point while the 400k point,
+    * running second and warmer, recorded 0.200 s. The steady-state
+    * number is the one BASELINE.md's per-iteration comparison wants —
+    * a real deployment runs Lloyd for tens of iterations, and any
+    * n-row scale-up amortizes the same fixed decay. Lloyd work per
+    * round is centroid-value-independent (same distances, same k-row
+    * shuffle), so warmup rounds don't bias the timed ones. */
   def kmeansSecPerIter(spark: SparkSession, n: Long, d: Int, k: Int,
-                       iters: Int): Double = {
+                       iters: Int, warmup: Int = 0): Double = {
     val pts = blobs(spark, n, d, k, seed = 7L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var centroids = KMeansRunner.sampleCentroids(pts, "v", k, seed = 7L)
-      val times = (0 until iters).map { _ =>
+      val times = (0 until (1 + warmup + iters)).map { _ =>
         val t0 = System.nanoTime()
         val rows = KMeansOps.lloydRound(pts, "v", centroids).collect()
         val byId = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
         if (byId.size == k) centroids = Array.tabulate(k)(byId(_))
         (System.nanoTime() - t0) / 1e9
       }
-      // median of the warm iterations: robust to GC/compaction outliers
-      // on a shared box (the first iteration pays cache materialization)
-      val warm = times.tail.sorted
+      val warm = times.drop(1 + warmup).sorted
       warm(warm.length / 2)
     } finally { pts.unpersist(); () }
   }
@@ -152,7 +166,11 @@ object Bench {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
-      try kmeansSecPerIter(s, n, 30, 4, iters = 12)
+      // warmup=12: see kmeansSecPerIter — the per-round JIT decay in a
+      // fresh session spans ~10-20 rounds; the timed window must start
+      // past it or the median reads the decay (0.333 s recorded vs a
+      // 0.17-0.19 s measured floor, round-15 first sample)
+      try kmeansSecPerIter(s, n, 30, 4, iters = 12, warmup = 12)
       finally { s.stop(); System.gc(); Thread.sleep(200) }
     }
 
