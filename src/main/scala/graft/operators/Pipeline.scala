@@ -1643,6 +1643,52 @@ object Pipeline {
          |FROM lakesql.raw.docs TIMESTAMP AS OF '$v1At'""".stripMargin)
   }
 
+  /** SQL DML over the snapshot store ([[graft.sources.ResolveSnapshotSql]]'s
+    * DELETE/UPDATE lowering): seeds `documents` as v1, then drives the
+    * three write shapes through `spark.sql` TEXT —
+    *  - v2 `DELETE … WHERE doc_id % 7 = 3`: single-column predicate →
+    *    MERGE-ON-READ delete vector (key-list write, no data rewrite);
+    *  - v3 `UPDATE … SET text = concat(text,' [edited]') WHERE
+    *    doc_id % 5 = 1`: key-preserving single-column predicate →
+    *    MOR upsert (vector + replacement rows, one commit);
+    *  - v4 `DELETE … WHERE doc_id % 11 = 0 AND length(text) > 200`:
+    *    multi-column predicate → COW rewrite commit.
+    * Result: per-version (count, sum_id, sum_len) fingerprints read
+    * back through `VERSION AS OF` — every version of the DML history
+    * stays readable, and DuckDB replays the chain closed-form. */
+  def pipelineSnapshotDml(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val wh = s"${graft.sources.Artifacts.root(spark)}/dmlwh_${key}_n$n"
+    spark.conf.set("spark.sql.catalog.lakedml",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.lakedml.warehouse", wh)
+    val root = s"$wh/raw/docs"
+    if (!SnapshotTable.latestVersion(spark, root).contains(4)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      SnapshotTable.commit(spark, root,
+        t(spark, dir, "documents").select(col("doc_id"), col("text")))
+      spark.sql("DELETE FROM lakedml.raw.docs WHERE doc_id % 7 = 3")
+      spark.sql("UPDATE lakedml.raw.docs " +
+        "SET text = concat(text, ' [edited]') WHERE doc_id % 5 = 1")
+      spark.sql("DELETE FROM lakedml.raw.docs " +
+        "WHERE doc_id % 11 = 0 AND length(text) > 200")
+    }
+    def fp(v: Int, from: String) =
+      s"""SELECT CAST($v AS INT) AS version, count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+         |       CAST(sum(length(text)) AS BIGINT) AS sum_len
+         |FROM $from""".stripMargin
+    spark.sql(Seq(
+      fp(1, "lakedml.raw.docs VERSION AS OF 1"),
+      fp(2, "lakedml.raw.docs VERSION AS OF 2"),
+      fp(3, "lakedml.raw.docs VERSION AS OF 3"),
+      fp(4, "lakedml.raw.docs")).mkString("\nUNION ALL\n"))
+  }
+
   /** Per-domain document cap for [[pipelineDomainCap]] — the crawl
     * curation rule that stops one prolific host from dominating the
     * mixture. */
@@ -2041,6 +2087,7 @@ object Pipeline {
     "pipeline_snapshot_expire" -> pipelineSnapshotExpire,
     "pipeline_snapshot_merge" -> pipelineSnapshotMerge,
     "pipeline_snapshot_sql" -> pipelineSnapshotSql,
+    "pipeline_snapshot_dml" -> pipelineSnapshotDml,
     "pipeline_snapshot_changes" -> pipelineSnapshotChanges,
     "pipeline_snapshot_incr_agg" -> pipelineSnapshotIncrAgg,
     "pipeline_snapshot_skip" -> pipelineSnapshotSkip,
@@ -2641,6 +2688,31 @@ object Pipeline {
         |UNION ALL SELECT * FROM v2
         |UNION ALL SELECT CAST(3 AS INT), n_docs, sum_id, sum_len
         |FROM v1""".stripMargin,
+    // the SQL DML chain replayed closed-form: v2 drops doc_id%7=3
+    // (MOR vector), v3 suffixes ' [edited]' where doc_id%5=1 (MOR
+    // upsert), v4 drops doc_id%11=0 AND length>200 over the EDITED
+    // text (COW rewrite) — same algebra, no snapshot machinery
+    "pipeline_snapshot_dml" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id, text FROM v1 WHERE NOT (doc_id % 7 = 3)),
+        |v3 AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 5 = 1 THEN text || ' [edited]'
+        |                   ELSE text END AS text
+        |       FROM v2),
+        |v4 AS (SELECT doc_id, text FROM v3
+        |       WHERE NOT (doc_id % 11 = 0 AND length(text) > 200))
+        |SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len FROM v1
+        |UNION ALL SELECT CAST(2 AS INT), count(*),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(length(text)) AS BIGINT) FROM v2
+        |UNION ALL SELECT CAST(3 AS INT), count(*),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(length(text)) AS BIGINT) FROM v3
+        |UNION ALL SELECT CAST(4 AS INT), count(*),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(length(text)) AS BIGINT) FROM v4""".stripMargin,
     // integer-exact share chain replayed: exact counts → correctly-
     // rounded sqrt micros → exact integer totals → integer-ratio
     // divisions (boost from the already-rounded share columns, exactly

@@ -186,4 +186,89 @@ class SnapshotSqlSpec extends SparkSessionSpec {
     assertThrows[Exception](s2.sql(
       "ALTER TABLE lakecat.ns.evo ADD COLUMN v STRING").collect())
   }
+
+  test("DELETE FROM with a single-column predicate is MERGE-ON-READ: " +
+       "a delete-vector commit, never a data rewrite") {
+    val root = seed("dm")
+    val v1Files = SnapshotTable.read(s2, root, 1).inputFiles.toSet
+    val v = s2.sql("DELETE FROM lakecat.ns.dm WHERE id >= 2")
+      .head().getInt(0)
+    assert(v == 2, "the command must report the published version")
+    assert(rows("SELECT id, v FROM lakecat.ns.dm") == Set((1L, "a")))
+    // MOR proof: the latest version still references v1's data files
+    // (the vector rides alongside them; COW would reference only a
+    // rewritten set)
+    assert(v1Files.subsetOf(
+      SnapshotTable.read(s2, root, 2).inputFiles.toSet),
+      "single-column DELETE must commit a vector, not rewrite data")
+    assert(rows("SELECT id, v FROM lakecat.ns.dm VERSION AS OF 1") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("DELETE FROM falls back to a COW rewrite when MOR would be " +
+       "wrong: multi-column and NULL-matching predicates") {
+    val root = seed("dc")
+    val v1Files = SnapshotTable.read(s2, root, 1).inputFiles.toSet
+    s2.sql("DELETE FROM lakecat.ns.dc WHERE id = 2 AND v = 'b'").collect()
+    assert(rows("SELECT id, v FROM lakecat.ns.dc") ==
+      Set((1L, "a"), (3L, "c")))
+    assert(SnapshotTable.read(s2, root, 2).inputFiles.toSet
+      .intersect(v1Files).isEmpty,
+      "a multi-column predicate must take the rewrite commit")
+    // NULL-matching single-column predicate: the anti join is
+    // null-unsafe, so the run-time probe must route to COW — and the
+    // NULL row must actually delete
+    import s2.implicits._
+    val nroot = s"$wh/ns/dn"
+    SnapshotTable.commit(s2, nroot,
+      Seq((1L, Option("a")), (2L, Option.empty[String])).toDF("id", "v"))
+    s2.sql("DELETE FROM lakecat.ns.dn WHERE v IS NULL").collect()
+    assert(rows("SELECT id, v FROM lakecat.ns.dn") == Set((1L, "a")),
+      "the NULL-matching delete must remove the NULL row (COW path)")
+  }
+
+  test("UPDATE with a key-preserving single-column predicate is a MOR " +
+       "upsert; key-reassigning and WHERE-less forms rewrite") {
+    val root = seed("um")
+    val v1Files = SnapshotTable.read(s2, root, 1).inputFiles.toSet
+    val v = s2.sql(
+      "UPDATE lakecat.ns.um SET v = upper(v) WHERE id >= 2")
+      .head().getInt(0)
+    assert(v == 2)
+    assert(rows("SELECT id, v FROM lakecat.ns.um") ==
+      Set((1L, "a"), (2L, "B"), (3L, "C")))
+    assert(v1Files.subsetOf(
+      SnapshotTable.read(s2, root, 2).inputFiles.toSet),
+      "key-preserving UPDATE must commit a vector+insert pair, not " +
+        "rewrite the table")
+    assert(rows("SELECT id, v FROM lakecat.ns.um VERSION AS OF 1") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // predicate column reassigned → vector keys (old values) and
+    // inserted keys (new values) diverge; must take the rewrite
+    s2.sql("UPDATE lakecat.ns.um SET id = id + 10 WHERE id = 2").collect()
+    assert(rows("SELECT id, v FROM lakecat.ns.um") ==
+      Set((1L, "a"), (12L, "B"), (3L, "C")))
+    // WHERE-less UPDATE touches every row
+    s2.sql("UPDATE lakecat.ns.um SET v = 'x'").collect()
+    assert(rows("SELECT id, v FROM lakecat.ns.um") ==
+      Set((1L, "x"), (12L, "x"), (3L, "x")))
+  }
+
+  test("snapshot relations inside subqueries lower too: IN-subquery " +
+       "SELECT and DELETE driven by another snapshot table") {
+    seed("sqa")
+    import s2.implicits._
+    SnapshotTable.commit(s2, s"$wh/ns/sqb",
+      Seq(Tuple1(2L), Tuple1(3L)).toDF("id"))
+    assert(rows(
+      """SELECT id, v FROM lakecat.ns.sqa
+        |WHERE id IN (SELECT id FROM lakecat.ns.sqb)""".stripMargin) ==
+      Set((2L, "b"), (3L, "c")),
+      "a snapshot read inside a subquery must resolve through the rule")
+    s2.sql(
+      """DELETE FROM lakecat.ns.sqa
+        |WHERE id IN (SELECT id FROM lakecat.ns.sqb)""".stripMargin)
+      .collect()
+    assert(rows("SELECT id, v FROM lakecat.ns.sqa") == Set((1L, "a")))
+  }
 }
