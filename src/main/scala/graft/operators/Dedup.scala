@@ -315,18 +315,25 @@ object Dedup {
     * query materializes, not a re-derived twin (Spark's CacheManager
     * would dedupe the cache storage by canonical plan anyway, but the
     * memo also skips re-analysis and the re-persist warning). */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.computeIfAbsent((spark, dir), { case (s, d) =>
-      candidatePairs(bandSignatures(s, d)
-        .persistTracked())
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val (sig, pairs) = pairsMemo.computeIfAbsent((spark, dir), { case (s, d) =>
+      val sg = bandSignatures(s, d).persistTracked()
+      (sg, candidatePairs(sg))
     })
+    // the memoized handle can outlive its persisted base (the keep-
+    // recent ring evicts oldest-first between queries): re-ensure the
+    // signature base is cached on every access — a no-op while the
+    // entry lives, a clean re-persist after an eviction, never the
+    // silent per-consumer recompute a bare handle would cost
+    graft.Caches.persisted(sig)
+    pairs
+  }
 
-  private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  // Caches.release must also forget the memoized handle: the memo's
-  // whole point is "this DataFrame is cached" — after a release it
-  // isn't, and handing it out would silently recompute the banded join
-  // per consumer instead of re-persisting once
+  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  // releaseAll (session teardown) must forget the memoized handle;
+  // between-queries release keeps it — the re-ensure above covers the
+  // eviction window
   graft.Caches.onRelease(s => pairsMemo.keySet.removeIf(_._1 eq s))
 
   /** EDIT-DISTANCE VERIFIED NEAR-DUP — the character-level verify

@@ -24,6 +24,15 @@ object GraftSqlBridge {
               plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Whether the frame's canonical plan already has a CacheManager
+    * entry (its own persist, or a cached twin from another query) —
+    * the pre-persist check that stops double-persisting a plan the
+    * cache already serves. */
+  def isCached(df: Dataset[_]): Boolean = {
+    val cds = df.asInstanceOf[classic.Dataset[_]]
+    cds.sparkSession.sharedState.cacheManager.lookupCachedData(cds).isDefined
+  }
+
   /** Re-flag a batch DataFrame as STREAMING (isStreaming=true) for a
     * v1 `Source.getBatch` return — the engine asserts the flag, and
     * `internalCreateDataFrame` is private[sql]. The plan stays lazy:
