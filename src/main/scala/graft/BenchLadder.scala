@@ -35,9 +35,18 @@ object BenchLadder {
     val fn = SparkEntry.queries(name)
     def once(): Double = {
       drain()
-      val df = fn(spark, dir)
+      // construction INSIDE the window, like Bench.once(): the
+      // driver-loop families (k-means|| sampling rounds, components'
+      // eagerly-checkpointed pointer jumps) do their real work while
+      // BUILDING the frame — timed from t0 after construction, a
+      // checkpoint-backed result counts in milliseconds and the rung
+      // measures nothing
       val t0 = System.nanoTime()
-      df.count()
+      val df = fn(spark, dir)
+      // execute the frame's OWN QueryExecution: df.count() would spawn
+      // a NEW execution for the agg plan, leaving df.queryExecution
+      // unexecuted and its observed metrics permanently zero
+      df.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       // surface any Dataset.observe counters the query carries (the
       // prefix-join candidate instrumentation): the ladder's whole
