@@ -69,7 +69,7 @@ object AnnIndex {
     * (PqEncodeSpec), so the oracle replay is unchanged. */
   private[graft] def encode(corpus: DataFrame, cents: Array[Array[Double]],
                      cb: Array[Array[Array[Double]]]): DataFrame =
-    KMeansOps.assignDyn(corpus, "v", cents)
+    CellRouting.assign(corpus, "v", cents)
       .withColumn("pq_codes", graft.expressions.PqEncodeCodes(col("v"), cb))
       .select(col("vec_id") +: col("label") +: col("cluster") +:
         (0 until PqM).map(m =>
@@ -653,7 +653,7 @@ object AnnIndex {
     // computed driver-side with the same argmin/tie-break as the
     // in-plan routing (OperatorsSpec asserts the two agree)
     val probedAll = qs.collect()
-      .flatMap(r => Similarity.probeCells(cents,
+      .flatMap(r => CellRouting.probeDriver(cents,
         r.getAs[Seq[Double]]("qv").toArray, NProbe))
       .distinct.sorted
     // cell pruning FIRST (bucket-dir pruning + row-group stats reach
@@ -668,7 +668,7 @@ object AnnIndex {
       if (applyDeletes) minusDeletes(spark, path, pruned) else pruned
     val probedLuts = Similarity.withBlockDists(qs, "qv", cb, "lut_")
       .withColumn("probe_cell",
-        explode(Similarity.probeCellsCol(col("qv"), cents, NProbe)))
+        explode(CellRouting.probe(col("qv"), cents, NProbe)))
     val joinCond = col("probe_cell") === col("cluster") &&
       col("vec_id") =!= col("query_id") &&
       (if (labelFiltered) col("label") === col("q_label") else lit(true))

@@ -288,7 +288,7 @@ object Pipeline {
   def pipelineDiverseSample(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = KMeansQueries.coarseCentroids(spark, dir)
-    val assigned = graft.kmeans.KMeansOps.assignDyn(
+    val assigned = CellRouting.assign(
       Similarity.emb(spark, dir), "v", cents)
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("skey"), col("vec_id"))

@@ -130,10 +130,10 @@ object Similarity {
     * duplicate scoring. */
   def annIvfCosine(spark: SparkSession, dir: String): DataFrame = {
     val cents = KMeansQueries.coarseCentroids(spark, dir)
-    val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
+    val assigned = CellRouting.assign(emb(spark, dir), "v", cents)
     val probed = queriesDf(spark, dir)
       .withColumn("probe_cell",
-        explode(probeCellsCol(col("qv"), cents, NProbe)))
+        explode(CellRouting.probe(col("qv"), cents, NProbe)))
     val scored = assigned
       .join(broadcast(probed),
         col("probe_cell") === col("cluster") &&
@@ -169,7 +169,7 @@ object Similarity {
   def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val cents = KMeansQueries.coarseCentroids(spark, dir)
     val corpus = emb(spark, dir)
-    knnGraphFrom(corpus, KMeansOps.assignDyn(corpus, "v", cents), cents)
+    knnGraphFrom(corpus, CellRouting.assign(corpus, "v", cents), cents)
   }
 
   /** [[annKnnGraph]]'s body over caller-supplied corpus/assignment —
@@ -219,7 +219,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
       .withColumn("probe_cell",
-        explode(probeCellsCol(col("qv"), cents, NProbe)))
+        explode(CellRouting.probe(col("qv"), cents, NProbe)))
       .withColumn("salt", explode(salts))
       .repartition(p, col("probe_cell"), col("salt"))
     val scored = assigned
@@ -295,7 +295,7 @@ object Similarity {
     // assignment); the graph build consumes the same segment in full,
     // so assignment runs exactly once per (corpus, size)
     AnnTiers.ensureCellSegment(spark, dir, "cells") {
-      KMeansOps.assignDyn(e, "v", cents)
+      CellRouting.assign(e, "v", cents)
         .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
     }
     // the navigation graph IS the index artifact (the AnnIndex rule):
@@ -318,7 +318,7 @@ object Similarity {
     // a pushed row-group filter; per-query exactness comes from the
     // probe_cell = cluster equi join on the pruned superset.
     val probedQ = queries.withColumn("probe_cell",
-      explode(probeCellsCol(col("qv"), cents, SeedProbe)))
+      explode(CellRouting.probe(col("qv"), cents, SeedProbe)))
     val probedAll = queries.select(col("qv")).collect()
       .flatMap(r => probeCells(cents, r.getSeq[Double](0).toArray,
         SeedProbe))
@@ -419,7 +419,7 @@ object Similarity {
     * driver-side output, nothing corpus-sized anywhere. */
   def annCellDrift(spark: SparkSession, dir: String): DataFrame = {
     val cents = KMeansQueries.coarseCentroids(spark, dir)
-    val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
+    val assigned = CellRouting.assign(emb(spark, dir), "v", cents)
       .select(col("vec_id"), col("cluster"))
     def shares(side: DataFrame, n: String, s: String) = side
       .groupBy(col("cluster")).agg(count(lit(1)).as(n))
@@ -465,13 +465,13 @@ object Similarity {
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"),
         col("label"))
       .withColumn("nrm", l2Norm(col("v")))
-    val labeled = KMeansOps.assignDyn(
+    val labeled = CellRouting.assign(
       e.where(col("vec_id") % LabelHoldout =!= 0), "v", cents)
     val targets = e.where(col("vec_id") % LabelHoldout === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("label").as("true_label"))
       .withColumn("probe_cell",
-        explode(probeCellsCol(col("qv"), cents, NProbe)))
+        explode(CellRouting.probe(col("qv"), cents, NProbe)))
     val scored = labeled
       .join(targets, col("probe_cell") === col("cluster"))
       .select(col("query_id"), col("true_label"),
@@ -590,7 +590,7 @@ object Similarity {
     val cents = KMeansQueries.coarseCentroids(spark, dir)
     val cb = pqCodebook(spark, dir)
     val encoded = withBlockDists(
-      KMeansOps.assignDyn(emb(spark, dir), "v", cents), "v", cb, "ds_")
+      CellRouting.assign(emb(spark, dir), "v", cents), "v", cb, "ds_")
       .select(col("vec_id") +: col("cluster") +:
         (0 until PqM).map(m =>
           (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
@@ -599,7 +599,7 @@ object Similarity {
       queriesDf(spark, dir).select(col("query_id"), col("qv")),
       "qv", cb, "lut_")
       .withColumn("probe_cell",
-        explode(probeCellsCol(col("qv"), cents, NProbe)))
+        explode(CellRouting.probe(col("qv"), cents, NProbe)))
     val scored = encoded
       .join(broadcast(probedLuts),
         col("probe_cell") === col("cluster") &&
@@ -699,7 +699,7 @@ object Similarity {
     val cents = trainedCoarseCentroids(spark, dir)
     val centDf = broadcast(cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("c_cl", "cent"))
-    val assigned = KMeansOps.assignDyn(emb(spark, dir), "v", cents)
+    val assigned = CellRouting.assign(emb(spark, dir), "v", cents)
       .join(centDf, col("cluster") === col("c_cl"))
       .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
       .drop("c_cl", "cent")
@@ -752,7 +752,7 @@ object Similarity {
     import spark2.implicits._
     val centDf = broadcast(cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("c_cl", "cent"))
-    KMeansOps.assignDyn(emb(spark, dir), "v", cents)
+    CellRouting.assign(emb(spark, dir), "v", cents)
       .join(centDf, col("cluster") === col("c_cl"))
       .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
       .drop("c_cl", "cent")
@@ -823,7 +823,7 @@ object Similarity {
     val probedQ = queriesDf(spark, dir)
       .select(col("query_id"), col("qv"))
       .withColumn("probe_cell",
-        explode(probeCellsCol(col("qv"), cents, NProbe)))
+        explode(CellRouting.probe(col("qv"), cents, NProbe)))
       .join(centDf, col("probe_cell") === col("c_cl"))
       .withColumn("qr", zip_with(col("qv"), col("cent"), (a, b) => a - b))
     val probedLuts = withBlockDists(probedQ, "qr", cb, "lut_")
@@ -1032,7 +1032,7 @@ object Similarity {
     val cents = KMeansQueries.coarseCentroids(spark, dir)
     val cb = pqCodebook(spark, dir)
     val encoded = withBlockDists(
-      KMeansOps.assignDyn(emb(spark, dir), "v", cents), "v", cb, "ds_")
+      CellRouting.assign(emb(spark, dir), "v", cents), "v", cb, "ds_")
       .select(col("vec_id") +: col("cluster") +:
         (0 until PqM).map(m =>
           (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1)
@@ -1041,7 +1041,7 @@ object Similarity {
       queriesDf(spark, dir).select(col("query_id"), col("qv")),
       "qv", cb, "lut_")
       .withColumn("probe_cell",
-        explode(probeCellsCol(col("qv"), cents, NProbe)))
+        explode(CellRouting.probe(col("qv"), cents, NProbe)))
     val adcScored = encoded
       .join(broadcast(probedLuts),
         col("probe_cell") === col("cluster") &&
