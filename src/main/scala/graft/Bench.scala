@@ -152,6 +152,12 @@ object Bench {
     // down before the first point, and every point starts from an
     // identical fresh context (the JVM-wide codegen cache survives,
     // which is the one warm state the steady-state metric WANTS).
+    // drop the Caches registry BEFORE the session: clearCache empties
+    // the CacheManager but the static kept-ring would otherwise
+    // retain this (stopped) session's frames — and their memo/bin
+    // hook state — for the JVM's lifetime; harmless in a process that
+    // exits, a leak in any long-lived multi-session embedding
+    Caches.releaseAll(spark)
     spark.catalog.clearCache()
     spark.stop()
     System.gc()

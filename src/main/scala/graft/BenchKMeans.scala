@@ -84,6 +84,7 @@ object BenchKMeans {
       println(f"iter $i%2d  ${dt}%7.3f s   gc +${gcMs - g0}%5d ms")
     }
     pts.unpersist()
+    Caches.releaseAll(spark)
     spark.stop()
   }
 }

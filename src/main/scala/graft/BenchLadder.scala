@@ -227,6 +227,7 @@ object BenchLadder {
       """driver's documents/embeddings tables barely grow across SFs. """ +
       """growth_per_decade ~ 1.0 = linear in the input."}"""
     println(json)
+    Caches.releaseAll(spark)
     spark.stop()
   }
 }

@@ -173,6 +173,7 @@ object BenchLake {
       """micro-batch encoded with the x-index's frozen quantizers. """ +
       """Flat time across rungs = the write costs the batch, never """ +
       """the table."}""")
+    Caches.releaseAll(spark)
     spark.stop()
   }
 }

@@ -36,6 +36,7 @@ object BenchOne {
         f"warm_median=${warm(warm.length / 2)}%.3f " +
         s"warm=${warm.map(t => f"$t%.3f").mkString(",")}")
     }
+    Caches.releaseAll(spark)
     spark.stop()
   }
 }

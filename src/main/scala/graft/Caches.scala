@@ -70,7 +70,17 @@ object Caches {
 
   /** Persist at MEMORY_AND_DISK and track for the next [[release]] —
     * unless an identical plan is already cached (kept tier or an
-    * intra-query twin), in which case the existing entry serves. */
+    * intra-query twin), in which case the existing entry serves.
+    *
+    * Cross-session caveat: the isCached check reads the SHARED
+    * CacheManager but tracking is per-session, so with sibling
+    * sessions (`newSession`) a frame can be served by a twin TRACKED
+    * BY THE OTHER session — whose release/releaseAll then unpersists
+    * it out from under this one. Correctness is unaffected (reads
+    * fall back to recompute), but any caller that MEMOIZES a handle
+    * across the skip must re-ensure persistence on every access, the
+    * way dedupMinhash does; a handle cached once and served forever
+    * is only safe within the session that tracked it. */
   def persisted[T](ds: Dataset[T]): Dataset[T] = {
     if (GraftSqlBridge.isCached(ds)) return ds
     ds.persist(StorageLevel.MEMORY_AND_DISK)
@@ -87,7 +97,11 @@ object Caches {
   def onRelease(f: SparkSession => Unit): Unit = releaseHooks.add(f)
 
   private def keepBudget(spark: SparkSession): Int =
-    try spark.conf.get("spark.graft.caches.keep", DefaultKeep.toString).toInt
+    // clamped at 0: a negative misconfig must degrade to
+    // release-everything, not drive the eviction loop past empty into
+    // removeLast() on an exhausted ring
+    try math.max(0,
+      spark.conf.get("spark.graft.caches.keep", DefaultKeep.toString).toInt)
     catch { case _: NumberFormatException => DefaultKeep }
 
   /** Between-queries lifecycle: the finished query's frames join the

@@ -93,6 +93,7 @@ object FullDir {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(build(spark, src, factor))
+    Caches.releaseAll(spark)
     spark.stop()
   }
 }

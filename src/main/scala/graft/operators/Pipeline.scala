@@ -1499,6 +1499,51 @@ object Pipeline {
     }.reduce(_ unionByName _)
   }
 
+  /** METADATA-ONLY DROP / RENAME COLUMN driven through SQL DDL
+    * ([[graft.sources.SnapshotCatalog.alterTable]] →
+    * [[graft.sources.SnapshotTable.alterSchema]]): v1 commits
+    * (doc_id, text, n_chars); v2 RENAMES n_chars → len_chars; v3
+    * DROPS text. Neither action reads or rewrites data — each is one
+    * manifest commit, the schema-evolution cost model a 100 TB table
+    * requires. The per-version fingerprint (row count, sum of the
+    * length column under its per-version name, resolved column
+    * count) makes all the contracts hash-checkable: the renamed
+    * column must surface the ORIGINAL values (a rename that loses
+    * data shows as a sum mismatch), the drop must narrow v3's schema
+    * without touching its rows, and time travel must read v1/v2 back
+    * under their own schemas (a retroactive action shows as a wrong
+    * n_cols). */
+  def pipelineSnapshotSchema(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val wh = s"${graft.sources.Artifacts.root(spark)}/evowh_${key}_n$n"
+    spark.conf.set("spark.sql.catalog.lakevo",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.lakevo.warehouse", wh)
+    val root = s"$wh/raw/docs"
+    if (!SnapshotTable.latestVersion(spark, root).contains(3)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      SnapshotTable.commit(spark, root,
+        t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars")))
+      spark.sql(
+        "ALTER TABLE lakevo.raw.docs RENAME COLUMN n_chars TO len_chars")
+      spark.sql("ALTER TABLE lakevo.raw.docs DROP COLUMN text")
+    }
+    (1 to 3).map { v =>
+      val df = SnapshotTable.read(spark, root, v)
+      val lenCol =
+        if (df.columns.contains("len_chars")) "len_chars" else "n_chars"
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col(lenCol)).cast("long").as("sum_len"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_len"),
+          lit(df.columns.length).as("n_cols"))
+    }.reduce(_ unionByName _)
+  }
+
   /** SNAPSHOT EXPIRY — the explicitly destructive retention path
     * time travel defers to, exercised end-to-end: build a 3-commit
     * history where v3 is a full OVERWRITE (so v1/v2's file sets
@@ -1645,14 +1690,20 @@ object Pipeline {
 
   /** SQL DML over the snapshot store ([[graft.sources.ResolveSnapshotSql]]'s
     * DELETE/UPDATE lowering): seeds `documents` as v1, then drives the
-    * three write shapes through `spark.sql` TEXT —
+    * four write shapes through `spark.sql` TEXT —
     *  - v2 `DELETE … WHERE doc_id % 7 = 3`: single-column predicate →
     *    MERGE-ON-READ delete vector (key-list write, no data rewrite);
     *  - v3 `UPDATE … SET text = concat(text,' [edited]') WHERE
     *    doc_id % 5 = 1`: key-preserving single-column predicate →
     *    MOR upsert (vector + replacement rows, one commit);
     *  - v4 `DELETE … WHERE doc_id % 11 = 0 AND length(text) > 200`:
-    *    multi-column predicate → COW rewrite commit.
+    *    deterministic MULTI-column predicate → TUPLE-keyed MOR vector
+    *    ([[graft.sources.SnapshotTable.deleteRowsKeyed]] — the
+    *    (doc_id, text) tuple functionally determines the verdict, so
+    *    at 100 TB this stays a key-list write where a COW routing
+    *    would rewrite the table);
+    *  - v5 `DELETE … WHERE doc_id IN (SELECT …)`: subquery predicate →
+    *    the COW rewrite commit (the general fallback).
     * Result: per-version (count, sum_id, sum_len) fingerprints read
     * back through `VERSION AS OF` — every version of the DML history
     * stays readable, and DuckDB replays the chain closed-form. */
@@ -1660,12 +1711,12 @@ object Pipeline {
     import graft.sources.SnapshotTable
     val n = graft.Tables.cachedCount(spark, dir, "documents")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val wh = s"${graft.sources.Artifacts.root(spark)}/dmlwh_${key}_n$n"
+    val wh = s"${graft.sources.Artifacts.root(spark)}/dmlwh2_${key}_n$n"
     spark.conf.set("spark.sql.catalog.lakedml",
       "graft.sources.SnapshotCatalog")
     spark.conf.set("spark.sql.catalog.lakedml.warehouse", wh)
     val root = s"$wh/raw/docs"
-    if (!SnapshotTable.latestVersion(spark, root).contains(4)) {
+    if (!SnapshotTable.latestVersion(spark, root).contains(5)) {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -1676,6 +1727,8 @@ object Pipeline {
         "SET text = concat(text, ' [edited]') WHERE doc_id % 5 = 1")
       spark.sql("DELETE FROM lakedml.raw.docs " +
         "WHERE doc_id % 11 = 0 AND length(text) > 200")
+      spark.sql("DELETE FROM lakedml.raw.docs WHERE doc_id IN " +
+        "(SELECT doc_id FROM lakedml.raw.docs WHERE length(text) < 50)")
     }
     def fp(v: Int, from: String) =
       s"""SELECT CAST($v AS INT) AS version, count(*) AS n_docs,
@@ -1686,7 +1739,8 @@ object Pipeline {
       fp(1, "lakedml.raw.docs VERSION AS OF 1"),
       fp(2, "lakedml.raw.docs VERSION AS OF 2"),
       fp(3, "lakedml.raw.docs VERSION AS OF 3"),
-      fp(4, "lakedml.raw.docs")).mkString("\nUNION ALL\n"))
+      fp(4, "lakedml.raw.docs VERSION AS OF 4"),
+      fp(5, "lakedml.raw.docs")).mkString("\nUNION ALL\n"))
   }
 
   /** Per-domain document cap for [[pipelineDomainCap]] — the crawl
@@ -2084,6 +2138,7 @@ object Pipeline {
     "pipeline_dataset_diff" -> pipelineDatasetDiff,
     "pipeline_snapshot_read" -> pipelineSnapshotRead,
     "pipeline_snapshot_evolve" -> pipelineSnapshotEvolve,
+    "pipeline_snapshot_schema" -> pipelineSnapshotSchema,
     "pipeline_snapshot_expire" -> pipelineSnapshotExpire,
     "pipeline_snapshot_merge" -> pipelineSnapshotMerge,
     "pipeline_snapshot_sql" -> pipelineSnapshotSql,
@@ -2629,6 +2684,20 @@ object Pipeline {
         |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN len ELSE 0 END)
         |            AS BIGINT)
         |FROM d""".stripMargin,
+    // metadata-only rename/drop replayed closed-form: every version
+    // holds the same rows; v2's rename keeps sum_len (renamed column
+    // surfaces the original values), v3's drop narrows the resolved
+    // schema to 2 columns while v1/v2 time-travel at 3
+    "pipeline_snapshot_schema" ->
+      """WITH base AS (SELECT count(*) AS n_rows,
+        |                     CAST(sum(n_chars) AS BIGINT) AS sum_len
+        |              FROM documents)
+        |SELECT CAST(1 AS INT) AS version, n_rows, sum_len,
+        |       CAST(3 AS INT) AS n_cols FROM base
+        |UNION ALL SELECT CAST(2 AS INT), n_rows, sum_len,
+        |       CAST(3 AS INT) FROM base
+        |UNION ALL SELECT CAST(3 AS INT), n_rows, sum_len,
+        |       CAST(2 AS INT) FROM base""".stripMargin,
     // v1=s1, v2=s1+s2 (append), v3=s3 (overwrite) → expiring <3 drops
     // 2 versions and GCs exactly the s1,s2 file sets; v3 = the mod-13
     // re-ingest set under id+n
@@ -2691,7 +2760,8 @@ object Pipeline {
     // the SQL DML chain replayed closed-form: v2 drops doc_id%7=3
     // (MOR vector), v3 suffixes ' [edited]' where doc_id%5=1 (MOR
     // upsert), v4 drops doc_id%11=0 AND length>200 over the EDITED
-    // text (COW rewrite) — same algebra, no snapshot machinery
+    // text (tuple-keyed MOR vector), v5 drops the ids a subquery
+    // selects (COW rewrite) — same algebra, no snapshot machinery
     "pipeline_snapshot_dml" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
         |v2 AS (SELECT doc_id, text FROM v1 WHERE NOT (doc_id % 7 = 3)),
@@ -2700,7 +2770,10 @@ object Pipeline {
         |                   ELSE text END AS text
         |       FROM v2),
         |v4 AS (SELECT doc_id, text FROM v3
-        |       WHERE NOT (doc_id % 11 = 0 AND length(text) > 200))
+        |       WHERE NOT (doc_id % 11 = 0 AND length(text) > 200)),
+        |v5 AS (SELECT doc_id, text FROM v4
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM v4
+        |                            WHERE length(text) < 50))
         |SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_len FROM v1
@@ -2712,7 +2785,10 @@ object Pipeline {
         |       CAST(sum(length(text)) AS BIGINT) FROM v3
         |UNION ALL SELECT CAST(4 AS INT), count(*),
         |       CAST(sum(doc_id) AS BIGINT),
-        |       CAST(sum(length(text)) AS BIGINT) FROM v4""".stripMargin,
+        |       CAST(sum(length(text)) AS BIGINT) FROM v4
+        |UNION ALL SELECT CAST(5 AS INT), count(*),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(length(text)) AS BIGINT) FROM v5""".stripMargin,
     // integer-exact share chain replayed: exact counts → correctly-
     // rounded sqrt micros → exact integer totals → integer-ratio
     // divisions (boost from the already-rounded share columns, exactly

@@ -319,18 +319,26 @@ object Similarity {
     // probe_cell = cluster equi join on the pruned superset.
     val probedQ = queries.withColumn("probe_cell",
       explode(CellRouting.probe(col("qv"), cents, SeedProbe)))
+    // routed by the SAME CellRouting path as the in-plan probedQ: the
+    // pruning list and the probe join must agree or a tree-probed
+    // cell would be pruned out of the segment scan entirely
     val probedAll = queries.select(col("qv")).collect()
-      .flatMap(r => probeCells(cents, r.getSeq[Double](0).toArray,
-        SeedProbe))
+      .flatMap(r => CellRouting.probeDriver(cents,
+        r.getSeq[Double](0).toArray, SeedProbe))
       .distinct.sorted.toIndexedSeq
     val seedScored =
       AnnTiers.readCellSegment(spark, dir, "cells", Some(probedAll))
         .join(broadcast(probedQ), col("probe_cell") === col("cluster"))
         .select(col("query_id"), col("vec_id").as("node"),
           cosineScore.as("score"))
+    // frontier is queries·beam rows (~80): coalesce each eager
+    // checkpoint to ONE partition — the checkpoint's 32 near-empty
+    // tasks were pure scheduling overhead, and every consumer is a
+    // broadcast that reads the whole relation anyway
     var frontier: DataFrame = graft.plans.TopKPerKey.topKPerKey(seedScored,
       Seq("query_id"), Seq("score" -> false, "node" -> true), BeamWidth)
       .select(col("query_id"), col("node"))
+      .coalesce(1)
       .localCheckpoint(true)
     for (_ <- 1 to BeamHops) {
       val expanded = frontier.select(col("query_id"), col("node"))
@@ -348,6 +356,7 @@ object Similarity {
       // prior hops (measured 36 s warm at sf0.1; ~3 s with the cut)
       frontier = graft.plans.TopKPerKey.topKPerKey(scored,
         Seq("query_id"), Seq("score" -> false, "node" -> true), BeamWidth)
+        .coalesce(1)
         .localCheckpoint(true)
     }
     val w = Window.partitionBy(col("query_id"))
@@ -392,12 +401,26 @@ object Similarity {
     * recall within ±1/√(sample·k) — the envelope a consumer applies
     * to `recall_at_k`. */
   def annRecallGraph(spark: SparkSession, dir: String): DataFrame = {
-    val exact = annTopKCosine(spark, dir)
-      .where(col("rank") <= GraphTopK)
-      .select(col("query_id"), col("neighbor_id"))
+    // graph side FIRST: it ensures the durable cells segment exists —
+    // the exact side then reads (vec_id, v, nrm) back from that
+    // segment instead of re-scanning the raw parquet and re-deriving
+    // every norm (at 100 TB the gauge's ground-truth pass decodes the
+    // index's own layout, not a second copy of the corpus; scores are
+    // bit-identical — the segment stores the same doubles emb()
+    // computes)
     val approx = annGraphSearch(spark, dir)
       .select(col("query_id"), col("neighbor_id"))
       .withColumn("hit", lit(1))
+    val corpus = AnnTiers.readCellSegment(spark, dir, "cells")
+    val queries = corpus.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val exact = rankTopK(corpus
+        .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosineScore.as("score")))
+      .where(col("rank") <= GraphTopK)
+      .select(col("query_id"), col("neighbor_id"))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))

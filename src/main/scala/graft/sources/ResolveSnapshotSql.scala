@@ -199,25 +199,27 @@ class ResolveSnapshotSql(spark: SparkSession) extends Rule[LogicalPlan] {
     * rewrite) or must be COPY-ON-WRITE (a full-table rewrite commit):
     *
     *  - MOR is value-correct exactly when the predicate is a
-    *    deterministic, subquery-free function of ONE column that the
-    *    update does not reassign: every row with a given key value
-    *    then has the same match verdict, so the anti-join on the key
-    *    list removes precisely the matching rows (and for UPDATE the
-    *    same-commit re-insert carries their updated images — the
-    *    [[SnapshotTable.upsertMor]] pair). The one hole is NULL keys:
-    *    the read path's anti join is null-UNSAFE (SQL equality never
-    *    matches NULL), so a predicate satisfied by NULL (`c IS
-    *    NULL`) cannot delete through a vector — the command probes
-    *    the matched key set at run time and falls back.
-    *  - Everything else (multi-column predicates, subqueries,
-    *    reassigned keys, NULL-matching predicates) takes the COW
-    *    rewrite: one replace commit of the kept/updated rows —
+    *    deterministic, subquery-free function of columns the update
+    *    does not reassign: every row with a given REFERENCED-COLUMN
+    *    TUPLE then has the same match verdict, so the anti-join on
+    *    the tuple list ([[SnapshotTable.deleteRowsKeyed]] — the
+    *    vector carries all referenced columns, the join binds on all
+    *    of them) removes precisely the matching rows (and for UPDATE
+    *    the same-commit re-insert carries their updated images — the
+    *    [[SnapshotTable.upsertMor]] pair). The one hole is NULL
+    *    keys: the read path's anti join is null-UNSAFE (SQL equality
+    *    never matches NULL), so a predicate satisfied by a NULL in
+    *    any referenced column (`c IS NULL`) cannot delete through a
+    *    vector — the command probes the matched tuples at run time
+    *    and falls back.
+    *  - Everything else (subqueries, reassigned predicate columns,
+    *    NULL-matching predicates, column-free predicates) takes the
+    *    COW rewrite: one replace commit of the kept/updated rows —
     *    correct at any shape, cost of the table, the documented
     *    trade every lakehouse makes (Delta/Iceberg COW mode). At
-    *    100 TB the keyed forms (single-column DELETE, `MERGE INTO`
-    *    upsert) are the production paths; the general forms exist so
-    *    SQL never silently answers wrong or refuses a standard
-    *    statement.
+    *    100 TB the keyed forms are the production paths; the general
+    *    forms exist so SQL never silently answers wrong or refuses a
+    *    standard statement.
     *
     * Three-valued logic: DELETE removes rows where p is TRUE; rows
     * where p is NULL are KEPT (`!coalesce(p, false)`), matching the
@@ -231,24 +233,45 @@ class ResolveSnapshotSql(spark: SparkSession) extends Rule[LogicalPlan] {
     val read = readPlanFor(rel)
     val assignedNames = update.getOrElse(Seq.empty)
       .map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
-    val refs = cond.references.toSeq
-    val morKey =
+    // MOR eligibility generalizes to ANY deterministic, subquery-free
+    // predicate over unassigned columns: the FULL referenced-column
+    // tuple functionally determines the match verdict, so a
+    // tuple-keyed delete vector ([[SnapshotTable.deleteRowsKeyed]])
+    // removes exactly the matching rows — where a single column of a
+    // multi-column predicate does not (rows sharing it can differ on
+    // the others). Ordered by the table's schema so the stats column
+    // (head) is deterministic.
+    val refSet = cond.references
+    val morKeys: Seq[String] =
       if (cond.deterministic && !SubqueryExpression.hasSubquery(cond) &&
-          refs.size == 1 &&
-          !assignedNames.contains(
-            refs.head.name.toLowerCase(java.util.Locale.ROOT)))
-        Some(refs.head.name)
-      else None
+          refSet.nonEmpty &&
+          !refSet.exists(r => assignedNames.contains(
+            r.name.toLowerCase(java.util.Locale.ROOT))))
+        read.output.filter(refSet.contains).map(_.name)
+      else Seq.empty
     // the condition must live INSIDE plans, not as a command-level
     // expression: CheckAnalysis only allows IN/EXISTS subqueries under
     // Filter/Project/… or Spark's own whitelisted DML nodes, and a
     // command's case-class Expression args are validated as the
     // command's own expressions
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // assignment coercion honors spark.sql.storeAssignmentPolicy the
+    // way Spark's own DML does: ANSI/STRICT (the default) raise on a
+    // lossy assignment at run time, LEGACY keeps the permissive
+    // null/truncate cast — a snapshot-table UPDATE must not silently
+    // null an overflowing value the engine's INSERT would reject
     def assignedValue(v: Expression,
                       a: org.apache.spark.sql.catalyst.expressions.Attribute)
         : Expression =
-      if (v.dataType == a.dataType) v else Cast(v, a.dataType, tz)
+      if (v.dataType == a.dataType) v
+      else {
+        import org.apache.spark.sql.internal.SQLConf
+        val ansi = spark.sessionState.conf.storeAssignmentPolicy !=
+          SQLConf.StoreAssignmentPolicy.LEGACY
+        Cast(v, a.dataType, tz,
+          if (ansi) org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI
+          else org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+      }
     // TRUE rows, with assignments applied for UPDATE — the MOR source
     val matched = Filter(cond, read)
     val mor: LogicalPlan = update match {
@@ -276,7 +299,7 @@ class ResolveSnapshotSql(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }, read)
     }
-    SnapshotDmlCommand(table.root, mor, cow, morKey,
+    SnapshotDmlCommand(table.root, mor, cow, morKeys,
       isDelete = update.isEmpty)
   }
 }
@@ -313,14 +336,17 @@ final case class SnapshotMergeCommand(root: String, key: String,
   * write paths (see [[ResolveSnapshotSql]]'s lowerDml for the
   * MOR-vs-COW decision and why both plans are pre-built at rule
   * time). `mor` is the matched-rows plan (assignments already applied
-  * for UPDATE); `cow` is the full replacement-image plan. `morKey` is
-  * the rule's static MOR eligibility verdict; the run-time NULL-key
-  * probe (one limit-1 job over the matched key set — key-filtered, so
-  * never a table scan for a selective predicate) makes the final
-  * call. Returns the published version. */
+  * for UPDATE); `cow` is the full replacement-image plan. `morKeys`
+  * is the rule's static MOR eligibility verdict — the predicate's
+  * referenced columns in schema order (empty = COW); the run-time
+  * NULL-key probe makes the final call (a predicate satisfied by a
+  * NULL key cannot delete through the null-unsafe anti join). The
+  * matched plan is PERSISTED across the probe and the vector write,
+  * so a MOR statement pays its predicate scan once, not 2-3 times.
+  * Returns the published version. */
 final case class SnapshotDmlCommand(root: String, mor: LogicalPlan,
                                     cow: LogicalPlan,
-                                    morKey: Option[String],
+                                    morKeys: Seq[String],
                                     isDelete: Boolean)
   extends LeafRunnableCommand {
 
@@ -330,14 +356,22 @@ final case class SnapshotDmlCommand(root: String, mor: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(mor, cow)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val morV: Option[Int] = morKey.flatMap { k =>
-      val matched = GraftSqlBridge.dataset(spark, mor)
-      if (!matched.where(col(k).isNull).isEmpty) None // NULL-matching: COW
-      else Some(
-        if (isDelete)
-          SnapshotTable.deleteRows(spark, root, matched.select(k), k)
-        else SnapshotTable.upsertMor(spark, root, matched, k))
-    }
+    val morV: Option[Int] =
+      if (morKeys.isEmpty) None
+      else {
+        val matched = GraftSqlBridge.dataset(spark, mor)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val anyNull = morKeys.map(col(_).isNull).reduce(_ || _)
+          if (!matched.where(anyNull).isEmpty) None // NULL-matching: COW
+          else Some(
+            if (isDelete)
+              SnapshotTable.deleteRowsKeyed(spark, root,
+                matched.select(morKeys.map(col): _*), morKeys.head)
+            else SnapshotTable.upsertMor(spark, root, matched,
+              morKeys.head, vectorCols = Some(morKeys)))
+        } finally { matched.unpersist(blocking = false); () }
+      }
     val v = morV.getOrElse(SnapshotTable.commit(spark, root,
       GraftSqlBridge.dataset(spark, cow), append = false))
     Seq(Row(v))

@@ -136,24 +136,55 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
     loadTable(ident)
   }
 
-  /** ALTER TABLE … ADD COLUMN(S) — the SQL spelling of the store's
-    * ADDITIVE schema evolution: publishes one empty file set carrying
-    * the widened schema (append commit), so the resolved union schema
-    * gains the new columns and every pre-existing row null-fills
-    * through the parquet missing-column path — the exact semantics a
-    * programmatic wider-schema commit already has, never a parallel
-    * mechanism. Only nullable, top-level, position-free adds are
-    * legal (anything else would need a rewrite, which this store
-    * trades away); all other change kinds are rejected loudly. */
+  /** ALTER TABLE … ADD / DROP / RENAME COLUMN — the SQL spelling of
+    * the store's schema evolution, all three metadata-only:
+    *  - ADD publishes one empty file set carrying the widened schema
+    *    (append commit); pre-existing rows null-fill through the
+    *    parquet missing-column path. Only nullable, top-level,
+    *    position-free adds are legal.
+    *  - DROP / RENAME publish a manifest schema action
+    *    ([[SnapshotTable.alterSchema]]); readers normalize each file
+    *    set through pending actions, no data is rewritten, and
+    *    `compact` clears the actions by rewriting under the resolved
+    *    schema.
+    * All other change kinds are rejected loudly — anything else would
+    * need a rewrite this store trades away. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
-    val adds = changes.map {
+    val root = rootOf(ident)
+    // DROP / RENAME COLUMN lower onto the store's metadata-only
+    // schema actions ([[SnapshotTable.alterSchema]] — one manifest
+    // commit per action, no data rewritten, existence/collision
+    // checks and the no-live-MOR-vectors fence enforced there); ADD
+    // COLUMN keeps its additive empty-set commit below. Mixed
+    // statements apply in order, one version each — Spark sends one
+    // change kind per ALTER statement anyway.
+    val (schemaChanges, addChanges) = changes.partition {
+      case _: TableChange.DeleteColumn | _: TableChange.RenameColumn => true
+      case _ => false
+    }
+    schemaChanges.foreach {
+      case d: TableChange.DeleteColumn =>
+        if (d.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            s"nested DROP COLUMN ${d.fieldNames.mkString(".")} not supported")
+        SnapshotTable.alterSchema(spark, root,
+          SnapshotTable.DropColumn(d.fieldNames.head))
+      case r: TableChange.RenameColumn =>
+        if (r.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            s"nested RENAME COLUMN ${r.fieldNames.mkString(".")} not supported")
+        SnapshotTable.alterSchema(spark, root,
+          SnapshotTable.RenameColumn(r.fieldNames.head, r.newName))
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    if (addChanges.isEmpty) return loadTable(ident)
+    val adds = addChanges.map {
       case a: TableChange.AddColumn => a
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE on snapshot tables supports ADD COLUMN(S) only " +
-          s"(additive evolution); got ${other.getClass.getSimpleName}")
+        s"ALTER TABLE on snapshot tables supports ADD/DROP/RENAME " +
+          s"COLUMN(S) only; got ${other.getClass.getSimpleName}")
     }
-    val root = rootOf(ident)
     val v = SnapshotTable.latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"table $ident does not exist"))
     val cur = SnapshotTable.read(spark, root, v).schema

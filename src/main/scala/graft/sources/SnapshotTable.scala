@@ -268,13 +268,59 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String, version: Int): DataFrame = {
     val dirs = manifestEntries(spark, root, version)
     require(dirs.nonEmpty, s"version $version not published at $root")
-    val (dels, datas) = dirs.partition(_.kind == "delete")
-    applyDeletes(spark, root, dels, datas)
+    val (schema, dels, datas) = partitionKinds(dirs)
+    applyDeletes(spark, root, dels, datas, schema)
   }
 
+  /** Split a manifest into (schema actions, delete vectors, data). */
+  private[sources] def partitionKinds(entries: Seq[Entry])
+      : (Seq[Entry], Seq[Entry], Seq[Entry]) = {
+    val (schema, rest) = entries.partition(_.kind == "schema")
+    val (dels, datas) = rest.partition(_.kind == "delete")
+    (schema, dels, datas)
+  }
+
+  /** METADATA-ONLY SCHEMA EVOLUTION — apply the manifest's pending
+    * DROP/RENAME COLUMN actions to ONE file set's frame. An action is
+    * an [[Entry]] of kind `schema` whose `dir` encodes it
+    * (`drop:<col>` / `rename:<old>:<new>`, see [[alterSchema]]); no
+    * data is rewritten — dropping or renaming a column on a 100 TB
+    * table is one manifest commit, and every reader normalizes each
+    * file set THROUGH the actions younger than it before the union:
+    *  - only actions with `addedIn > set.addedIn` apply, so a column
+    *    re-added after a drop is never re-dropped from the newer sets
+    *    that legitimately carry it;
+    *  - rename is a no-op on sets already written under the new name,
+    *    drop a no-op on sets that never had the column — application
+    *    is idempotent, so a maintenance rewrite (compact /
+    *    materializeDeletes) that already normalized stays correct
+    *    with the actions still in the manifest.
+    * MOR delete vectors bind AFTER normalization: [[alterSchema]]
+    * refuses to run over live vectors, so every live vector is
+    * younger than every schema action and its key names the CURRENT
+    * (post-action) column. The read debt is bounded the usual way —
+    * [[compact]] rewrites under the resolved schema and clears the
+    * actions. */
+  private def applySchemaActions(df: DataFrame, setAddedIn: Int,
+                                 actions: Seq[Entry]): DataFrame =
+    actions.filter(_.addedIn > setAddedIn).foldLeft(df) { (acc, a) =>
+      a.dir.split(':') match {
+        case Array("drop", c) =>
+          acc.columns.find(_.equalsIgnoreCase(c))
+            .fold(acc)(actual => acc.drop(actual))
+        case Array("rename", from, to) =>
+          acc.columns.find(_.equalsIgnoreCase(from))
+            .fold(acc)(actual => acc.withColumnRenamed(actual, to))
+        case other => throw new IllegalStateException(
+          s"unknown schema action '${a.dir}' in manifest")
+      }
+    }
+
   private def unionSets(spark: SparkSession, root: String,
-                        dirs: Seq[Entry]): DataFrame =
-    dirs.map(e => spark.read.parquet(resolveDir(root, e.dir)))
+                        dirs: Seq[Entry],
+                        schema: Seq[Entry] = Seq.empty): DataFrame =
+    dirs.map(e => applySchemaActions(
+        spark.read.parquet(resolveDir(root, e.dir)), e.addedIn, schema))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Union of `datas` with the MERGE-ON-READ delete vectors in `dels`
@@ -285,16 +331,26 @@ object SnapshotTable {
     * survives (the [[upsertMor]] contract). A data set predating the
     * key column cannot hold matching rows and is passed through. */
   private def applyDeletes(spark: SparkSession, root: String,
-                           dels: Seq[Entry], datas: Seq[Entry]): DataFrame = {
+                           dels: Seq[Entry], datas: Seq[Entry],
+                           schema: Seq[Entry] = Seq.empty): DataFrame = {
     require(datas.nonEmpty, "no data file sets to read")
-    if (dels.isEmpty) unionSets(spark, root, datas)
+    if (dels.isEmpty) unionSets(spark, root, datas, schema)
     else datas.map { e =>
-      val df = spark.read.parquet(resolveDir(root, e.dir))
+      // normalize through pending schema actions FIRST: every live
+      // vector postdates every action (the alterSchema guard), so
+      // vector key columns name the normalized schema
+      val df = applySchemaActions(
+        spark.read.parquet(resolveDir(root, e.dir)), e.addedIn, schema)
       dels.filter(_.addedIn > e.addedIn).foldLeft(df) { (acc, d) =>
         val kdf = spark.read.parquet(resolveDir(root, d.dir))
-        val k = kdf.columns.head
-        if (!acc.columns.contains(k)) acc
-        else acc.join(broadcast(kdf), Seq(k), "left_anti")
+        // a vector may carry a MULTI-column key (a tuple-keyed DML
+        // predicate): the anti join binds on ALL its columns — a set
+        // predating any key column cannot hold matching rows (the
+        // missing column null-fills, and a predicate is never TRUE
+        // on NULL inputs under the store's DML lowering)
+        val ks = kdf.columns.toIndexedSeq
+        if (!ks.forall(acc.columns.contains)) acc
+        else acc.join(broadcast(kdf), ks, "left_anti")
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -341,8 +397,8 @@ object SnapshotTable {
     // delete application depends on (deletes would silently stop
     // applying in the clone) — materialize first
     require(entries.forall(_.kind == "data"),
-      s"cannot clone a table with live merge-on-read deletes at $srcRoot; " +
-        "run materializeDeletes first")
+      s"cannot clone a table with live merge-on-read deletes or pending " +
+        s"schema actions at $srcRoot; run materializeDeletes / compact first")
     publish(spark, dstRoot, 1, entries)
     1
   }
@@ -373,10 +429,14 @@ object SnapshotTable {
     require(fromVersion < toVersion,
       s"changes window must be ascending: ($fromVersion, $toVersion]")
     // changes() reports APPENDED rows; MOR delete vectors inside the
-    // window are visible via [[deletedKeys]], not as phantom appends
-    val added = manifestEntries(spark, root, toVersion)
-      .filter(e => e.addedIn > fromVersion && e.kind == "data")
-    if (added.isEmpty) None else Some(unionSets(spark, root, added))
+    // window are visible via [[deletedKeys]], not as phantom appends.
+    // Appended rows normalize through the manifest's schema actions
+    // like every read, so a consumer sees the resolved schema.
+    val all = manifestEntries(spark, root, toVersion)
+    val schema = all.filter(_.kind == "schema")
+    val added = all.filter(e => e.addedIn > fromVersion && e.kind == "data")
+    if (added.isEmpty) None
+    else Some(unionSets(spark, root, added, schema))
   }
 
   /** A data-skipping read: the rows, plus how much of the manifest
@@ -398,13 +458,13 @@ object SnapshotTable {
                  lo: Long, hi: Long): PrunedRead = {
     val all = manifestEntries(spark, root, version)
     require(all.nonEmpty, s"version $version not published at $root")
-    val (dels, dirs) = all.partition(_.kind == "delete")
+    val (schema, dels, dirs) = partitionKinds(all)
     val hit = dirs.filter(e => (e.minKey, e.maxKey) match {
       case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
       case _ => true // unknown stats: must read
     })
-    val df = if (hit.isEmpty) unionSets(spark, root, dirs).limit(0)
-             else applyDeletes(spark, root, dels, hit)
+    val df = if (hit.isEmpty) unionSets(spark, root, dirs, schema).limit(0)
+             else applyDeletes(spark, root, dels, hit, schema)
     PrunedRead(df, hit.size, dirs.size)
   }
 
@@ -423,7 +483,7 @@ object SnapshotTable {
                 key: Long): PrunedRead = {
     val all = manifestEntries(spark, root, version)
     require(all.nonEmpty, s"version $version not published at $root")
-    val (dels, dirs) = all.partition(_.kind == "delete")
+    val (schema, dels, dirs) = partitionKinds(all)
     val hit = dirs.filter { e =>
       val inRange = (e.minKey, e.maxKey) match {
         case (Some(mn), Some(mx)) => key >= mn && key <= mx
@@ -434,8 +494,8 @@ object SnapshotTable {
           .readFrom(new java.io.ByteArrayInputStream(b))
           .mightContainLong(key))
     }
-    val df = if (hit.isEmpty) unionSets(spark, root, dirs).limit(0)
-             else applyDeletes(spark, root, dels, hit)
+    val df = if (hit.isEmpty) unionSets(spark, root, dirs, schema).limit(0)
+             else applyDeletes(spark, root, dels, hit, schema)
     PrunedRead(df, hit.size, dirs.size)
   }
 
@@ -495,7 +555,10 @@ object SnapshotTable {
     * case. */
   private[sources] def sqlRead(spark: SparkSession, root: String,
                                version: Int): DataFrame =
-    if (manifestEntries(spark, root, version).exists(_.kind == "delete"))
+    // any non-data entry (MOR vector, pending schema action) needs
+    // the union read path — the plain file index can neither anti
+    // join nor normalize; compact() restores the indexed path
+    if (manifestEntries(spark, root, version).exists(_.kind != "data"))
       read(spark, root, version)
     else readIndexed(spark, root, version)
 
@@ -581,11 +644,18 @@ object SnapshotTable {
                                 next: Int): Entry = {
     val dataRel =
       s"data/del$next-${java.util.UUID.randomUUID().toString.take(8)}"
-    keys.select(col(key)).distinct().coalesce(1)
+    // the vector carries EVERY column of `keys` (one for the classic
+    // keyed delete; the full referenced-column tuple for a
+    // multi-column DML predicate — the anti join binds on all of
+    // them); stats are recorded for `key` (the first/primary column)
+    // and stamped with its NAME in key2, so materializeDeletes can
+    // tell a same-column envelope from a foreign one
+    keys.distinct().coalesce(1)
       .write.parquet(s"$root/$dataRel")
     val (nRows, minK, maxK, bloom) =
       statsOf(spark, s"$root/$dataRel", Some(key))
-    Entry(dataRel, next, nRows, minK, maxK, bloom, kind = "delete")
+    Entry(dataRel, next, nRows, minK, maxK, bloom, kind = "delete",
+      key2 = Some(key))
   }
 
   /** MERGE-ON-READ DELETE — the Iceberg v2 / Delta deletion-vector
@@ -601,11 +671,23 @@ object SnapshotTable {
     * versions stay readable with their rows intact — a MOR delete is
     * a commit, not an erasure ([[expire]] is the destructive op). */
   def deleteRows(spark: SparkSession, root: String, keys: DataFrame,
-                 key: String): Int = {
+                 key: String): Int =
+    deleteRowsKeyed(spark, root, keys.select(col(key)), key)
+
+  /** TUPLE-KEYED MOR DELETE — [[deleteRows]] generalized to a
+    * multi-column key: the vector carries EVERY column of `keys`, and
+    * the read-side anti join binds on all of them — which is what
+    * makes ANY deterministic, subquery-free DML predicate MOR-safe
+    * (the full referenced-column tuple functionally determines the
+    * match verdict, where a single column of a multi-column predicate
+    * does not). `statsCol` (the first referenced column) gets the
+    * vector's min/max envelope for [[materializeDeletes]] scoping. */
+  def deleteRowsKeyed(spark: SparkSession, root: String, keys: DataFrame,
+                      statsCol: String): Int = {
     val base = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
     val next = base + 1
-    val entry = writeDeleteVector(spark, root, keys, key, next)
+    val entry = writeDeleteVector(spark, root, keys, statsCol, next)
     publish(spark, root, next,
       manifestEntries(spark, root, base) :+ entry)
     next
@@ -623,12 +705,16 @@ object SnapshotTable {
     * read-optimized alternative; [[materializeDeletes]] converts one
     * into the other). */
   def upsertMor(spark: SparkSession, root: String, updates: DataFrame,
-                key: String): Int = {
+                key: String,
+                vectorCols: Option[Seq[String]] = None): Int = {
     val base = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
     val next = base + 1
+    // vectorCols (the DML path's referenced-column tuple) generalizes
+    // the suppress key the same way deleteRowsKeyed does; the default
+    // stays the classic single-column upsert key
     val delEntry = writeDeleteVector(spark, root,
-      updates.select(col(key)), key, next)
+      updates.select(vectorCols.getOrElse(Seq(key)).map(col): _*), key, next)
     val dataRel =
       s"data/u$next-${java.util.UUID.randomUUID().toString.take(8)}"
     updates.write.parquet(s"$root/$dataRel")
@@ -673,7 +759,8 @@ object SnapshotTable {
         statsOf(spark, s"$root/$dataRel", Some(key))
       publish(spark, root, next,
         prevEntries :+
-          Entry(delRel, next, dn, dMin, dMax, dBloom, kind = "delete") :+
+          Entry(delRel, next, dn, dMin, dMax, dBloom, kind = "delete",
+            key2 = Some(key)) :+
           Entry(dataRel, next, nRows, minK, maxK, bloom))
       Some(next)
     }
@@ -705,14 +792,23 @@ object SnapshotTable {
     val base = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
     val entries = manifestEntries(spark, root, base)
-    val (dels, datas) = entries.partition(_.kind == "delete")
+    val (schemaActs, dels, datas) = partitionKinds(entries)
     if (dels.isEmpty) return base
     val (touched, carried) = datas.partition { e =>
       dels.filter(_.addedIn > e.addedIn).exists { d =>
+        // the envelope skip is only SOUND when the vector's recorded
+        // key column (Entry.key2, stamped by writeDeleteVector) IS
+        // the column the data sets' min/max describe: a vector keyed
+        // on a different column (a `DELETE WHERE quality < 3` against
+        // doc_id-statted sets) compares unrelated ranges — a false
+        // no-intersect verdict would CARRY the set, then drop the
+        // vector, resurrecting the deleted rows. No recorded key, or
+        // a different one ⇒ conservative rewrite.
+        val sameCol = d.key2.exists(_.equalsIgnoreCase(key))
         (e.minKey, e.maxKey, d.minKey, d.maxKey) match {
-          case (Some(elo), Some(ehi), Some(dlo), Some(dhi)) =>
+          case (Some(elo), Some(ehi), Some(dlo), Some(dhi)) if sameCol =>
             ehi >= dlo && elo <= dhi
-          case _ => true // unknown stats: might intersect
+          case _ => true // unknown/foreign stats: might intersect
         }
       }
     }
@@ -720,12 +816,16 @@ object SnapshotTable {
     val newEntries = if (touched.isEmpty) Seq.empty else {
       val dataRel =
         s"data/x$next-${java.util.UUID.randomUUID().toString.take(8)}"
-      applyDeletes(spark, root, dels, touched).write.parquet(s"$root/$dataRel")
+      applyDeletes(spark, root, dels, touched, schemaActs)
+        .write.parquet(s"$root/$dataRel")
       val (nRows, minK, maxK, bloom) =
         statsOf(spark, s"$root/$dataRel", Some(key))
       Seq(Entry(dataRel, next, nRows, minK, maxK, bloom))
     }
-    publish(spark, root, next, carried ++ newEntries)
+    // schema actions are CARRIED: the untouched raw sets still need
+    // them at read time (the rewritten set is already normalized —
+    // re-application is a no-op by idempotence)
+    publish(spark, root, next, schemaActs ++ carried ++ newEntries)
     next
   }
 
@@ -778,6 +878,63 @@ object SnapshotTable {
       append = false, statsKey)
   }
 
+  /** A pending schema action for [[alterSchema]]. */
+  sealed trait SchemaAction { private[sources] def encoded: String }
+  final case class DropColumn(name: String) extends SchemaAction {
+    private[sources] def encoded = s"drop:$name"
+  }
+  final case class RenameColumn(from: String, to: String)
+      extends SchemaAction {
+    private[sources] def encoded = s"rename:$from:$to"
+  }
+
+  /** METADATA-ONLY DROP / RENAME COLUMN — one manifest commit, no
+    * data read or rewritten (the Iceberg schema-evolution semantic;
+    * [[applySchemaActions]] documents how readers normalize each file
+    * set through the pending actions and why application is
+    * idempotent and per-set-gated on `addedIn`). Column names are
+    * resolved case-insensitively against the CURRENT resolved schema;
+    * drop of a missing column, rename of a missing column, or rename
+    * onto an existing one all fail loudly here rather than publishing
+    * an action that could never bind. REFUSED over live MOR delete
+    * vectors: the read path applies vectors after normalization, so
+    * every live vector's key must name the post-action schema — run
+    * [[materializeDeletes]] first (same fence as clone/COW-merge).
+    * Time travel is untouched: older versions' manifests don't carry
+    * the action, so they read back under their original schema.
+    * Colons are the action encoding's separator and parquet column
+    * names cannot contain them in this store's SQL surface; rejected
+    * defensively anyway. */
+  def alterSchema(spark: SparkSession, root: String,
+                  action: SchemaAction): Int = {
+    val base = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    val entries = manifestEntries(spark, root, base)
+    require(!entries.exists(_.kind == "delete"),
+      s"cannot alter schema over live merge-on-read deletes at $root; " +
+        "run materializeDeletes first")
+    val cur = read(spark, root, base).schema.fieldNames
+    def exists(c: String) = cur.exists(_.equalsIgnoreCase(c))
+    action match {
+      case DropColumn(c) =>
+        require(!c.contains(":"), s"illegal column name '$c'")
+        require(exists(c), s"cannot DROP COLUMN $c: not in schema " +
+          cur.mkString("(", ", ", ")"))
+        require(cur.length > 1, s"cannot DROP COLUMN $c: last column")
+      case RenameColumn(from, to) =>
+        require(!from.contains(":") && !to.contains(":"),
+          s"illegal column name '$from'/'$to'")
+        require(exists(from), s"cannot RENAME COLUMN $from: not in " +
+          "schema " + cur.mkString("(", ", ", ")"))
+        require(!exists(to),
+          s"cannot RENAME COLUMN $from TO $to: $to already exists")
+    }
+    val next = base + 1
+    publish(spark, root, next, entries :+
+      Entry(action.encoded, next, 0L, None, None, None, kind = "schema"))
+    next
+  }
+
   /** BIN-PACKED COMPACTION — the 100 TB refinement [[compact]]'s doc
     * names (Iceberg's binpack rewrite): rewrite ONLY the file sets at
     * or under `smallRows` rows into one set, carrying every larger
@@ -808,7 +965,8 @@ object SnapshotTable {
     // delete-applied keeps content invariant (vectors stay live for
     // the carried big sets, where they still apply)
     val dels = entries.filter(_.kind == "delete")
-    applyDeletes(spark, root, dels, small).write.parquet(s"$root/$dataRel")
+    applyDeletes(spark, root, dels, small,
+      entries.filter(_.kind == "schema")).write.parquet(s"$root/$dataRel")
     val (nRows, minK, maxK, bloom) =
       statsOf(spark, s"$root/$dataRel", statsKey)
     publish(spark, root, next,
@@ -974,7 +1132,7 @@ object SnapshotTable {
                     keyY: String, yLo: Long, yHi: Long): PrunedBox = {
     val all = manifestEntries(spark, root, version)
     require(all.nonEmpty, s"version $version not published at $root")
-    val (dels, dirs) = all.partition(_.kind == "delete")
+    val (schema, dels, dirs) = partitionKinds(all)
     val hit = dirs.filter { e =>
       val xHit = (e.minKey, e.maxKey) match {
         case (Some(mn), Some(mx)) => mx >= xLo && mn <= xHi
@@ -990,8 +1148,8 @@ object SnapshotTable {
       }
       xHit && yHit
     }
-    val df = if (hit.isEmpty) unionSets(spark, root, dirs).limit(0)
-             else applyDeletes(spark, root, dels, hit)
+    val df = if (hit.isEmpty) unionSets(spark, root, dirs, schema).limit(0)
+             else applyDeletes(spark, root, dels, hit, schema)
     PrunedBox(df, hit.size, dirs.size, hit.map(_.nRows).sum)
   }
 
@@ -1083,7 +1241,9 @@ object SnapshotTable {
     val entries = manifestEntries(spark, root, baseV)
     require(entries.nonEmpty, s"version $baseV not published at $root")
     // COW merge reads touched sets RAW — live MOR deletes would let
-    // deleted rows resurrect into the rewritten set
+    // deleted rows resurrect into the rewritten set, and pending
+    // schema actions would union old-named raw rows with new-named
+    // updates
     require(entries.forall(_.kind == "data"),
       s"cannot COW-merge a table with live merge-on-read deletes at $root; " +
         "run materializeDeletes first (or use upsertMor)")

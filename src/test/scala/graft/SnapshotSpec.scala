@@ -824,6 +824,45 @@ class SnapshotSpec extends SparkSessionSpec {
     assert(SnapshotTable.materializeDeletes(spark, root, "doc_id") == 4)
   }
 
+  test("materializeDeletes never trusts a vector envelope recorded " +
+       "for a different column than the table's stats key") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    // data envelope: doc_id in [1,10]; the vector below is keyed on n
+    // with envelope [105,105] — numerically disjoint ranges about
+    // DIFFERENT columns. A cross-column envelope comparison would
+    // carry the set untouched, drop the vector, and resurrect the
+    // deleted row; the key2 stamp on the vector makes the check
+    // conservative instead.
+    SnapshotTable.commit(spark, root,
+      (1L to 10L).map(k => (k, k + 100L)).toDF("doc_id", "n"),
+      statsKey = Some("doc_id"))
+    SnapshotTable.deleteRows(spark, root, Seq(105L).toDF("n"), "n")
+    assert(SnapshotTable.readLatest(spark, root)
+      .where(col("n") === 105L).count() == 0)
+    SnapshotTable.materializeDeletes(spark, root, "doc_id")
+    assert(SnapshotTable.readLatest(spark, root)
+      .where(col("n") === 105L).count() == 0,
+      "deleted row resurrected through a cross-column envelope skip")
+    assert(SnapshotTable.readLatest(spark, root).count() == 9)
+  }
+
+  test("a tuple-keyed vector deletes exact tuples only and survives " +
+       "materialization") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("doc_id", "tag"),
+      statsKey = Some("doc_id"))
+    SnapshotTable.deleteRowsKeyed(spark, root,
+      Seq((1L, "x")).toDF("doc_id", "tag"), "doc_id")
+    def live() = SnapshotTable.readLatest(spark, root)
+      .as[(Long, String)].collect().toSet
+    assert(live() == Set((1L, "y"), (2L, "x")),
+      "rows sharing one key column with the tuple must survive")
+    SnapshotTable.materializeDeletes(spark, root, "doc_id")
+    assert(live() == Set((1L, "y"), (2L, "x")))
+  }
+
   test("the Spark relation plans over a clustered-rewrite subdir " +
        "layout and prunes on its per-subdir stats") {
     import org.apache.spark.sql.functions.col

@@ -180,11 +180,88 @@ class SnapshotSqlSpec extends SparkSessionSpec {
     assert(s2.sql(
       "SELECT score FROM lakecat.ns.evo WHERE id = 4").head().getDouble(0)
       == 0.5)
-    // non-additive shapes refuse loudly
-    assertThrows[Exception](s2.sql(
-      "ALTER TABLE lakecat.ns.evo DROP COLUMN v").collect())
+    // duplicate adds and type changes refuse loudly
     assertThrows[Exception](s2.sql(
       "ALTER TABLE lakecat.ns.evo ADD COLUMN v STRING").collect())
+    assertThrows[Exception](s2.sql(
+      "ALTER TABLE lakecat.ns.evo ALTER COLUMN v TYPE INT").collect())
+  }
+
+  test("ALTER TABLE DROP COLUMN is metadata-only: no data rewrite, " +
+       "old versions keep the column, compact clears the action") {
+    val root = seed("dropc")
+    val v1Files = SnapshotTable.read(s2, root, 1).inputFiles.toSet
+    s2.sql("ALTER TABLE lakecat.ns.dropc ADD COLUMN score DOUBLE")
+    s2.sql("INSERT INTO lakecat.ns.dropc VALUES (4, 'd', 0.5)")
+    s2.sql("ALTER TABLE lakecat.ns.dropc DROP COLUMN v")
+    assert(s2.sql("SELECT * FROM lakecat.ns.dropc").columns.toSeq ==
+      Seq("id", "score"), "resolved schema must lose the column")
+    assert(s2.sql("SELECT id FROM lakecat.ns.dropc")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    // metadata-only proof: the original data files are still the scan
+    assert(v1Files.subsetOf(
+      SnapshotTable.readLatest(s2, root).inputFiles.toSet),
+      "DROP COLUMN must not rewrite data")
+    // time travel reads the pre-drop schema back
+    assert(s2.sql("SELECT * FROM lakecat.ns.dropc VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "v"))
+    assert(rows("SELECT id, v FROM lakecat.ns.dropc VERSION AS OF 1") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // writes after the drop carry the narrowed schema
+    s2.sql("INSERT INTO lakecat.ns.dropc VALUES (5, 1.5)")
+    assert(s2.sql("SELECT score FROM lakecat.ns.dropc WHERE id = 5")
+      .head().getDouble(0) == 1.5)
+    // dropping a missing column refuses; dropping the last would too
+    assertThrows[Exception](s2.sql(
+      "ALTER TABLE lakecat.ns.dropc DROP COLUMN v").collect())
+    // compact rewrites under the resolved schema and clears actions —
+    // the read path goes back to the plain stats-pruned file index
+    SnapshotTable.compact(s2, root, statsKey = Some("id"))
+    assert(SnapshotTable.numFileSets(s2, root,
+        SnapshotTable.latestVersion(s2, root).get) == 1,
+      "compact must clear schema actions down to one clean data set")
+    assert(s2.sql("SELECT id FROM lakecat.ns.dropc")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("ALTER TABLE RENAME COLUMN is metadata-only; a column re-added " +
+       "after a drop is not re-dropped; rename onto existing refuses") {
+    val root = seed("renc")
+    s2.sql("ALTER TABLE lakecat.ns.renc RENAME COLUMN v TO label")
+    assert(s2.sql("SELECT * FROM lakecat.ns.renc").columns.toSeq ==
+      Seq("id", "label"))
+    assert(s2.sql("SELECT id, label FROM lakecat.ns.renc")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "pre-rename rows must surface under the new name")
+    // drop-then-re-add: the re-added column's rows must survive (the
+    // per-set addedIn gate — a drop action never applies to sets
+    // younger than it)
+    s2.sql("ALTER TABLE lakecat.ns.renc DROP COLUMN label")
+    s2.sql("ALTER TABLE lakecat.ns.renc ADD COLUMN label STRING")
+    s2.sql("INSERT INTO lakecat.ns.renc VALUES (4, 'fresh')")
+    val out = s2.sql("SELECT id, label FROM lakecat.ns.renc").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getString(1)))).toSet
+    assert(out == Set((1L, None), (2L, None), (3L, None),
+      (4L, Some("fresh"))),
+      "old rows null-fill the re-added column; the fresh row keeps it")
+    assertThrows[Exception](s2.sql(
+      "ALTER TABLE lakecat.ns.renc RENAME COLUMN label TO id").collect())
+    assertThrows[Exception](s2.sql(
+      "ALTER TABLE lakecat.ns.renc RENAME COLUMN ghost TO g2").collect())
+  }
+
+  test("ALTER TABLE DROP/RENAME refuses over live MOR delete vectors") {
+    val root = seed("fence")
+    s2.sql("DELETE FROM lakecat.ns.fence WHERE id = 2").collect()
+    assertThrows[Exception](s2.sql(
+      "ALTER TABLE lakecat.ns.fence DROP COLUMN v").collect())
+    // materializing the vectors re-opens the gate
+    SnapshotTable.materializeDeletes(s2, root, "id")
+    s2.sql("ALTER TABLE lakecat.ns.fence DROP COLUMN v")
+    assert(s2.sql("SELECT * FROM lakecat.ns.fence").columns.toSeq ==
+      Seq("id"))
   }
 
   test("DELETE FROM with a single-column predicate is MERGE-ON-READ: " +
@@ -205,19 +282,37 @@ class SnapshotSqlSpec extends SparkSessionSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
-  test("DELETE FROM falls back to a COW rewrite when MOR would be " +
-       "wrong: multi-column and NULL-matching predicates") {
+  test("DELETE FROM with a multi-column predicate is MERGE-ON-READ: a " +
+       "tuple-keyed vector commit, never a rewrite") {
     val root = seed("dc")
     val v1Files = SnapshotTable.read(s2, root, 1).inputFiles.toSet
     s2.sql("DELETE FROM lakecat.ns.dc WHERE id = 2 AND v = 'b'").collect()
     assert(rows("SELECT id, v FROM lakecat.ns.dc") ==
       Set((1L, "a"), (3L, "c")))
-    assert(SnapshotTable.read(s2, root, 2).inputFiles.toSet
-      .intersect(v1Files).isEmpty,
-      "a multi-column predicate must take the rewrite commit")
-    // NULL-matching single-column predicate: the anti join is
-    // null-unsafe, so the run-time probe must route to COW — and the
-    // NULL row must actually delete
+    // MOR proof: the tuple functionally determines the verdict, so
+    // the conjunction commits a (id, v) vector alongside v1's files
+    assert(v1Files.subsetOf(
+      SnapshotTable.read(s2, root, 2).inputFiles.toSet),
+      "a deterministic multi-column predicate must commit a tuple " +
+        "vector, not rewrite data")
+    assert(rows("SELECT id, v FROM lakecat.ns.dc VERSION AS OF 1") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a row sharing ONE key column with a deleted tuple must survive
+    // (the single-column lowering would have wrongly deleted it)
+    import s2.implicits._
+    val troot = s"$wh/ns/dt"
+    SnapshotTable.commit(s2, troot,
+      Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("id", "v"))
+    s2.sql("DELETE FROM lakecat.ns.dt WHERE id = 1 AND v = 'x'").collect()
+    assert(rows("SELECT id, v FROM lakecat.ns.dt") ==
+      Set((1L, "y"), (2L, "x")),
+      "only the exact (id, v) tuple may delete")
+  }
+
+  test("DELETE FROM falls back to a COW rewrite when MOR would be " +
+       "wrong: NULL-matching predicates and subqueries") {
+    // NULL-matching predicate: the anti join is null-unsafe, so the
+    // run-time probe must route to COW — and the NULL row must delete
     import s2.implicits._
     val nroot = s"$wh/ns/dn"
     SnapshotTable.commit(s2, nroot,
@@ -225,6 +320,31 @@ class SnapshotSqlSpec extends SparkSessionSpec {
     s2.sql("DELETE FROM lakecat.ns.dn WHERE v IS NULL").collect()
     assert(rows("SELECT id, v FROM lakecat.ns.dn") == Set((1L, "a")),
       "the NULL-matching delete must remove the NULL row (COW path)")
+    // a NULL in ANY referenced column of a multi-column predicate
+    // also probes to COW
+    val mroot = s"$wh/ns/dn2"
+    SnapshotTable.commit(s2, mroot,
+      Seq((1L, Option("a")), (2L, Option.empty[String]),
+        (3L, Option("c"))).toDF("id", "v"))
+    s2.sql(
+      "DELETE FROM lakecat.ns.dn2 WHERE id >= 2 AND v IS NULL").collect()
+    assert(rows("SELECT id, v FROM lakecat.ns.dn2") ==
+      Set((1L, "a"), (3L, "c")))
+  }
+
+  test("UPDATE assignment coercion honors the ANSI store-assignment " +
+       "policy: an overflowing value raises instead of silently nulling") {
+    import s2.implicits._
+    val root = s"$wh/ns/ansi"
+    SnapshotTable.commit(s2, root, Seq((1L, 1)).toDF("id", "n"))
+    // 3000000000 parses as BIGINT and cannot fit the INT column;
+    // Spark's own DML (storeAssignmentPolicy = ANSI, the default)
+    // raises at run time — the snapshot lowering must match, not
+    // emit a legacy cast that nulls the value
+    assertThrows[Exception](s2.sql(
+      "UPDATE lakecat.ns.ansi SET n = 3000000000 WHERE id = 1").collect())
+    assert(s2.sql("SELECT n FROM lakecat.ns.ansi").head().getInt(0) == 1,
+      "the failed statement must not have committed")
   }
 
   test("UPDATE with a key-preserving single-column predicate is a MOR " +
