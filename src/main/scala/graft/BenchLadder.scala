@@ -60,6 +60,14 @@ object BenchLadder {
     }
     once() // cold
     val runs = Seq.fill(warmRuns)(once()).sorted
+    // between-FAMILIES cache lifecycle, mirroring Bench's gauntlet:
+    // without it a consolidated multi-family invocation couples
+    // measurements through the kept ring (measured: dedup_prefix_join
+    // x10 96 s solo vs 197 s mid-ladder, dedup_embed_cluster x100
+    // 37 s solo vs 85 s mid-ladder — heap pressure from 24 retained
+    // frames of EARLIER families, not the operator). Within-family
+    // warm-run reuse is untouched (release sits after the runs).
+    Caches.release(spark)
     runs(runs.length / 2)
   }
 
@@ -133,7 +141,43 @@ object BenchLadder {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       fs.create(done).close()
     }
+    // the wedge-join family's tables, own marker so pre-existing
+    // ladder dirs gain them without re-replicating docs/embeddings
+    val triDone = new org.apache.hadoop.fs.Path(s"$dir/_LADDER_TRI_DONE")
+    if (!fs.exists(triDone)) {
+      replicateTri(spark, src, dir, factor)
+      fs.create(triDone).close()
+    }
     dir
+  }
+
+  /** lineitem/orders replicated `factor`× as KEY-SHIFTED DISJOINT
+    * copies (every key space offset by rep·(max+1)), pruned to the
+    * columns [[graft.operators.RelationalQueries.qTriangles]] reads.
+    * Disjoint copies preserve the per-customer degree distribution
+    * EXACTLY — the wedge join's deg²/2 behavior is then measured at
+    * N× customers with the same degree shape, which is the claim the
+    * degree cap makes (a replica-overlapping scheme would instead
+    * multiply degrees and measure the corruption, the same trap the
+    * doc perturbation note describes). */
+  private def replicateTri(spark: SparkSession, src: String,
+                           dir: String, factor: Int): Unit = {
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val or = spark.read.parquet(s"$src/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val m = li.agg(max(col("l_orderkey")), max(col("l_suppkey"))).collect()(0)
+    val (oShift, sShift) = (m.getLong(0) + 1, m.getLong(1) + 1)
+    val cShift = or.agg(max(col("o_custkey"))).collect()(0).getLong(0) + 1
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    li.crossJoin(reps)
+      .select((col("l_orderkey") + col("rep") * oShift).as("l_orderkey"),
+        (col("l_suppkey") + col("rep") * sShift).as("l_suppkey"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    or.crossJoin(reps)
+      .select((col("o_orderkey") + col("rep") * oShift).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * cShift).as("o_custkey"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -143,6 +187,13 @@ object BenchLadder {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE: a wider AQE initialPartitionNum (8×cpus) was tried for
+      // the x100 rungs and MEASURED NET-NEGATIVE on this box —
+      // graph_triangles x10 13.8→25.8 s, dedup_prefix_join x10
+      // 60→99 s (extra task waves on already-large exchanges), with
+      // no x100 gain (261→278 s). Exchanges stay at cpus; operators
+      // whose fan-out outgrows that pin their own data-proportional
+      // repartition (the qTriangles wedgeParts rule).
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -158,7 +209,8 @@ object BenchLadder {
       "dedup_prefix_join", "dedup_embed_cluster", "dedup_embed_lsh",
       "retrieval_bm25", "text_langid_nb", "ann_graph_search",
       "ann_knn_graph", "ann_index_build", "ann_index_append",
-      "ann_index_compact", "ann_index_search", "pipeline_crawl_e2e")
+      "ann_index_compact", "ann_index_search", "pipeline_crawl_e2e",
+      "graph_triangles")
 
     // warmup: session + codegen paths
     SparkEntry.queries("km_sizes")(spark, sfDirs.last._2).count()

@@ -1140,7 +1140,24 @@ object RelationalQueries {
     // Pin both arms to an explicit c-hash partitioning (AQE never
     // coalesces a user repartition); per-customer work is bounded by
     // the degree cap, so partitions stay balanced at any scale.
-    val wedgeParts = 4 * spark.sparkContext.defaultParallelism
+    //
+    // The partition COUNT is data-proportional, from the EXACT wedge
+    // total Σ d·(d−1)/2 (one tiny agg over the just-checkpointed cs —
+    // degrees are already capped, so this is the true fan-out, not a
+    // bound): a fixed 4×parallelism put ~10M wedge rows per task at
+    // the x100 rung and the map-side (s1,s2) partial agg spilled —
+    // measured 475 s vs a ~117 s linear fit, a 4×-over-linear cliff
+    // entirely inside the hash-agg spill path. ~2M wedges per task
+    // keeps every partial hash table in memory at any scale; the
+    // 4×parallelism floor preserves small-corpus behavior, the 4096
+    // cap bounds scheduler pressure (and matches the per-task target:
+    // 4096 × 2M = 8B wedges before tasks grow past target again).
+    val wedgeTotal = cs.groupBy(col("c"))
+      .agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("w2"))
+      .collect()(0).getLong(0) / 2
+    val wedgeParts = math.max(4 * spark.sparkContext.defaultParallelism,
+      math.min(4096L, wedgeTotal / 2000000L + 1).toInt)
     val a = cs.repartition(wedgeParts, col("c"))
     val b = a.select(col("c").as("cb"), col("s").as("sb"))
     val w = a.select(col("c"), col("s").as("sa"))

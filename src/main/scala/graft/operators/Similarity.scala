@@ -201,17 +201,20 @@ object Similarity {
     // candidate set, scored once each (a corpus row has exactly one
     // salt), with the hottest cell spread over KnnSalt tasks.
     //
-    // The salt is GATED on corpus size (estimated from the cell count
+    // The salt SCALES with corpus size (estimated from the cell count
     // — cells are ⌈n/256⌉ by construction, no count() job): below
-    // ~64k vectors even the most skewed cell is a sub-second block,
-    // and unconditional salting just octuples the prober shuffle
-    // volume (probers replicate across every salt). At and above the
-    // threshold the skew protection is worth the replication — the
-    // x100 straggler measurement that motivated it.
+    // ~64k vectors even the most skewed cell is a sub-second block
+    // and salting just multiplies the prober shuffle volume (probers
+    // replicate their full vector payload across every salt); above
+    // it, one extra salt unit per 64k vectors up to [[KnnSalt]]. A
+    // hard 1→8 gate at the threshold made the x10→x100 ladder step
+    // pay an 80× prober-volume jump for a 10× corpus — a measurement
+    // cliff, not an operator property; the ramp keeps the replication
+    // proportional to the straggler risk it buys down (the hottest
+    // cell's block grows with n, so the protection need does too).
     val sc = corpus.sparkSession.sparkContext
-    val salt =
-      if (cents.length * KMeansQueries.CoarseCellTarget < 65536L) 1
-      else KnnSalt
+    val salt = math.max(1, math.min(KnnSalt.toLong,
+      cents.length * KMeansQueries.CoarseCellTarget / 65536L)).toInt
     val p = math.max(sc.defaultParallelism,
       math.min(cents.length * salt, 4 * sc.defaultParallelism))
     val salts = array((0 until salt).map(lit): _*)
