@@ -167,7 +167,14 @@ object BenchLadder {
     val or = spark.read.parquet(s"$src/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"))
     val m = li.agg(max(col("l_orderkey")), max(col("l_suppkey"))).collect()(0)
-    val (oShift, sShift) = (m.getLong(0) + 1, m.getLong(1) + 1)
+    // order-key shift covers BOTH tables' key spaces: an order with no
+    // lineitems can hold the max orderkey, and a shift derived from
+    // lineitem alone would overlap replica key spaces there — the
+    // cross-replica join matches that corrupt the degree-preservation
+    // claim (ADVICE r16)
+    val oMax = spark.read.parquet(s"$src/orders.parquet")
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val (oShift, sShift) = (math.max(m.getLong(0), oMax) + 1, m.getLong(1) + 1)
     val cShift = or.agg(max(col("o_custkey"))).collect()(0).getLong(0) + 1
     val reps = spark.range(factor).select(col("id").as("rep"))
     li.crossJoin(reps)
@@ -210,7 +217,7 @@ object BenchLadder {
       "retrieval_bm25", "text_langid_nb", "ann_graph_search",
       "ann_knn_graph", "ann_index_build", "ann_index_append",
       "ann_index_compact", "ann_index_search", "pipeline_crawl_e2e",
-      "graph_triangles")
+      "graph_triangles", "pipeline_snapshot_dml_cycle")
 
     // warmup: session + codegen paths
     SparkEntry.queries("km_sizes")(spark, sfDirs.last._2).count()

@@ -64,8 +64,19 @@ final class CellTree(val levels: Array[Array[Array[Double]]])
         .asInstanceOf[Array[Any]])
 
   /** Driver-side twin of [[route]] (the [[AnnIndex]] cell-pruning
-    * path): same descent, same tie-break, primitive arrays in/out. */
+    * path): same descent, same tie-break, primitive arrays in/out.
+    *
+    * Above one level the leaf candidate pool is bounded by the last
+    * beam expansion — at most [[CellTree.Beam]]·[[CellTree.Branch]]
+    * leaves ever get scored — so `topN` beyond that bound cannot be
+    * honored; the require makes the truncation loud instead of a
+    * silent short array (ADVICE r16). Current callers (NProbe,
+    * SeedProbe, single-cell assignment) sit far below it. */
   def routeArray(v: Array[Double], topN: Int): Array[Int] = {
+    require(levels.length == 1 || topN <= CellTree.Beam * CellTree.Branch,
+      s"topN=$topN exceeds the beam leaf-candidate pool " +
+        s"Beam*Branch=${CellTree.Beam * CellTree.Branch}; widen " +
+        "CellTree.Beam or route flat")
     val nv = v.length
     var frontier: Array[Int] = null // null = "all nodes" (root level)
     var frontierN = 0

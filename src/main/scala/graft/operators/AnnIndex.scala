@@ -50,8 +50,12 @@ object AnnIndex {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     // v2: codes carry the label metadata column (filtered search);
     // the version bump keeps a stale label-less artifact from being
-    // reused by the build-once gate
-    s"${graft.sources.Artifacts.root(spark)}/ivfpq3_${key}_n$n"
+    // reused by the build-once gate. rt<rev>: the cluster column is a
+    // CellRouting assignment and the probe lists serving the segment
+    // must come from the SAME router — the path rotates with the
+    // router revision so pre-tree artifacts rebuild (ADVICE r16)
+    s"${graft.sources.Artifacts.root(spark)}/ivfpq3_${key}" +
+      s"_rt${CellRouting.RouterRev}_n$n"
   }
 
   /** Assignment + PQ encode of one (vec_id, v) corpus against a given

@@ -42,7 +42,14 @@ object AnnTiers {
   def root(spark: SparkSession, dir: String): String = {
     val n = graft.Tables.cachedCount(spark, dir, "embeddings")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${graft.sources.Artifacts.root(spark)}/anntiers_${key}_n$n"
+    // routerRev in the path: cell assignments persisted in a segment
+    // and the probe lists serving it MUST come from the same router
+    // (CellRouting's invariant) — a router change (flat → beam tree,
+    // r16) silently breaks every pre-existing k>Branch segment unless
+    // the path itself rotates, forcing a rebuild under the new router
+    // (ADVICE r16)
+    s"${graft.sources.Artifacts.root(spark)}/anntiers_${key}" +
+      s"_rt${CellRouting.RouterRev}_n$n"
   }
 
   /** Build-once segment gate: reuse a committed segment, else build

@@ -30,6 +30,15 @@ import graft.expressions.{CellTree, NearestCentroid, ProbeCells, ProbeCellsTree}
   * first element IS assign's cell (same descent, same tie-break). */
 object CellRouting {
 
+  /** Routing-algorithm revision, embedded in every durable artifact
+    * path that persists a cell ASSIGNMENT (AnnTiers segments, the
+    * AnnIndex root): assignments written by one router and probed by
+    * another break the assign-equals-probe-top-1 invariant above
+    * [[CellTree.Branch]] cells, so a router change must rotate the
+    * artifact paths and force a rebuild. rev 2 = the beam tree
+    * (r16; rev 1 was the flat scan at every k). */
+  val RouterRev = 2
+
   /** The `n` nearest cell ids as a column, (distance, id) ascending. */
   def probe(vec: Column, cents: Array[Array[Double]], n: Int): Column =
     if (cents.length <= CellTree.Branch) ProbeCells(vec, cents, n)

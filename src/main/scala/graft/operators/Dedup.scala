@@ -686,14 +686,31 @@ object Dedup {
     * (not bare tokens — on a shared-vocabulary corpus token sets are
     * near-identical across documents and the join degenerates toward
     * all-pairs; shingles keep sets discriminative, which is also why
-    * the LSH members hash them). */
+    * the LSH members hash them).
+    *
+    * Shingles are hashed to int64 (`xxhash64`) the moment they are
+    * formed, and EVERYTHING downstream — document frequency, the
+    * rarest-first prefix ranking, the candidate equi-join, and both
+    * intersection verify join-backs — runs on 8-byte longs, never the
+    * ~25-byte shingle strings. The candidate counts were always linear
+    * (the observe hooks prove it per rung), but the verify join-back
+    * streams (pair × tokens-of-doc) rows; carrying strings through it
+    * crossed the shuffle-spill memory wall between the x10 and x100
+    * rungs (488 s at x100 vs a ~120 s linear fit — the r16 ladder's
+    * one super-linear family). Output is UNCHANGED: the prefix lemma
+    * holds under ANY consistent global token order (df asc, hash asc
+    * is one), verification is exact set intersection, and a 64-bit
+    * collision WITHIN one candidate pair's token sets — the only event
+    * that could perturb a count — has probability ~n²/2⁶⁴ per doc
+    * (≪ 1e-12 at any SF this engine meets). */
   def prefixJoinOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        explode(array_distinct(shingleCol(col("toks"), 3))).as("tok"))
+        explode(array_distinct(transform(shingleCol(col("toks"), 3),
+          s => xxhash64(s)))).as("tok"))
       .persistTracked()
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wD = Window.partitionBy(col("doc_id"))
@@ -747,12 +764,30 @@ object Dedup {
         count(lit(1)).as("n_pos_survivors"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .distinct()
+    // exact verify WITHOUT an exploded join-back: the former plan
+    // streamed (pair × tokens-of-doc_a) rows into a pair-grouped
+    // count — candidate counts are linear (the observe hooks above
+    // prove it per rung), but that stream is pairs × ~100 rows wide
+    // and its hash aggregate keyed on 20M+ pairs crossed the spill
+    // wall between the x10 and x100 rungs even after the int64 cut
+    // (349 s vs a ~183 s linear fit). Verify instead carries each
+    // doc's DISTINCT token set once as a packed long array (~100
+    // int64s — collect_list over the already-distinct tok relation),
+    // attaches the two arrays to each pair with two equi-joins, and
+    // counts the intersection per row (`array_intersect` — set
+    // semantics, codegen'd): no exploded stream, no pair-keyed
+    // aggregate, shuffle volume = pairs × one array instead of
+    // pairs × tokens rows.
+    val docArr = tok.groupBy(col("doc_id"))
+      .agg(collect_list(col("tok")).as("arr"))
     val inter = cands
-      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("tok")),
-        Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(docArr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")),
+        Seq("doc_a"))
+      .join(docArr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("arr_a"), col("arr_b")))
+          .cast("long").as("inter"))
     inter
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .where(col("inter") * PrefTauDen >= col("uni") * PrefTauNum)

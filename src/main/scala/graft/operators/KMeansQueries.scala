@@ -298,9 +298,17 @@ object KMeansQueries {
     // work to the new candidates only. localCheckpoint materializes
     // the (id, v, dmin) relation per round: corpus-linear state, the
     // qSssp loop discipline, cleaned by the ContextCleaner.
+    // distance kernels run as the NATIVE expressions ([[MinL2Dist]] /
+    // [[NearestCentroid]]): the declarative transform-over-candidates
+    // form evaluates an interpreted lambda per (row × candidate ×
+    // dimension) — at the x100 rung that interpreted tax, not the
+    // scans, dominated the 128 s wall (the PqEncodeCodes finding,
+    // VERDICT r16 item 3). Bitwise parity with the declarative
+    // lowering is spec-pinned (MinL2DistSpec), so the recursive-CTE
+    // oracle replays unchanged.
     var cur = pts
       .withColumn("dmin",
-        l2Dist(col("v"), typedLit(cands.head._2.toSeq)))
+        graft.expressions.MinL2Dist(col("v"), Array(cands.head._2)))
       .localCheckpoint(true)
     for (r <- 1 to KmparRounds) {
       val withD = cur.withColumn("d2m",
@@ -316,20 +324,24 @@ object KMeansQueries {
       cands ++= sampled.map(row =>
         (row.getLong(0), row.getSeq[Double](1).toArray, r))
       if (r < KmparRounds && sampled.nonEmpty) {
-        val newLit = typedLit(
-          sampled.map(_.getSeq[Double](1).toSeq).toSeq)
+        val newCands = sampled
+          .map(_.getSeq[Double](1).toArray).toArray
         cur = cur
           .withColumn("dmin", least(col("dmin"),
-            array_min(transform(newLit, c => l2Dist(col("v"), c)))))
+            graft.expressions.MinL2Dist(col("v"), newCands)))
           .localCheckpoint(true)
       }
     }
     // ownership weights: nearest candidate, ties → first in candidate
-    // order (strict-< argmin, the O4 rule)
-    val dists = transform(typedLit(cands.map(_._2.toSeq)),
-      c => l2Dist(col("v"), c))
+    // order (strict-< argmin, the O4 rule) — the native
+    // [[NearestCentroid]] kernel (argmin over d², which selects the
+    // same candidate as argmin over the oracle's sqrt distances: sqrt
+    // is monotone, and the km_assign family has pinned this d²-vs-
+    // list_distance equivalence against DuckDB since round 1)
     val owned = pts
-      .withColumn("pos", array_position(dists, array_min(dists)).cast("int"))
+      .withColumn("pos",
+        (graft.expressions.NearestCentroid(col("v"),
+          cands.map(_._2).toArray) + 1).cast("int"))
       .groupBy(col("pos")).agg(count(lit(1)).as("weight"))
     val spark2 = spark
     import spark2.implicits._

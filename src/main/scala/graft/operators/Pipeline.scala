@@ -1743,6 +1743,55 @@ object Pipeline {
       fp(5, "lakedml.raw.docs")).mkString("\nUNION ALL\n"))
   }
 
+  /** FULL DML LIFECYCLE, paid on EVERY run (no build-once gate — the
+    * [[pipelineSnapshotDml]] twin measures steady-state reads; this
+    * one measures the WRITES): fresh table commit → single-column MOR
+    * delete → TUPLE-keyed MOR update (predicate over (doc_id,
+    * n_chars), assignment to text — the multi-column eligibility the
+    * r16 store added) → compact (folds the vectors away, recomputes
+    * doc_id file stats) → time-travel fingerprints of all four
+    * versions plus the current read. This is the snapshot store's
+    * scale-ladder family (VERDICT r16 item 4): every stage is
+    * corpus-sized exactly once per statement — the MOR statements
+    * write a matched-rows vector, never rewrite the table; compact is
+    * the one deliberate full rewrite — so the cycle is linear in n by
+    * construction and BENCH_LADDER measures whether the constants
+    * hold through the x100 rung (500k docs). The oracle replays every
+    * verdict in DuckDB; compaction must leave v4 ≡ v3 (layout, never
+    * data). */
+  def pipelineSnapshotDmlCycle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val wh = s"${graft.sources.Artifacts.root(spark)}/dmlcyc_${key}_n$n"
+    spark.conf.set("spark.sql.catalog.lakecyc",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.lakecyc.warehouse", wh)
+    val root = s"$wh/raw/docs"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    SnapshotTable.commit(spark, root,
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars")),
+      statsKey = Some("doc_id"))
+    spark.sql("DELETE FROM lakecyc.raw.docs WHERE doc_id % 7 = 3")
+    spark.sql("UPDATE lakecyc.raw.docs SET text = concat(text, ' [cyc]') " +
+      "WHERE doc_id % 5 = 1 AND n_chars > 80")
+    SnapshotTable.compact(spark, root, statsKey = Some("doc_id"))
+    def fp(v: Int, from: String) =
+      s"""SELECT CAST($v AS INT) AS version, count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+         |       CAST(sum(length(text)) AS BIGINT) AS sum_len
+         |FROM $from""".stripMargin
+    spark.sql(Seq(
+      fp(1, "lakecyc.raw.docs VERSION AS OF 1"),
+      fp(2, "lakecyc.raw.docs VERSION AS OF 2"),
+      fp(3, "lakecyc.raw.docs VERSION AS OF 3"),
+      fp(4, "lakecyc.raw.docs VERSION AS OF 4"),
+      fp(5, "lakecyc.raw.docs")).mkString("\nUNION ALL\n"))
+  }
+
   /** Per-domain document cap for [[pipelineDomainCap]] — the crawl
     * curation rule that stops one prolific host from dominating the
     * mixture. */
@@ -2143,6 +2192,7 @@ object Pipeline {
     "pipeline_snapshot_merge" -> pipelineSnapshotMerge,
     "pipeline_snapshot_sql" -> pipelineSnapshotSql,
     "pipeline_snapshot_dml" -> pipelineSnapshotDml,
+    "pipeline_snapshot_dml_cycle" -> pipelineSnapshotDmlCycle,
     "pipeline_snapshot_changes" -> pipelineSnapshotChanges,
     "pipeline_snapshot_incr_agg" -> pipelineSnapshotIncrAgg,
     "pipeline_snapshot_skip" -> pipelineSnapshotSkip,
@@ -2757,6 +2807,33 @@ object Pipeline {
         |UNION ALL SELECT * FROM v2
         |UNION ALL SELECT CAST(3 AS INT), n_docs, sum_id, sum_len
         |FROM v1""".stripMargin,
+    // the per-run lifecycle replayed: v2 drops doc_id%7=3 (MOR
+    // vector), v3 suffixes ' [cyc]' where doc_id%5=1 AND n_chars>80
+    // (tuple-keyed MOR upsert), v4 = v3 (compaction rewrites layout,
+    // never data), current = v4
+    "pipeline_snapshot_dml_cycle" ->
+      """WITH v1 AS (SELECT doc_id, text, n_chars FROM documents),
+        |v2 AS (SELECT * FROM v1 WHERE NOT (doc_id % 7 = 3)),
+        |v3 AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 5 = 1 AND n_chars > 80
+        |                   THEN text || ' [cyc]' ELSE text END AS text,
+        |              n_chars
+        |       FROM v2)
+        |SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len FROM v1
+        |UNION ALL SELECT CAST(2 AS INT), count(*),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(length(text)) AS BIGINT) FROM v2
+        |UNION ALL SELECT CAST(3 AS INT), count(*),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(length(text)) AS BIGINT) FROM v3
+        |UNION ALL SELECT CAST(4 AS INT), count(*),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(length(text)) AS BIGINT) FROM v3
+        |UNION ALL SELECT CAST(5 AS INT), count(*),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(length(text)) AS BIGINT) FROM v3""".stripMargin,
     // the SQL DML chain replayed closed-form: v2 drops doc_id%7=3
     // (MOR vector), v3 suffixes ' [edited]' where doc_id%5=1 (MOR
     // upsert), v4 drops doc_id%11=0 AND length>200 over the EDITED

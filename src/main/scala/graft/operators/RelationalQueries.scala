@@ -861,7 +861,8 @@ object RelationalQueries {
       init = (_, seed) =>
         when(col("node") === lit(seed), lit(1.0)).otherwise(lit(0.0)),
       teleport = (_, seed) =>
-        when(col("node") === lit(seed), lit(1 - PrDamp)).otherwise(lit(0.0)))
+        when(col("node") === lit(seed), lit(1 - PrDamp)).otherwise(lit(0.0)),
+      sparseSeed = true)
       .select(nodeName(col("node")).as("node"),
         round(col("pr"), 9).as("ppr"))
 
@@ -1004,7 +1005,8 @@ object RelationalQueries {
 
   private def pageRankCore(spark: SparkSession, dir: String,
                            init: (Long, Long) => Column,
-                           teleport: (Long, Long) => Column): DataFrame = {
+                           teleport: (Long, Long) => Column,
+                           sparseSeed: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // cs is read THREE times before withDeg's cache exists (both union
     // arms + the degree agg) — materialize it once; it is tiny
@@ -1054,7 +1056,21 @@ object RelationalQueries {
     val seedName = firstRow.getString(1)
     val seed = seedName.tail.toLong * 2 +
       (if (seedName.head == 's') 1L else 0L)
+    // SPARSE-FRONTIER mode (the personalized variant): restart mass
+    // sits on one seed node, so round r's rank vector is nonzero only
+    // within r hops of the seed — the dense loop streams every node's
+    // (mostly zero) rank through the join and both aggregate passes
+    // anyway. Zero-pr rows contribute exactly 0.0 to sum(pr/outdeg)
+    // (all masses are ≥ 0, so dropped terms are identical zeros, not
+    // cancellations), and the per-round 12dp quantization is applied
+    // to the same cb either way — the iteration is BIT-EXACT to the
+    // dense one; only the final projection must left-join the node
+    // set back so untouched nodes surface with the oracle's 0.0. At
+    // 100 TB this is the difference between per-round work ∝ the
+    // seed's r-hop neighborhood and per-round work ∝ the graph
+    // (VERDICT r16 item 5).
     var pr = nodes.withColumn("pr", init(n, seed))
+    if (sparseSeed) pr = pr.where(col("pr") =!= 0.0)
     for (i <- 1 to PrIters) {
       // symmetrized edges ⇒ every node has an in-edge, so the contrib
       // aggregate is COMPLETE over nodes and each round is exactly one
@@ -1071,10 +1087,24 @@ object RelationalQueries {
       val contribs = withDeg.join(pr.hint("SHUFFLE_HASH"),
           col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("outdeg")).as("cb"))
-      pr = contribs
-        .select(col("dst").as("node"), col("cb"))
+      var st = contribs.select(col("dst").as("node"), col("cb"))
+      if (sparseSeed)
+        // the seed's teleport mass must survive a round where nothing
+        // flows back to it: a 1-row cb=0.0 union (x + 0.0 is exact, so
+        // a seed that DOES receive mass keeps its cb bit-for-bit)
+        st = st.unionByName(spark.range(1)
+            .select(lit(seed).as("node"), lit(0.0).as("cb")))
+          .groupBy(col("node")).agg(sum(col("cb")).as("cb"))
+      pr = st
         .select(col("node"),
           round(teleport(n, seed) + lit(PrDamp) * col("cb"), 12).as("pr"))
+      if (sparseSeed) pr = pr.where(col("pr") =!= 0.0)
+      // rank vector back to the oracle's all-nodes shape before the
+      // final checkpoint: untouched nodes carry the 0.0 the dense
+      // recursion would have computed for them
+      if (sparseSeed && i == PrIters)
+        pr = nodes.join(pr, Seq("node"), "left")
+          .select(col("node"), coalesce(col("pr"), lit(0.0)).as("pr"))
       // lineage cut every 3rd round + at the end — NOT per round: each
       // eager localCheckpoint is a full job over the rank relation, and
       // six of them were the board's top cost for two rounds (9.4 s

@@ -415,6 +415,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .withColumn("hit", lit(1))
     val corpus = AnnTiers.readCellSegment(spark, dir, "cells")
+    // re-anchor the gauge (ADVICE r16): ground truth reads the
+    // index's own durable segment for IO efficiency, but a recall
+    // gauge must stay INDEPENDENT of the structure it audits — a
+    // segment-writer bug that drops or duplicates corpus rows would
+    // otherwise shrink the ground-truth pool on both sides and
+    // inflate measured recall undetected. Two thin-column aggregates
+    // (count + order-insensitive xxhash64-XOR of the vec_id set)
+    // prove the segment holds exactly the corpus's id set before it
+    // is trusted as ground truth; cost is two single-column scans —
+    // noise next to the gauge's queries×n scoring pass.
+    def idFingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (segFp, rawFp) =
+      (idFingerprint(corpus), idFingerprint(emb(spark, dir)))
+    require(segFp == rawFp,
+      s"cells segment diverged from the corpus (segment n/idhash " +
+        s"$segFp vs raw $rawFp): rebuild the segment before trusting " +
+        "it as recall ground truth")
     val queries = corpus.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))

@@ -242,11 +242,18 @@ class ResolveSnapshotSql(spark: SparkSession) extends Rule[LogicalPlan] {
     // the others). Ordered by the table's schema so the stats column
     // (head) is deterministic.
     val refSet = cond.references
+    // every referenced column must also be JOIN-COMPARABLE (atomic /
+    // struct / array — RowOrdering's rule; maps are not equatable in
+    // SQL), or the tuple-keyed anti join would fail at runtime where
+    // the COW rewrite is always correct (ADVICE r16)
     val morKeys: Seq[String] =
       if (cond.deterministic && !SubqueryExpression.hasSubquery(cond) &&
           refSet.nonEmpty &&
           !refSet.exists(r => assignedNames.contains(
-            r.name.toLowerCase(java.util.Locale.ROOT))))
+            r.name.toLowerCase(java.util.Locale.ROOT))) &&
+          read.output.filter(refSet.contains).forall(a =>
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(a.dataType)))
         read.output.filter(refSet.contains).map(_.name)
       else Seq.empty
     // the condition must live INSIDE plans, not as a command-level

@@ -538,7 +538,27 @@ class OperatorsSpec extends SparkSessionSpec {
     // both segments are scanned, each with bucket-dir pruning and the
     // probed cells pushed into the parquet scan (row-group stats)
     val plan = search.queryExecution.executedPlan.toString
-    assert(plan.contains("/codes_delta"),
+    // scan ROOT PATHS, not the plan string: the Location field in
+    // toString truncates at ~100 chars, so a longer artifact path
+    // (e.g. the router-revision suffix) silently hides the suffix.
+    // Walk through the AQE wrappers (collect alone stops at stage
+    // boundaries).
+    def scanRoots(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val self = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toString).toSeq
+        case _ => Seq.empty[String]
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      self ++ kids.flatMap(scanRoots)
+    }
+    assert(scanRoots(search.queryExecution.executedPlan)
+        .exists(_.contains("/codes_delta")),
       "search must scan the committed delta segment")
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).nonEmpty,
       "codes scans must prune bucket directories")
