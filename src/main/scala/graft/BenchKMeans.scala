@@ -23,6 +23,16 @@ object BenchKMeans {
     ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
 
+  /** Whole-process CPU nanos (all threads) — the contention
+    * discriminator: when per-iteration WALL varies between runs of an
+    * identical jar while per-iteration CPU stays flat, the delta is
+    * host steal / noisy neighbors, not a plan or code change (the r16
+    * uniform "k-means family regression" diagnosis). */
+  def cpuNs: Long = ManagementFactory.getOperatingSystemMXBean match {
+    case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+    case _ => -1L
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -76,12 +86,13 @@ object BenchKMeans {
     println(s"cpus=$cpus n=$n shuffle=$shuffle aqe=$aqe " +
       s"partitions=${pts.rdd.getNumPartitions}")
     (0 until iters).foreach { i =>
-      val g0 = gcMs; val t0 = System.nanoTime()
+      val g0 = gcMs; val c0 = cpuNs; val t0 = System.nanoTime()
       val rows = KMeansOps.lloydRound(pts, "v", centroids).collect()
       val dt = (System.nanoTime() - t0) / 1e9
+      val dc = (cpuNs - c0) / 1e9
       val byId = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       if (byId.size == 4) centroids = Array.tabulate(4)(byId(_))
-      println(f"iter $i%2d  ${dt}%7.3f s   gc +${gcMs - g0}%5d ms")
+      println(f"iter $i%2d  ${dt}%7.3f s   cpu ${dc}%7.3f s   gc +${gcMs - g0}%5d ms")
     }
     pts.unpersist()
     Caches.releaseAll(spark)
