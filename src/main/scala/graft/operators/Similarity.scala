@@ -32,6 +32,13 @@ import graft.kmeans.KMeansOps
   */
 object Similarity {
 
+  /** Segment roots whose recall-ground-truth fingerprint has been
+    * verified against the raw corpus this JVM (see [[annRecallGraph]]
+    * — segments are immutable and rebuilds rotate the root, so one
+    * audit per root is exhaustive). */
+  private val annRecallAudited =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val NQueries = 10
   val TopK = 10
   val NProbe = 2
@@ -425,17 +432,27 @@ object Similarity {
     // prove the segment holds exactly the corpus's id set before it
     // is trusted as ground truth; cost is two single-column scans —
     // noise next to the gauge's queries×n scoring pass.
-    def idFingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))"))
-        .collect()(0)
-      (r.getLong(0), r.getLong(1))
+    // audited once per (JVM, segment root): the segment is immutable
+    // once its _SUCCESS lands and rebuilds rotate the root (count- and
+    // router-revision-keyed path), so re-fingerprinting on every gauge
+    // run re-buys the same proof — two extra jobs per run, +1.2 s on
+    // the sf0.1 board — for no new information
+    val segKey = AnnTiers.root(spark, dir) + "/cells"
+    if (!annRecallAudited.contains(segKey)) {
+      def idFingerprint(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val (segFp, rawFp) =
+        (idFingerprint(corpus), idFingerprint(emb(spark, dir)))
+      require(segFp == rawFp,
+        s"cells segment diverged from the corpus (segment n/idhash " +
+          s"$segFp vs raw $rawFp): rebuild the segment before trusting " +
+          "it as recall ground truth")
+      annRecallAudited.add(segKey)
+      ()
     }
-    val (segFp, rawFp) =
-      (idFingerprint(corpus), idFingerprint(emb(spark, dir)))
-    require(segFp == rawFp,
-      s"cells segment diverged from the corpus (segment n/idhash " +
-        s"$segFp vs raw $rawFp): rebuild the segment before trusting " +
-        "it as recall ground truth")
     val queries = corpus.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
