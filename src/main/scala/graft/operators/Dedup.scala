@@ -778,6 +778,13 @@ object Dedup {
     // semantics, codegen'd): no exploded stream, no pair-keyed
     // aggregate, shuffle volume = pairs × one array instead of
     // pairs × tokens rows.
+    // NOT persisted — measured both ways at the rungs (r17): the two
+    // verify joins each derive this agg (per-side pushed key filters
+    // canonicalize the subtrees apart), and caching it wins at x10
+    // (10.7→6.1 s, the 42 MB column cache is free) but DOUBLES x100
+    // (91.6→184 s — a ~0.4 GB columnar array cache on top of the tok
+    // cache tips the rung into eviction/spill thrash). The duplicate
+    // agg is the cheaper trade at the scale that matters.
     val docArr = tok.groupBy(col("doc_id"))
       .agg(collect_list(col("tok")).as("arr"))
     val inter = cands
