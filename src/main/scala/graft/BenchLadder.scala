@@ -30,6 +30,29 @@ object BenchLadder {
     System.gc(); Thread.sleep(80); System.gc(); Thread.sleep(80)
   }
 
+  /** (busy, steal) jiffies from /proc/stat's aggregate cpu line — the
+    * contention annotation: this box is a guest with noisy neighbors
+    * (measured 10–66% steal depending on the hour, r17), and a rung
+    * timed under heavy steal reads as a regression of code that did
+    * not change. Sampling steal around every timed run makes each
+    * number carry its own weather report. Returns (0,0) where
+    * /proc/stat does not exist (non-Linux dev boxes). */
+  private[graft] def cpuJiffies(): (Long, Long) = try {
+    val l = scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+    // busy = user+nice+system+irq+softirq; steal = field 8 (0-based)
+    (l(1).toLong + l(2).toLong + l(3).toLong + l(6).toLong + l(7).toLong,
+      l(8).toLong)
+  } catch { case _: Throwable => (0L, 0L) }
+
+  /** Steal percentage of (busy + steal) across a window. */
+  private[graft] def stealPct(before: (Long, Long),
+                              after: (Long, Long)): Double = {
+    val busy = after._1 - before._1
+    val steal = after._2 - before._2
+    if (busy + steal <= 0) 0.0 else 100.0 * steal / (busy + steal)
+  }
+
   private def timeQuery(spark: SparkSession, name: String,
                         dir: String, warmRuns: Int): Double = {
     val fn = SparkEntry.queries(name)
@@ -41,6 +64,7 @@ object BenchLadder {
       // BUILDING the frame — timed from t0 after construction, a
       // checkpoint-backed result counts in milliseconds and the rung
       // measures nothing
+      val j0 = cpuJiffies()
       val t0 = System.nanoTime()
       val df = fn(spark, dir)
       // execute the frame's OWN QueryExecution: df.count() would spawn
@@ -48,6 +72,10 @@ object BenchLadder {
       // unexecuted and its observed metrics permanently zero
       df.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
+      val st = stealPct(j0, cpuJiffies())
+      if (st >= 5.0) System.err.println(
+        f"[ladder] $name%s run under $st%.0f%% host steal — treat " +
+          "this sample as contended")
       // surface any Dataset.observe counters the query carries (the
       // prefix-join candidate instrumentation): the ladder's whole
       // point is separating "the plan holds" from "the constants got

@@ -25,16 +25,23 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names) {
       val fn = SparkEntry.queries(name)
+      val j0 = BenchLadder.cpuJiffies()
       val ts = (0 to runs).map { _ =>
         System.gc(); Thread.sleep(80); System.gc(); Thread.sleep(80)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // host-steal annotation over the whole query window (the
+      // BenchLadder weather report): numbers sampled under neighbor
+      // load must say so, or a no-code-change rerun reads as a
+      // regression
+      val st = BenchLadder.stealPct(j0, BenchLadder.cpuJiffies())
       val warm = ts.drop(1).sorted
       println(f"[benchone] $name%s cold=${ts.head}%.3f " +
         f"warm_median=${warm(warm.length / 2)}%.3f " +
-        s"warm=${warm.map(t => f"$t%.3f").mkString(",")}")
+        s"warm=${warm.map(t => f"$t%.3f").mkString(",")}" +
+        f" steal=$st%.0f%%")
     }
     Caches.releaseAll(spark)
     spark.stop()

@@ -1223,6 +1223,9 @@ object RelationalQueries {
       math.min(4096L, wedgeTotal / 2000000L + 1).toInt)
     val a = cs.repartition(wedgeParts, col("c"))
     val b = a.select(col("c").as("cb"), col("s").as("sb"))
+    // (a packed single-long group key — s1<<32|s2 — was A/B'd at the
+    // x10 rung and measured a wash: the agg is stream-bound, not
+    // key-compare-bound; the two-column key stays for simplicity)
     val w = a.select(col("c"), col("s").as("sa"))
       .join(b, col("c") === col("cb") && col("sa") < col("sb"))
       .groupBy(col("sa").as("s1"), col("sb").as("s2"))
