@@ -38,11 +38,12 @@ object BenchLadder {
     * number carry its own weather report. Returns (0,0) where
     * /proc/stat does not exist (non-Linux dev boxes). */
   private[graft] def cpuJiffies(): (Long, Long) = try {
-    val l = scala.io.Source.fromFile("/proc/stat").getLines()
-      .find(_.startsWith("cpu ")).get.trim.split("\\s+")
-    // busy = user+nice+system+irq+softirq; steal = field 8 (0-based)
-    (l(1).toLong + l(2).toLong + l(3).toLong + l(6).toLong + l(7).toLong,
-      l(8).toLong)
+    scala.util.Using.resource(scala.io.Source.fromFile("/proc/stat")) { src =>
+      val l = src.getLines().find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      // busy = user+nice+system+irq+softirq; steal = field 8 (0-based)
+      (l(1).toLong + l(2).toLong + l(3).toLong + l(6).toLong + l(7).toLong,
+        l(8).toLong)
+    }
   } catch { case _: Throwable => (0L, 0L) }
 
   /** Steal percentage of (busy + steal) across a window. */

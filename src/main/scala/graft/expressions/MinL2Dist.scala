@@ -38,6 +38,15 @@ case class MinL2Dist(child: Expression, cands: Array[Array[Double]])
     extends UnaryExpression {
 
   require(cands.nonEmpty, "MinL2Dist needs at least one candidate")
+  require(cands.forall(_.length == cands(0).length),
+    "MinL2Dist candidates must share one dimension")
+
+  // All candidates share this dimension, and every input row must
+  // match it: the declarative lowering this expression is spec-pinned
+  // to (zip_with null-pads a length mismatch → null distance, skipped
+  // by array_min) would silently diverge on mismatched dims, so a
+  // mismatch fails loudly instead of truncating the distance.
+  private val dim: Int = cands(0).length
 
   override def dataType: DataType = DoubleType
 
@@ -50,22 +59,23 @@ case class MinL2Dist(child: Expression, cands: Array[Array[Double]])
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val nElems = arr.numElements()
+    if (nElems != dim) throw new IllegalArgumentException(
+      s"min_l2_dist: input dimension $nElems != candidate dimension $dim")
     var bestD = Double.MaxValue
     val local: Array[Double] = if (bulkCopy) arr.toDoubleArray() else null
     var i = 0
     while (i < cands.length) {
       val c = cands(i)
-      val m = math.min(nElems, c.length)
       var d = 0.0
       var j = 0
       if (local != null) {
-        while (j < m) {
+        while (j < dim) {
           val diff = local(j) - c(j)
           d += diff * diff
           j += 1
         }
       } else {
-        while (j < m) {
+        while (j < dim) {
           val diff = arr.getDouble(j) - c(j)
           d += diff * diff
           j += 1
@@ -83,7 +93,6 @@ case class MinL2Dist(child: Expression, cands: Array[Array[Double]])
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
-      val m = ctx.freshName("m")
       val nElems = ctx.freshName("nElems")
       val d = ctx.freshName("d")
       val diff = ctx.freshName("diff")
@@ -94,12 +103,14 @@ case class MinL2Dist(child: Expression, cands: Array[Array[Double]])
       s"""
          |double $bestD = Double.MAX_VALUE;
          |int $nElems = $arr.numElements();
+         |if ($nElems != $dim) throw new IllegalArgumentException(
+         |  "min_l2_dist: input dimension " + $nElems +
+         |  " != candidate dimension " + $dim);
          |$copy
          |for (int $i = 0; $i < $cs.length; $i++) {
          |  double[] $c = $cs[$i];
-         |  int $m = java.lang.Math.min($nElems, $c.length);
          |  double $d = 0.0;
-         |  for (int $j = 0; $j < $m; $j++) {
+         |  for (int $j = 0; $j < $dim; $j++) {
          |    double $diff = $read - $c[$j];
          |    $d += $diff * $diff;
          |  }

@@ -867,11 +867,19 @@ object RelationalQueries {
     * the flag is the one-line switch; both modes are bit-identical to
     * the oracle. */
   def qPageRankPersonalized(spark: SparkSession, dir: String): DataFrame =
+    qPageRankPersonalizedWith(spark, dir, sparseSeed = false)
+
+  /** [[qPageRankPersonalized]] with the sparse-frontier lever exposed —
+    * the test seam that keeps the prepared-but-off branch from rotting:
+    * OperatorsSpec asserts both modes bit-equal on the sf0.001 graph. */
+  private[graft] def qPageRankPersonalizedWith(
+      spark: SparkSession, dir: String, sparseSeed: Boolean): DataFrame =
     pageRankCore(spark, dir,
       init = (_, seed) =>
         when(col("node") === lit(seed), lit(1.0)).otherwise(lit(0.0)),
       teleport = (_, seed) =>
-        when(col("node") === lit(seed), lit(1 - PrDamp)).otherwise(lit(0.0)))
+        when(col("node") === lit(seed), lit(1 - PrDamp)).otherwise(lit(0.0)),
+      sparseSeed = sparseSeed)
       .select(nodeName(col("node")).as("node"),
         round(col("pr"), 9).as("ppr"))
 
@@ -912,12 +920,20 @@ object RelationalQueries {
     // system at 100 TB serves iteration from a prepared edge table,
     // not from re-deriving it out of the fact tables per query — and
     // the same write-once `_SUCCESS`-gated pattern the ANN segments
-    // use (keyed by corpus count, so a regenerated corpus
-    // self-invalidates). Readers still cache/repartition per query;
-    // only the derivation is shared.
+    // use. Keyed by BOTH source tables' row counts AND a filesystem
+    // content fingerprint (file name/length/mtime manifest of the two
+    // parquet sources): TPC-H counts are deterministic per SF, so a
+    // regenerated same-SF corpus would hash to the same count — the
+    // fingerprint is what actually self-invalidates on a rewrite.
+    // Readers still cache/repartition per query; only the derivation
+    // is shared.
     val nLi = graft.Tables.cachedCount(spark, dir, "lineitem")
+    val nOrd = graft.Tables.cachedCount(spark, dir, "orders")
+    val fp = graft.sources.Artifacts.sourceFingerprint(spark,
+      s"$dir/lineitem.parquet", s"$dir/orders.parquet")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${graft.sources.Artifacts.root(spark)}/tradecs_${key}_n$nLi"
+    val path = s"${graft.sources.Artifacts.root(spark)}/" +
+      s"tradecs_${key}_n${nLi}_o${nOrd}_f$fp"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))

@@ -32,20 +32,24 @@ class ContractSurfaceSpec extends AnyFunSuite {
     // newest CORRECTNESS_r*.json in the repo root (tests fork with the
     // project base as cwd — build.sbt's Test/fork contract)
     val dir = Paths.get(".")
-    val latest = Files.list(dir).iterator()
-    val corr = scala.collection.mutable.ArrayBuffer[String]()
-    while (latest.hasNext) {
-      val f = latest.next().getFileName.toString
-      if (f.matches("CORRECTNESS_r\\d+\\.json")) corr += f
+    val corr = scala.util.Using.resource(Files.list(dir)) { stream =>
+      val it = stream.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next().getFileName.toString
+        if (f.matches("CORRECTNESS_r\\d+\\.json")) buf += f
+      }
+      buf.toSeq
     }
     assume(corr.nonEmpty, "no CORRECTNESS_r*.json present (fresh clone)")
     val newest = corr.maxBy(f => f.stripPrefix("CORRECTNESS_r")
       .stripSuffix(".json").toInt)
-    // keys are the top-level JSON object's quoted names; the values
-    // are flat objects with no nested string keys at top level, so a
-    // "key": { match anchored at line scope extracts exactly them
+    // keys are the top-level JSON object's quoted names; the driver
+    // pretty-prints them at exactly 2-space indentation, so the match
+    // is anchored to line start + that indent — a nested object value
+    // (deeper indent) can never inject phantom query keys
     val txt = Files.readString(Paths.get(newest))
-    val keys = """"([A-Za-z0-9_]+)"\s*:\s*\{""".r
+    val keys = """(?m)^  "([A-Za-z0-9_]+)"\s*:\s*\{""".r
       .findAllMatchIn(txt).map(_.group(1)).toSet
     assert(keys.nonEmpty, s"$newest parsed to zero query keys")
     val dropped = keys.diff(SparkEntry.queries.keySet)

@@ -1363,6 +1363,25 @@ class OperatorsSpec extends SparkSessionSpec {
     assert(byNode(seed) > uni(seed) * 10)
   }
 
+  test("sparse-frontier PPR is bit-identical to the dense loop") {
+    // the prepared-but-off lever (pageRankCore(sparseSeed = true)):
+    // zero-mass rows contribute exact zeros and the per-round 12dp
+    // quantization applies to the same cb either way, so the two modes
+    // must agree bit-for-bit, including the re-densified zeros
+    val dense = RelationalQueries
+      .qPageRankPersonalizedWith(spark, sf0001, sparseSeed = false)
+      .as[(String, Double)].collect().sortBy(_._1)
+    val sparse = RelationalQueries
+      .qPageRankPersonalizedWith(spark, sf0001, sparseSeed = true)
+      .as[(String, Double)].collect().sortBy(_._1)
+    assert(dense.length == sparse.length)
+    dense.zip(sparse).foreach { case ((dn, dv), (sn, sv)) =>
+      assert(dn == sn)
+      assert(java.lang.Double.doubleToLongBits(dv) ==
+        java.lang.Double.doubleToLongBits(sv), s"node $dn: $dv vs $sv")
+    }
+  }
+
   test("cmsGrid equals the declarative explode sketch cell-for-cell") {
     // pins the byte-level bucket math (digest bytes [4d,4d+4) big-
     // endian) against the hex-slicing definition the oracle replays
