@@ -89,6 +89,19 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val coldRuns = scala.collection.mutable.LinkedHashMap[String, Double]()
     val minRuns = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // structured measurement weather (VERDICT r17 item 5): host CPU
+    // steal over each query's window and the query's own PROCESS CPU
+    // per warm run — the contention discriminator (wall moving while
+    // CPU stays flat = noisy neighbors, not code), machine-readable
+    // instead of log-tail prose
+    val stealPcts = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpuRuns = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def procCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => 0.0
+      }
     // a query that THROWS must be visible as a failure, not as a
     // fast row: round 7's 13 broken ev_* queries benched as ~0.06 s
     // fail-fast stubs and read as improvements until the judge
@@ -111,19 +124,25 @@ object Bench {
       System.gc(); Thread.sleep(80); System.gc(); Thread.sleep(80)
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Double) = {
         drain()
+        val c0 = procCpuSec()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           if (failed.add(name))
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, procCpuSec() - c0)
       }
-      coldRuns(name) = once()
-      val runs = Seq.fill(3)(once()).sorted
+      val j0 = BenchLadder.cpuJiffies()
+      coldRuns(name) = once()._1
+      val warmRuns = Seq.fill(3)(once())
+      stealPcts(name) = BenchLadder.stealPct(j0, BenchLadder.cpuJiffies())
+      val runs = warmRuns.map(_._1).sorted
       results(name) = runs(runs.length / 2)
       minRuns(name) = runs.head
+      val cpus3 = warmRuns.map(_._2).sorted
+      cpuRuns(name) = cpus3(cpus3.length / 2)
       // a failed query's ~0.06s fail-fast timings must NOT enter the
       // timing maps: a consumer diffing warm/cold against last round
       // without cross-checking "failed" would read the failure as a
@@ -131,6 +150,7 @@ object Bench {
       // the failed array
       if (failed.contains(name)) {
         results.remove(name); coldRuns.remove(name); minRuns.remove(name)
+        stealPcts.remove(name); cpuRuns.remove(name)
       }
       // drop THIS query's persisted intermediates before the next
       // query runs (Caches doc): warm runs above still shared the
@@ -206,8 +226,21 @@ object Bench {
         .mkString("{", ",", "}")
     def jFailed: String =
       failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // write-path queries pay a full storage lifecycle per run BY
+    // DESIGN (table commit, MOR DML, compaction, time travel) — their
+    // cost is the write-path measurement, so the board totals split
+    // them from the read-path families instead of letting one
+    // lifecycle query read as read-path drift (ROUND17 §10)
+    val writePath = Set("pipeline_snapshot_dml_cycle")
+    val totalRead = results.filterNot(r => writePath(r._1)).values.sum
+    val totalWrite = results.filter(r => writePath(r._1)).values.sum
+    // whole-gauntlet weather: median + max per-query steal — one
+    // contended family is visible even when the session median is calm
+    val stSorted = stealPcts.values.toSeq.sorted
+    val stMed = if (stSorted.isEmpty) 0.0 else stSorted(stSorted.length / 2)
+    val stMax = if (stSorted.isEmpty) 0.0 else stSorted.last
     val fullJson =
-      f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","runs":3,"queries":${j(results)}%s,"queries_min":${j(minRuns)}%s,"queries_cold":${j(coldRuns)}%s,"failed":$jFailed%s,"sf":"$sfDir%s"}"""
+      f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","runs":3,"queries":${j(results)}%s,"queries_min":${j(minRuns)}%s,"queries_cold":${j(coldRuns)}%s,"queries_cpu":${j(cpuRuns)}%s,"steal_pct":${j(stealPcts)}%s,"steal_pct_median":$stMed%.1f,"steal_pct_max":$stMax%.1f,"total_read_sec":$totalRead%.1f,"total_write_sec":$totalWrite%.1f,"failed":$jFailed%s,"sf":"$sfDir%s"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -220,6 +253,6 @@ object Bench {
         println(f"""{"q":"$n%s","warm":$v%.3f,"cold":${coldRuns(n)}%.3f}""")
       }
     val compact = results.filter { case (n, _) => headline(n) }
-    println(f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","runs":3,"queries":${j(compact)}%s,"failed":$jFailed%s,"sf":"$sfDir%s"}""")
+    println(f"""{"metric":"kmeans_sec_per_iter_100k_d30_k4","value":$iter100k%.6f,"unit":"sec","runs":3,"queries":${j(compact)}%s,"steal_pct_median":$stMed%.1f,"steal_pct_max":$stMax%.1f,"total_read_sec":$totalRead%.1f,"total_write_sec":$totalWrite%.1f,"failed":$jFailed%s,"sf":"$sfDir%s"}""")
   }
 }

@@ -111,6 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // join-then-aggregate collapse to per-side aggregates
     e.injectOptimizerRule(_ => graft.plans.PushAggThroughJoin)
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+    e.injectPlannerStrategy(_ => new graft.plans.CoOccurrencePairsStrategy)
     // SQL lowering for SnapshotCatalog tables (reads incl. time
     // travel, MERGE INTO) onto the programmatic snapshot engine
     e.injectResolutionRule(session =>

@@ -653,13 +653,19 @@ object AnnIndex {
     val spark = qs.sparkSession
     val cents = readCents(spark, path)
     val cb = readCodebook(spark, path)
-    // static partition filter: probed cells of the (tiny) query batch,
-    // computed driver-side with the same argmin/tie-break as the
-    // in-plan routing (OperatorsSpec asserts the two agree)
-    val probedAll = qs.collect()
-      .flatMap(r => CellRouting.probeDriver(cents,
-        r.getAs[Seq[Double]]("qv").toArray, NProbe))
-      .distinct.sorted
+    // static partition filter: the DISTINCT probed cells of the query
+    // batch, routed IN-PLAN by the same CellRouting.probe expression
+    // as the probe join below (agreement by construction — a
+    // tree-probed cell can never be pruned out of the segment scan)
+    // and collected as a cell-count-bounded list. The former variant
+    // collected every query VECTOR driver-side — fine at 100-query
+    // contract batches, a driver bottleneck the moment the query side
+    // becomes corpus-sized; distinct cells are ≤ k (the coarse
+    // codebook size) no matter how many queries route through them.
+    val probedAll = qs
+      .select(explode(CellRouting.probe(col("qv"), cents, NProbe))
+        .as("pc"))
+      .distinct().collect().map(_.getInt(0)).sorted
     // cell pruning FIRST (bucket-dir pruning + row-group stats reach
     // both segment scans, inside committedSegments), then the
     // live-docs subtraction on the already-pruned rows

@@ -1203,54 +1203,92 @@ object RelationalQueries {
     * join's three arms — each materializes once via localCheckpoint.
     * Integer-exact end to end. */
   def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val cs = capCustomerDegree(
-      t(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(t(spark, dir, "orders")
-            .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct(), TriCapDeg)
-      .localCheckpoint()
-    // The wedge self-join fans out deg²/2 per customer (measured 125M
-    // wedge rows at sf1 from a ~5M-row input): AQE sizes post-shuffle
-    // partitions from the small INPUT bytes and coalesces the join —
-    // and with it the map-side (s1,s2) partial agg — onto one core.
-    // Pin both arms to an explicit c-hash partitioning (AQE never
-    // coalesces a user repartition); per-customer work is bounded by
-    // the degree cap, so partitions stay balanced at any scale.
-    //
-    // The partition COUNT is data-proportional, from the EXACT wedge
-    // total Σ d·(d−1)/2 (one tiny agg over the just-checkpointed cs —
-    // degrees are already capped, so this is the true fan-out, not a
-    // bound): a fixed 4×parallelism put ~10M wedge rows per task at
-    // the x100 rung and the map-side (s1,s2) partial agg spilled —
-    // measured 475 s vs a ~117 s linear fit, a 4×-over-linear cliff
-    // entirely inside the hash-agg spill path. ~2M wedges per task
-    // keeps every partial hash table in memory at any scale; the
-    // 4×parallelism floor preserves small-corpus behavior, the 4096
-    // cap bounds scheduler pressure (and matches the per-task target:
-    // 4096 × 2M = 8B wedges before tasks grow past target again).
-    val wedgeTotal = cs.groupBy(col("c"))
+    // the distinct trading-pairs projection comes from the SHARED
+    // durable [[tradeCs]] artifact (unpacking the even/odd long ids
+    // back to raw keys — exact integer DIV, no float path), so warm
+    // runs and every co-resident graph query skip the lineitem×orders
+    // join + distinct entirely (~600 CPU-s of the x100 rung)
+    val pairs = tradeCs(spark, dir)
+      .select(expr("src DIV 2").as("c"), expr("dst DIV 2").as("s"))
+    // ONE tiny degree aggregate feeds three decisions: the exact
+    // CAPPED wedge total Σ min(d,cap)·(min(d,cap)−1)/2 (identical to
+    // aggregating after the cap — the survivor count per customer IS
+    // min(d, cap)), the data-proportional partition width, and
+    // whether the cap BINDS at all. When max degree ≤ TriCapDeg the
+    // TopKPerKey cut is a no-op that still cost a full extra exchange
+    // + per-customer heap pass + checkpoint (~600 CPU-s at the x100
+    // rung, where the observed max degree is 102) — skip it and feed
+    // the artifact scan straight into the repartition. The oracle's
+    // cap rule selects everyone in that case too, so parity is
+    // unchanged on both branches.
+    val capL = lit(TriCapDeg.toLong)
+    val degRow = pairs.groupBy(col("c"))
       .agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("w2"))
-      .collect()(0).getLong(0) / 2
+      .agg(coalesce(sum(least(col("d"), capL) * (least(col("d"), capL) - 1)),
+          lit(0L)).as("w2"),
+        coalesce(max(col("d")), lit(0L)).as("maxd"))
+      .collect()(0)
+    val wedgeTotal = degRow.getLong(0) / 2
+    val capBinds = degRow.getLong(1) > TriCapDeg
+    val cs =
+      if (capBinds) capCustomerDegree(pairs, TriCapDeg).localCheckpoint()
+      else pairs
+    // The wedge fan-out is deg²/2 per customer (measured 125M wedge
+    // rows at sf1 from a ~5M-row input). Pin the pair operator's
+    // input to an explicit c-hash partitioning (AQE never coalesces a
+    // user repartition); per-customer work is bounded by the degree
+    // cap, so partitions stay balanced at any scale.
+    //
+    // The partition COUNT is data-proportional from the EXACT wedge
+    // total: a fixed 4×parallelism put ~10M wedge rows per task at
+    // the x100 rung and the per-task pair state blew past memory —
+    // ~2M wedges per task keeps every partial chunk in memory at any
+    // scale; the 4×parallelism floor preserves small-corpus behavior,
+    // the 4096 cap bounds scheduler pressure (4096 × 2M = 8B wedges
+    // before tasks grow past target again).
     val wedgeParts = math.max(4 * spark.sparkContext.defaultParallelism,
       math.min(4096L, wedgeTotal / 2000000L + 1).toInt)
     val a = cs.repartition(wedgeParts, col("c"))
-    val b = a.select(col("c").as("cb"), col("s").as("sb"))
-    // (a packed single-long group key — s1<<32|s2 — was A/B'd at the
-    // x10 rung and measured a wash: the agg is stream-bound, not
-    // key-compare-bound; the two-column key stays for simplicity)
-    val w = a.select(col("c"), col("s").as("sa"))
-      .join(b, col("c") === col("cb") && col("sa") < col("sb"))
-      .groupBy(col("sa").as("s1"), col("sb").as("s2"))
-      .agg(count(lit(1)).as("w"))
+    // the co-purchase weights run through the NATIVE co-occurrence
+    // operator ([[graft.plans.CoOccurrencePairs]]): the former
+    // self-join + groupBy lowering paid one generic HashAggregate
+    // probe per wedge — 1.25e9 wedges × ~1.9 µs ≈ 2.3k CPU-s at the
+    // x100 rung, the query's dominant stage — where the fused
+    // primitive-map pass generates and combines the same wedges
+    // without materializing a row per wedge. Identical exchanges
+    // (group-clustered in, pair-hashed out; the explicit repartition
+    // above satisfies the first), identical integer counts. The
+    // final-merge width rides the same data-proportional wedgeParts.
+    //
+    // w MATERIALIZES once (eager checkpoint): the symmetrizing union
+    // below references it twice, and an unmaterialized lineage made
+    // each branch re-run the full pair aggregation — measured at the
+    // x100 rung as one stage re-reading 2×11 GB and burning ~1.8k
+    // CPU-s. The checkpointed pair relation is ~5% of that shuffle
+    // (50M rows at x100), so both union branches cost one cheap scan.
+    // COALESCED after the checkpoint: the merge runs wide
+    // (wedgeParts tasks) for its map memory, but downstream consumers
+    // of the 628-block checkpoint at that width paid per-block
+    // map/unmap and per-task overhead far above their row counts
+    // (jstack-sampled: FileChannel map/unmap dominated the TopK
+    // stage). Reading the blocks back through a narrow coalesce keeps
+    // the materialized width for the merge and the consumer width at
+    // the core count.
+    val w = graft.plans.CoOccurrencePairs
+      .pairCounts(a, "c", "s", Some(wedgeParts))
+      .localCheckpoint(true)
+      .coalesce(2 * spark.sparkContext.defaultParallelism)
     val und = w.select(col("s1").as("src"), col("s2").as("dst"), col("w"))
       .unionByName(w.select(col("s2").as("src"), col("s1").as("dst"),
         col("w")))
+    // partial key cap raised to the supplier-count class: the default
+    // 64k cap is BELOW the node count at the x100 rung (100k), so a
+    // third of every task's rows bypassed the partial cut and re-paid
+    // heap admission at the 32-way final — 1M keys × TriTopM rows held
+    // is still a small task footprint
     val sel = graft.plans.TopKPerKey.topKPerKey(und,
-      Seq("src"), Seq("w" -> false, "dst" -> true), TriTopM)
+      Seq("src"), Seq("w" -> false, "dst" -> true), TriTopM,
+      partialKeyCap = 1 << 20)
     val e = sel
       .select(least(col("src"), col("dst")).as("s1"),
         greatest(col("src"), col("dst")).as("s2"))
@@ -1259,16 +1297,62 @@ object RelationalQueries {
     triangleCounts(e)
   }
 
-  /** Core of [[qTriangles]]: per-node triangle participation over an
-    * id-oriented (s1 < s2) edge list. Exposed for the crafted-graph
-    * spec. */
+  /** Core of [[qTriangles]]: per-node triangle participation over a
+    * canonical (s1 < s2, distinct) undirected edge list. Exposed for
+    * the crafted-graph spec.
+    *
+    * DEGREE-ORDERED orientation (the node-iterator++ / "forward"
+    * algorithm of Schank & Wagner / Latapy — standard published
+    * technique): every edge is oriented from its lower-(degree, id)
+    * endpoint to the higher, wedges are enumerated ONLY among the
+    * out-neighbors of each apex, and a wedge (v→u1, v→u2) closes iff
+    * the oriented edge u1→u2 exists. Each triangle is then counted
+    * exactly once, at its minimum-(degree, id) vertex. The win over
+    * the previous id-oriented join is the wedge mass: id order pays
+    * Σ_b smaller(b)·larger(b) ≈ Σ d²/4 — dominated by hub nodes that
+    * many low-degree suppliers pick as a top-M partner — while degree
+    * order pays Σ d_out(d_out−1)/2 with d_out ≤ O(√|E|) (a vertex's
+    * out-neighbors all have degree ≥ its own), so hubs collect
+    * in-edges but never fan wedges out. Exact count, same output,
+    * strictly less join input at every scale.
+    *
+    * The tie rule (degree, then id) is a total order, so orientation
+    * is acyclic and deterministic; the oracle replays the identical
+    * count because the TRIANGLE SET is orientation-invariant — only
+    * the enumeration order changed. */
   def triangleCounts(e: DataFrame): DataFrame = {
-    val ab = e.select(col("s1").as("ta"), col("s2").as("tb"))
-    val bc = e.select(col("s1").as("ub"), col("s2").as("tc"))
-    val ac = e.select(col("s1").as("va"), col("s2").as("vc"))
-    val tri = ab.join(bc, col("tb") === col("ub"))
-      .join(ac, col("ta") === col("va") && col("tc") === col("vc"))
-      .select(col("ta"), col("tb"), col("tc"))
+    // undirected degrees: one agg over both endpoint projections
+    val deg = e.select(col("s1").as("v"))
+      .unionByName(e.select(col("s2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("s1") < col("s2"))
+    // oriented out-edges (v → u), carrying u's degree for the wedge
+    // pair order; materialized once — it feeds both wedge arms and
+    // the closure probe. deg is node-sized (tiny next to edges), so
+    // AQE broadcasts both degree joins.
+    val o = e
+      .join(deg.select(col("v").as("s1"), col("d").as("da")), "s1")
+      .join(deg.select(col("v").as("s2"), col("d").as("db")), "s2")
+      .select(
+        when(lowFirst, col("s1")).otherwise(col("s2")).as("v"),
+        when(lowFirst, col("s2")).otherwise(col("s1")).as("u"),
+        when(lowFirst, col("db")).otherwise(col("da")).as("du"))
+      .localCheckpoint()
+    // wedges at the apex: ordered pairs of out-neighbors by (deg, id)
+    val wedges = o.select(col("v"), col("u").as("u1"), col("du").as("du1"))
+      .join(o.select(col("v").as("v2"), col("u").as("u2"),
+          col("du").as("du2")),
+        col("v") === col("v2") &&
+          (col("du1") < col("du2") ||
+            (col("du1") === col("du2") && col("u1") < col("u2"))))
+      .select(col("v"), col("u1"), col("u2"))
+    // closure: (u1, u2) ordered low-first by construction, so the
+    // closing edge — if present — is oriented u1 → u2 in o
+    val tri = wedges
+      .join(o.select(col("v").as("x1"), col("u").as("x2")),
+        col("u1") === col("x1") && col("u2") === col("x2"))
+      .select(col("v").as("ta"), col("u1").as("tb"), col("u2").as("tc"))
     tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("supp"))
       .groupBy(col("supp")).agg(count(lit(1)).as("n_tri"))
   }

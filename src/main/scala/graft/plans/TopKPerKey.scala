@@ -44,9 +44,11 @@ case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    partialKeyCap: Int = TopKPerKeyExec.PartialKeyCap) extends UnaryNode {
   require(k > 0, s"topKPerKey: k must be positive, got $k")
   require(keys.nonEmpty, "topKPerKey: at least one key expression")
+  require(partialKeyCap > 0, "topKPerKey: partialKeyCap must be positive")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
@@ -57,10 +59,12 @@ case class TopKPerKeyNode(
   * EnsureRequirements) → final. */
 class TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
+    case TopKPerKeyNode(keys, order, k, child, cap) =>
       val partial =
-        TopKPerKeyExec(keys, order, k, isFinal = false, planLater(child))
-      TopKPerKeyExec(keys, order, k, isFinal = true, partial) :: Nil
+        TopKPerKeyExec(keys, order, k, isFinal = false, planLater(child),
+          partialKeyCap = cap)
+      TopKPerKeyExec(keys, order, k, isFinal = true, partial,
+        partialKeyCap = cap) :: Nil
     case _ => Nil
   }
 }
@@ -166,7 +170,8 @@ object TopKPerKey {
     * `withColumn` away. Output columns = input columns; row set equals
     * the `row_number() <= k` window lowering. */
   def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
-                 k: Int): DataFrame = {
+                 k: Int,
+                 partialKeyCap: Int = TopKPerKeyExec.PartialKeyCap): DataFrame = {
     register(df.sparkSession)
     val child = GraftSqlBridge.logicalPlan(df)
     def attr(name: String): Attribute =
@@ -177,6 +182,6 @@ object TopKPerKey {
       SortOrder(attr(name), dir, dir.defaultNullOrdering, Seq.empty)
     }
     GraftSqlBridge.dataset(df.sparkSession,
-      TopKPerKeyNode(keys.map(attr), sortOrders, k, child))
+      TopKPerKeyNode(keys.map(attr), sortOrders, k, child, partialKeyCap))
   }
 }
