@@ -910,7 +910,7 @@ object RelationalQueries {
     * [[qCommunities]]). Checkpointed: it is read several times by each
     * consumer (both symmetrize arms + a sizing count) and is tiny next
     * to the lineitem×orders join that builds it. */
-  private def tradeCs(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def tradeCs(spark: SparkSession, dir: String): DataFrame = {
     // DURABLE build-once artifact, not a per-query checkpoint: every
     // graph workload here (PageRank, PPR, LPA, SSSP) derives the SAME
     // distinct-trading-pairs projection from lineitem×orders, and each
@@ -1243,11 +1243,19 @@ object RelationalQueries {
     // total: a fixed 4×parallelism put ~10M wedge rows per task at
     // the x100 rung and the per-task pair state blew past memory —
     // ~2M wedges per task keeps every partial chunk in memory at any
-    // scale; the 4×parallelism floor preserves small-corpus behavior,
-    // the 4096 cap bounds scheduler pressure (4096 × 2M = 8B wedges
-    // before tasks grow past target again).
-    val wedgeParts = math.max(4 * spark.sparkContext.defaultParallelism,
-      math.min(4096L, wedgeTotal / 2000000L + 1).toInt)
+    // scale; the 4096 cap bounds scheduler pressure (4096 × 2M = 8B
+    // wedges before tasks grow past target again). NO parallelism
+    // floor: the former 4×cores floor (128 on this box) sprayed the
+    // sf0.1 board's 12.5M wedges over 128 partial tasks — 16k shuffle
+    // blocks (M×R growth, guide §2.2) and per-task wedge sets too
+    // small to combine against the SATURATED 500k pair space, so the
+    // partial pass emitted ~11.5M barely-combined rows. jstack showed
+    // ~65% of executor samples in shuffle-file write/mmap/unmap; a
+    // width sweep measured 0.5 s at 16 parts vs 3.3 s at 128. Wedge-
+    // proportional sizing (7 parts at sf0.1, 626 at the x100 rung —
+    // x100 unchanged) keeps every chunk fully combined per task and
+    // the block count quadratic only in DATA, not in core count.
+    val wedgeParts = math.min(4096L, wedgeTotal / 2000000L + 1).toInt
     val a = cs.repartition(wedgeParts, col("c"))
     // the co-purchase weights run through the NATIVE co-occurrence
     // operator ([[graft.plans.CoOccurrencePairs]]): the former
