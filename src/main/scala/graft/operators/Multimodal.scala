@@ -1485,14 +1485,24 @@ object Multimodal {
     // payload replay: sample i = (doc_id*31 + i*7) mod 65536, signed;
     // frame/channel bounds are the synthesis constants (<=25 output
     // frames, <=2 channels), correlated via WHERE because DuckDB's
-    // generate_series cannot take lateral bounds
+    // generate_series cannot take lateral bounds.
+    // floor(x/2.0), NOT x // 2: DuckDB's integer // TRUNCATES toward
+    // zero while the engine floor-divides (Math.floorDiv — the
+    // documented resample semantic). The two agree on the sf0.001/
+    // sf0.01 gates because samples (doc_id*31 + i*7) % 65536 only wrap
+    // negative from doc_id ≈ 1045 upward — the sf0.1 oracle run this
+    // divergence was caught by (round 18) is exactly the scale-
+    // dependent-constant probe VERDICT r17 task 4 asked for. The sum
+    // fits in a double exactly (|a+b| < 2^17 per term, < 2^23 terms),
+    // so the float floor is integer-exact.
     "mm_resample" ->
       """SELECT doc_id, CAST(rate_out AS BIGINT) AS rate_out,
         |  CAST(nfo AS BIGINT) AS n_frames_out,
         |  CAST(coalesce((
-        |    SELECT sum((CASE WHEN ua >= 32768 THEN ua - 65536 ELSE ua END
-        |               + CASE WHEN ub >= 32768 THEN ub - 65536 ELSE ub END)
-        |               // 2)
+        |    SELECT sum(CAST(floor((
+        |                 CASE WHEN ua >= 32768 THEN ua - 65536 ELSE ua END
+        |               + CASE WHEN ub >= 32768 THEN ub - 65536 ELSE ub END
+        |               ) / 2.0) AS BIGINT))
         |    FROM (
         |      SELECT (doc_id * 31 + ((2 * j.g - 2) * nch + c.g) * 7) % 65536
         |               AS ua,

@@ -327,6 +327,14 @@ object TextAnalysis {
     val vocab = occ.agg(count_distinct(col("tok")).cast("double")
       .as("v_size"))
     val tot = docs.agg(count(lit(1)).cast("double").as("tot_docs"))
+    // eagerly materialized: the langs-row stats frame feeds BOTH the
+    // lp build (a broadcast join) and the caller's scoring crossJoin —
+    // without the cut, each consumer re-derives the whole subtree
+    // (per-lang doc + token counts, the two-exchange count(distinct)
+    // vocab aggregate, the corpus count: 2 extra full passes over the
+    // persisted token stream and ~6 exchanges per run, visible as two
+    // identical aggregate branches in the executed plan). Values are
+    // unchanged — same aggregates, computed once.
     val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .join(occ.groupBy(col("lang")).agg(count(lit(1)).as("n_toks")), "lang")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(tot))
@@ -335,6 +343,7 @@ object TextAnalysis {
           .cast("long").as("lp0_micros"),
         round(log(col("n_docs") / col("tot_docs")) * lit(1e6d))
           .cast("long").as("prior_micros"))
+      .localCheckpoint(true)
     val lp = occ.groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("c"))
       .withColumnRenamed("lang", "cand_lang")
       .join(broadcast(stats.select(col("cand_lang"), col("n_toks"),
