@@ -363,8 +363,19 @@ object TextAnalysis {
     * broadcast. */
   private[graft] def scoreWithNbModel(docs: DataFrame, lp: DataFrame,
                                       stats: DataFrame): DataFrame = {
+    // SHUFFLE_HASH with the MODEL as build side, pinned by hint: left
+    // to estimates, the planner broadcast the EXPLODED TOKEN STREAM
+    // (corpus-sized) and streamed the vocab-sized model through one
+    // partition — the x10 ladder rung then spent 12.5 s of its 16 s
+    // in a single-task hash aggregate behind that join (SQL-tab node
+    // metrics; estimates for a Generate over a cached relation vs an
+    // aggregate output are both unreliable, and the wrong one won).
+    // The hint makes the intended shape explicit at every scale: both
+    // sides exchange on the token key, the per-partition hash builds
+    // on the model slice, the corpus streams — x10 warm 14.2 s -> 4.7 s
+    // measured, and the join can never invert into a corpus broadcast.
     val seen = docs.select(col("doc_id"), explode(toks).as("tok"))
-      .join(lp, "tok")
+      .join(lp.hint("SHUFFLE_HASH"), "tok")
       .groupBy(col("doc_id"), col("cand_lang"))
       .agg(count(lit(1)).as("n_seen"), sum(col("lp_micros")).as("seen_micros"))
     val docLen = docs.select(col("doc_id"), col("lang").as("true_lang"),
@@ -533,7 +544,11 @@ object TextAnalysis {
             element_at(col("toks"), i + 1)))).as("bg"))
       .persistTracked()
     val model = bi.groupBy(col("bg")).agg(count(lit(1)).as("c"))
-    bi.join(model, "bg")
+    // SHUFFLE_HASH, model as build side (the scoreWithNbModel rule):
+    // pins the documented "distributed hash join, NO broadcast" shape
+    // so the planner can never invert it into a broadcast of the
+    // corpus-sized bigram stream on a bad estimate
+    bi.join(model.hint("SHUFFLE_HASH"), "bg")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("c") <= RareMax, 1L).otherwise(0L)).as("n_rare"))
@@ -579,8 +594,12 @@ object TextAnalysis {
     val model = bi.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bg"))
     val ctx = bi.groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
-    bi.join(model, Seq("w1", "w2"))
-      .join(ctx, Seq("w1"))
+    // SHUFFLE_HASH, model/context as build sides (the scoreWithNbModel
+    // rule): the documented shape is a distributed hash join keyed on
+    // the bigram/context token — the hints stop a bad size estimate
+    // from broadcasting the corpus-sized bigram stream instead
+    bi.join(model.hint("SHUFFLE_HASH"), Seq("w1", "w2"))
+      .join(ctx.hint("SHUFFLE_HASH"), Seq("w1"))
       .crossJoin(broadcast(vocab))
       // −ln P(w₂|w₁) in integer micro-nats: round BEFORE summing so
       // the per-doc total is exact-integer in both engines (the BM25
