@@ -1282,21 +1282,34 @@ object RelationalQueries {
     // stage). Reading the blocks back through a narrow coalesce keeps
     // the materialized width for the merge and the consumer width at
     // the core count.
+    // DISK_ONLY, not the default MEMORY_AND_DISK: the checkpointed
+    // pair relation is ~50M UnsafeRow OBJECTS at the x100 rung — ~4 GB
+    // resident as deserialized cache blocks, which the memory manager
+    // happily keeps while the TopK partial's (untracked) per-key heaps
+    // also grow, and the 8 GB driver JVM OOMed in exactly that state
+    // (round-18 repro: OOM in TopKPerKeyExec row copies with the w
+    // blocks pinned). Serialized-to-disk blocks cost one sequential
+    // re-read per union branch (~1.2 GB at x100) and zero heap.
     val w = graft.plans.CoOccurrencePairs
       .pairCounts(a, "c", "s", Some(wedgeParts))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       .coalesce(2 * spark.sparkContext.defaultParallelism)
     val und = w.select(col("s1").as("src"), col("s2").as("dst"), col("w"))
       .unionByName(w.select(col("s2").as("src"), col("s1").as("dst"),
         col("w")))
-    // partial key cap raised to the supplier-count class: the default
-    // 64k cap is BELOW the node count at the x100 rung (100k), so a
-    // third of every task's rows bypassed the partial cut and re-paid
-    // heap admission at the 32-way final — 1M keys × TriTopM rows held
-    // is still a small task footprint
+    // partial key cap at the DEFAULT 64k: the union stage is NOT
+    // key-partitioned, so every one of the ~32 concurrent partial
+    // tasks tracks up to min(cap, node count) keys — at the x100 rung
+    // (100k suppliers) a 1M cap let each task hold ~100k key heaps of
+    // copied rows, and 32 tasks of untracked heap state on top of the
+    // pair checkpoint OOMed the 8 GB JVM (round-18 repro, stack in
+    // TopKPerKeyExec). The default bounds partial state at
+    // 64k·k rows/task; overflow keys stream through uncut and the
+    // final pass still cuts exactly — a bounded-memory shuffle tax,
+    // never a crash.
     val sel = graft.plans.TopKPerKey.topKPerKey(und,
-      Seq("src"), Seq("w" -> false, "dst" -> true), TriTopM,
-      partialKeyCap = 1 << 20)
+      Seq("src"), Seq("w" -> false, "dst" -> true), TriTopM)
     val e = sel
       .select(least(col("src"), col("dst")).as("s1"),
         greatest(col("src"), col("dst")).as("s2"))
